@@ -1,0 +1,257 @@
+package graft.engine
+
+import graft.model._
+import graft.html.{Tokenizer, TreeBuilder}
+import graft.extract.{Blocks, Boilerplate, TextAssembler}
+import graft.pdf.{ContentStream, CosDict, CosName, CosArr, CosStream, Cos, PdfDoc, Glyphs, FontInfo}
+import java.nio.charset.{Charset, StandardCharsets, CodingErrorAction}
+
+/** Format/charset triage — analog of the reference's `triage` stage
+  * (reference: src/ocrmypdf/_pipeline.py:155-201 sniffs the `%PDF-x.y`
+  * signature in the first 1 KiB and dispatches by format).
+  *
+  * Deterministic precedence: gzip magic → decompress-first; `%PDF-` in the
+  * first 1024 bytes → PDF branch; else HTML with charset detection
+  * (BOM > declared meta charset > UTF-8-with-replacement).
+  */
+object Sniffer {
+
+  final case class Sniffed(format: String, charset: String,
+      bytes: Array[Byte], error: Option[String])
+
+  val maxGunzipBytes: Int = 64 << 20 // bounded decompress (per-row budget)
+
+  def sniff(raw: Array[Byte]): Sniffed = {
+    if (raw == null || raw.isEmpty)
+      return Sniffed("unknown", "binary", Array.emptyByteArray, None)
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+      gunzip(raw) match {
+        case Right(inner) =>
+          val s = sniff(inner)
+          Sniffed("gzip+" + s.format, s.charset, s.bytes, s.error)
+        case Left(err) =>
+          Sniffed("gzip", "binary", Array.emptyByteArray, Some(err))
+      }
+    } else if (isPdf(raw)) {
+      Sniffed("pdf", "binary", raw, None)
+    } else {
+      Sniffed("html", "utf-8", raw, None) // charset resolved at decode time
+    }
+  }
+
+  def isPdf(raw: Array[Byte]): Boolean =
+    PdfDoc.indexOf(raw, "%PDF-", 0) match {
+      case -1 => false
+      case i => i < 1024
+    }
+
+  def gunzip(raw: Array[Byte]): Either[String, Array[Byte]] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw))
+      val out = new java.io.ByteArrayOutputStream(math.min(raw.length * 4, 1 << 20))
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0 && out.size() <= maxGunzipBytes) {
+        out.write(buf, 0, k)
+        k = in.read(buf)
+      }
+      if (out.size() > maxGunzipBytes) Left("gzip_too_large")
+      else Right(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => Left("gzip_truncated")
+    }
+  }
+
+  /** Charset detection: BOM > <meta charset> in first 1024 bytes > UTF-8
+    * with U+FFFD replacement (never fails — the reference's charset
+    * analog is raster device escalation,
+    * src/ocrmypdf/_pipeline.py:530-570 `_select_raster_device`). */
+  def decodeHtml(raw: Array[Byte]): (String, String) = {
+    if (raw.length >= 3 && (raw(0) & 0xff) == 0xef && (raw(1) & 0xff) == 0xbb &&
+      (raw(2) & 0xff) == 0xbf)
+      return ("utf-8", decodeWith(raw, 3, StandardCharsets.UTF_8))
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0xff && (raw(1) & 0xff) == 0xfe)
+      return ("utf-16le", decodeWith(raw, 2, StandardCharsets.UTF_16LE))
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0xfe && (raw(1) & 0xff) == 0xff)
+      return ("utf-16be", decodeWith(raw, 2, StandardCharsets.UTF_16BE))
+    declaredCharset(raw) match {
+      case Some(cs) => (cs.name().toLowerCase(java.util.Locale.ROOT),
+        decodeWith(raw, 0, cs))
+      case None => ("utf-8", decodeWith(raw, 0, StandardCharsets.UTF_8))
+    }
+  }
+
+  private def decodeWith(raw: Array[Byte], offset: Int, cs: Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(raw, offset, raw.length - offset)).toString
+  }
+
+  /** Scan the first 1024 bytes (ASCII-superset view) for
+    * charset=… inside a meta tag. Only a fixed allow-list of charsets is
+    * honored (deterministic precedence — unknown names fall through). */
+  def declaredCharset(raw: Array[Byte]): Option[Charset] = {
+    val head = new String(raw, 0, math.min(raw.length, 1024),
+      StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+    val i = head.indexOf("charset=")
+    if (i < 0) return None
+    var j = i + 8
+    // skip quotes
+    while (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'' ||
+      head.charAt(j) == ' ')) j += 1
+    val start = j
+    while (j < head.length && (head.charAt(j).isLetterOrDigit ||
+      head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
+    head.substring(start, j) match {
+      case "utf-8" | "utf8" => Some(StandardCharsets.UTF_8)
+      case "windows-1252" | "cp1252" | "iso-8859-1" | "latin-1" | "latin1" =>
+        Some(Charset.forName("windows-1252"))
+      case "utf-16" | "utf-16le" => Some(StandardCharsets.UTF_16LE)
+      case "utf-16be" => Some(StandardCharsets.UTF_16BE)
+      case "us-ascii" | "ascii" => Some(StandardCharsets.US_ASCII)
+      case _ => None
+    }
+  }
+}
+
+/** Engine interface — analog of the reference's `OcrEngine` ABC
+  * (reference: src/ocrmypdf/pluginspec.py:404-544: version, creator_tag,
+  * generate_ocr). The "direct tree, no intermediate file" path
+  * (reference: src/ocrmypdf/_pipeline.py:744-772 `ocr_engine_direct`,
+  * "modern path … bypasses hOCR file generation") is the design here: one
+  * function bytes → (tree, text, spans), no intermediate artifacts. */
+trait ExtractionEngine {
+  def tag: String
+  def extract(row: PageRow): ExtractResult
+}
+
+object HtmlEngine extends ExtractionEngine {
+  val tag: String = EngineTags.Html
+
+  def extract(row: PageRow): ExtractResult =
+    extractDecoded(row, Sniffer.sniff(row.html))
+
+  def extractDecoded(row: PageRow, s: Sniffer.Sniffed): ExtractResult = {
+    val (charset, decoded) = Sniffer.decodeHtml(s.bytes)
+    val tokens = Tokenizer.tokenize(decoded)
+    val dom = TreeBuilder.build(tokens)
+    val blocks = Blocks.segment(dom)
+    val kept = Boilerplate.classify(blocks)
+    val asm = TextAssembler.assemble(dom.title, kept)
+    val outcome =
+      if (asm.text.isEmpty) Outcome.SkippedEmpty else Outcome.Ok
+    ExtractResult(row.url, row.warc_ts, asm.text, asm.spans, outcome, tag,
+      s.format, charset, dom.nodes.length, blocks.length, dom.truncated)
+  }
+}
+
+object PdfEngine extends ExtractionEngine {
+  val tag: String = EngineTags.Pdf
+
+  def extract(row: PageRow): ExtractResult =
+    extractSniffed(row, Sniffer.sniff(row.html))
+
+  def extractSniffed(row: PageRow, s: Sniffer.Sniffed): ExtractResult = {
+    val doc = PdfDoc.parse(s.bytes)
+    if (doc.encrypted)
+      return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+        Outcome.SkippedEncrypted, tag, s.format, "binary",
+        doc.objects.size, 0, truncated = false)
+    val resolve: Cos => Cos = PdfDoc.resolveIn(doc.objects)
+    var truncated = false
+    val pageTexts = doc.pages.zipWithIndex.map { case (page, idx) =>
+      val fonts: Map[String, FontInfo] = page.inheritedResources
+        .flatMap(_.get("Font").map(resolve)).collect {
+          case fd: CosDict => fd.m.map { case (k, v) =>
+            k -> (resolve(v) match {
+              case d: CosDict => Glyphs.fontInfo(d, resolve)
+              case _ => Glyphs.default
+            })
+          }
+        }.getOrElse(Map.empty)
+      val contents: Vector[Array[Byte]] = page.dict.get("Contents").map(resolve) match {
+        case Some(s: CosStream) =>
+          PdfDoc.decodeStream(s, resolve).toVector
+        case Some(CosArr(items)) =>
+          items.map(resolve).collect { case st: CosStream => st }
+            .flatMap(PdfDoc.decodeStream(_, resolve))
+        case _ => Vector.empty
+      }
+      if (contents.isEmpty) "" else {
+        val merged = contents.reduce((a, b) =>
+          a ++ Array('\n'.toByte) ++ b)
+        val pt = ContentStream.interpret(merged, fonts)
+        if (pt.truncated) truncated = true
+        pt.lines.map(_.trim).filter(_.nonEmpty)
+          .map(Blocks.nfkc).mkString("\n")
+      }
+    }
+    // Ordered merge with \f separators — merge_sidecars semantics
+    // (reference: src/ocrmypdf/_pipeline.py:1307-1327: page order, \f
+    // separators, placeholders instead of silent drops).
+    val nonEmpty = pageTexts.exists(_.nonEmpty)
+    val text = pageTexts.mkString("\f")
+    val spans = {
+      var off = 0
+      pageTexts.zipWithIndex.flatMap { case (t, i) =>
+        val start = off
+        off += t.length + 1 // + separator
+        if (t.isEmpty) None
+        else Some(Span(start, start + t.length, "pdf_text", s"/page[${i + 1}]"))
+      }
+    }
+    val outcome =
+      if (doc.pages.isEmpty) Outcome.error("pdf_no_pages")
+      else if (!nonEmpty) Outcome.SkippedNoText
+      else Outcome.Ok
+    ExtractResult(row.url, row.warc_ts, if (nonEmpty) text else "", spans,
+      outcome, tag, s.format, "binary", doc.objects.size, doc.pages.length,
+      truncated)
+  }
+}
+
+/** Plumbing-test engine (reference: src/ocrmypdf/builtin_plugins/
+  * null_ocr.py:29-159 `NullEngine`). */
+object NullEngine extends ExtractionEngine {
+  val tag: String = EngineTags.Null
+  def extract(row: PageRow): ExtractResult =
+    ExtractResult(row.url, row.warc_ts, "", Vector.empty, Outcome.Ok, tag,
+      "unknown", "binary", 0, 0, truncated = false)
+}
+
+/** Top-level per-row kernel: triage → dispatch → contain failures.
+  * One deterministic function, the whole per-row pipeline fused in one
+  * stage (SURVEY.md §4 "stage pipelining": preview→rasterize→ocr run
+  * back-to-back per unit inside one task). */
+object Extractor {
+
+  def extract(row: PageRow): ExtractResult = {
+    try {
+      val s = Sniffer.sniff(row.html)
+      s.error match {
+        case Some(err) =>
+          ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+            Outcome.error(err), EngineTags.Html, s.format, s.charset, 0, 0,
+            truncated = false)
+        case None => s.format match {
+          case f if f.endsWith("pdf") => PdfEngine.extractSniffed(row, s)
+          case "unknown" =>
+            ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+              Outcome.SkippedEmpty, EngineTags.Null, s.format, s.charset,
+              0, 0, truncated = false)
+          case _ => HtmlEngine.extractDecoded(row, s)
+        }
+      }
+    } catch {
+      // Per-row failure containment: a bad document yields a typed outcome,
+      // never a task death (reference: src/ocrmypdf/_exec/tesseract.py:
+      // 341-353 timeout → skip marker; 228-237 benign-error downgrades).
+      case e: Throwable =>
+        ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+          Outcome.error(e.getClass.getSimpleName), EngineTags.Html,
+          "unknown", "binary", 0, 0, truncated = false)
+    }
+  }
+}

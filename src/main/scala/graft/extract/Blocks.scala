@@ -1,0 +1,177 @@
+package graft.extract
+
+import graft.html.{Dom, DomNode}
+import scala.collection.mutable.ArrayBuffer
+
+/** A candidate text block: the unit of boilerplate classification.
+  * Words carry link-ness so the classifier can compute link density —
+  * the generalization of the reference's geometric content-vs-chrome
+  * predicate (reference: src/ocrmypdf/pdfinfo/info.py:44-70
+  * `_page_has_text` ignores text in the 12.5% margin band; here "margin"
+  * is structural: nav/header/footer/aside ancestry + link density).
+  */
+final case class Block(
+    kind: String, // title|heading|para|list_item|pre|quote|cell|caption
+    path: String, // /html/body/div[1]/p[2]
+    words: Vector[String],
+    linkChars: Int,
+    chars: Int,
+    inChrome: Boolean // nav/header/footer/aside ancestry
+)
+
+object Blocks {
+
+  val blockTags: Set[String] = Set("address", "article", "aside",
+    "blockquote", "body", "caption", "dd", "details", "div", "dl", "dt",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "html", "li", "main", "menu", "nav",
+    "ol", "p", "pre", "section", "summary", "table", "tbody", "td", "tfoot",
+    "th", "thead", "tr", "ul")
+
+  val chromeTags: Set[String] = Set("nav", "header", "footer", "aside")
+
+  def kindOf(tag: String): String = tag match {
+    case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
+    case "li" | "dd" | "dt" => "list_item"
+    case "pre" => "pre"
+    case "blockquote" => "quote"
+    case "td" | "th" => "cell"
+    case "caption" | "figcaption" => "caption"
+    case _ => "para"
+  }
+
+  /** NFKC normalization — load-bearing for byte-identical output
+    * (reference: src/ocrmypdf/hocrtransform/hocr_parser.py:372-384
+    * normalizes every word to NFKC before emission). */
+  def nfkc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+
+  /** Segment the DOM into candidate blocks in document order.
+    *
+    * Each visible text node is assigned to its nearest block-level element
+    * ancestor; consecutive text nodes sharing that ancestor form one block.
+    * Pure array walk — no recursion, O(n) with memoized ancestor lookups.
+    */
+  def segment(dom: Dom): Vector[Block] = {
+    val nodes = dom.nodes
+    val n = nodes.length
+    // memoized per-element facts, computed in one forward pass (parents
+    // always precede children in the flattened ordering)
+    val blockAnc = new Array[Int](n) // nearest block ancestor (element id)
+    val linkAnc = new Array[Boolean](n) // inside <a> below the block anc
+    val chromeAnc = new Array[Boolean](n) // nav/header/footer/aside ancestry
+    val paths = new scala.collection.mutable.HashMap[Int, String]
+
+    def pathOf(id: Int): String = {
+      if (id < 0) return ""
+      paths.getOrElseUpdate(id, {
+        val nd = nodes(id)
+        pathOf(nd.parent) + "/" + nd.tag +
+          (if (nd.sibIndex > 1) "[" + nd.sibIndex + "]" else "")
+      })
+    }
+
+    var i = 0
+    while (i < n) {
+      val nd = nodes(i)
+      if (nd.tag != "#text") {
+        val p = nd.parent
+        val isBlock = blockTags.contains(nd.tag)
+        blockAnc(i) = if (isBlock) i else if (p >= 0) blockAnc(p) else -1
+        linkAnc(i) =
+          (if (isBlock) false else (p >= 0 && linkAnc(p))) || nd.tag == "a"
+        chromeAnc(i) = (p >= 0 && chromeAnc(p)) || chromeTags.contains(nd.tag)
+      }
+      i += 1
+    }
+
+    val out = new ArrayBuffer[Block]
+    var curAnc = -2
+    var words = Vector.newBuilder[String]
+    var nWords = 0
+    var linkChars = 0
+    var chars = 0
+    var curChrome = false
+    var curKind = "para"
+    var curPath = ""
+    var isPre = false
+    val pending = new java.lang.StringBuilder // partial word across chunks
+
+    def flushWord(link: Boolean): Unit = {
+      if (pending.length > 0) {
+        val w = pending.toString
+        words += w; nWords += 1
+        chars += w.length
+        if (link) linkChars += w.length
+        pending.setLength(0)
+      }
+    }
+
+    def flushBlock(): Unit = {
+      flushWord(false)
+      if (nWords > 0)
+        out += Block(curKind, curPath, words.result(), linkChars, chars, curChrome)
+      words = Vector.newBuilder[String]; nWords = 0
+      linkChars = 0; chars = 0
+    }
+
+    i = 0
+    while (i < n) {
+      val nd = nodes(i)
+      if (nd.tag == "#text" && nd.visible && nd.text != null) {
+        val p = nd.parent
+        val anc = if (p >= 0) blockAnc(p) else -1
+        if (anc != curAnc) {
+          flushBlock()
+          curAnc = anc
+          curChrome = p >= 0 && chromeAnc(p)
+          val ancTag = if (anc >= 0) nodes(anc).tag else "body"
+          curKind = kindOf(ancTag)
+          curPath = if (anc >= 0) pathOf(anc) else "/"
+          isPre = ancTag == "pre"
+        }
+        val link = p >= 0 && linkAnc(p)
+        val t = nfkc(nd.text)
+        var j = 0
+        while (j < t.length) {
+          val c = t.charAt(j)
+          if (Character.isWhitespace(c)) flushWord(link)
+          else pending.append(c)
+          j += 1
+        }
+        flushWord(link)
+      }
+      i += 1
+    }
+    flushBlock()
+    out.toVector
+  }
+
+  /** First strong CJK membership test for the word-join rule
+    * (reference: src/ocrmypdf/fpdf_renderer/renderer.py:813-849
+    * `_is_cjk_only` — space between words except CJK–CJK). */
+  def isCjk(cp: Int): Boolean =
+    (cp >= 0x2e80 && cp <= 0x9fff) || // radicals, kana, CJK unified
+      (cp >= 0xac00 && cp <= 0xd7af) || // hangul syllables
+      (cp >= 0xf900 && cp <= 0xfaff) || // compat ideographs
+      (cp >= 0xfe30 && cp <= 0xfe4f) || // compat forms
+      (cp >= 0x20000 && cp <= 0x2fa1f) // ext B..F
+
+  def lastCp(s: String): Int =
+    if (s.isEmpty) -1 else s.codePointBefore(s.length)
+  def firstCp(s: String): Int = if (s.isEmpty) -1 else s.codePointAt(0)
+
+  /** Join words with a single space except between two CJK words. */
+  def joinWords(words: Vector[String]): String = {
+    if (words.isEmpty) return ""
+    val sb = new java.lang.StringBuilder(words.iterator.map(_.length).sum + words.length)
+    var prev: String = null
+    words.foreach { w =>
+      if (prev != null && !(isCjk(lastCp(prev)) && isCjk(firstCp(w))))
+        sb.append(' ')
+      sb.append(w)
+      prev = w
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,94 @@
+package graft.extract
+
+/** Deterministic text/link-density boilerplate classifier
+  * (jusText/Boilerpipe-style, but fully specified — every rule below is a
+  * frozen part of the engine version tag, like the reference's
+  * creator_tag-stamped behavior).
+  *
+  * Two passes, mirroring jusText's context-sensitive classification:
+  *   1. context-free: each block → GOOD / BAD / SHORT (undecided)
+  *   2. context fusion: SHORT blocks adopt the class of their nearest
+  *      GOOD/BAD neighbors; headings are kept iff a GOOD block follows
+  *      within the next 2 blocks.
+  *
+  * The structural-chrome rule (nav/header/footer/aside ancestry ⇒ BAD)
+  * generalizes the reference's margin-band predicate (reference:
+  * src/ocrmypdf/pdfinfo/info.py:44-70 `_page_has_text` ignores text wholly
+  * inside a 12.5% page-margin band — chrome lives at the edges).
+  */
+object Boilerplate {
+
+  sealed trait Cls
+  case object Good extends Cls
+  case object Bad extends Cls
+  case object Short extends Cls // undecided pre-fusion
+
+  val maxLinkDensity = 0.33
+  val minGoodChars = 40
+
+  def contextFree(b: Block): Cls = {
+    val ld = if (b.chars == 0) 0.0 else b.linkChars.toDouble / b.chars
+    if (b.inChrome) Bad
+    else if (ld > maxLinkDensity) Bad
+    else if (b.kind == "pre" || b.kind == "quote") Good // verbatim content
+    else if (b.kind == "heading") Short // decided by what follows
+    else if (b.chars >= minGoodChars) Good
+    else Short
+  }
+
+  /** Returns the kept blocks (classification + fusion applied), in order. */
+  def classify(blocks: Vector[Block]): Vector[Block] = {
+    val n = blocks.length
+    if (n == 0) return Vector.empty
+    val cls = blocks.map(contextFree).toArray
+
+    // Heading promotion: a heading is GOOD iff one of the next 2 non-heading
+    // blocks is GOOD (pre-fusion), else BAD.
+    var i = 0
+    while (i < n) {
+      if (blocks(i).kind == "heading") {
+        var j = i + 1
+        var seen = 0
+        var good = false
+        while (j < n && seen < 2 && !good) {
+          if (blocks(j).kind != "heading") {
+            seen += 1
+            if (cls(j) == Good) good = true
+          }
+          j += 1
+        }
+        cls(i) = if (good) Good else Bad
+      }
+      i += 1
+    }
+
+    // Fusion: remaining SHORT blocks become GOOD iff the nearest decided
+    // neighbor on BOTH sides (where present) is GOOD; edge blocks follow
+    // their single decided neighbor; no decided neighbor at all ⇒ BAD.
+    def nearestDecided(from: Int, step: Int): Cls = {
+      var j = from + step
+      while (j >= 0 && j < n) {
+        if (cls(j) != Short) return cls(j)
+        j += step
+      }
+      null
+    }
+    i = 0
+    while (i < n) {
+      if (cls(i) == Short) {
+        val before = nearestDecided(i, -1)
+        val after = nearestDecided(i, +1)
+        val decided =
+          if (before == null && after == null) Bad
+          else if (before == null) after
+          else if (after == null) before
+          else if (before == Good && after == Good) Good
+          else Bad
+        cls(i) = decided
+      }
+      i += 1
+    }
+
+    blocks.zip(cls).collect { case (b, Good) => b }
+  }
+}

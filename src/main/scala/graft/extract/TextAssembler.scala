@@ -1,0 +1,52 @@
+package graft.extract
+
+import graft.model.Span
+import scala.collection.mutable.ArrayBuffer
+
+/** Assembles the final extracted text + character spans from kept blocks.
+  *
+  * Determinism rules (SURVEY.md §7.5): words joined by single space except
+  * CJK–CJK (reference: src/ocrmypdf/fpdf_renderer/renderer.py:740-748,
+  * 813-849), blocks joined by "\n\n", title first. Span offsets are
+  * character offsets into the final text — the analog of the reference's
+  * text-layer emission computing positions for each line
+  * (reference: src/ocrmypdf/fpdf_renderer/renderer.py:380-427, collapsed
+  * from matrix math to offset arithmetic in the text domain).
+  */
+object TextAssembler {
+
+  final case class Assembled(text: String, spans: Vector[Span])
+
+  def assemble(title: String, blocks: Vector[Block]): Assembled = {
+    val sb = new java.lang.StringBuilder(256)
+    val spans = new ArrayBuffer[Span](blocks.length + 1)
+
+    def emit(text: String, kind: String, path: String): Unit = {
+      if (text.isEmpty) return
+      if (sb.length > 0) sb.append("\n\n")
+      val start = sb.length
+      sb.append(text)
+      spans += Span(start, sb.length, kind, path)
+    }
+
+    val titleText = Blocks.joinWords(splitWords(Blocks.nfkc(title)))
+    if (titleText.nonEmpty) emit(titleText, "title", "/html/head/title")
+    blocks.foreach { b => emit(Blocks.joinWords(b.words), b.kind, b.path) }
+    Assembled(sb.toString, spans.toVector)
+  }
+
+  def splitWords(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.length > 0) out += cur.toString
+    out.result()
+  }
+}

@@ -1,0 +1,356 @@
+package graft.gen
+
+import graft.model.PageRow
+import java.nio.charset.StandardCharsets
+
+/** Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md).
+  *
+  * Every row is a pure function of (seed, index) — no shared RNG stream —
+  * so generation is embarrassingly parallel and a row generated on any
+  * executor, in any order, at any parallelism is byte-identical. This is
+  * the determinism discipline the reference enforces on its pipeline
+  * (output a pure function of input, never of scheduling — reference:
+  * src/ocrmypdf/builtin_plugins/concurrency.py:169-173 as-completed
+  * consumption + order restoration by key).
+  *
+  * Class mix covers the reference's pathological-resource classes
+  * (reference: tests/resources/ — blank, malformed, enormous, encrypted,
+  * CJK/RTL fixtures; see FIXTURES.md table).
+  *
+  * Host skew: ~70% of rows land on one host (`big.example.com`) to
+  * exercise the salted repartition required by the north rule.
+  */
+object SyntheticCorpus {
+
+  val defaultSeed = 42L
+  val epochMs = 1577836800000L // 2020-01-01T00:00:00Z
+
+  // xorshift64* — splittable: state derived from (seed, i) only
+  final class Rng(seed0: Long) {
+    private var s: Long = if (seed0 == 0) 0x9E3779B97F4A7C15L else seed0
+    def nextLong(): Long = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      s * 0x2545F4914F6CDD1DL
+    }
+    def nextInt(bound: Int): Int = {
+      val v = (nextLong() >>> 1) % bound
+      v.toInt
+    }
+  }
+
+  val vocab: Vector[String] = Vector(
+    "data", "pipeline", "spark", "engine", "extract", "document", "crawl",
+    "index", "token", "stream", "batch", "schema", "column", "partition",
+    "shuffle", "cluster", "query", "filter", "merge", "commit", "verify",
+    "golden", "fixture", "deterministic", "boilerplate", "content", "block",
+    "density", "anchor", "heading", "paragraph", "corpus", "charset",
+    "encode", "decode", "parse", "tree", "node", "span", "offset", "byte")
+
+  val cjkVocab: Vector[String] = Vector("数据", "处理", "管道", "提取",
+    "文档", "内容", "分析", "系统", "网络", "页面", "文本", "引擎")
+
+  val arabicVocab: Vector[String] = Vector("بيانات", "معالجة", "استخراج",
+    "وثيقة", "محتوى", "نظام", "شبكة", "صفحة", "نص")
+
+  def words(rng: Rng, k: Int, v: Vector[String] = vocab): String =
+    (0 until k).map(_ => v(rng.nextInt(v.length))).mkString(" ")
+
+  def sentence(rng: Rng): String = {
+    val w = words(rng, 8 + rng.nextInt(10))
+    w.capitalize + "."
+  }
+
+  def paragraph(rng: Rng): String =
+    (0 until 3 + rng.nextInt(4)).map(_ => sentence(rng)).mkString(" ")
+
+  def classOf(i: Long): String = (i % 20) match {
+    case 0 | 1 | 2 | 3 | 4 | 5 => "article"
+    case 6 | 7 => "multiblock"
+    case 8 => "trivial"
+    case 9 => "blank"
+    case 10 => "malformed"
+    case 11 => "deep"
+    case 12 => "encodings"
+    case 13 => "scripts"
+    case 14 => "entities"
+    case 15 => "hidden"
+    case 16 => "linkfarm"
+    case 17 => "pdf"
+    case 18 => "gzip"
+    case _ => "fault"
+  }
+
+  def hostOf(i: Long, seed: Long): String = {
+    val h = mix(seed, i * 31 + 7)
+    if ((h & 0x7fffffffL) % 10 < 7) "big.example.com"
+    else f"host${(h >>> 8) % 97}%02d.example.com"
+  }
+
+  private def mix(seed: Long, x: Long): Long = {
+    var z = seed ^ (x * 0x9E3779B97F4A7C15L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def row(i: Long, seed: Long = defaultSeed): PageRow = {
+    val rng = new Rng(mix(seed, i))
+    val cls = classOf(i)
+    val host = hostOf(i, seed)
+    val url = s"https://$host/$cls/p$i"
+    val ts = new java.sql.Timestamp(epochMs + i * 1000L)
+    val lang = cls match {
+      case "scripts" => Vector("zho", "ara", "mix")((i / 20 % 3).toInt)
+      case _ => "eng"
+    }
+    val html: Array[Byte] = cls match {
+      case "article" => article(rng).getBytes(StandardCharsets.UTF_8)
+      case "multiblock" => multiblock(rng).getBytes(StandardCharsets.UTF_8)
+      case "trivial" =>
+        s"<html><body><p>${paragraph(rng)}</p></body></html>"
+          .getBytes(StandardCharsets.UTF_8)
+      case "blank" =>
+        (if (i % 40 == 9) "" else "<html><body>   \n\t </body></html>")
+          .getBytes(StandardCharsets.UTF_8)
+      case "malformed" => malformed(rng).getBytes(StandardCharsets.UTF_8)
+      case "deep" => deepNesting(rng).getBytes(StandardCharsets.UTF_8)
+      case "encodings" => encodings(rng, (i / 20 % 3).toInt)
+      case "scripts" => scripts(rng, (i / 20 % 3).toInt)
+        .getBytes(StandardCharsets.UTF_8)
+      case "entities" => entities(rng).getBytes(StandardCharsets.UTF_8)
+      case "hidden" => hidden(rng).getBytes(StandardCharsets.UTF_8)
+      case "linkfarm" => linkfarm(rng).getBytes(StandardCharsets.UTF_8)
+      case "pdf" => pdf(rng, (i / 20 % 3).toInt)
+      case "gzip" => gzipCase(rng, (i / 20 % 2).toInt)
+      case _ => fault(rng, (i / 20 % 3).toInt)
+    }
+    PageRow(url, ts, html, null, lang)
+  }
+
+  def corpus(n: Int, seed: Long = defaultSeed): IndexedSeq[PageRow] =
+    (0L until n.toLong).map(row(_, seed))
+
+  // ---- HTML templates -------------------------------------------------
+
+  def article(rng: Rng): String = {
+    val title = words(rng, 4 + rng.nextInt(4)).capitalize
+    val nav = (0 until 6).map(_ =>
+      s"""<li><a href="/${words(rng, 1)}">${words(rng, 2)}</a></li>""")
+      .mkString
+    val paras = (0 until 3 + rng.nextInt(5)).map(p =>
+      s"<p>${paragraph(rng)}</p>").mkString("\n")
+    val aside = (0 until 4).map(_ =>
+      s"""<a href="#">${words(rng, 3)}</a>""").mkString(" · ")
+    s"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>$title</title>
+<style>body { margin: 0 }</style>
+<script>var x = 1 < 2;</script></head>
+<body>
+<header><ul>$nav</ul></header>
+<nav><ul>$nav</ul></nav>
+<main>
+<h1>$title</h1>
+$paras
+</main>
+<aside>$aside</aside>
+<footer><p>© 2020 ${words(rng, 2)} · <a href="/tos">terms</a></p></footer>
+</body></html>"""
+  }
+
+  def multiblock(rng: Rng): String = {
+    val title = words(rng, 3).capitalize
+    val sections = (0 until 4).map { s =>
+      val items = (0 until 3 + rng.nextInt(3)).map(_ =>
+        s"<li>${sentence(rng)}</li>").mkString
+      s"""<section><h2>${words(rng, 3).capitalize}</h2>
+<p>${paragraph(rng)}</p>
+<ul>$items</ul>
+<blockquote>${sentence(rng)}</blockquote>
+<pre>${words(rng, 6)}</pre></section>"""
+    }.mkString("\n")
+    s"""<html><head><title>$title</title></head><body><article>
+<h1>$title</h1>
+$sections
+<table><tr><td>${sentence(rng)}</td><td>${sentence(rng)}</td></tr></table>
+</article></body></html>"""
+  }
+
+  def malformed(rng: Rng): String = {
+    val p1 = paragraph(rng)
+    val p2 = paragraph(rng)
+    val p3 = sentence(rng)
+    s"""<html><body>
+<p>$p1
+<div><b>$p2</div></b>
+<p class=unquoted id = spaced >$p3
+<ul><li>${sentence(rng)}<li>${sentence(rng)}</ul>
+<p>&bogus; &#xZZ; &amp unterminated <notatag
+</body>"""
+  }
+
+  def deepNesting(rng: Rng): String = {
+    val depth = 140 + rng.nextInt(20)
+    val open = (0 until depth).map(_ => "<div>").mkString
+    val close = (0 until depth).map(_ => "</div>").mkString
+    s"<html><body>$open<p>${paragraph(rng)}</p>$close</body></html>"
+  }
+
+  def encodings(rng: Rng, variant: Int): Array[Byte] = variant match {
+    case 0 => // UTF-16LE with BOM
+      val s = s"<html><body><p>${paragraph(rng)} naïve café résumé</p></body></html>"
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        s.getBytes(StandardCharsets.UTF_16LE)
+    case 1 => // windows-1252 declared and actual
+      val s = s"""<html><head><meta charset="windows-1252"></head><body><p>${paragraph(rng)} café — résumé €99</p></body></html>"""
+      s.getBytes(Charset1252)
+    case _ => // mojibake: declared utf-8, actual latin-1 high bytes
+      val s = s"""<html><head><meta charset="utf-8"></head><body><p>${paragraph(rng)} café</p></body></html>"""
+      s.getBytes(Charset1252)
+  }
+
+  private val Charset1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  def scripts(rng: Rng, variant: Int): String = variant match {
+    case 0 =>
+      val t = (0 until 8).map(_ => words(rng, 2, cjkVocab).replace(" ", ""))
+        .mkString("")
+      s"""<html><head><title>${words(rng, 2, cjkVocab)}</title></head>
+<body><p>$t</p><p>${words(rng, 3, cjkVocab)} latin ${words(rng, 2, cjkVocab)}</p></body></html>"""
+    case 1 =>
+      s"""<html><body dir="rtl"><p>${words(rng, 12, arabicVocab)}</p>
+<p>${words(rng, 6, arabicVocab)} ASCII ${words(rng, 4, arabicVocab)}</p></body></html>"""
+    case _ =>
+      s"""<html><body><p>${words(rng, 6)} ${words(rng, 3, cjkVocab)} ${words(rng, 4)} ${words(rng, 2, arabicVocab)}</p></body></html>"""
+  }
+
+  def entities(rng: Rng): String = {
+    s"""<html><body>
+<p>Fish &amp; chips &lt;tag&gt; &quot;quoted&quot; &copy; &eacute;t&eacute; &#233; &#x00E9; caf&eacute;</p>
+<p>Ligature: ﬁre ﬂow — NFKC folds these. Math: ℕ ½ x² (compat forms).</p>
+<p>${paragraph(rng)} &mdash; &hellip; &euro;42 &nbsp;spaced&nbsp;out</p>
+</body></html>"""
+  }
+
+  def hidden(rng: Rng): String = {
+    s"""<html><body>
+<p>${paragraph(rng)}</p>
+<div style="display:none"><p>INVISIBLE ${words(rng, 5)}</p></div>
+<template><p>TEMPLATE ${words(rng, 5)}</p></template>
+<p hidden>HIDDEN-ATTR ${words(rng, 5)}</p>
+<div style="visibility: hidden">GONE ${words(rng, 3)}</div>
+<noscript>NOSCRIPT ${words(rng, 3)}</noscript>
+<p aria-hidden="true">ARIA ${words(rng, 3)}</p>
+<p>${paragraph(rng)}</p>
+</body></html>"""
+  }
+
+  def linkfarm(rng: Rng): String = {
+    val links = (0 until 40).map(_ =>
+      s"""<a href="/${words(rng, 1)}">${words(rng, 2)}</a>""").mkString(" | ")
+    s"""<html><body><div>$links</div>
+<div class="cookie-banner"><a href="#accept">Accept</a> <a href="#reject">Reject</a> cookies</div>
+<p>${words(rng, 3)}</p></body></html>"""
+  }
+
+  def fault(rng: Rng, variant: Int): Array[Byte] = variant match {
+    case 0 => // giant attribute
+      val big = "x" * 100000
+      s"""<html><body><p data-blob="$big">${sentence(rng)}</p></body></html>"""
+        .getBytes(StandardCharsets.UTF_8)
+    case 1 => // unterminated comment + nulls
+      (s"<html><body><p>${sentence(rng)}</p><!-- never closed " +
+        "   tail").getBytes(StandardCharsets.UTF_8)
+    case _ => // binary garbage
+      val b = new Array[Byte](2048)
+      var i = 0
+      while (i < b.length) { b(i) = (rng.nextLong() & 0xff).toByte; i += 1 }
+      b
+  }
+
+  def gzipCase(rng: Rng, variant: Int): Array[Byte] = {
+    val inner = article(rng).getBytes(StandardCharsets.UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(inner); gz.close()
+    val full = bos.toByteArray
+    if (variant == 0) full
+    else java.util.Arrays.copyOf(full, math.max(4, full.length / 2)) // truncated
+  }
+
+  // ---- PDF builder ----------------------------------------------------
+
+  /** Minimal deterministic PDF. Variants: 0 = two-page WinAnsi + Flate
+    * (exercises the \f ordered merge), 1 = font with no
+    * ToUnicode/Encoding and high bytes → U+FFFD policy, 2 = encrypted
+    * marker → skipped:encrypted. */
+  def pdf(rng: Rng, variant: Int): Array[Byte] = {
+    def content(lines: Seq[String]): Array[Byte] = {
+      val ops = new StringBuilder("BT /F1 12 Tf 72 720 Td ")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) ops.append("0 -14 Td ")
+        val esc = l.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        ops.append(s"($esc) Tj ")
+      }
+      ops.append("ET")
+      deflate(ops.toString.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    val page1Lines = (0 until 3).map(_ => sentence(rng))
+    val page2Lines = (0 until 2).map(_ => sentence(rng))
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def wb(b: Array[Byte]): Unit = sb.write(b, 0, b.length)
+    w("%PDF-1.4\n")
+    variant match {
+      case 2 =>
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> endobj\n")
+        w("9 0 obj << /Filter /Standard /V 1 /R 2 >> endobj\n")
+        w("trailer << /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n")
+      case 1 =>
+        val c = {
+          // high bytes with no encoding → U+FFFD policy
+          val raw = "BT /F1 12 Tf 72 720 Td (café èà) Tj ET"
+            .getBytes(StandardCharsets.ISO_8859_1)
+          deflate(raw)
+        }
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n")
+        w("4 0 obj << /Type /Font /Subtype /TrueType /BaseFont /NoMap >> endobj\n")
+        w(s"5 0 obj << /Length ${c.length} /Filter /FlateDecode >> stream\n")
+        wb(c)
+        w("\nendstream endobj\n")
+        w("trailer << /Root 1 0 R >>\n%%EOF\n")
+      case _ =>
+        val c1 = content(page1Lines)
+        val c2 = content(page2Lines)
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        w("2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >> endobj\n")
+        w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n")
+        w("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >> endobj\n")
+        w(s"5 0 obj << /Length ${c1.length} /Filter /FlateDecode >> stream\n")
+        wb(c1)
+        w("\nendstream endobj\n")
+        w("6 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /MediaBox [0 0 612 792] /Contents 7 0 R >> endobj\n")
+        w(s"7 0 obj << /Length ${c2.length} /Filter /FlateDecode >> stream\n")
+        wb(c2)
+        w("\nendstream endobj\n")
+        w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    }
+    sb.toByteArray
+  }
+
+  def deflate(in: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(in); d.finish()
+    val out = new java.io.ByteArrayOutputStream(in.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val k = d.deflate(buf)
+      out.write(buf, 0, k)
+    }
+    d.end()
+    out.toByteArray
+  }
+}

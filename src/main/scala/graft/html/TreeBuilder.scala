@@ -1,0 +1,179 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Flattened DOM: nodes in document order. A recursive case class is not
+  * Spark-encodable, so the tree is an array of (id, parent, ...) records —
+  * the same flattening the reference applies to its recognition tree
+  * (reference: src/ocrmypdf/models/ocr_element.py:103-235 `OcrElement`,
+  * projected to pickleable records by src/ocrmypdf/pdfinfo/info.py:73-87).
+  */
+final class DomNode(
+    val id: Int,
+    val parent: Int, // -1 for root
+    val depth: Int,
+    val tag: String, // "#text" for text nodes
+    val attrs: List[(String, String)],
+    var text: String, // only for #text nodes
+    val visible: Boolean, // inherited-visibility at build time
+    val sibIndex: Int // 1-based index among same-tag element siblings
+) {
+  def attr(k: String): Option[String] =
+    attrs.collectFirst { case (n, v) if n == k => v }
+}
+
+final class Dom(
+    val nodes: ArrayBuffer[DomNode],
+    val truncated: Boolean, // a bounded-resource guard fired
+    val title: String // <title> text, NFKC'd + whitespace-collapsed later
+) {
+  def children(id: Int): Iterator[DomNode] =
+    nodes.iterator.filter(_.parent == id)
+}
+
+/** Open-element-stack tree builder with specified repair rules.
+  *
+  * The stack discipline and bounded-depth guard mirror the reference's
+  * graphics-state stack (reference:
+  * src/ocrmypdf/pdfinfo/_contentstream.py:185-199 — warn past depth 32,
+  * hard-stop past 128, tolerate underflow). Here: nesting deeper than
+  * `maxDepth` attaches children at the cap depth (flattening) and sets the
+  * truncated flag; an end tag with no matching open element is ignored; an
+  * end tag matching a non-top element pops (closes) the intermediates.
+  *
+  * Node-count cap: past `maxNodes` the builder stops materializing nodes
+  * (deterministic truncation — reference analog: image-size caps in
+  * src/ocrmypdf/builtin_plugins/tesseract_ocr.py:364-382).
+  */
+object TreeBuilder {
+
+  val maxDepth = 128
+  val maxNodes = 200000
+
+  val voidTags: Set[String] = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  /** Tags whose start implies closing an open <p> (block-level per HTML5). */
+  val closesP: Set[String] = Set("address", "article", "aside", "blockquote",
+    "details", "div", "dl", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "main",
+    "menu", "nav", "ol", "p", "pre", "section", "table", "ul")
+
+  /** Subtrees that never contribute visible text. `head` is included: its
+    * metadata children (title handled specially) are not page content —
+    * the analog of create_ocr_image masking already-texted regions
+    * (reference: src/ocrmypdf/_pipeline.py:678-725). */
+  val invisibleTags: Set[String] = Set("script", "style", "template",
+    "noscript", "head", "iframe", "object", "svg", "math", "select",
+    "datalist")
+
+  def build(tokens: ArrayBuffer[HtmlToken]): Dom = {
+    val nodes = new ArrayBuffer[DomNode](tokens.length)
+    var truncated = false
+    val title = new java.lang.StringBuilder
+    // open element stack: node ids
+    var stack: List[Int] = Nil
+    var stackTags: List[String] = Nil
+    // per-parent per-tag sibling counters for deterministic paths
+    val sibCount = new scala.collection.mutable.HashMap[(Int, String), Int]
+    var inTitle = false
+
+    def curParent: Int = stack.headOption.getOrElse(-1)
+    def curDepth: Int = stack.length
+    def curVisible: Boolean =
+      nodes.isEmpty || curParent == -1 || nodes(curParent).visible
+
+    def selfInvisible(name: String, attrs: List[(String, String)]): Boolean = {
+      if (invisibleTags.contains(name)) return true
+      var hidden = false
+      attrs.foreach { case (k, v) =>
+        if (k == "hidden") hidden = true
+        else if (k == "aria-hidden" && v == "true") hidden = true
+        else if (k == "style") {
+          val s = v.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
+          if (s.contains("display:none") || s.contains("visibility:hidden"))
+            hidden = true
+        }
+        else if (k == "type" && name == "input" && v == "hidden") hidden = true
+      }
+      hidden
+    }
+
+    def addElement(name: String, attrs: List[(String, String)],
+        push: Boolean): Unit = {
+      if (nodes.length >= maxNodes) { truncated = true; return }
+      val parent = curParent
+      val key = (parent, name)
+      val idx = sibCount.getOrElse(key, 0) + 1
+      sibCount(key) = idx
+      val vis = curVisible && !selfInvisible(name, attrs)
+      val id = nodes.length
+      nodes += new DomNode(id, parent, curDepth, name, attrs, null, vis, idx)
+      if (push) {
+        if (curDepth >= maxDepth) {
+          truncated = true // flatten: do not push, children attach here
+        } else {
+          stack = id :: stack
+          stackTags = name :: stackTags
+        }
+      }
+    }
+
+    def popTo(name: String): Boolean = {
+      // close intermediates up to and including `name` if present in stack
+      if (!stackTags.contains(name)) return false
+      while (stackTags.nonEmpty && stackTags.head != name) {
+        stack = stack.tail; stackTags = stackTags.tail
+      }
+      if (stackTags.nonEmpty) { stack = stack.tail; stackTags = stackTags.tail }
+      true
+    }
+
+    def impliedEndTags(name: String): Unit = {
+      name match {
+        case t if closesP.contains(t) =>
+          if (stackTags.headOption.contains("p")) popTo("p")
+        case "li" =>
+          // close an open li unless a list container intervenes
+          val idx = stackTags.indexOf("li")
+          if (idx >= 0 && !stackTags.take(idx).exists(t => t == "ul" || t == "ol"))
+            popTo("li")
+        case "dd" | "dt" =>
+          if (stackTags.headOption.exists(t => t == "dd" || t == "dt"))
+            popTo(stackTags.head)
+        case "tr" =>
+          Seq("td", "th", "tr").foreach { t =>
+            if (stackTags.headOption.contains(t)) popTo(t)
+          }
+        case "td" | "th" =>
+          if (stackTags.headOption.exists(t => t == "td" || t == "th"))
+            popTo(stackTags.head)
+        case "option" =>
+          if (stackTags.headOption.contains("option")) popTo("option")
+        case _ => ()
+      }
+    }
+
+    tokens.foreach {
+      case StartTag(name, attrs, selfClosing) =>
+        if (name == "title") inTitle = true
+        impliedEndTags(name)
+        val void = voidTags.contains(name) || selfClosing
+        addElement(name, attrs, push = !void)
+      case EndTag(name) =>
+        if (name == "title") inTitle = false
+        if (!voidTags.contains(name)) popTo(name) // unmatched → ignored
+      case TextRun(t) =>
+        if (inTitle) title.append(t)
+        else if (nodes.length < maxNodes) {
+          val parent = curParent
+          val vis = curVisible
+          val id = nodes.length
+          nodes += new DomNode(id, parent, curDepth, "#text", Nil, t, vis, 0)
+        } else truncated = true
+      case _: CommentTok => ()
+      case _: DoctypeTok => ()
+    }
+    new Dom(nodes, truncated, title.toString)
+  }
+}

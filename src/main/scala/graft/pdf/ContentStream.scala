@@ -1,0 +1,131 @@
+package graft.pdf
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming interpreter over the PDF content-stream token sequence.
+  *
+  * Directly modeled on the reference's interpreter (reference:
+  * src/ocrmypdf/pdfinfo/_contentstream.py:137-266 `_interpret_contents`):
+  * single pass, explicit graphics-state stack with the same bounded-depth
+  * discipline (soft warn past 32, hard stop past 128, underflow tolerated
+  * :186-199), a whitelist of handled operators, and carry-on behavior for
+  * malformed operands. Text render mode 3 (invisible) is excluded from
+  * output — the `strip_invisible_text` rule
+  * (reference: src/ocrmypdf/_graft.py:179-221 tracks Tr through q/Q).
+  */
+object ContentStream {
+
+  final case class PageText(lines: Vector[String], truncated: Boolean)
+
+  val softStackLimit = 32
+  val hardStackLimit = 128
+
+  /** TJ adjustments at or below this (thousandths of text space) insert a
+    * word space — fixed, specified threshold. */
+  val tjSpaceThreshold = -180.0
+
+  def interpret(content: Array[Byte],
+      fonts: Map[String, FontInfo]): PageText = {
+    val lx = new PdfLexer(content)
+    var truncated = false
+
+    var gsDepth = 0
+    // text state (Tr survives q/Q only approximately; we track a stack of it)
+    var renderMode = 0
+    val rmStack = new ArrayBuffer[Int]
+    var font: FontInfo = Glyphs.default
+
+    var curY = Double.NaN // text-space y of current line (from Tm/Td)
+    val lines = Vector.newBuilder[String]
+    val line = new java.lang.StringBuilder
+
+    val operands = new ArrayBuffer[Cos](8)
+
+    def newline(): Unit = {
+      if (line.length > 0) { lines += line.toString; line.setLength(0) }
+    }
+
+    def emit(s: CosStr): Unit = {
+      if (renderMode != 3) line.append(font.decode(s.bytes))
+    }
+
+    def num(i: Int): Double = operands.lift(i) match {
+      case Some(CosNum(d)) => d
+      case _ => 0.0
+    }
+
+    var tok = lx.next()
+    while (tok != null) {
+      tok match {
+        case CosOp("[") =>
+          // array operand (TJ): collect inline
+          val items = Vector.newBuilder[Cos]
+          var t = lx.next()
+          while (t != null && t != CosOp("]")) { items += t; t = lx.next() }
+          operands += CosArr(items.result())
+        case CosOp("<<") =>
+          operands += lx.parseFrom(CosOp("<<")) // e.g. BDC property lists
+        case CosOp(op) =>
+          op match {
+            case "q" =>
+              if (gsDepth < hardStackLimit) {
+                gsDepth += 1; rmStack += renderMode
+              } else truncated = true // past hard limit: ignore, flag
+            case "Q" =>
+              if (gsDepth > 0) {
+                gsDepth -= 1
+                if (rmStack.nonEmpty) {
+                  renderMode = rmStack.last; rmStack.dropRightInPlace(1)
+                }
+              } // underflow tolerated (reference :193-199)
+            case "BT" =>
+              curY = Double.NaN
+            case "ET" =>
+              newline()
+            case "Tf" =>
+              operands.collectFirst { case CosName(f) => f }.foreach { f =>
+                font = fonts.getOrElse(f, Glyphs.default)
+              }
+            case "Tr" =>
+              renderMode = num(0).toInt
+            case "Td" | "TD" =>
+              if (operands.length >= 2 && num(1) != 0.0) newline()
+            case "Tm" =>
+              if (operands.length >= 6) {
+                val y = num(5)
+                if (!curY.isNaN && y != curY) newline()
+                curY = y
+              }
+            case "T*" => newline()
+            case "Tj" =>
+              operands.collectFirst { case s: CosStr => s }.foreach(emit)
+            case "'" =>
+              newline()
+              operands.collectFirst { case s: CosStr => s }.foreach(emit)
+            case "\"" =>
+              newline()
+              operands.collectFirst { case s: CosStr => s }.foreach(emit)
+            case "TJ" =>
+              operands.collectFirst { case a: CosArr => a }.foreach { arr =>
+                arr.items.foreach {
+                  case s: CosStr => emit(s)
+                  case CosNum(adj) =>
+                    if (adj <= tjSpaceThreshold && renderMode != 3 &&
+                      line.length > 0 && line.charAt(line.length - 1) != ' ')
+                      line.append(' ')
+                  case _ => ()
+                }
+              }
+            case _ => () // whitelist: everything else ignored (reference :175-179)
+          }
+          operands.clear()
+        case operand =>
+          if (operands.length < 64) operands += operand
+          else truncated = true // operand-flood guard
+      }
+      tok = lx.next()
+    }
+    newline()
+    PageText(lines.result(), truncated)
+  }
+}

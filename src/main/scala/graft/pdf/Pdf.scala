@@ -1,0 +1,443 @@
+package graft.pdf
+
+import scala.collection.mutable.{ArrayBuffer, HashMap}
+
+/** COS (Carousel Object System) value model + tolerant lexer/parser.
+  *
+  * Scope per SURVEY.md §7.5: Flate streams, text operators, ToUnicode
+  * CMaps, standard encodings. Encrypted documents are rejected with a
+  * typed outcome (reference: src/ocrmypdf/pdfinfo/info.py:434-436
+  * `EncryptedPdfError`). The parser is xref-free: objects are located by
+  * scanning for `N G obj` headers, which tolerates broken cross-reference
+  * tables the way the reference's box-repair pass tolerates malformed
+  * geometry (reference: src/ocrmypdf/_pageboxes.py:117-177).
+  */
+sealed trait Cos
+final case class CosNum(d: Double) extends Cos { def i: Int = d.toInt }
+final case class CosStr(bytes: Array[Byte]) extends Cos
+final case class CosName(name: String) extends Cos
+final case class CosBool(b: Boolean) extends Cos
+case object CosNull extends Cos
+final case class CosArr(items: Vector[Cos]) extends Cos
+final case class CosDict(m: Map[String, Cos]) extends Cos {
+  def get(k: String): Option[Cos] = m.get(k)
+}
+final case class CosRef(num: Int, gen: Int) extends Cos
+final case class CosStream(dict: CosDict, raw: Array[Byte]) extends Cos
+final case class CosOp(op: String) extends Cos // content-stream operator
+
+final class PdfLexer(val data: Array[Byte], var pos: Int) {
+  def this(data: Array[Byte]) = this(data, 0)
+  private val n = data.length
+
+  @inline private def b(i: Int): Int = data(i) & 0xff
+  @inline def atEnd: Boolean = pos >= n
+
+  private def isWs(c: Int) =
+    c == 0x20 || c == 0x0a || c == 0x0d || c == 0x09 || c == 0x0c || c == 0x00
+  private def isDelim(c: Int) =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  def skipWs(): Unit = {
+    var going = true
+    while (going && pos < n) {
+      val c = b(pos)
+      if (isWs(c)) pos += 1
+      else if (c == '%') { // comment to EOL
+        while (pos < n && b(pos) != 0x0a && b(pos) != 0x0d) pos += 1
+      } else going = false
+    }
+  }
+
+  /** Next token as a Cos value; operators/keywords come back as CosOp. */
+  def next(): Cos = {
+    skipWs()
+    if (pos >= n) return null
+    val c = b(pos)
+    c match {
+      case '/' => name()
+      case '(' => literalString()
+      case '[' => pos += 1; CosOp("[")
+      case ']' => pos += 1; CosOp("]")
+      case '<' =>
+        if (pos + 1 < n && b(pos + 1) == '<') { pos += 2; CosOp("<<") }
+        else hexString()
+      case '>' =>
+        if (pos + 1 < n && b(pos + 1) == '>') { pos += 2; CosOp(">>") }
+        else { pos += 1; CosOp(">") } // stray: tolerated
+      case '{' => pos += 1; CosOp("{")
+      case '}' => pos += 1; CosOp("}")
+      case ')' => pos += 1; CosOp(")") // stray: tolerated
+      case _ if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+        number()
+      case _ => keyword()
+    }
+  }
+
+  private def name(): CosName = {
+    pos += 1 // '/'
+    val sb = new java.lang.StringBuilder(16)
+    while (pos < n && !isWs(b(pos)) && !isDelim(b(pos))) {
+      val c = b(pos)
+      if (c == '#' && pos + 2 < n) {
+        val h = Character.digit(b(pos + 1), 16)
+        val l = Character.digit(b(pos + 2), 16)
+        if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); pos += 3 }
+        else { sb.append(c.toChar); pos += 1 }
+      } else { sb.append(c.toChar); pos += 1 }
+    }
+    CosName(sb.toString)
+  }
+
+  private def number(): CosNum = {
+    val start = pos
+    if (b(pos) == '+' || b(pos) == '-') pos += 1
+    while (pos < n && ((b(pos) >= '0' && b(pos) <= '9') || b(pos) == '.')) pos += 1
+    val s = new String(data, start, pos - start, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = try s.toDouble catch { case _: NumberFormatException => 0.0 }
+    CosNum(d)
+  }
+
+  private def keyword(): Cos = {
+    val start = pos
+    while (pos < n && !isWs(b(pos)) && !isDelim(b(pos))) pos += 1
+    if (pos == start) { pos += 1; return CosOp(b(start).toChar.toString) }
+    val s = new String(data, start, pos - start, java.nio.charset.StandardCharsets.ISO_8859_1)
+    s match {
+      case "true" => CosBool(true)
+      case "false" => CosBool(false)
+      case "null" => CosNull
+      case _ => CosOp(s)
+    }
+  }
+
+  private def literalString(): CosStr = {
+    pos += 1 // '('
+    val out = new java.io.ByteArrayOutputStream(32)
+    var depth = 1
+    while (pos < n && depth > 0) {
+      val c = b(pos)
+      if (c == '\\' && pos + 1 < n) {
+        val e = b(pos + 1)
+        e match {
+          case 'n' => out.write('\n'); pos += 2
+          case 'r' => out.write('\r'); pos += 2
+          case 't' => out.write('\t'); pos += 2
+          case 'b' => out.write('\b'); pos += 2
+          case 'f' => out.write('\f'); pos += 2
+          case '(' => out.write('('); pos += 2
+          case ')' => out.write(')'); pos += 2
+          case '\\' => out.write('\\'); pos += 2
+          case 0x0a => pos += 2 // line continuation
+          case 0x0d =>
+            pos += 2; if (pos < n && b(pos) == 0x0a) pos += 1
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; pos += 1
+            while (k < 3 && pos < n && b(pos) >= '0' && b(pos) <= '7') {
+              v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+            }
+            out.write(v & 0xff)
+          case _ => out.write(e); pos += 2
+        }
+      } else if (c == '(') { depth += 1; out.write(c); pos += 1 }
+      else if (c == ')') {
+        depth -= 1; if (depth > 0) out.write(c); pos += 1
+      } else { out.write(c); pos += 1 }
+    }
+    CosStr(out.toByteArray)
+  }
+
+  private def hexString(): CosStr = {
+    pos += 1 // '<'
+    val out = new java.io.ByteArrayOutputStream(32)
+    var hi = -1
+    var going = true
+    while (going && pos < n) {
+      val c = b(pos)
+      if (c == '>') { pos += 1; going = false }
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+        pos += 1
+      }
+    }
+    if (hi >= 0) out.write(hi << 4) // odd digit: trailing zero per spec
+    CosStr(out.toByteArray)
+  }
+
+  /** Parse a full value (dict/array composition + `R` references). */
+  def parseValue(): Cos = {
+    val t = next()
+    parseFrom(t)
+  }
+
+  def parseFrom(t: Cos): Cos = t match {
+    case null => CosNull
+    case CosOp("<<") =>
+      val m = Map.newBuilder[String, Cos]
+      var going = true
+      while (going) {
+        val k = next()
+        k match {
+          case CosName(nm) => m += nm -> parseValue()
+          case CosOp(">>") | null => going = false
+          case _ => () // tolerate junk key
+        }
+      }
+      CosDict(m.result())
+    case CosOp("[") =>
+      val items = Vector.newBuilder[Cos]
+      var going = true
+      while (going) {
+        val v = next()
+        v match {
+          case CosOp("]") | null => going = false
+          case other => items += parseFrom(other)
+        }
+      }
+      // collapse "num num R" triples into refs
+      CosArr(collapseRefs(items.result()))
+    case CosNum(d) =>
+      // lookahead for "gen R"
+      val save = pos
+      val t2 = next()
+      t2 match {
+        case CosNum(g) =>
+          val save2 = pos
+          next() match {
+            case CosOp("R") => CosRef(d.toInt, g.toInt)
+            case _ => pos = save; CosNum(d)
+          }
+        case _ => pos = save; CosNum(d)
+      }
+    case other => other
+  }
+
+  private def collapseRefs(items: Vector[Cos]): Vector[Cos] = items
+  // refs inside arrays are already collapsed by the CosNum lookahead above
+}
+
+/** Parsed document: object map + page list with inherited resources. */
+final class PdfDoc(
+    val objects: HashMap[Int, Cos],
+    val encrypted: Boolean,
+    val pages: Vector[PdfPage],
+    val parseNotes: List[String]
+)
+final case class PdfPage(dict: CosDict, inheritedResources: Option[CosDict])
+
+object PdfDoc {
+  val maxObjects = 50000
+  val maxPageTreeDepth = 64
+
+  def parse(data: Array[Byte]): PdfDoc = {
+    val notes = List.newBuilder[String]
+    val objects = new HashMap[Int, Cos]
+    // scan for "N G obj" headers
+    var i = 0
+    val n = data.length
+    var count = 0
+    while (i < n - 3 && count < maxObjects) {
+      if (data(i) == 'o' && data(i + 1) == 'b' && data(i + 2) == 'j' &&
+        (i + 3 >= n || isDelimOrWs(data(i + 3))) &&
+        i > 0 && isWs(data(i - 1))) {
+        // walk back: gen num, obj num
+        val hdr = parseHeaderBack(data, i - 1)
+        if (hdr >= 0) {
+          val lx = new PdfLexer(data, i + 3)
+          val v = lx.parseValue()
+          // stream?
+          val save = lx.pos
+          lx.next() match {
+            case CosOp("stream") =>
+              // skip single EOL after 'stream'
+              var p = lx.pos
+              if (p < n && data(p) == 0x0d) p += 1
+              if (p < n && data(p) == 0x0a) p += 1
+              val dict = v match { case d: CosDict => d; case _ => CosDict(Map.empty) }
+              val len = dict.get("Length") match {
+                case Some(CosNum(l)) => l.toInt
+                case _ => -1 // ref or missing: scan for endstream
+              }
+              val end =
+                if (len >= 0 && p + len <= n) p + len
+                else indexOf(data, "endstream", p) match {
+                  case -1 => n
+                  case e => // trim trailing EOL
+                    var q = e
+                    if (q > p && data(q - 1) == 0x0a) q -= 1
+                    if (q > p && data(q - 1) == 0x0d) q -= 1
+                    q
+                }
+              val raw = java.util.Arrays.copyOfRange(data, p, math.max(end, p))
+              objects(hdr) = CosStream(dict, raw)
+            case _ =>
+              lx.pos = save
+              objects(hdr) = v
+          }
+          count += 1
+        }
+      }
+      i += 1
+    }
+
+    // trailers
+    var encrypted = false
+    var rootRef: Option[Cos] = None
+    var t = indexOf(data, "trailer", 0)
+    while (t >= 0) {
+      val lx = new PdfLexer(data, t + 7)
+      lx.parseValue() match {
+        case d: CosDict =>
+          if (d.get("Encrypt").isDefined) encrypted = true
+          if (rootRef.isEmpty) rootRef = d.get("Root")
+        case _ => ()
+      }
+      t = indexOf(data, "trailer", t + 7)
+    }
+
+    def resolve(c: Cos, depth: Int = 0): Cos = c match {
+      case CosRef(num, _) if depth < 16 =>
+        resolve(objects.getOrElse(num, CosNull), depth + 1)
+      case other => other
+    }
+
+    // find catalog
+    val catalog: Option[CosDict] = rootRef.map(resolve(_)).collect {
+      case d: CosDict => d
+    }.orElse {
+      objects.valuesIterator.collectFirst {
+        case d: CosDict if d.get("Type").contains(CosName("Catalog")) => d
+      }
+    }
+
+    // walk page tree
+    val pages = Vector.newBuilder[PdfPage]
+    def walk(node: Cos, inherited: Option[CosDict], depth: Int,
+        visited: Set[Int]): Unit = {
+      if (depth > maxPageTreeDepth) { notes += "pagetree:depth_cap"; return }
+      val (id, resolved) = node match {
+        case CosRef(num, _) => (num, resolve(node))
+        case other => (-1, other)
+      }
+      if (id >= 0 && visited.contains(id)) { notes += "pagetree:cycle"; return }
+      val vis = if (id >= 0) visited + id else visited
+      resolved match {
+        case d: CosDict =>
+          val res = d.get("Resources").map(resolve(_)).collect {
+            case r: CosDict => r
+          }.orElse(inherited)
+          d.get("Type") match {
+            case Some(CosName("Page")) => pages += PdfPage(d, res)
+            case _ =>
+              d.get("Kids").map(resolve(_)) match {
+                case Some(CosArr(kids)) =>
+                  kids.foreach(k => walk(k, res, depth + 1, vis))
+                case _ =>
+                  if (d.get("Contents").isDefined) pages += PdfPage(d, res)
+              }
+          }
+        case _ => ()
+      }
+    }
+    catalog.flatMap(_.get("Pages")).foreach(walk(_, None, 0, Set.empty))
+    val pageVec = pages.result()
+    val finalPages =
+      if (pageVec.nonEmpty) pageVec
+      else // tolerant fallback: any object that looks like a page
+        objects.toVector.sortBy(_._1).collect {
+          case (_, d: CosDict) if d.get("Type").contains(CosName("Page")) =>
+            PdfPage(d, d.get("Resources").map(resolve(_)).collect { case r: CosDict => r })
+        }
+    new PdfDoc(objects, encrypted, finalPages, notes.result())
+  }
+
+  def resolveIn(objects: HashMap[Int, Cos])(c: Cos): Cos = c match {
+    case CosRef(num, _) => objects.getOrElse(num, CosNull) match {
+      case r: CosRef => resolveIn(objects)(r)
+      case other => other
+    }
+    case other => other
+  }
+
+  /** Decode a stream's bytes applying /Filter (FlateDecode only; others →
+    * None, caller records a note — the reference's conservatism about
+    * formats it can't decode, cf. src/ocrmypdf/pdfinfo/layout.py:44-65). */
+  def decodeStream(s: CosStream, resolve: Cos => Cos): Option[Array[Byte]] = {
+    val filters: Vector[String] = resolve(s.dict.get("Filter").getOrElse(CosNull)) match {
+      case CosName(f) => Vector(f)
+      case CosArr(fs) => fs.collect { case CosName(f) => f }
+      case _ => Vector.empty
+    }
+    var cur = s.raw
+    filters.foreach {
+      case "FlateDecode" | "Fl" =>
+        cur = inflate(cur)
+      case other if other.nonEmpty => return None
+      case _ => ()
+    }
+    Some(cur)
+  }
+
+  /** Tolerant zlib inflate: returns everything decodable before any error. */
+  def inflate(in: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, in.length * 4))
+    val buf = new Array[Byte](8192)
+    try {
+      var going = true
+      while (going && !inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k > 0) out.write(buf, 0, k)
+        else going = false
+      }
+    } catch { case _: java.util.zip.DataFormatException => () }
+    finally inf.end()
+    out.toByteArray
+  }
+
+  private def isWs(bb: Byte): Boolean = {
+    val c = bb & 0xff
+    c == 0x20 || c == 0x0a || c == 0x0d || c == 0x09 || c == 0x0c || c == 0x00
+  }
+  private def isDelimOrWs(bb: Byte): Boolean = {
+    val c = bb & 0xff
+    isWs(bb) || c == '<' || c == '[' || c == '/' || c == '(' || c == '%'
+  }
+
+  /** Walk back over "N G " before an `obj` keyword; returns object number
+    * or -1 if the preceding bytes are not a valid header. */
+  private def parseHeaderBack(data: Array[Byte], at: Int): Int = {
+    var i = at
+    while (i >= 0 && isWs(data(i))) i -= 1
+    // gen
+    val genEnd = i
+    while (i >= 0 && data(i) >= '0' && data(i) <= '9') i -= 1
+    if (i == genEnd) return -1
+    while (i >= 0 && isWs(data(i))) i -= 1
+    val numEnd = i
+    while (i >= 0 && data(i) >= '0' && data(i) <= '9') i -= 1
+    if (i == numEnd) return -1
+    val s = new String(data, i + 1, numEnd - i,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    try s.toInt catch { case _: NumberFormatException => -1 }
+  }
+
+  def indexOf(data: Array[Byte], pat: String, from: Int): Int = {
+    val p = pat.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    var i = math.max(from, 0)
+    val last = data.length - p.length
+    while (i <= last) {
+      var j = 0
+      while (j < p.length && data(i + j) == p(j)) j += 1
+      if (j == p.length) return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -1,0 +1,163 @@
+package graft.spark
+
+import graft.model.{ExtractResult, PageRow}
+import graft.engine.Extractor
+import graft.gen.SyntheticCorpus
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark lifecycle of the extraction pipeline (SURVEY.md §3.1 "Spark shape
+  * of the same lifecycle"): read → triage/validate → salted repartition →
+  * one fused mapPartitions kernel stage → ordered deterministic output →
+  * metrics + idempotent commit.
+  *
+  * Design notes for 100 TB scale:
+  *  - The kernel is a NARROW map: no shuffle is required for extraction
+  *    itself. The single repartition exists to (a) decouple task count
+  *    from input file layout and (b) break up skewed hosts (70% of rows
+  *    can share one host in CC crawls); its key is a salted url hash, so
+  *    it is uniform by construction.
+  *  - All per-row stages are fused in ONE mapPartitions (reference analog:
+  *    src/ocrmypdf/_pipelines/_common.py:446-476 runs preview→rasterize→
+  *    preprocess→ocr back-to-back per page inside one task). Never one
+  *    Spark stage per pipeline stage — that would shuffle the binary
+  *    column repeatedly.
+  *  - Per-partition engine state is reused across rows (reference analog:
+  *    per-worker reopened file handles, src/ocrmypdf/pdfinfo/_worker.py:
+  *    31-56; font-selection memo cache, font/multi_font_manager.py:182-188).
+  */
+object Jobs {
+
+  /** Distributed deterministic pages source: row i is a pure function of
+    * (seed, i), so any executor can generate any slice. */
+  def syntheticPages(spark: SparkSession, n: Long,
+      seed: Long = SyntheticCorpus.defaultSeed,
+      parallelism: Int = 0): Dataset[PageRow] = {
+    import spark.implicits._
+    val p = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, p).mapPartitions { it =>
+      it.map(i => SyntheticCorpus.row(i, seed))
+    }
+  }
+
+  /** Deterministic salt: pmod(xxhash64(url, salt), k). Used to split
+    * skewed hosts across k sub-keys (north rule). */
+  def saltedKey(k: Int) = pmod(xxhash64(col("url"), lit("salt")), lit(k))
+
+  /** The extraction stage. `partitions` sizes the fused kernel stage
+    * (≈2-4× cores locally; ≥ bucket count at scale). */
+  def extract(pages: Dataset[PageRow], partitions: Int): Dataset[ExtractResult] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+      .mapPartitions { it => it.map(Extractor.extract) }
+  }
+
+  /** Extraction without the explicit repartition — used when the upstream
+    * layout is already balanced (e.g. bucketed Iceberg scan). Narrow, no
+    * shuffle at all. */
+  def extractNarrow(pages: Dataset[PageRow]): Dataset[ExtractResult] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it => it.map(Extractor.extract) }
+  }
+
+  /** Per-bucket metrics table (FIXTURES.md `metrics` schema): the
+    * observability half of the reference's post-run verification
+    * (reference: src/ocrmypdf/_validation.py:282-337
+    * `report_output_file_size`; quality.py:12-44 hit-ratio metric). */
+  def metrics(extracted: Dataset[ExtractResult], buckets: Int,
+      attempt: Int): DataFrame = {
+    extracted.toDF()
+      .withColumn("url_hash_bucket",
+        pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .groupBy(col("url_hash_bucket"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(length(col("text"))).as("bytes"),
+        sum(when(col("outcome").startsWith("error"), 1L).otherwise(0L))
+          .as("failures"),
+        sum(when(col("outcome").startsWith("skipped"), 1L).otherwise(0L))
+          .as("skips"),
+        sum(when(col("truncated"), 1L).otherwise(0L)).as("truncations"))
+      .withColumn("partition_id", col("url_hash_bucket"))
+      .withColumn("attempt", lit(attempt))
+      .withColumn("committed_ts", current_timestamp())
+  }
+}
+
+/** Idempotent, resumable bucket-committed writer — the sandbox stand-in
+  * for an Iceberg snapshot commit (SURVEY.md §7.1: no Iceberg jars ship
+  * with this image; `TableIO` is the swap-in point).
+  *
+  * Modeled on the reference's checkpoint/resume surface (reference:
+  * src/ocrmypdf/_pipelines/pdf_to_hocr.py:87-110 persists per-page JSON
+  * checkpoints; hocr_to_ocr_pdf.py:106-127 reloads them and skips
+  * completed pages). Here the unit is a url-hash bucket:
+  *
+  *   out/data/bucket=K/ (parquet)  — bucket payload (overwritten whole)
+  *   out/_commits/K                — commit marker, written AFTER the
+  *                                   bucket payload is durably on disk
+  *
+  * A rerun processes only unmarked buckets, deleting any partial dir
+  * first — so a crash between payload and marker re-does exactly that
+  * bucket and the final table never contains duplicates.
+  */
+object CheckpointedWriter {
+
+  def commitDir(out: String) = s"$out/_commits"
+  def dataDir(out: String) = s"$out/data"
+
+  def committedBuckets(spark: SparkSession, out: String): Set[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(commitDir(out))
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).flatMap(n =>
+      scala.util.Try(n.toInt).toOption).toSet
+  }
+
+  /** Write `extracted` for all not-yet-committed buckets. Returns the
+    * number of buckets written this run. `failAfterBuckets` injects a
+    * crash for the resume test (reference analog: fault-injection plugins,
+    * tests/plugins/tesseract_crash.py). */
+  def run(extracted: Dataset[ExtractResult], out: String, buckets: Int,
+      failAfterBuckets: Int = -1): Int = {
+    val spark = extracted.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val done = committedBuckets(spark, out)
+    val todo = (0 until buckets).filterNot(done.contains)
+    if (todo.isEmpty) return 0
+    val withBucket = extracted.toDF()
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .withColumn("spans", to_json(col("spans"))) // stable scalar encoding
+    // one write job for all pending buckets, laid out by bucket dir
+    val pending = withBucket.filter(col("bucket").isin(todo: _*))
+    // clear partial dirs from a previous crashed attempt
+    todo.foreach { b =>
+      val d = new org.apache.hadoop.fs.Path(s"${dataDir(out)}/bucket=$b")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    pending.write.partitionBy("bucket").mode("append").parquet(dataDir(out))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(commitDir(out)))
+    var committed = 0
+    todo.foreach { b =>
+      if (failAfterBuckets >= 0 && committed >= failAfterBuckets)
+        throw new RuntimeException(s"injected failure after $committed commits")
+      val d = new org.apache.hadoop.fs.Path(s"${dataDir(out)}/bucket=$b")
+      if (fs.exists(d)) { // bucket may be legitimately empty: mark anyway
+        ()
+      }
+      fs.create(new org.apache.hadoop.fs.Path(s"${commitDir(out)}/$b"), true)
+        .close()
+      committed += 1
+    }
+    committed
+  }
+
+  def readBack(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(dataDir(out))
+}

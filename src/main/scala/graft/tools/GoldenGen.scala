@@ -1,0 +1,65 @@
+package graft.tools
+
+import graft.engine.Extractor
+import graft.gen.SyntheticCorpus
+import graft.ops.TextStats
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates the golden fixtures (FIXTURES.md "Golden outputs"):
+  * runs the SCALAR kernel (plain sequential loop — no distributed
+  * pipeline) over the verify corpus and freezes the results as parquet.
+  * The Spark pipeline must then match these byte-identically — the analog
+  * of the reference's recorded engine cache
+  * (reference: tests/plugins/tesseract_cache.py:1-80 replays golden
+  * hOCR/txt outputs keyed by invocation; tests/cache/manifest.jsonl logs
+  * provenance).
+  *
+  * Any kernel change that alters any golden byte requires re-running this
+  * in the same commit: `sbt "runMain graft.tools.GoldenGen"`.
+  */
+object GoldenGen {
+
+  val verifyCorpusSize = 600
+  val goldenDir = "/root/repo/src/test/resources/golden"
+
+  final case class GoldenRow(url: String, text: String, outcome: String,
+      engine: String, format: String, charset: String, n_nodes: Int,
+      n_blocks: Int, n_spans: Int, truncated: Int, pred_lang: String,
+      quality: Double, tokens_ws: Long, tokens_bpe: Long, fingerprint: Long)
+  final case class GoldenSpan(url: String, idx: Int, start: Int, end: Int,
+      kind: String, path: String)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[1]") // writer only; the data comes from the scalar loop
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val results = (0L until verifyCorpusSize.toLong).map { i =>
+      Extractor.extract(SyntheticCorpus.row(i))
+    }
+    val rows = results.map { r =>
+      GoldenRow(r.url, r.text, r.outcome, r.engine, r.format, r.charset,
+        r.n_nodes, r.n_blocks, r.spans.length, if (r.truncated) 1 else 0,
+        TextStats.langId(r.text), TextStats.dictHitRatio(r.text),
+        TextStats.tokensWs(r.text), TextStats.tokensBpe(r.text),
+        TextStats.fingerprint(r.text))
+    }
+    val spans = results.flatMap { r =>
+      r.spans.zipWithIndex.map { case (s, i) =>
+        GoldenSpan(r.url, i, s.start, s.end, s.kind, s.path)
+      }
+    }
+    rows.toDF().coalesce(1).sort("url").write.mode("overwrite")
+      .parquet(s"$goldenDir/extracted")
+    spans.toDF().coalesce(1).sort("url", "idx").write.mode("overwrite")
+      .parquet(s"$goldenDir/spans")
+    println(s"[golden] wrote ${rows.length} rows, ${spans.length} spans")
+    val byOutcome = rows.groupBy(_.outcome).view.mapValues(_.size).toMap
+    println(s"[golden] outcomes: $byOutcome")
+    spark.stop()
+  }
+}
