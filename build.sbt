@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput-oriented GC for the allocation-heavy kernel: G1's default
+  // pause goals throttle 32-thread allocation bursts badly here, and the
+  // per-row garbage is short-lived — keep the young gen large so it never
+  // promotes (NewRatio=1: young = half the heap).
+  "-XX:+UseParallelGC",
+  "-XX:NewRatio=1",
 )

@@ -56,12 +56,17 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> md5(array_join(slice(sig, b*$rows+1, $rows), '|')))")))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    // skew guard: drop buckets larger than maxBucket (counted exactly)
+    // skew guard: drop buckets larger than maxBucket (counted exactly).
+    // persist() materializes the signatures once: without the barrier,
+    // Catalyst inlines the k×shingles md5 tree into BOTH join sides and
+    // into est_jaccard, recomputing it ~6× per row. At warehouse scale
+    // this persist is a real signature table (write once, join many).
     val sized = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sized.select(col("band_idx"), col("band_hash"),
       col("id").as("doc_a"), col("sig").as("sig_a"))
     val b = sized.select(col("band_idx"), col("band_hash"),
@@ -87,6 +92,7 @@ object Dedup {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("sh"))))
       .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = bucketed.select(col("sh"), col("id").as("doc_a"))
       .join(bucketed.select(col("sh"), col("id").as("doc_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -158,7 +164,7 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+        expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -45,15 +45,27 @@ object Jobs {
     * skewed hosts across k sub-keys (north rule). */
   def saltedKey(k: Int) = pmod(xxhash64(col("url"), lit("salt")), lit(k))
 
-  /** The extraction stage. `partitions` sizes the fused kernel stage
-    * (≈2-4× cores locally; ≥ bucket count at scale). */
+  /** The extraction pipeline: narrow fused kernel first, THEN the salted
+    * url-hash repartition on the *output*.
+    *
+    * Ordering rationale (100 TB): the kernel is a narrow map — input
+    * splits already balance it, so shuffling raw `html` bytes before
+    * extraction moves the largest column for nothing. The explicit
+    * repartition exists to give the downstream bucketed write / per-url
+    * merge a uniform, skew-free layout (north rule), and extracted text
+    * is 10-100× smaller than raw html (a 100 KB page body can extract to
+    * 1 KB of main text), so the shuffle goes after the map. For inputs
+    * whose *splits* are skewed (e.g. a pathological file layout), shuffle
+    * first via `rebalanceInput`. */
   def extract(pages: Dataset[PageRow], partitions: Int): Dataset[ExtractResult] = {
-    val spark = pages.sparkSession
-    import spark.implicits._
-    pages
+    extractNarrow(pages)
       .repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
-      .mapPartitions { it => it.map(Extractor.extract) }
   }
+
+  /** Pre-kernel rebalance for skewed input layouts: shuffles the raw rows
+    * on the salted url hash before extraction. */
+  def rebalanceInput(pages: Dataset[PageRow], partitions: Int): Dataset[PageRow] =
+    pages.repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
 
   /** Extraction without the explicit repartition — used when the upstream
     * layout is already balanced (e.g. bucketed Iceberg scan). Narrow, no

@@ -1,0 +1,207 @@
+package graft
+
+import graft.engine.{Extractor, HtmlEngine, Sniffer}
+import graft.extract.{Blocks, Boilerplate, TextAssembler}
+import graft.gen.SyntheticCorpus
+import graft.html.{Entities, Tokenizer, TreeBuilder, StartTag, TextRun, EndTag}
+import graft.model.PageRow
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+/** Unit tests for the scalar HTML kernel — per-operator, mirroring the
+  * reference's unit discipline (test_pdfinfo.py stack abuse, malformed
+  * operands; test_page_boxes.py repair rules). */
+class KernelSpec extends AnyFunSuite {
+
+  private def row(html: String): PageRow =
+    PageRow("https://t.test/x", new java.sql.Timestamp(0L),
+      html.getBytes(StandardCharsets.UTF_8), null, "eng")
+
+  private def extractText(html: String): String = Extractor.extract(row(html)).text
+
+  // -- entities ---------------------------------------------------------
+
+  test("entities: named, numeric, hex, legacy no-semi, unknown verbatim") {
+    assert(Entities.decodeAll("&amp;&lt;&gt;") == "&<>")
+    assert(Entities.decodeAll("&#233;&#xE9;") == "éé")
+    assert(Entities.decodeAll("&amp x") == "& x") // legacy no-semicolon
+    assert(Entities.decodeAll("&bogus; &nosuch") == "&bogus; &nosuch")
+    assert(Entities.decodeAll("&#x80;") == "€") // C1 → windows-1252 remap
+    assert(Entities.decodeAll("&#0;") == "�")
+  }
+
+  // -- tokenizer --------------------------------------------------------
+
+  test("tokenizer: basic tags, attrs, duplicate attr keeps first") {
+    val toks = Tokenizer.tokenize("""<p class="a" class="b" id=x>hi</p>""")
+    val st = toks.collectFirst { case s: StartTag => s }.get
+    assert(st.name == "p")
+    assert(st.attr("class").contains("a"))
+    assert(st.attr("id").contains("x"))
+    assert(toks.exists { case TextRun("hi") => true; case _ => false })
+    assert(toks.exists { case EndTag("p") => true; case _ => false })
+  }
+
+  test("tokenizer: raw text elements swallow markup until close tag") {
+    val toks = Tokenizer.tokenize("<script>if (a < b) { x(); }</script><p>ok</p>")
+    val raw = toks.collectFirst { case TextRun(t) if t.contains("a < b") => t }
+    assert(raw.isDefined)
+    assert(toks.exists { case StartTag("p", _, _) => true; case _ => false })
+  }
+
+  test("tokenizer: stray < is literal text; comments tolerated unterminated") {
+    val toks = Tokenizer.tokenize("a < b <!-- never closed")
+    assert(toks.collectFirst { case TextRun(t) => t }.get == "a < b ")
+    val toks2 = Tokenizer.tokenize("x<!--c--!>y")
+    assert(toks2.exists { case TextRun("y") => true; case _ => false })
+  }
+
+  test("tokenizer: character references decoded in text and attrs") {
+    val toks = Tokenizer.tokenize("""<a href="?a=1&amp;b=2">A &amp; B</a>""")
+    val st = toks.collectFirst { case s: StartTag => s }.get
+    assert(st.attr("href").contains("?a=1&b=2"))
+    assert(toks.exists { case TextRun("A & B") => true; case _ => false })
+  }
+
+  // -- tree builder -----------------------------------------------------
+
+  test("treebuilder: implied end tags (p closed by div, li by li)") {
+    val dom = TreeBuilder.build(Tokenizer.tokenize(
+      "<body><p>one<div>two</div><ul><li>a<li>b</ul></body>"))
+    val ps = dom.nodes.filter(_.tag == "p")
+    val lis = dom.nodes.filter(_.tag == "li")
+    assert(ps.length == 1 && lis.length == 2)
+    // both li at same depth (second li closed the first)
+    assert(lis(0).depth == lis(1).depth)
+  }
+
+  test("treebuilder: unmatched end tag ignored; misnesting pops to match") {
+    val dom = TreeBuilder.build(Tokenizer.tokenize(
+      "<div><b>x</div></b><p>y</p>"))
+    assert(dom.nodes.exists(n => n.tag == "p"))
+    // </nothing> crashes nothing
+    val dom2 = TreeBuilder.build(Tokenizer.tokenize("</div></p>text"))
+    assert(dom2.nodes.exists(n => n.tag == "#text" && n.text == "text"))
+  }
+
+  test("treebuilder: depth guard flattens past 128 and flags truncation") {
+    val deep = "<div>" * 200 + "x" + "</div>" * 200
+    val dom = TreeBuilder.build(Tokenizer.tokenize(deep))
+    assert(dom.truncated)
+    assert(dom.nodes.forall(_.depth <= TreeBuilder.maxDepth + 1))
+  }
+
+  test("treebuilder: visibility inheritance (style, hidden, script, head)") {
+    val dom = TreeBuilder.build(Tokenizer.tokenize(
+      """<head><title>T</title></head><body><div style="display: none"><p>no</p></div><p hidden>no2</p><p>yes</p></body>"""))
+    val texts = dom.nodes.filter(_.tag == "#text")
+    assert(texts.filter(_.visible).map(_.text) == Seq("yes"))
+    assert(dom.title == "T")
+  }
+
+  // -- assembly rules ---------------------------------------------------
+
+  test("assembler: space-join except CJK-CJK (renderer.py:740-748 rule)") {
+    assert(Blocks.joinWords(Vector("hello", "world")) == "hello world")
+    assert(Blocks.joinWords(Vector("数据", "处理")) == "数据处理")
+    assert(Blocks.joinWords(Vector("数据", "spark", "处理")) == "数据 spark 处理")
+    assert(Blocks.joinWords(Vector("word", "数据")) == "word 数据")
+  }
+
+  test("assembler: NFKC normalization (hocr_parser.py:372-384 rule)") {
+    assert(Blocks.nfkc("ﬁre") == "fire")
+    assert(Blocks.nfkc("x²") == "x2")
+    assert(extractText("<p>ﬁre ﬂow x² over forty characters of padding text</p>")
+      .startsWith("fire flow x2"))
+  }
+
+  test("assembler: span offsets are exact character ranges") {
+    val r = Extractor.extract(row(
+      "<body><p>first paragraph with enough characters to be good</p>" +
+        "<p>second paragraph also long enough to be kept here</p></body>"))
+    assert(r.spans.length == 2)
+    r.spans.foreach { s =>
+      val sub = r.text.substring(s.start, s.end)
+      assert(!sub.startsWith(" ") && !sub.endsWith(" "))
+    }
+    assert(r.text.substring(r.spans(1).start).startsWith("second"))
+  }
+
+  // -- boilerplate ------------------------------------------------------
+
+  test("boilerplate: link-dense blocks dropped, chrome ancestry dropped") {
+    val html =
+      """<body><nav><p>this nav text is long enough to look good but is chrome</p></nav>
+        |<p>real content paragraph with plenty of characters to qualify as good</p>
+        |<div><a href="#">l1</a> <a href="#">l2</a> <a href="#">l3</a></div></body>""".stripMargin
+    val r = Extractor.extract(row(html))
+    assert(r.text.contains("real content"))
+    assert(!r.text.contains("chrome"))
+    assert(!r.text.contains("l1"))
+  }
+
+  test("boilerplate: heading kept only when followed by good block") {
+    val kept = extractText(
+      "<body><h2>Kept Heading</h2><p>a long enough following paragraph keeps the heading above</p></body>")
+    assert(kept.contains("Kept Heading"))
+    val dropped = extractText(
+      "<body><h2>Lone Heading</h2><div><a href='#'>only links follow</a></div></body>")
+    assert(!dropped.contains("Lone Heading"))
+  }
+
+  // -- sniffer ----------------------------------------------------------
+
+  test("sniffer: gzip magic, pdf signature, charset precedence") {
+    val gz = SyntheticCorpus.gzipCase(new SyntheticCorpus.Rng(1), 0)
+    assert(Sniffer.sniff(gz).format == "gzip+html")
+    assert(Sniffer.sniff("%PDF-1.4 junk".getBytes).format == "pdf")
+    val bom = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      "<p>x</p>".getBytes(StandardCharsets.UTF_16LE)
+    assert(Sniffer.decodeHtml(bom)._1 == "utf-16le")
+    val meta = """<meta charset="windows-1252"><p>café</p>"""
+      .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val (cs, decoded) = Sniffer.decodeHtml(meta)
+    assert(cs == "windows-1252" && decoded.contains("café"))
+  }
+
+  test("sniffer: truncated gzip yields typed error outcome, not a throw") {
+    val gz = SyntheticCorpus.gzipCase(new SyntheticCorpus.Rng(1), 1)
+    val r = Extractor.extract(PageRow("u", new java.sql.Timestamp(0), gz, null, null))
+    assert(r.outcome == "error:gzip_truncated")
+  }
+
+  // -- faults: never throw ---------------------------------------------
+
+  test("kernel: pathological inputs yield outcome rows, never exceptions") {
+    val cases = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      Array.fill(512)(0x00.toByte),
+      "<".getBytes, "<!".getBytes, "<a b=".getBytes,
+      ("<div " + "x" * 100000).getBytes,
+      SyntheticCorpus.fault(new SyntheticCorpus.Rng(7), 2),
+      "%PDF-1.4 then garbage".getBytes)
+    cases.foreach { b =>
+      val r = Extractor.extract(PageRow("u", new java.sql.Timestamp(0), b, null, null))
+      assert(r.outcome.nonEmpty)
+    }
+  }
+
+  // -- corpus determinism ----------------------------------------------
+
+  test("corpus: row generation is a pure function of (seed, i)") {
+    (0L until 100L).foreach { i =>
+      val a = SyntheticCorpus.row(i)
+      val b = SyntheticCorpus.row(i)
+      assert(a.url == b.url && java.util.Arrays.equals(a.html, b.html))
+    }
+  }
+
+  test("kernel: extraction is deterministic (same row → same bytes)") {
+    (0L until 60L).foreach { i =>
+      val r1 = Extractor.extract(SyntheticCorpus.row(i))
+      val r2 = Extractor.extract(SyntheticCorpus.row(i))
+      assert(r1.text == r2.text && r1.spans == r2.spans &&
+        r1.outcome == r2.outcome)
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+
+  test("langid: script detection and stopword votes") {
+    assert(TextStats.langId("数据处理管道提取文档内容分析系统") == "zho")
+    assert(TextStats.langId("データ処理パイプライン") == "jpn")
+    assert(TextStats.langId("استخراج البيانات من الوثائق والمحتوى") == "ara")
+    assert(TextStats.langId("the quick fox and the lazy dog in the yard") == "eng")
+    assert(TextStats.langId("der hund und die katze ist nicht da") == "deu")
+    assert(TextStats.langId("") == "und")
+  }
+
+  test("quality + tokens: reference-style dictionary hit ratio") {
+    assert(TextStats.dictHitRatio("data pipeline spark") == 1.0)
+    assert(TextStats.dictHitRatio("zzzqqq xxxyyy") == 0.0)
+    assert(TextStats.tokensWs("a b  c\n d") == 4L)
+    assert(TextStats.tokensBpe("12345678") == 2L)
+    assert(TextStats.fingerprint("abc") == TextStats.fingerprint("abc"))
+    assert(TextStats.fingerprint("abc") != TextStats.fingerprint("abd"))
+  }
+
+  test("dedup exact: duplicate texts collapse to min id") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(out.toSeq == Seq((2L, 1L), (1L, 3L)))
+  }
+
+  test("dedup minhash: near-identical docs pair with high est_jaccard") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val df = Seq(
+      (1L, base), (2L, base + " tail"), (3L, "completely different content with nothing shared at all zzz"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j >= 0.75 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("dedup simhash: identical docs pair at hamming 0; distinct don't") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated words entirely disjoint tokens"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhash(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("similarity: self-nearest excluded, identical vector ranks first") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 1L), (2, 2L)))
+  }
+
+  test("similarity: ivf recalls the exact top-1 for clustered data") {
+    import spark.implicits._
+    // two tight clusters; centroids from lowest ids land in both
+    val rows = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i * 7 + d) % 5) })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 4), "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val ivf = Similarity.ivfTopK(df, df.filter(col("vec_id") < 4), "vec_id", "embedding", 1,
+      centroids = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(ivf == brute)
+  }
+}

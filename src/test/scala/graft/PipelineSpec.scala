@@ -1,0 +1,117 @@
+package graft
+
+import graft.engine.Extractor
+import graft.gen.SyntheticCorpus
+import graft.spark.{CheckpointedWriter, Jobs}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** End-to-end pipeline tests through the public surface (the reference's
+  * discipline: e2e through the real entry point, tests/conftest.py
+  * `check_ocrmypdf`). */
+class PipelineSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+
+  test("e2e: Spark pipeline matches the scalar kernel on every row") {
+    import spark.implicits._
+    val n = 200
+    val viaSpark = Jobs.extract(Jobs.syntheticPages(spark, n), 16)
+      .collect().map(r => r.url -> ((r.text, r.outcome, r.spans))).toMap
+    val scalar = (0L until n.toLong).map(i => Extractor.extract(SyntheticCorpus.row(i)))
+    assert(viaSpark.size == n)
+    scalar.foreach { e =>
+      val (t, o, sp) = viaSpark(e.url)
+      assert(o == e.outcome, s"outcome mismatch for ${e.url}")
+      assert(t == e.text, s"text bytes mismatch for ${e.url}")
+      assert(sp == e.spans, s"spans mismatch for ${e.url}")
+    }
+  }
+
+  test("determinism: different partition counts produce identical tables") {
+    val a = Jobs.extract(Jobs.syntheticPages(spark, 120, parallelism = 2), 3)
+      .collect().sortBy(_.url).map(r => (r.url, r.text, r.outcome)).toSeq
+    val b = Jobs.extract(Jobs.syntheticPages(spark, 120, parallelism = 8), 16)
+      .collect().sortBy(_.url).map(r => (r.url, r.text, r.outcome)).toSeq
+    assert(a == b)
+  }
+
+  test("golden: pipeline output matches frozen fixtures byte-identically") {
+    import spark.implicits._
+    val golden = spark.read
+      .parquet("src/test/resources/golden/extracted")
+      .select("url", "text", "outcome", "engine")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    val live = Jobs.extract(Jobs.syntheticPages(spark, SparkEntry.verifyN), 16)
+      .collect()
+    assert(live.length == golden.size)
+    live.foreach { r =>
+      val (t, o, e) = golden(r.url)
+      assert(r.text == t, s"golden text drift for ${r.url}")
+      assert(r.outcome == o && r.engine == e)
+    }
+  }
+
+  test("resume: crash between bucket commits → rerun completes, no dupes") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pages = Jobs.syntheticPages(spark, 150)
+    val extracted = Jobs.extract(pages, 8)
+    val buckets = 8
+    // first attempt crashes after 3 bucket commits (fault injection)
+    intercept[RuntimeException] {
+      CheckpointedWriter.run(extracted, out, buckets, failAfterBuckets = 3)
+    }
+    val afterCrash = CheckpointedWriter.committedBuckets(spark, out)
+    assert(afterCrash.size == 3)
+    // resume: completes remaining buckets only
+    val resumed = CheckpointedWriter.run(extracted, out, buckets)
+    assert(resumed == buckets - 3)
+    // final table: exactly one row per url, equal to a direct run
+    val readBack = CheckpointedWriter.readBack(spark, out)
+    assert(readBack.groupBy("url").count().filter(col("count") > 1).count() == 0)
+    assert(readBack.count() == 150)
+    val direct = extracted.collect().map(r => r.url -> r.text).toMap
+    readBack.select("url", "text").collect().foreach { r =>
+      assert(direct(r.getString(0)) == r.getString(1))
+    }
+    // idempotent: nothing left to do
+    assert(CheckpointedWriter.run(extracted, out, buckets) == 0)
+  }
+
+  test("metrics: per-bucket counts reconcile with the extracted table") {
+    val extracted = Jobs.extract(Jobs.syntheticPages(spark, 100), 8)
+    val m = Jobs.metrics(extracted, buckets = 4, attempt = 1)
+    val agg = m.agg(sum("docs"), sum("failures")).collect()(0)
+    assert(agg.getLong(0) == 100)
+    val failDirect = extracted.filter(col("outcome").startsWith("error")).count()
+    assert(agg.getLong(1) == failDirect)
+  }
+
+  test("skew: salted key spreads the hot host across partitions") {
+    import spark.implicits._
+    val pages = Jobs.syntheticPages(spark, 400)
+    // ~70% of rows share one host; with the salted url-hash key the max
+    // partition holds far less than the hot-host share
+    val parts = pages.toDF()
+      .repartition(8, pmod(xxhash64(col("url")), lit(8)))
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(parts.sum == 400)
+    assert(parts.max < 400 * 7 / 10, s"skewed partition sizes: ${parts.toSeq}")
+  }
+}
