@@ -136,6 +136,13 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_native" -> ((s, dir) => { // codegen'd CosineSim expression
+      val e = emb(s, dir)
+      Similarity.bruteForceTopKNative(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_ivf" -> ((s, dir) => { // no SQL oracle: rows-only check
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
@@ -212,6 +219,13 @@ ORDER BY doc_a, doc_b""",
       s"SELECT doc_id, md5(text) AS fp FROM ${D(sf)} ORDER BY doc_id",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
+    "sim_topk_native" -> s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
+q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS nbr_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM e),
+s AS (SELECT query_id, nbr_id, list_dot_product(qv, cv) / (qn * cn) AS cos FROM q CROSS JOIN c WHERE query_id <> nbr_id),
+r AS (SELECT query_id, nbr_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_topk_brute" -> s"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
 q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),

@@ -190,16 +190,37 @@ object PdfEngine extends ExtractionEngine {
     }
     // Ordered merge with \f separators — merge_sidecars semantics
     // (reference: src/ocrmypdf/_pipeline.py:1307-1327: page order, \f
-    // separators, placeholders instead of silent drops).
+    // separators, placeholders instead of silent drops). Runs of textless
+    // pages get one "[no text on page(s) i-j]" marker at the run's first
+    // page (reference: enumerate_compress_ranges, _pipeline.py:1274-1304).
     val nonEmpty = pageTexts.exists(_.nonEmpty)
-    val text = pageTexts.mkString("\f")
+    val withPlaceholders: Vector[String] =
+      if (!nonEmpty) pageTexts
+      else {
+        val emptyRuns = graft.extract.Ranges.compress(
+          pageTexts.zipWithIndex.collect { case ("", i) => i + 1 })
+        var runIdx = 0
+        pageTexts.zipWithIndex.map { case (t, i) =>
+          if (t.nonEmpty) t
+          else if (runIdx < emptyRuns.length &&
+            emptyRuns(runIdx).takeWhile(_.isDigit).toInt == i + 1) {
+            val marker = s"[no text on page(s) ${emptyRuns(runIdx)}]"
+            runIdx += 1
+            marker
+          } else ""
+        }
+      }
+    val text = withPlaceholders.mkString("\f")
     val spans = {
       var off = 0
-      pageTexts.zipWithIndex.flatMap { case (t, i) =>
+      withPlaceholders.zipWithIndex.flatMap { case (t, i) =>
         val start = off
         off += t.length + 1 // + separator
         if (t.isEmpty) None
-        else Some(Span(start, start + t.length, "pdf_text", s"/page[${i + 1}]"))
+        else {
+          val kind = if (pageTexts(i).isEmpty) "pdf_skip" else "pdf_text"
+          Some(Span(start, start + t.length, kind, s"/page[${i + 1}]"))
+        }
       }
     }
     val outcome =

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd cosine similarity over two float-array columns.
+  *
+  * Semantics are EXACTLY the higher-order-function formulation used in
+  * `graft.ops.Similarity` (sequential left-to-right double-precision
+  * accumulation: dot/(sqrt(na)*sqrt(nb))) so results are bit-identical to
+  * the DuckDB oracle — but evaluated in one fused loop with no per-element
+  * lambda dispatch, keeping the ANN scoring stage inside
+  * WholeStageCodegen. Preference order per the build rules: compose
+  * builtins first (done), custom `Expression` with doGenCode where the
+  * builtin formulation leaves throughput on the table (this).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim needs two array<float> args, got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.getFloat($i);
+          double $yi = (double) $b.getFloat($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) null
+    else {
+      val b = right.eval(input)
+      if (b == null) null else nullSafeEval(a, b)
+    }
+  }
+}
+
+object GraftFunctions {
+  /** Register SQL-callable graft functions on a session
+    * (`SELECT cosine_sim(a, b)` / `expr("cosine_sim(a, b)")`). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  }
+}

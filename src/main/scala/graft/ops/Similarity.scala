@@ -37,8 +37,31 @@ object Similarity {
       .withColumn("cn", norm("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm("qv"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("nbr_id"))
+    // broadcast the QUERY side: the corpus is the 10^9-row side at scale,
+    // so it stays partitioned and each task scores its slice against the
+    // broadcast queries; WindowGroupLimit then takes partial top-k per
+    // partition before the (tiny) shuffle on query_id
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** As bruteForceTopK, but scoring through the native codegen'd
+    * `cosine_sim` expression (graft.functions.CosineSim) — one fused loop
+    * per pair instead of three HOF folds; results are bit-identical. */
+  def bruteForceTopKNative(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
@@ -75,7 +98,8 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", nprobe)
       .withColumn("qn", norm("qv"))
-    val scored = probed.join(assigned, Seq("cent_id"))
+    // corpus side (assigned) stays partitioned; probed queries broadcast
+    val scored = assigned.join(broadcast(probed), Seq("cent_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window

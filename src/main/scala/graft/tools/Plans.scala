@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans of the key queries for plan
+  * review (pushdown, pruning, broadcast, codegen spans) → PLANS.md. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.01"
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
+    sb.append("Reviewed for: parquet pushdown/pruning (PushedFilters, ReadSchema),\n")
+    sb.append("broadcast vs shuffle joins, WholeStageCodegen spans, shuffle count.\n\n")
+    Seq("extract_text", "dedup_exact", "dedup_minhash_lsh", "sim_topk_brute",
+      "sim_topk_native", "docstats_tokens", "host_stats_salted").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      sb.append(s"## $q\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
+    println("[plans] wrote PLANS.md")
+    spark.stop()
+  }
+}

@@ -83,4 +83,18 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(ivf == brute)
   }
+
+  test("similarity: native cosine_sim expression is bit-identical to HOF") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d => ((i * 31 + d * 7) % 13).toFloat / 13f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 5)
+    val hof = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val native = Similarity.bruteForceTopKNative(df, q, "vec_id", "embedding", 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(hof.sortBy(x => (x._1, x._2)).toSeq == native.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }
