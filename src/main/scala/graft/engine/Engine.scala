@@ -3,7 +3,7 @@ package graft.engine
 import graft.model._
 import graft.html.{Tokenizer, TreeBuilder}
 import graft.extract.{Blocks, Boilerplate, TextAssembler}
-import graft.pdf.{ContentStream, CosDict, CosName, CosArr, CosStream, Cos, PdfDoc, Glyphs, FontInfo}
+import graft.pdf.{ContentStream, CosDict, CosName, CosArr, CosStream, Cos, CosNull, PdfDoc, Glyphs, FontInfo}
 import java.nio.charset.{Charset, StandardCharsets, CodingErrorAction}
 
 /** Format/charset triage — analog of the reference's `triage` stage
@@ -130,16 +130,40 @@ trait ExtractionEngine {
 object HtmlEngine extends ExtractionEngine {
   val tag: String = EngineTags.Html
 
+  /** Size reject threshold — the `--skip-big` analog (reference:
+    * src/ocrmypdf/_pipeline.py:406-414 megapixel cutoff; here bytes).
+    * Oversized rows flow through with a typed reject outcome instead of
+    * burning kernel time. */
+  val maxHtmlBytes: Int = 2 << 20
+
   def extract(row: PageRow): ExtractResult =
     extractDecoded(row, Sniffer.sniff(row.html))
 
   def extractDecoded(row: PageRow, s: Sniffer.Sniffed): ExtractResult = {
+    if (s.bytes.length > maxHtmlBytes)
+      return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+        "rejected:too_large", tag, s.format, "binary", 0, 0,
+        truncated = false)
     val (charset, decoded) = Sniffer.decodeHtml(s.bytes)
     val tokens = Tokenizer.tokenize(decoded)
     val dom = TreeBuilder.build(tokens)
     val blocks = Blocks.segment(dom)
     val kept = Boilerplate.classify(blocks)
     val asm = TextAssembler.assemble(dom.title, kept)
+    // Disposition probe — the cheap-probe-then-decide pattern (reference:
+    // rasterize_preview + get_orientation_correction,
+    // src/ocrmypdf/_pipeline.py:418-495): a meta-refresh page with almost
+    // no body text is a redirect shell, not content.
+    val isRedirect = asm.spans.count(_.kind != "title") == 0 ||
+      TextAssembler.splitWords(asm.text).length < 10
+    val hasRefresh = dom.nodes.exists { n =>
+      n.tag == "meta" && n.attr("http-equiv")
+        .exists(_.equalsIgnoreCase("refresh"))
+    }
+    if (hasRefresh && isRedirect)
+      return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+        "skipped:redirect", tag, s.format, charset, dom.nodes.length,
+        blocks.length, dom.truncated)
     val outcome =
       if (asm.text.isEmpty) Outcome.SkippedEmpty else Outcome.Ok
     ExtractResult(row.url, row.warc_ts, asm.text, asm.spans, outcome, tag,
@@ -160,17 +184,61 @@ object PdfEngine extends ExtractionEngine {
         Outcome.SkippedEncrypted, tag, s.format, "binary",
         doc.objects.size, 0, truncated = false)
     val resolve: Cos => Cos = PdfDoc.resolveIn(doc.objects)
+    // Doc-level validation rejects (reference: validate_pdfinfo_options,
+    // src/ocrmypdf/_pipeline.py:231-280 — XFA forms :236-240 cannot be
+    // processed; the row flows through with a typed reject outcome).
+    val hasXfa = doc.catalog.flatMap(_.get("AcroForm")).map(resolve).exists {
+      case d: CosDict => d.get("XFA").isDefined
+      case _ => false
+    }
+    if (hasXfa)
+      return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+        "rejected:xfa_form", tag, s.format, "binary",
+        doc.objects.size, 0, truncated = false)
     var truncated = false
-    val pageTexts = doc.pages.zipWithIndex.map { case (page, idx) =>
-      val fonts: Map[String, FontInfo] = page.inheritedResources
-        .flatMap(_.get("Font").map(resolve)).collect {
-          case fd: CosDict => fd.m.map { case (k, v) =>
-            k -> (resolve(v) match {
-              case d: CosDict => Glyphs.fontInfo(d, resolve)
-              case _ => Glyphs.default
-            })
+
+    def fontMap(res: CosDict): Map[String, FontInfo] =
+      res.get("Font").map(resolve) match {
+        case Some(fd: CosDict) => fd.m.map { case (k, v) =>
+          k -> (resolve(v) match {
+            case d: CosDict => Glyphs.fontInfo(d, resolve)
+            case _ => Glyphs.default
+          })
+        }
+        case _ => Map.empty
+      }
+
+    // Resolve drawable Form XObjects against /Resources/XObject — the
+    // reference's only join-like operation (reference:
+    // src/ocrmypdf/pdfinfo/_image.py:306-333 resolves Do operators via
+    // name_index), here a map-side dictionary lookup (depth-capped).
+    def xobjectMap(res: CosDict, depth: Int): Map[String, ContentStream.FormXObject] =
+      if (depth > 3) Map.empty
+      else res.get("XObject").map(resolve) match {
+        case Some(xd: CosDict) => xd.m.flatMap { case (k, v) =>
+          resolve(v) match {
+            case st: CosStream
+              if resolve(st.dict.get("Subtype").getOrElse(CosNull)) == CosName("Form") =>
+              PdfDoc.decodeStream(st, resolve).map { bytes =>
+                val innerRes = st.dict.get("Resources").map(resolve) match {
+                  case Some(r: CosDict) => Some(r)
+                  case _ => None
+                }
+                k -> ContentStream.FormXObject(bytes,
+                  innerRes.map(fontMap).getOrElse(Map.empty),
+                  innerRes.map(xobjectMap(_, depth + 1)).getOrElse(Map.empty))
+              }
+            case _ => None
           }
-        }.getOrElse(Map.empty)
+        }
+        case _ => Map.empty
+      }
+
+    val pageTexts = doc.pages.zipWithIndex.map { case (page, idx) =>
+      val fonts: Map[String, FontInfo] =
+        page.inheritedResources.map(fontMap).getOrElse(Map.empty)
+      val xobjs = page.inheritedResources.map(xobjectMap(_, 0))
+        .getOrElse(Map.empty)
       val contents: Vector[Array[Byte]] = page.dict.get("Contents").map(resolve) match {
         case Some(s: CosStream) =>
           PdfDoc.decodeStream(s, resolve).toVector
@@ -182,7 +250,7 @@ object PdfEngine extends ExtractionEngine {
       if (contents.isEmpty) "" else {
         val merged = contents.reduce((a, b) =>
           a ++ Array('\n'.toByte) ++ b)
-        val pt = ContentStream.interpret(merged, fonts)
+        val pt = ContentStream.interpret(merged, fonts, xobjs)
         if (pt.truncated) truncated = true
         pt.lines.map(_.trim).filter(_.nonEmpty)
           .map(Blocks.nfkc).mkString("\n")

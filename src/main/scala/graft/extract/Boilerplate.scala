@@ -25,10 +25,28 @@ object Boilerplate {
 
   val maxLinkDensity = 0.33
   val minGoodChars = 40
+  val maxWordLen = 200 // garbage gate: minified JS / base64 blobs
+  val minAlphaRatio = 0.30 // garbage gate: symbol soup
+
+  /** Implausibility gate — the analog of the reference's aspect-ratio
+    * suppression (reference: src/ocrmypdf/fpdf_renderer/renderer.py:
+    * 550-621 `_check_aspect_ratio_plausible` drops lines whose bbox can't
+    * plausibly hold their text): a "word" longer than any natural-language
+    * word, or a long block that is mostly non-letters, is machine junk. */
+  def implausible(b: Block): Boolean = {
+    if (b.words.exists(_.length > maxWordLen)) return true
+    if (b.chars > 80) {
+      var letters = 0
+      b.words.foreach(w => letters += w.count(Character.isLetter))
+      if (letters.toDouble / b.chars < minAlphaRatio) return true
+    }
+    false
+  }
 
   def contextFree(b: Block): Cls = {
     val ld = if (b.chars == 0) 0.0 else b.linkChars.toDouble / b.chars
     if (b.inChrome) Bad
+    else if (implausible(b)) Bad
     else if (ld > maxLinkDensity) Bad
     else if (b.kind == "pre" || b.kind == "quote") Good // verbatim content
     else if (b.kind == "heading") Short // decided by what follows

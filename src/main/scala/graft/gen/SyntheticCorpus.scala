@@ -63,7 +63,7 @@ object SyntheticCorpus {
   def paragraph(rng: Rng): String =
     (0 until 3 + rng.nextInt(4)).map(_ => sentence(rng)).mkString(" ")
 
-  def classOf(i: Long): String = (i % 20) match {
+  def classOf(i: Long): String = (i % 24) match {
     case 0 | 1 | 2 | 3 | 4 | 5 => "article"
     case 6 | 7 => "multiblock"
     case 8 => "trivial"
@@ -77,7 +77,11 @@ object SyntheticCorpus {
     case 16 => "linkfarm"
     case 17 => "pdf"
     case 18 => "gzip"
-    case _ => "fault"
+    case 19 => "fault"
+    case 20 => "redirect"
+    case 21 => "toolarge"
+    case 22 => "xobject"
+    case _ => "garbage"
   }
 
   def hostOf(i: Long, seed: Long): String = {
@@ -122,7 +126,11 @@ object SyntheticCorpus {
       case "linkfarm" => linkfarm(rng).getBytes(StandardCharsets.UTF_8)
       case "pdf" => pdf(rng, (i / 20 % 3).toInt)
       case "gzip" => gzipCase(rng, (i / 20 % 2).toInt)
-      case _ => fault(rng, (i / 20 % 3).toInt)
+      case "fault" => fault(rng, (i / 20 % 3).toInt)
+      case "redirect" => redirect(rng).getBytes(StandardCharsets.UTF_8)
+      case "toolarge" => tooLargeHtml
+      case "xobject" => pdfXObject(rng)
+      case _ => garbage(rng).getBytes(StandardCharsets.UTF_8)
     }
     PageRow(url, ts, html, null, lang)
   }
@@ -265,6 +273,62 @@ $sections
       var i = 0
       while (i < b.length) { b(i) = (rng.nextLong() & 0xff).toByte; i += 1 }
       b
+  }
+
+  def redirect(rng: Rng): String =
+    s"""<html><head><meta http-equiv="refresh" content="0; url=https://${words(rng, 1)}.example.com/"><title>Redirecting</title></head>
+<body><p>Redirecting to the new ${words(rng, 1)} page</p></body></html>"""
+
+  /** Shared constant (identical bytes for every toolarge row — the size
+    * reject never reads content, and a per-row 2.5 MB build would dominate
+    * corpus generation at bench scale). */
+  lazy val tooLargeHtml: Array[Byte] = {
+    val b = new Array[Byte](2500000)
+    java.util.Arrays.fill(b, 'x'.toByte)
+    val head = "<html><body><p>".getBytes(StandardCharsets.UTF_8)
+    System.arraycopy(head, 0, b, 0, head.length)
+    b
+  }
+
+  def garbage(rng: Rng): String = {
+    val blob = (0 until 40).map(_ => f"${rng.nextLong()}%016x").mkString // 640-char "word"
+    val soup = (0 until 30).map(_ => "=#/&%$;@[]{}|\\^~<>()*+" ).mkString(" ")
+    s"""<html><body>
+<div>$blob</div>
+<div>$soup</div>
+<p>${paragraph(rng)}</p>
+</body></html>"""
+  }
+
+  /** PDF whose page content draws a Form XObject containing the text —
+    * exercises the Do-operator recursion (reference: formxobject.pdf
+    * fixture; src/ocrmypdf/pdfinfo/_image.py:379-431). */
+  def pdfXObject(rng: Rng): Array[Byte] = {
+    val inner = {
+      val s = sentence(rng)
+      val esc = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      deflate(s"BT /F1 11 Tf 10 10 Td ($esc) Tj ET"
+        .getBytes(StandardCharsets.ISO_8859_1))
+    }
+    val outer = deflate(
+      "BT /F1 12 Tf 72 720 Td (before form) Tj ET q 1 0 0 1 0 -40 cm /Fm1 Do Q"
+        .getBytes(StandardCharsets.ISO_8859_1))
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def wb(b: Array[Byte]): Unit = sb.write(b, 0, b.length)
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> /XObject << /Fm1 6 0 R >> >> /MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n")
+    w("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >> endobj\n")
+    w(s"5 0 obj << /Length ${outer.length} /Filter /FlateDecode >> stream\n")
+    wb(outer)
+    w("\nendstream endobj\n")
+    w(s"6 0 obj << /Type /XObject /Subtype /Form /BBox [0 0 200 40] /Resources << /Font << /F1 4 0 R >> >> /Length ${inner.length} /Filter /FlateDecode >> stream\n".replace("/Length", "/Length"))
+    wb(inner)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    sb.toByteArray
   }
 
   def gzipCase(rng: Rng, variant: Int): Array[Byte] = {

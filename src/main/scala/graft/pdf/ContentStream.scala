@@ -24,8 +24,19 @@ object ContentStream {
     * word space — fixed, specified threshold. */
   val tjSpaceThreshold = -180.0
 
-  def interpret(content: Array[Byte],
-      fonts: Map[String, FontInfo]): PageText = {
+  /** Form XObject recursion cap (reference: recursive descent through
+    * page → Form XObjects, src/ocrmypdf/pdfinfo/_image.py:379-431, with
+    * our own bounded-depth guard in the spirit of the stack rule). */
+  val maxXObjectDepth = 8
+
+  /** A drawable Form XObject: its content bytes + its own font map. */
+  final case class FormXObject(content: Array[Byte],
+      fonts: Map[String, FontInfo],
+      xobjects: Map[String, FormXObject] = Map.empty)
+
+  def interpret(content: Array[Byte], fonts: Map[String, FontInfo],
+      xobjects: Map[String, FormXObject] = Map.empty,
+      depth: Int = 0): PageText = {
     val lx = new PdfLexer(content)
     var truncated = false
 
@@ -114,6 +125,21 @@ object ContentStream {
                       line.length > 0 && line.charAt(line.length - 1) != ' ')
                       line.append(' ')
                   case _ => ()
+                }
+              }
+            case "Do" =>
+              // Form XObject draw: recurse with the form's own resources
+              // (depth-capped; image XObjects have no text and are skipped)
+              operands.collectFirst { case CosName(nm) => nm }.foreach { nm =>
+                xobjects.get(nm).foreach { fx =>
+                  if (depth < maxXObjectDepth) {
+                    newline()
+                    val inner = interpret(fx.content,
+                      if (fx.fonts.nonEmpty) fx.fonts else fonts,
+                      fx.xobjects, depth + 1)
+                    inner.lines.foreach { l => line.append(l); newline() }
+                    if (inner.truncated) truncated = true
+                  } else truncated = true
                 }
               }
             case _ => () // whitelist: everything else ignored (reference :175-179)

@@ -226,7 +226,8 @@ final class PdfDoc(
     val objects: HashMap[Int, Cos],
     val encrypted: Boolean,
     val pages: Vector[PdfPage],
-    val parseNotes: List[String]
+    val parseNotes: List[String],
+    val catalog: Option[CosDict]
 )
 final case class PdfPage(dict: CosDict, inheritedResources: Option[CosDict])
 
@@ -353,7 +354,7 @@ object PdfDoc {
           case (_, d: CosDict) if d.get("Type").contains(CosName("Page")) =>
             PdfPage(d, d.get("Resources").map(resolve(_)).collect { case r: CosDict => r })
         }
-    new PdfDoc(objects, encrypted, finalPages, notes.result())
+    new PdfDoc(objects, encrypted, finalPages, notes.result(), catalog)
   }
 
   def resolveIn(objects: HashMap[Int, Cos])(c: Cos): Cos = c match {

@@ -204,4 +204,25 @@ class KernelSpec extends AnyFunSuite {
         r1.outcome == r2.outcome)
     }
   }
+
+  test("validation: oversized html rejected; redirect shells skipped") {
+    val big = SyntheticCorpus.tooLargeHtml
+    val r = Extractor.extract(PageRow("u", new java.sql.Timestamp(0), big, null, null))
+    assert(r.outcome == "rejected:too_large" && r.text.isEmpty)
+    val redir = SyntheticCorpus.redirect(new SyntheticCorpus.Rng(2))
+    val r2 = Extractor.extract(row(redir))
+    assert(r2.outcome == "skipped:redirect")
+    // a meta-refresh page WITH substantial content is NOT a redirect shell
+    val content = ("<html><head><meta http-equiv=\"refresh\" content=\"30\"></head>" +
+      "<body><p>" + ("real content words here with plenty of text " * 4) + "</p></body></html>")
+    assert(Extractor.extract(row(content)).outcome == "ok")
+  }
+
+  test("quality gate: implausible blocks (mega-words, symbol soup) dropped") {
+    val g = SyntheticCorpus.garbage(new SyntheticCorpus.Rng(9))
+    val r = Extractor.extract(row(g))
+    assert(r.outcome == "ok")
+    assert(r.spans.length == 1) // only the real paragraph survives
+    assert(!r.text.contains("=#/"))
+  }
 }

@@ -102,4 +102,23 @@ endcmap"""
     val r = Extractor.extract(row(junk))
     assert(r.outcome.startsWith("error") || r.outcome.startsWith("skipped"))
   }
+
+  test("engine: form xobject text recursed via Do operator") {
+    val pdf = SyntheticCorpus.pdfXObject(new SyntheticCorpus.Rng(5))
+    val r = PdfEngine.extract(row(pdf))
+    assert(r.outcome == "ok")
+    assert(r.text.startsWith("before form\n"))
+    assert(r.text.length > "before form\n".length) // inner form text present
+  }
+
+  test("engine: XFA AcroForm rejected with typed outcome") {
+    val base = new String(SyntheticCorpus.pdf(new SyntheticCorpus.Rng(3), 0),
+      ISO_8859_1)
+    val xfa = base.replace(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "1 0 obj << /Type /Catalog /Pages 2 0 R /AcroForm 8 0 R >> endobj\n" +
+        "8 0 obj << /Fields [] /XFA 9 0 R >> endobj")
+    val r = PdfEngine.extract(row(xfa.getBytes(ISO_8859_1)))
+    assert(r.outcome == "rejected:xfa_form")
+  }
 }
