@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity, TextStats, Media}
+import graft.ops.{Dedup, Events, Similarity, TextStats, Media}
 import graft.spark.Jobs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,6 +39,8 @@ object SparkEntry {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+  private def spark_read_events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -136,6 +138,12 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "events_hourly" -> ((s, dir) =>
+      Events.hourly(spark_read_events(s, dir))),
+    "events_ordered" -> ((s, dir) =>
+      Events.ordered(spark_read_events(s, dir))),
+    "events_sessionize" -> ((s, dir) =>
+      Events.sessionize(spark_read_events(s, dir))),
     "sim_topk_native" -> ((s, dir) => { // codegen'd CosineSim expression
       val e = emb(s, dir)
       Similarity.bruteForceTopKNative(e, e.filter(col("vec_id") < 10),
@@ -219,6 +227,24 @@ ORDER BY doc_a, doc_b""",
       s"SELECT doc_id, md5(text) AS fp FROM ${D(sf)} ORDER BY doc_id",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
+    "events_hourly" ->
+      s"SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli FROM read_parquet('$sf/events.parquet') GROUP BY 1, 2 ORDER BY hour, event_type",
+    "events_ordered" ->
+      s"SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM read_parquet('$sf/events.parquet') WHERE user_id < 50 ORDER BY user_id, rn",
+    "events_sessionize" -> s"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM read_parquet('$sf/events.parquet')
+), f AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN prev_ts IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM g
+)
+SELECT user_id, event_id,
+  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM f ORDER BY user_id, event_id""",
     "sim_topk_native" -> s"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
 q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),

@@ -114,4 +114,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(parts.sum == 400)
     assert(parts.max < 400 * 7 / 10, s"skewed partition sizes: ${parts.toSeq}")
   }
+
+  test("observe: in-flight metrics reconcile with the output") {
+    graft.spark.MetricsSink.install(spark)
+    val ds = graft.spark.MetricsSink.observed(
+      Jobs.extract(Jobs.syntheticPages(spark, 120), 8))
+    val total = ds.count()
+    // listener delivery is async; spin briefly
+    var tries = 0
+    while (graft.spark.MetricsSink.last().isEmpty && tries < 50) {
+      Thread.sleep(100); tries += 1
+    }
+    val m = graft.spark.MetricsSink.last().get
+    assert(m.docs == total)
+    assert(m.failures + m.skips + m.rejects <= m.docs)
+    assert(m.chars > 0)
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.engine.Extractor
+import graft.extract.{Blocks, Ranges}
+import graft.html.{Tokenizer, TreeBuilder}
+import graft.model.PageRow
+import graft.pdf.PdfLexer
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §7.6): the kernel's total-function guarantees
+  * hold for arbitrary generated inputs, not just fixtures. Uses scalacheck
+  * generators with fixed seeds (deterministic — same discipline as the
+  * corpus). */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val htmlish: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumStr.map(_.take(8)),
+    2 -> Gen.oneOf("<", ">", "&", "\"", "'", "=", "/", "!", "-", ";", "#"),
+    2 -> Gen.oneOf("<p>", "</p>", "<div ", "<!--", "-->", "&amp;", "&#",
+      "<script>", "</script>", "<a href=", "<![CDATA[", "<?xml"),
+    1 -> Gen.oneOf("数据", "مرحبا", "ﬁ", " ", "�", "²")
+  )).map(_.mkString)
+
+  private val bytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  test("property: tokenizer + tree builder never throw, depth always bounded") {
+    samples(htmlish).foreach { s =>
+      val dom = TreeBuilder.build(Tokenizer.tokenize(s))
+      assert(dom.nodes.forall(_.depth <= TreeBuilder.maxDepth + 1), s.take(80))
+    }
+  }
+
+  test("property: extractor is total and deterministic on arbitrary bytes") {
+    samples(bytes, 200).foreach { bs =>
+      val row = PageRow("u", new java.sql.Timestamp(0), bs, null, null)
+      val a = Extractor.extract(row)
+      val b = Extractor.extract(row)
+      assert(a.outcome.nonEmpty && a.text == b.text && a.outcome == b.outcome)
+    }
+  }
+
+  test("property: pdf lexer never throws and always makes progress") {
+    samples(bytes, 200).foreach { bs =>
+      val lx = new PdfLexer(bs)
+      var steps = 0
+      var stuck = false
+      while (!lx.atEnd && steps < 100000 && !stuck) {
+        val before = lx.pos
+        val t = lx.next()
+        if (t == null) stuck = true // clean EOF
+        else assert(lx.pos > before || t != null)
+        steps += 1
+      }
+      assert(steps < 100000, "lexer failed to terminate")
+    }
+  }
+
+  test("property: ascii word join is reversible (CJK rule aside)") {
+    val asciiWords = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString))
+    samples(asciiWords).foreach { ws =>
+      val joined = Blocks.joinWords(ws.toVector)
+      assert(joined.split(' ').toSeq == ws)
+    }
+  }
+
+  test("property: range compression covers exactly the input set, in order") {
+    samples(Gen.listOf(Gen.choose(1, 60))).foreach { pages =>
+      val ranges = Ranges.compress(pages)
+      val expanded = ranges.flatMap { r =>
+        r.split('-') match {
+          case Array(a) => Seq(a.toInt)
+          case Array(a, b) => a.toInt to b.toInt
+        }
+      }
+      assert(expanded.toSet == pages.toSet)
+      assert(expanded == expanded.sorted)
+    }
+  }
+}
