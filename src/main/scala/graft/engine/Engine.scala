@@ -39,11 +39,14 @@ object Sniffer {
     }
   }
 
-  def isPdf(raw: Array[Byte]): Boolean =
-    PdfDoc.indexOf(raw, "%PDF-", 0) match {
-      case -1 => false
-      case i => i < 1024
-    }
+  def isPdf(raw: Array[Byte]): Boolean = {
+    // scan ONLY the first 1 KiB (reference: _pdf_guess_version reads the
+    // first 1024 bytes); an unbounded indexOf would walk multi-MB rows
+    val limit = math.min(raw.length, 1024 + 5)
+    val window = if (raw.length <= limit) raw
+      else java.util.Arrays.copyOf(raw, limit)
+    PdfDoc.indexOf(window, "%PDF-", 0) >= 0
+  }
 
   def gunzip(raw: Array[Byte]): Either[String, Array[Byte]] = {
     try {
