@@ -107,15 +107,38 @@ object Sniffer {
     val start = j
     while (j < head.length && (head.charAt(j).isLetterOrDigit ||
       head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
-    head.substring(start, j) match {
-      case "utf-8" | "utf8" => Some(StandardCharsets.UTF_8)
-      case "windows-1252" | "cp1252" | "iso-8859-1" | "latin-1" | "latin1" =>
-        Some(Charset.forName("windows-1252"))
-      case "utf-16" | "utf-16le" => Some(StandardCharsets.UTF_16LE)
-      case "utf-16be" => Some(StandardCharsets.UTF_16BE)
-      case "us-ascii" | "ascii" => Some(StandardCharsets.US_ASCII)
-      case _ => None
-    }
+    charsetFor(head.substring(start, j))
+  }
+
+  /** Fixed charset allow-list (WHATWG-ish label mapping, deterministic
+    * precedence; unknown labels fall through to UTF-8-with-replacement).
+    * Covers the encodings that actually occur at volume in web crawls. */
+  def charsetFor(label: String): Option[Charset] = label match {
+    case "utf-8" | "utf8" => Some(StandardCharsets.UTF_8)
+    case "windows-1252" | "cp1252" | "iso-8859-1" | "latin-1" | "latin1" =>
+      Some(Charset.forName("windows-1252"))
+    case "utf-16" | "utf-16le" => Some(StandardCharsets.UTF_16LE)
+    case "utf-16be" => Some(StandardCharsets.UTF_16BE)
+    case "us-ascii" | "ascii" => Some(StandardCharsets.US_ASCII)
+    case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms932" =>
+      Some(Charset.forName("windows-31j")) // WHATWG maps Shift_JIS → CP932
+    case "euc-jp" => Some(Charset.forName("euc-jp"))
+    case "gbk" | "gb2312" | "gb_2312" | "x-gbk" =>
+      Some(Charset.forName("gbk"))
+    case "gb18030" => Some(Charset.forName("gb18030"))
+    case "big5" | "big5-hkscs" => Some(Charset.forName("big5"))
+    case "euc-kr" | "ks_c_5601-1987" | "ksc5601" =>
+      Some(Charset.forName("euc-kr"))
+    case "koi8-r" | "koi8" => Some(Charset.forName("koi8-r"))
+    case "koi8-u" => Some(Charset.forName("koi8-u"))
+    case "windows-1251" | "cp1251" => Some(Charset.forName("windows-1251"))
+    case "windows-1250" | "cp1250" => Some(Charset.forName("windows-1250"))
+    case "windows-1254" | "cp1254" => Some(Charset.forName("windows-1254"))
+    case "windows-1256" | "cp1256" => Some(Charset.forName("windows-1256"))
+    case "windows-874" | "tis-620" => Some(Charset.forName("x-windows-874"))
+    case l if l.startsWith("iso-8859-") && Charset.isSupported(l) =>
+      Some(Charset.forName(l))
+    case _ => None
   }
 }
 

@@ -43,6 +43,23 @@ object Boilerplate {
     false
   }
 
+  /** Length measured in information, not code units: a CJK char carries a
+    * word's worth of content, so it counts 3× toward the good-length
+    * threshold (the latin-centric 40-char rule would drop normal Chinese/
+    * Japanese paragraphs otherwise). */
+  def effectiveChars(b: Block): Int = {
+    var cjk = 0
+    b.words.foreach { w =>
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        if (Blocks.isCjk(cp)) cjk += 1
+        i += Character.charCount(cp)
+      }
+    }
+    b.chars + 2 * cjk
+  }
+
   def contextFree(b: Block): Cls = {
     val ld = if (b.chars == 0) 0.0 else b.linkChars.toDouble / b.chars
     if (b.inChrome) Bad
@@ -50,7 +67,7 @@ object Boilerplate {
     else if (ld > maxLinkDensity) Bad
     else if (b.kind == "pre" || b.kind == "quote") Good // verbatim content
     else if (b.kind == "heading") Short // decided by what follows
-    else if (b.chars >= minGoodChars) Good
+    else if (effectiveChars(b) >= minGoodChars) Good
     else Short
   }
 

@@ -118,7 +118,7 @@ object SyntheticCorpus {
           .getBytes(StandardCharsets.UTF_8)
       case "malformed" => malformed(rng).getBytes(StandardCharsets.UTF_8)
       case "deep" => deepNesting(rng).getBytes(StandardCharsets.UTF_8)
-      case "encodings" => encodings(rng, (i / 20 % 3).toInt)
+      case "encodings" => encodings(rng, (i / 20 % 6).toInt)
       case "scripts" => scripts(rng, (i / 20 % 3).toInt)
         .getBytes(StandardCharsets.UTF_8)
       case "entities" => entities(rng).getBytes(StandardCharsets.UTF_8)
@@ -211,9 +211,18 @@ $sections
     case 1 => // windows-1252 declared and actual
       val s = s"""<html><head><meta charset="windows-1252"></head><body><p>${paragraph(rng)} café — résumé €99</p></body></html>"""
       s.getBytes(Charset1252)
-    case _ => // mojibake: declared utf-8, actual latin-1 high bytes
+    case 2 => // mojibake: declared utf-8, actual latin-1 high bytes
       val s = s"""<html><head><meta charset="utf-8"></head><body><p>${paragraph(rng)} café</p></body></html>"""
       s.getBytes(Charset1252)
+    case 3 => // Shift_JIS Japanese
+      val s = s"""<html><head><meta charset="shift_jis"></head><body><p>データ処理パイプライン ${words(rng, 3)} 抽出エンジン</p></body></html>"""
+      s.getBytes(java.nio.charset.Charset.forName("windows-31j"))
+    case 4 => // GBK Chinese
+      val s = s"""<html><head><meta charset="gbk"></head><body><p>${words(rng, 4, cjkVocab)} 数据提取 ${words(rng, 2)}</p></body></html>"""
+      s.getBytes(java.nio.charset.Charset.forName("gbk"))
+    case _ => // KOI8-R Russian
+      val s = s"""<html><head><meta charset="koi8-r"></head><body><p>Обработка данных и извлечение текста ${words(rng, 3)}</p></body></html>"""
+      s.getBytes(java.nio.charset.Charset.forName("koi8-r"))
   }
 
   private val Charset1252 = java.nio.charset.Charset.forName("windows-1252")
@@ -373,16 +382,18 @@ $sections
         w("trailer << /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n")
       case 1 =>
         val c = {
-          // high bytes with no encoding → U+FFFD policy
+          // high bytes with no encoding → U+FFFD policy; stream uses
+          // ASCIIHexDecode to exercise the non-Flate filter path
           val raw = "BT /F1 12 Tf 72 720 Td (café èà) Tj ET"
             .getBytes(StandardCharsets.ISO_8859_1)
-          deflate(raw)
+          (raw.map(b => f"${b & 0xff}%02x").mkString + ">")
+            .getBytes(StandardCharsets.ISO_8859_1)
         }
         w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
         w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
         w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n")
         w("4 0 obj << /Type /Font /Subtype /TrueType /BaseFont /NoMap >> endobj\n")
-        w(s"5 0 obj << /Length ${c.length} /Filter /FlateDecode >> stream\n")
+        w(s"5 0 obj << /Length ${c.length} /Filter /ASCIIHexDecode >> stream\n")
         wb(c)
         w("\nendstream endobj\n")
         w("trailer << /Root 1 0 R >>\n%%EOF\n")

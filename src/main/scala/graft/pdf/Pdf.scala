@@ -365,23 +365,149 @@ object PdfDoc {
     case other => other
   }
 
-  /** Decode a stream's bytes applying /Filter (FlateDecode only; others →
-    * None, caller records a note — the reference's conservatism about
-    * formats it can't decode, cf. src/ocrmypdf/pdfinfo/layout.py:44-65). */
+  /** Decode a stream's bytes applying /Filter chains: Flate, LZW,
+    * ASCIIHex, ASCII85, RunLength (the text-stream filters; image codecs
+    * like DCT/JBIG2/JPX are irrelevant — we extract text, not pixels).
+    * Unknown filters → None, caller records a note — the reference's
+    * conservatism about formats it can't decode
+    * (cf. src/ocrmypdf/pdfinfo/layout.py:44-65). */
   def decodeStream(s: CosStream, resolve: Cos => Cos): Option[Array[Byte]] = {
     val filters: Vector[String] = resolve(s.dict.get("Filter").getOrElse(CosNull)) match {
       case CosName(f) => Vector(f)
       case CosArr(fs) => fs.collect { case CosName(f) => f }
       case _ => Vector.empty
     }
+    val earlyChange = resolve(s.dict.get("DecodeParms").getOrElse(CosNull)) match {
+      case d: CosDict => d.get("EarlyChange") match {
+        case Some(CosNum(v)) => v.toInt
+        case _ => 1
+      }
+      case _ => 1
+    }
     var cur = s.raw
     filters.foreach {
-      case "FlateDecode" | "Fl" =>
-        cur = inflate(cur)
+      case "FlateDecode" | "Fl" => cur = inflate(cur)
+      case "ASCIIHexDecode" | "AHx" => cur = asciiHexDecode(cur)
+      case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur)
+      case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur)
+      case "LZWDecode" | "LZW" => cur = lzwDecode(cur, earlyChange)
       case other if other.nonEmpty => return None
       case _ => ()
     }
     Some(cur)
+  }
+
+  def asciiHexDecode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < in.length && !done) {
+      val c = in(i) & 0xff
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        } // whitespace/junk skipped (tolerance rule)
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: implied 0
+    out.toByteArray
+  }
+
+  def ascii85Decode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 4 / 5)
+    var tuple = 0L
+    var count = 0
+    var i = 0
+    var done = false
+    def flush(n: Int): Unit = {
+      var t = tuple
+      var k = count
+      while (k < 5) { t = t * 85 + 84; k += 1 } // pad with 'u'
+      val bytes = Array(((t >> 24) & 0xff).toByte, ((t >> 16) & 0xff).toByte,
+        ((t >> 8) & 0xff).toByte, (t & 0xff).toByte)
+      out.write(bytes, 0, n)
+    }
+    while (i < in.length && !done) {
+      val c = in(i) & 0xff
+      if (c == '~') done = true // "~>" EOD
+      else if (c == 'z' && count == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        count += 1
+        if (count == 5) { flush(4); tuple = 0; count = 0 }
+      } // whitespace/junk skipped
+      i += 1
+    }
+    if (count > 1) flush(count - 1)
+    out.toByteArray
+  }
+
+  def runLengthDecode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 2)
+    var i = 0
+    var done = false
+    while (i < in.length && !done) {
+      val l = in(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = math.min(l + 1, in.length - i)
+        out.write(in, i, n); i += n
+      } else if (i < in.length) {
+        val b = in(i); i += 1
+        var k = 0
+        while (k < 257 - l) { out.write(b); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PDF-variant LZW (9→12-bit codes, clear=256, EOD=257, EarlyChange). */
+  def lzwDecode(in: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 3)
+    var dict = new ArrayBuffer[Array[Byte]](4096)
+    def resetDict(): Unit = {
+      dict = new ArrayBuffer[Array[Byte]](4096)
+      var b = 0
+      while (b < 256) { dict += Array(b.toByte); b += 1 }
+      dict += null; dict += null // 256 clear, 257 eod
+    }
+    resetDict()
+    var codeBits = 9
+    var buf = 0L
+    var nBits = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    var done = false
+    while (i < in.length && !done) {
+      buf = (buf << 8) | (in(i) & 0xff)
+      nBits += 8
+      i += 1
+      while (nBits >= codeBits && !done) {
+        val code = ((buf >> (nBits - codeBits)) & ((1 << codeBits) - 1)).toInt
+        nBits -= codeBits
+        if (code == 256) { resetDict(); codeBits = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < dict.length && dict(code) != null) dict(code)
+            else if (prev != null) prev :+ prev(0)
+            else { done = true; null } // corrupt: stop, keep what we have
+          if (entry != null) {
+            out.write(entry, 0, entry.length)
+            if (prev != null && dict.length < 4096) dict += (prev :+ entry(0))
+            prev = entry
+            if (dict.length + earlyChange - 1 >= (1 << codeBits) && codeBits < 12)
+              codeBits += 1
+          }
+        }
+      }
+    }
+    out.toByteArray
   }
 
   /** Tolerant zlib inflate: returns everything decodable before any error. */

@@ -121,4 +121,80 @@ endcmap"""
     val r = PdfEngine.extract(row(xfa.getBytes(ISO_8859_1)))
     assert(r.outcome == "rejected:xfa_form")
   }
+
+  test("filters: ASCIIHex, ASCII85, RunLength, LZW decode round-trips") {
+    val data = ("Hello filter world! " * 7 + "\u0000\u00ff binary")
+      .getBytes(ISO_8859_1)
+    // ASCIIHex
+    val hex = (data.map(b => f"${b & 0xff}%02x").mkString + ">").getBytes(ISO_8859_1)
+    assert(PdfDoc.asciiHexDecode(hex).toSeq == data.toSeq)
+    // ASCII85 (encode in-test)
+    val a85 = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < data.length) {
+        val n = math.min(4, data.length - i)
+        var t = 0L
+        (0 until 4).foreach { k =>
+          t = (t << 8) | (if (i + k < data.length) data(i + k) & 0xff else 0)
+        }
+        if (n == 4 && t == 0) sb.append('z')
+        else {
+          val cs = new Array[Char](5)
+          var v = t
+          (4 to 0 by -1).foreach { k => cs(k) = ('!' + (v % 85)).toChar; v /= 85 }
+          sb.append(new String(cs, 0, n + 1))
+        }
+        i += 4
+      }
+      (sb.toString + "~>").getBytes(ISO_8859_1)
+    }
+    assert(PdfDoc.ascii85Decode(a85).toSeq == data.toSeq)
+    // RunLength (literal-only encoding is valid RLE)
+    val rle = {
+      val out = new java.io.ByteArrayOutputStream()
+      data.grouped(127).foreach { g =>
+        out.write(g.length - 1); out.write(g, 0, g.length)
+      }
+      out.write(128)
+      out.toByteArray
+    }
+    assert(PdfDoc.runLengthDecode(rle).toSeq == data.toSeq)
+    // LZW (encode in-test with the PDF variant: clear, 9->12 bits, earlyChange=1)
+    val lzw = {
+      val out = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var nbits = 0; var codeBits = 9
+      val dict = scala.collection.mutable.HashMap[List[Byte], Int]()
+      var next = 258
+      (0 until 256).foreach(b => dict(List(b.toByte)) = b)
+      def emit(code: Int): Unit = {
+        buf = (buf << codeBits) | code; nbits += codeBits
+        while (nbits >= 8) { out.write(((buf >> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+      }
+      emit(256)
+      var w = List.empty[Byte]
+      data.foreach { b =>
+        val wb = w :+ b
+        if (dict.contains(wb)) w = wb
+        else {
+          emit(dict(w))
+          dict(wb) = next; next += 1
+          if (next + 1 - 1 >= (1 << codeBits) && codeBits < 12) codeBits += 1
+          w = List(b)
+        }
+      }
+      if (w.nonEmpty) emit(dict(w))
+      emit(257)
+      if (nbits > 0) out.write(((buf << (8 - nbits)) & 0xff).toInt)
+      out.toByteArray
+    }
+    assert(PdfDoc.lzwDecode(lzw, 1).toSeq == data.toSeq)
+  }
+
+  test("engine: ASCIIHex-filtered content stream extracts (nomap fixture)") {
+    val pdf = SyntheticCorpus.pdf(new SyntheticCorpus.Rng(3), 1)
+    val r = PdfEngine.extract(row(pdf))
+    assert(r.outcome == "ok")
+    assert(r.text.startsWith("caf\ufffd"))
+  }
 }
