@@ -127,6 +127,21 @@ object ContentStream {
                   case _ => ()
                 }
               }
+            case "ID" =>
+              // inline image (BI..ID <raw binary> EI): the binary payload
+              // is not COS syntax — skip the lexer directly past "EI"
+              // (reference: _find_inline_images treats BI/ID/EI as an
+              // opaque unit, src/ocrmypdf/pdfinfo/_image.py:264-303)
+              var ei = PdfDoc.indexOf(lx.data, "EI", lx.pos)
+              def wsAt(p: Int): Boolean = p < 0 || p >= lx.data.length || {
+                val c = lx.data(p) & 0xff
+                c == 0x20 || c == 0x0a || c == 0x0d || c == 0x09 || c == 0x00
+              }
+              // "EI" must be whitespace-delimited (it can occur inside the
+              // binary payload otherwise)
+              while (ei >= 0 && !(wsAt(ei - 1) && wsAt(ei + 2)))
+                ei = PdfDoc.indexOf(lx.data, "EI", ei + 2)
+              lx.pos = if (ei < 0) lx.data.length else ei + 2
             case "Do" =>
               // Form XObject draw: recurse with the form's own resources
               // (depth-capped; image XObjects have no text and are skipped)

@@ -225,4 +225,26 @@ class KernelSpec extends AnyFunSuite {
     assert(r.spans.length == 1) // only the real paragraph survives
     assert(!r.text.contains("=#/"))
   }
+
+  test("cross-engine agreement: classifier output vs naive full-text engine") {
+    // the reference requires two independent renderers to agree
+    // (test_hocrtransform.py:102-125 test_fpdf2_matches_sandwich,
+    // word-set Jaccard > 0.99); our analog: the classifier's kept words
+    // must be a subset of a naive strip-all-tags extraction, retaining a
+    // substantial share of it on article fixtures
+    (0L until 240L).filter(i => SyntheticCorpus.classOf(i) == "article")
+      .foreach { i =>
+        val p = SyntheticCorpus.row(i)
+        val s = Sniffer.sniff(p.html)
+        val (_, decoded) = Sniffer.decodeHtml(s.bytes)
+        val dom = graft.html.TreeBuilder.build(Tokenizer.tokenize(decoded))
+        val naive = Blocks.segment(dom).flatMap(_.words).toSet
+        val kept = Extractor.extract(p)
+        val titleWords = TextAssembler.splitWords(Blocks.nfkc(dom.title)).toSet
+        val keptWords = TextAssembler.splitWords(kept.text).toSet -- titleWords
+        assert(keptWords.subsetOf(naive), s"novel words invented for ${p.url}")
+        assert(keptWords.size.toDouble / naive.size > 0.4,
+          s"classifier kept too little for ${p.url}")
+      }
+  }
 }

@@ -197,4 +197,13 @@ endcmap"""
     assert(r.outcome == "ok")
     assert(r.text.startsWith("caf\ufffd"))
   }
+
+  test("content stream: inline image binary skipped, text resumes after EI") {
+    val payload = Array[Byte](40, 41, 92, 60, 0x45, 0x49, 1, 2) // "()\\<EI" junk
+    val pre = "BT /F1 9 Tf (before) Tj ET BI /W 2 /H 2 /BPC 8 ID "
+      .getBytes(ISO_8859_1)
+    val post = " EI BT (after) Tj ET".getBytes(ISO_8859_1)
+    val pt = ContentStream.interpret(pre ++ payload ++ post, Map.empty)
+    assert(pt.lines == Vector("before", "after"))
+  }
 }

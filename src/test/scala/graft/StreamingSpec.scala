@@ -53,4 +53,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(total == 40)
     } finally q.stop()
   }
+
+  test("streaming: file-source query is exactly-once across restarts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/ck"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def writeBatch(range: Range, name: String): Unit =
+      range.map(i => SyntheticCorpus.row(i.toLong)).toDS()
+        .coalesce(1).write.mode("append").parquet(inDir)
+    writeBatch(0 until 30, "b1")
+    val q1 = StreamJobs.fileExtractQuery(spark, inDir, outDir, ck)
+    q1.processAllAvailable(); q1.stop()
+    writeBatch(30 until 50, "b2")
+    val q2 = StreamJobs.fileExtractQuery(spark, inDir, outDir, ck)
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 50) // batch 1 not reprocessed after restart
+    assert(out.select("url").distinct().count() == 50)
+  }
 }
