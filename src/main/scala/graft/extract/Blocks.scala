@@ -42,9 +42,18 @@ object Blocks {
 
   /** NFKC normalization — load-bearing for byte-identical output
     * (reference: src/ocrmypdf/hocrtransform/hocr_parser.py:372-384
-    * normalizes every word to NFKC before emission). */
-  def nfkc(s: String): String =
-    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+    * normalizes every word to NFKC before emission). ASCII fast path:
+    * NFKC is the identity on ASCII, and most web-text chunks are ASCII,
+    * so skip the normalizer allocation when possible. */
+  def nfkc(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFKC)
+      i += 1
+    }
+    s
+  }
 
   /** Segment the DOM into candidate blocks in document order.
     *
