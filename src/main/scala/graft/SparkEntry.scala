@@ -123,6 +123,15 @@ object SparkEntry {
         expr("cast(ceil(length(text) / 4.0) as bigint)").as("tokens_bpe"),
         length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
+    "docstats_wordlen" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("cast(length(text) - length(replace(text, ' ', '')) as bigint)")
+          .as("n_spaces"),
+        // average word length quantized to millis — order-independent ints
+        expr("cast(floor(1000.0 * (length(text) - (length(text) - length(replace(text, ' ', '')))) / greatest(size(filter(split(text, ' '), x -> x != '')), 1)) as bigint)")
+          .as("avg_wordlen_milli"))
+        .orderBy("doc_id")),
     "docstats_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp")).orderBy("doc_id")),
@@ -223,6 +232,8 @@ WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.1
 ORDER BY doc_a, doc_b""",
     "docstats_tokens" ->
       s"SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens_bpe, CAST(length(text) AS BIGINT) AS n_chars FROM ${D(sf)} ORDER BY doc_id",
+    "docstats_wordlen" ->
+      s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, CAST(floor(1000.0 * (length(text) - (length(text) - length(replace(text, ' ', '')))) / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)) AS BIGINT) AS avg_wordlen_milli FROM ${D(sf)} ORDER BY doc_id",
     "docstats_fingerprint" ->
       s"SELECT doc_id, md5(text) AS fp FROM ${D(sf)} ORDER BY doc_id",
     "media_meta" ->
