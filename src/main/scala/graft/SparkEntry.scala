@@ -147,6 +147,23 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "agg_hmean" -> ((s, dir) =>
+      // weighted harmonic-mean components (reference: page_dpi_profile,
+      // pdfinfo/info.py:355-392 — sum(area)/sum(area/dpi) with builtins);
+      // numerator/denominator quantized to exact ints for the oracle
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(expr("cast(floor(l_quantity * 100) as bigint)")).as("qty_centi"),
+          sum(expr("cast(floor((l_quantity / l_extendedprice) * 1e9) as bigint)"))
+            .as("ratio_nano"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "events_json" -> ((s, dir) =>
+      // semi-structured props column → typed field
+      spark_read_events(s, dir).select(col("event_id"),
+        expr("cast(get_json_object(props, '$.k') as bigint)").as("k"))
+        .orderBy("event_id")),
     "events_hourly" -> ((s, dir) =>
       Events.hourly(spark_read_events(s, dir))),
     "events_ordered" -> ((s, dir) =>
@@ -238,6 +255,10 @@ ORDER BY doc_a, doc_b""",
       s"SELECT doc_id, md5(text) AS fp FROM ${D(sf)} ORDER BY doc_id",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
+    "agg_hmean" ->
+      s"SELECT l_returnflag, l_linestatus, CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi, CAST(sum(CAST(floor((l_quantity / l_extendedprice) * 1e9) AS BIGINT)) AS BIGINT) AS ratio_nano, count(*) AS n FROM read_parquet('$sf/lineitem.parquet') GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus",
+    "events_json" ->
+      s"SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM read_parquet('$sf/events.parquet') ORDER BY event_id",
     "events_hourly" ->
       s"SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli FROM read_parquet('$sf/events.parquet') GROUP BY 1, 2 ORDER BY hour, event_type",
     "events_ordered" ->

@@ -26,4 +26,30 @@ object Ranges {
   }
 
   def describe(pages: Seq[Int]): String = compress(pages).mkString(",")
+
+  /** Parse a page-range spec like "1-3,5,7-end" into a 1-based page set —
+    * the reference's `--pages` grammar (reference: src/ocrmypdf/_options.py:
+    * 72-139, with the `end` alias deferred until the page count is known,
+    * _pipelines/_common.py:349-356). Malformed fragments are skipped
+    * (specified tolerance). */
+  def parse(spec: String, totalPages: Int): Set[Int] = {
+    if (spec == null || spec.isEmpty) return Set.empty
+    def bound(s: String): Option[Int] = s.trim match {
+      case "end" => Some(totalPages)
+      case t if t.nonEmpty && t.forall(_.isDigit) =>
+        scala.util.Try(t.toInt).toOption
+      case _ => None
+    }
+    spec.split(',').iterator.flatMap { frag =>
+      frag.split('-') match {
+        case Array(a) => bound(a).toSeq
+        case Array(a, b) =>
+          (bound(a), bound(b)) match {
+            case (Some(lo), Some(hi)) if lo <= hi => lo to hi
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+    }.filter(p => p >= 1 && p <= totalPages).toSet
+  }
 }

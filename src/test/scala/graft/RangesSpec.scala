@@ -39,4 +39,12 @@ class RangesSpec extends AnyFunSuite {
     assert(r.text == "hello\f[no text on page(s) 2]\fhello")
     assert(r.spans.map(_.kind) == Vector("pdf_text", "pdf_skip", "pdf_text"))
   }
+
+  test("ranges: --pages grammar parse with end alias and tolerance") {
+    assert(Ranges.parse("1-3,5,end", 10) == Set(1, 2, 3, 5, 10))
+    assert(Ranges.parse("7-end", 9) == Set(7, 8, 9))
+    assert(Ranges.parse("", 5) == Set.empty)
+    assert(Ranges.parse("0,3,99", 5) == Set(3)) // out-of-range clamped away
+    assert(Ranges.parse("x,2,bad-4,5-2", 5) == Set(2)) // malformed skipped
+  }
 }
