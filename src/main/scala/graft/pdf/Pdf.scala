@@ -286,6 +286,51 @@ object PdfDoc {
       i += 1
     }
 
+    // Expand compressed object streams (/Type /ObjStm): modern PDFs keep
+    // most objects inside Flate-compressed streams addressed by an xref
+    // stream; since this parser is xref-free, decode every ObjStm and lift
+    // its objects into the map (direct objects win on collision).
+    {
+      val resolveEarly: Cos => Cos = {
+        case CosRef(num, _) => objects.getOrElse(num, CosNull)
+        case other => other
+      }
+      val objStms = objects.values.collect {
+        case s: CosStream
+          if s.dict.get("Type").contains(CosName("ObjStm")) => s
+      }.toVector
+      objStms.foreach { s =>
+        decodeStream(s, resolveEarly).foreach { data =>
+          val nObjs = resolveEarly(s.dict.get("N").getOrElse(CosNull)) match {
+            case CosNum(v) => v.toInt
+            case _ => 0
+          }
+          val first = resolveEarly(s.dict.get("First").getOrElse(CosNull)) match {
+            case CosNum(v) => v.toInt
+            case _ => 0
+          }
+          val lx = new PdfLexer(data)
+          val pairs = Vector.newBuilder[(Int, Int)]
+          var k = 0
+          var bad = false
+          while (k < nObjs && k < 10000 && !bad) {
+            (lx.next(), lx.next()) match {
+              case (CosNum(num), CosNum(off)) => pairs += ((num.toInt, off.toInt))
+              case _ => bad = true; notes += "objstm:bad_header"
+            }
+            k += 1
+          }
+          pairs.result().foreach { case (num, off) =>
+            if (!objects.contains(num) && first + off >= 0 &&
+              first + off < data.length) {
+              val olx = new PdfLexer(data, first + off)
+              objects(num) = olx.parseValue()
+            }
+          }
+        }
+      }
+    }
+
     // trailers
     var encrypted = false
     var rootRef: Option[Cos] = None
@@ -299,6 +344,14 @@ object PdfDoc {
         case _ => ()
       }
       t = indexOf(data, "trailer", t + 7)
+    }
+    // xref-stream PDFs carry /Root and /Encrypt in the /Type /XRef stream
+    // dict instead of a trailer keyword
+    objects.values.foreach {
+      case s: CosStream if s.dict.get("Type").contains(CosName("XRef")) =>
+        if (s.dict.get("Encrypt").isDefined) encrypted = true
+        if (rootRef.isEmpty) rootRef = s.dict.get("Root")
+      case _ => ()
     }
 
     def resolve(c: Cos, depth: Int = 0): Cos = c match {

@@ -206,4 +206,34 @@ endcmap"""
     val pt = ContentStream.interpret(pre ++ payload ++ post, Map.empty)
     assert(pt.lines == Vector("before", "after"))
   }
+
+  test("parser: objects inside compressed ObjStm + xref-stream Root resolve") {
+    def obj(ss: String*): String = ss.mkString(" ")
+    val inner = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>")
+    val nums = Vector(1, 2, 3, 4)
+    val offsets = inner.scanLeft(0)((acc, o) => acc + o.length + 1).init
+    val header = nums.zip(offsets).map { case (n, o) => s"$n $o" }.mkString(" ")
+    val payload = (header + " " + inner.mkString(" ")).getBytes(ISO_8859_1)
+    val first = header.length + 1
+    val stm = SyntheticCorpus.deflate(payload)
+    val content = "BT /F1 9 Tf (objstm works) Tj ET".getBytes(ISO_8859_1)
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = sb.write(x.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"6 0 obj << /Type /ObjStm /N 4 /First $first /Length ${stm.length} /Filter /FlateDecode >> stream\n")
+    sb.write(stm, 0, stm.length)
+    w("\nendstream endobj\n")
+    w(s"5 0 obj << /Length ${content.length} >> stream\n")
+    sb.write(content, 0, content.length)
+    w("\nendstream endobj\n")
+    w("7 0 obj << /Type /XRef /Root 1 0 R /Size 8 /Length 0 >> stream\nendstream endobj\n")
+    w("%%EOF\n")
+    val r = PdfEngine.extract(row(sb.toByteArray))
+    assert(r.outcome == "ok", r.outcome)
+    assert(r.text == "objstm works")
+  }
 }
