@@ -121,6 +121,7 @@ object CheckpointedWriter {
 
   def commitDir(out: String) = s"$out/_commits"
   def dataDir(out: String) = s"$out/data"
+  def metricsDir(out: String) = s"$out/metrics"
 
   def committedBuckets(spark: SparkSession, out: String): Set[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -153,7 +154,30 @@ object CheckpointedWriter {
       val d = new org.apache.hadoop.fs.Path(s"${dataDir(out)}/bucket=$b")
       if (fs.exists(d)) fs.delete(d, true)
     }
+    val t0 = System.nanoTime()
     pending.write.partitionBy("bucket").mode("append").parquet(dataDir(out))
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    // per-bucket lineage metrics (FIXTURES.md `metrics` schema), written
+    // BEFORE the commit markers so a marker implies metrics exist; attempt
+    // number = how many runs have touched this output
+    val attempt = {
+      val m = new org.apache.hadoop.fs.Path(s"$out/_attempts")
+      fs.mkdirs(m)
+      val n = fs.listStatus(m).length + 1
+      fs.create(new org.apache.hadoop.fs.Path(m, n.toString), true).close()
+      n
+    }
+    pending
+      .groupBy(col("bucket").as("url_hash_bucket"))
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("text"))).as("bytes"),
+        sum(when(col("outcome").startsWith("error"), 1L).otherwise(0L))
+          .as("failures"))
+      .withColumn("partition_id", col("url_hash_bucket"))
+      .withColumn("wall_ms", lit(wallMs))
+      .withColumn("attempt", lit(attempt))
+      .withColumn("committed_ts", current_timestamp())
+      .write.mode("append").parquet(metricsDir(out))
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitDir(out)))
     var committed = 0
     todo.foreach { b =>

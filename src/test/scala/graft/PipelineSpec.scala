@@ -92,6 +92,18 @@ class PipelineSpec extends AnyFunSuite {
     }
     // idempotent: nothing left to do
     assert(CheckpointedWriter.run(extracted, out, buckets) == 0)
+    // lineage metrics: every committed bucket has attempt-stamped metrics
+    val m = spark.read.parquet(CheckpointedWriter.metricsDir(out))
+    assert(m.select("url_hash_bucket").distinct().count() == buckets)
+    // every attempt is logged; the authoritative row per bucket is the
+    // latest attempt — those must reconcile with the final table
+    val latest = m.withColumn("r", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("url_hash_bucket")
+          .orderBy(col("attempt").desc)))
+      .filter(col("r") === 1)
+    assert(latest.agg(sum("docs")).collect()(0).getLong(0) == 150)
+    assert(m.select("attempt").distinct().count() == 2) // crash run + resume
   }
 
   test("metrics: per-bucket counts reconcile with the extracted table") {
