@@ -28,6 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Jobs {
 
+  /** Cluster-scale session settings (documented defaults for a real
+    * 1000-executor run; local mode only needs shuffle.partitions + AQE).
+    * Partition sizing: with ~3 KB average page rows, 256 MB input splits
+    * hold ~85k docs ≈ 15-25 s of kernel time per task — large enough to
+    * amortize scheduling, small enough for retry granularity and
+    * speculation. Shuffle partitions ≥ 2-4× total cores and ≥ the output
+    * bucket count so AQE can only coalesce, never starve. */
+  val scaleConfs: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString,
+    "spark.speculation" -> "true", // infra stragglers; data stragglers are
+    // handled IN the kernel (bounded per-row budgets → outcome markers)
+    "spark.sql.parquet.compression.codec" -> "zstd",
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
+
   /** Distributed deterministic pages source: row i is a pure function of
     * (seed, i), so any executor can generate any slice. */
   def syntheticPages(spark: SparkSession, n: Long,
