@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Events, Similarity, TextStats, Media}
+import graft.ops.{Dedup, Events, Similarity, TextStats, Media, OrderedMerge}
 import graft.spark.Jobs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,17 +25,22 @@ object SparkEntry {
   val goldenSpans = "/root/repo/src/test/resources/golden/spans/*.parquet"
   val verifyN = 600
 
-  // one extraction pass per session, shared by all pipeline queries
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  // one extraction pass per session, shared by all pipeline queries.
+  // Weak keys: a stopped/discarded session's cached frame must not pin
+  // the session (and its persisted blocks) in a long-lived driver.
+  private val cache = new java.util.WeakHashMap[SparkSession, DataFrame]()
 
-  private def extracted(spark: SparkSession): DataFrame =
-    cache.computeIfAbsent(spark, { s =>
-      val df = Jobs.extract(Jobs.syntheticPages(s, verifyN), 32).toDF()
+  private def extracted(spark: SparkSession): DataFrame = cache.synchronized {
+    val got = cache.get(spark)
+    if (got != null) got
+    else {
+      val df = Jobs.extract(Jobs.syntheticPages(spark, verifyN), 32).toDF()
         .withColumn("host", expr("split_part(url, '/', 3)"))
       df.persist()
+      cache.put(spark, df)
       df
-    })
+    }
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -74,10 +79,11 @@ object SparkEntry {
           sum(length(col("text"))).cast("long").as("chars"))
         .orderBy("engine", "outcome")),
     "merge_ordered" -> ((s, _) =>
-      extracted(s).groupBy("host")
-        .agg(count(lit(1)).as("n_docs"),
-          expr("concat_ws('\f', transform(array_sort(collect_list(struct(url, outcome))), x -> x.outcome))")
-            .as("outcomes"))
+      // sort-based streaming concat (ops.OrderedMerge): skew-safe — no
+      // per-host collect_list buffer; 70%-one-host skew streams through
+      OrderedMerge.concatOrdered(
+        extracted(s).select("host", "url", "outcome"),
+        "host", "url", "outcome", "\f", mergedName = "outcomes")
         .orderBy("host")),
     "host_stats_salted" -> ((s, _) => {
       // two-phase salted aggregation: partial per (host, salt), then final
@@ -113,9 +119,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", minJaccard = 0.1)
         .orderBy("doc_a", "doc_b")),
-    "dedup_simhash" -> ((s, dir) => // no SQL oracle (UDF hash): rows-only
+    "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", maxHamming = 16)
         .orderBy("doc_a", "doc_b")),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.resolveClusters(
+        Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
+          .select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
     "docstats_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)")
@@ -177,7 +188,7 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
-    "sim_topk_ivf" -> ((s, dir) => { // no SQL oracle: rows-only check
+    "sim_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
@@ -191,6 +202,22 @@ object SparkEntry {
   private def D(dir: String) = s"read_parquet('$dir/documents.parquet')"
   private def E(dir: String) = s"read_parquet('$dir/embeddings.parquet')"
   private val sf = "/root/testdata/sf0.01"
+
+  /** MinHash-LSH candidate CTE chain, shared by the dedup_minhash_lsh and
+    * dedup_clusters oracles (the latter appends a recursive
+    * connected-components walk over the same pair set). */
+  private lazy val lshCtes = s"""shingled AS (
+  SELECT doc_id, list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)) AS sh
+  FROM ${D(sf)}
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 8), s -> list_min(list_transform(sh, x -> md5(concat(CAST(s AS VARCHAR), ':', x))))) AS sig
+  FROM shingled
+), banded AS (
+  SELECT doc_id, sig, b.b AS band_idx, md5(array_to_string(sig[b.b*2+1:b.b*2+2], '|')) AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_n FROM banded
+), ok AS (SELECT * FROM sized WHERE bucket_n <= 50)"""
 
   def oracleSql: Map[String, String] = Map(
     "extract_text" ->
@@ -214,22 +241,45 @@ object SparkEntry {
     "dedup_exact" ->
       s"SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id FROM ${D(sf)} GROUP BY 1 ORDER BY h",
     "dedup_minhash_lsh" -> s"""
-WITH shingled AS (
-  SELECT doc_id, list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)) AS sh
-  FROM ${D(sf)}
-), sig AS (
-  SELECT doc_id, list_transform(range(0, 8), s -> list_min(list_transform(sh, x -> md5(concat(CAST(s AS VARCHAR), ':', x))))) AS sig
-  FROM shingled
-), banded AS (
-  SELECT doc_id, sig, b.b AS band_idx, md5(array_to_string(sig[b.b*2+1:b.b*2+2], '|')) AS band_hash
-  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
-), sized AS (
-  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_n FROM banded
-), ok AS (SELECT * FROM sized WHERE bucket_n <= 50)
+WITH $lshCtes
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   len(list_filter(list_transform(range(1, 9), i -> a.sig[i] = b.sig[i]), v -> v)) / 8.0 AS est_jaccard
 FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b""",
+    "dedup_clusters" -> s"""
+WITH RECURSIVE $lshCtes,
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), e AS (
+  SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p
+), reach(id, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d
+)
+SELECT id AS doc_id, min(r) AS cluster_keep_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_simhash" -> s"""
+WITH hs AS (
+  SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x != ''), t -> substring(md5(t), 1, 16)) AS hs
+  FROM ${D(sf)}
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 64), b ->
+    CASE WHEN coalesce(list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', h[16 - (b // 4)]) - 1) >> (b % 4)) & 1) - 1)), 0) > 0 THEN 1 ELSE 0 END) AS bits
+  FROM hs
+), banded AS (
+  SELECT doc_id, bits, k AS band_idx,
+    CAST(list_sum(list_transform(range(0, 16), j -> bits[k*16 + j + 1] * (1 << j))) AS INT) AS band_val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n FROM banded
+), ok AS (SELECT * FROM sized WHERE bucket_n <= 10000),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_filter(list_transform(range(1, 65), i -> a.bits[i] != b.bits[i]), v -> v)) AS BIGINT) AS hamming
+  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 16 ORDER BY doc_a, doc_b""",
     "dedup_ngram_jaccard" -> s"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)))) AS sh
@@ -290,6 +340,31 @@ q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FRO
 c AS (SELECT vec_id AS nbr_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM e),
 s AS (SELECT query_id, nbr_id, list_dot_product(qv, cv) / (qn * cn) AS cos FROM q CROSS JOIN c WHERE query_id <> nbr_id),
 r AS (SELECT query_id, nbr_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_topk_ivf" -> s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+  FROM e ORDER BY vec_id LIMIT 16
+), ca AS (
+  SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS vn, c.cent_id,
+    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * c.cn) AS ccos
+  FROM e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id AS nbr_id, v AS cv, vn AS cn, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM ca
+  ) WHERE rn = 1
+), probed AS (
+  SELECT vec_id AS query_id, v AS qv, vn AS qn, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn FROM ca WHERE vec_id < 10
+  ) WHERE rn <= 4
+), s AS (
+  SELECT p.query_id, a.nbr_id, list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.nbr_id
+), r AS (
+  SELECT query_id, nbr_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s
+)
 SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

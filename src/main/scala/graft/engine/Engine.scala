@@ -274,8 +274,19 @@ object PdfEngine extends ExtractionEngine {
         case _ => Vector.empty
       }
       if (contents.isEmpty) "" else {
-        val merged = contents.reduce((a, b) =>
-          a ++ Array('\n'.toByte) ++ b)
+        // single sized buffer: a pairwise reduce would be O(total²) on
+        // many-segment pages
+        val merged = {
+          val total = contents.map(_.length).sum + contents.length - 1
+          val buf = new Array[Byte](total)
+          var off = 0
+          contents.zipWithIndex.foreach { case (c, i) =>
+            if (i > 0) { buf(off) = '\n'.toByte; off += 1 }
+            System.arraycopy(c, 0, buf, off, c.length)
+            off += c.length
+          }
+          buf
+        }
         val pt = ContentStream.interpret(merged, fonts, xobjs)
         if (pt.truncated) truncated = true
         pt.lines.map(_.trim).filter(_.nonEmpty)

@@ -109,63 +109,106 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; each
-    * bit votes ±1, sign → bit). Computed as a single deterministic scalar
-    * pass per document. Near-dup pairs = equal 16-bit band (4 bands) +
-    * Hamming distance ≤ `maxHamming`. */
-  val simhashScalar: String => Long = { text =>
-    val counts = new Array[Int](64)
-    if (text != null) {
-      var start = 0
-      val n = text.length
-      while (start < n) {
-        while (start < n && text.charAt(start) == ' ') start += 1
-        var end = start
-        while (end < n && text.charAt(end) != ' ') end += 1
-        if (end > start) {
-          // xxhash64-compatible seed mix not required: any fixed 64-bit
-          // hash works; use a splitmix64 of the token's FNV hash.
-          var h = 1469598103934665603L
-          var i = start
-          while (i < end) { h = (h ^ text.charAt(i)) * 1099511628211L; i += 1 }
-          var z = h + 0x9E3779B97F4A7C15L
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z = z ^ (z >>> 31)
-          var b = 0
-          while (b < 64) {
-            if (((z >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        start = end
-      }
-    }
-    var sh = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
-    sh
-  }
+  /** 64-bit SimHash over whitespace tokens; each token-hash bit votes ±1,
+    * sign → signature bit. The token hash is the first 16 hex chars of
+    * md5(token) — pure Catalyst builtins (no UDF), chosen so the oracle
+    * can recompute the identical signature in DuckDB with the same string
+    * primitives (md5 / strpos / list_sum). Bit b (0 = LSB) lives in hex
+    * char 16 - b/4, nibble bit b%4. The signature is represented as an
+    * array<int> of 64 0/1 bits: integer vote sums are order-independent
+    * and exact, so the whole computation is engine-agnostic.
+    *
+    * Near-dup pairs = equal 16-bit band (4 bands) + Hamming ≤ `maxHamming`.
+    * Scale shape: banded self-join on (band_idx, band_val) — only compact
+    * (band, id, bits) rows shuffle, never text; `maxBucket` exactly caps
+    * pathological buckets (16-bit band values have only 65536 distinct
+    * values, so at corpus scale the cap is load-bearing, not cosmetic). */
+  def simhashBitsExpr(textCol: String): Column = expr(
+    // one pass over the token hashes with a 64-wide vote accumulator:
+    // md5 runs exactly once per token no matter how Catalyst collapses
+    // projections (a per-bit formulation would re-evaluate an inlined
+    // hash array 64×)
+    s"""transform(
+          aggregate(
+            transform(filter(split($textCol, ' '), x -> x != ''),
+                      t -> substring(md5(t), 1, 16)),
+            transform(sequence(0, 63), b -> 0),
+            (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) ->
+              a + 2 * pmod(shiftright(instr('0123456789abcdef', substring(h, 16 - (b div 4), 1)) - 1, pmod(b, 4)), 2) - 1)),
+          c -> case when c > 0 then 1 else 0 end)""")
 
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    val f = udf(simhashScalar)
-    val sh = docs.select(col(idCol).as("id"), f(col(textCol)).as("simhash"))
-    val banded = sh.select(col("id"), col("simhash"),
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sig = docs
+      .select(col(idCol).as("id"), simhashBitsExpr(textCol).as("bits"))
+    val banded = sig.select(col("id"), col("bits"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> (simhash >> (b*16)) & 65535)")))
+        "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0, (acc, j) -> acc + element_at(bits, k*16 + j + 1) * shiftleft(1, j)))")))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col("id").as("doc_b"), col("simhash").as("sh_b"))
+    // exact bucket cap (skew guard) + persist barrier: without it Catalyst
+    // inlines the 64-pass signature tree into both self-join sides
+    val sized = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sized.select(col("band_idx"), col("band_val"),
+      col("id").as("doc_a"), col("bits").as("bits_a"))
+    val b = sized.select(col("band_idx"), col("band_val"),
+      col("id").as("doc_b"), col("bits").as("bits_b"))
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
+        expr("cast(size(filter(zip_with(bits_a, bits_b, (x, y) -> x != y), v -> v)) as bigint)")
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup cluster resolution: connected components over candidate
+    * pairs → (doc_id, cluster_keep_id) with keep = the component's
+    * minimum id — the fuzzy-path analog of `exact`'s keep_id. Without
+    * this, LSH/simhash emit pairs but nothing actually deduplicates.
+    *
+    * Algorithm: iterative min-label propagation on the COMPACT id graph
+    * (edges are (long, long) pairs — document text never enters). Each
+    * round every vertex takes min(own label, neighbours' labels); the
+    * fixpoint is the per-component minimum, independent of execution
+    * order (deterministic). Rounds = graph diameter; near-dup clusters
+    * are dense and shallow, so a handful of rounds suffices. At 10^12
+    * edges each round is one shuffle of 16-byte rows — the
+    * iterative-small-key-join shape, no driver-side graph. */
+  def resolveClusters(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dir = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var persisted: DataFrame = null
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("nid"), col("label"))
+        .groupBy("nid").agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id").as("id"), labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nbr_min"), labels("label")))
+            .as("label"))
+        .persist(lvl)
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      if (persisted != null) persisted.unpersist()
+      persisted = next
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_keep_id"))
   }
 }

@@ -18,13 +18,26 @@ object Media {
   final case class MediaMeta(doc_id: Long, width: Long, height: Long,
       n_frames: Long, media_kind: String)
 
+  /** First Unicode codepoint of a UTF-8 payload (0 when empty). The first
+    * codepoint spans ≤ 4 bytes, so decoding a 4-byte prefix is complete.
+    * Codepoint-based (not first-byte) so the oracle's
+    * ascii(substr(text,1,1)) agrees on non-ASCII-leading documents. */
+  def firstCodePoint(payload: Array[Byte]): Long = {
+    if (payload == null || payload.isEmpty) 0L
+    else {
+      val s = new String(payload, 0, math.min(payload.length, 4),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (s.isEmpty) 0L else s.codePointAt(0).toLong
+    }
+  }
+
   /** STUB decode: replace with a real codec (e.g. TwelveMonkeys/JAI) on a
-    * cluster. Fixed arithmetic over (byte length, first byte). */
+    * cluster. Fixed arithmetic over (byte length, first codepoint). */
   def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
     val len = if (payload == null) 0L else payload.length.toLong
-    val b0 = if (payload == null || payload.isEmpty) 0L else (payload(0) & 0xffL)
-    MediaMeta(id, 64L + len % 512L, 64L + b0 % 512L, 1L + len % 7L,
-      if (b0 % 2 == 0) "img" else "vid")
+    val c0 = firstCodePoint(payload)
+    MediaMeta(id, 64L + len % 512L, 64L + c0 % 512L, 1L + len % 7L,
+      if (c0 % 2 == 0) "img" else "vid")
   }
 
   /** (id: Long, payload: Binary) → typed metadata. Narrow map, one kernel

@@ -15,18 +15,28 @@ import org.apache.spark.sql.functions._
   * Scale paths:
   *  - bruteForceTopK: O(N·Q) — correct baseline; broadcast the query side
   *    (queries ≪ corpus always holds for ANN serving).
-  *  - ivfTopK: coarse quantizer (C centroids) + probe `nprobe` cells —
-  *    the shuffle moves only (cell, id, vec) once at assignment; queries
-  *    probe a fraction nprobe/C of the corpus.
+  *  - ivfTopK: coarse quantizer (C centroids) + probe `nprobe` cells.
+  *    Cell assignment is a NARROW per-row fold over a driver-collected
+  *    centroid literal (IVF "training" output is a small model by
+  *    definition) — zero shuffle between the corpus scan and assignment;
+  *    the only data movement is the (cell → query) hash join and the
+  *    final per-query top-k, which WindowGroupLimit partially evaluates
+  *    before the query_id exchange.
   */
 object Similarity {
 
   /** Sequential double-precision dot product of two float-array columns. */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
+  def dot(a: String, b: String): Column = dotC(col(a), col(b))
 
-  def norm(a: String): Column =
-    sqrt(expr(s"aggregate($a, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"))
+  def dotC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: String): Column = normC(col(a))
+
+  def normC(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide). Deterministic ordering:
@@ -75,31 +85,58 @@ object Similarity {
     * (deterministic "training" — a k-means step can replace this without
     * changing the dataflow). Each corpus vector is assigned to its
     * nearest centroid; a query probes the `nprobe` nearest cells and
-    * reranks exactly within them. */
+    * reranks exactly within them.
+    *
+    * 100 TB shape: the centroid table is the *model* — small by
+    * construction (C ≤ ~2^16 cells even at 10^10 vectors), so it is
+    * collected once and folded over inside a single narrow projection per
+    * corpus row (`array_sort(transform(cents, ...))[1]`). No window, no
+    * exchange: assignment adds zero shuffle on the 10^9-row side. Only
+    * the scored candidates (a nprobe/C fraction of the corpus) move
+    * through the final per-query top-k. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol).asc).limit(centroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-      .withColumn("cent_n", norm("cent_v"))
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id").asc)
-      df.join(broadcast(cents), expr("true"))
-        .withColumn("ccos", dot(v, "cent_v") / (norm(v) * col("cent_n")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cent_v", "cent_n", "ccos", "crank")
-    }
-    val assigned = assign(
-      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv")),
-      "nbr_id", "cv", 1)
+    // Driver-side model fit: deterministic centroid pick + norm. The norm
+    // is the same sequential double fold as normC / DuckDB
+    // sqrt(list_dot_product) — bit-identical across all three.
+    val centRows: Seq[(Long, Seq[Float], Double)] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).asc).limit(centroids)
+      .collect().toSeq
+      .map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1)
+        val n = math.sqrt(v.foldLeft(0.0)((acc, x) =>
+          acc + x.toDouble * x.toDouble))
+        (id, v, n)
+      }
+    val centsLit = typedLit(centRows) // array<struct<_1:bigint,_2:array<float>,_3:double>>
+
+    // Per-row cell ranking: cosine against every centroid, sorted by
+    // (cos DESC, cent_id ASC) via an ascending struct sort on
+    // (-cos, cent_id). Negation is exact in IEEE754, so ties and order
+    // match the oracle's ORDER BY ccos DESC, cent_id ASC bit-for-bit.
+    def cellRanking(v: Column, vn: Column): Column =
+      array_sort(transform(centsLit, c =>
+        struct(
+          (-(dotC(v, c.getField("_2")) / (vn * c.getField("_3"))))
+            .as("negcos"),
+          c.getField("_1").as("cent_id"))))
+
+    val assigned = corpus
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm("cv"))
-    val probed = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv", nprobe)
+      .withColumn("cell",
+        element_at(cellRanking(col("cv"), col("cn")), 1).getField("cent_id"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm("qv"))
+      .withColumn("probe",
+        explode(slice(cellRanking(col("qv"), col("qn")), 1, nprobe)))
+      .withColumn("cell", col("probe").getField("cent_id"))
+      .drop("probe")
     // corpus side (assigned) stays partitioned; probed queries broadcast
-    val scored = assigned.join(broadcast(probed), Seq("cent_id"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window

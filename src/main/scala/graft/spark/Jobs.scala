@@ -163,37 +163,53 @@ object CheckpointedWriter {
     val withBucket = extracted.toDF()
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
       .withColumn("spans", to_json(col("spans"))) // stable scalar encoding
-    // one write job for all pending buckets, laid out by bucket dir
+    // one write job for all pending buckets, laid out by bucket dir.
+    // persist() is the single-execution barrier: the parquet write
+    // materializes the kernel output once and the metrics aggregation
+    // below reads the cache instead of re-running the whole extraction
+    // (at warehouse scale the cache is the staged bucket files themselves).
     val pending = withBucket.filter(col("bucket").isin(todo: _*))
-    // clear partial dirs from a previous crashed attempt
-    todo.foreach { b =>
-      val d = new org.apache.hadoop.fs.Path(s"${dataDir(out)}/bucket=$b")
-      if (fs.exists(d)) fs.delete(d, true)
-    }
-    val t0 = System.nanoTime()
-    pending.write.partitionBy("bucket").mode("append").parquet(dataDir(out))
-    val wallMs = (System.nanoTime() - t0) / 1000000L
-    // per-bucket lineage metrics (FIXTURES.md `metrics` schema), written
-    // BEFORE the commit markers so a marker implies metrics exist; attempt
-    // number = how many runs have touched this output
-    val attempt = {
-      val m = new org.apache.hadoop.fs.Path(s"$out/_attempts")
-      fs.mkdirs(m)
-      val n = fs.listStatus(m).length + 1
-      fs.create(new org.apache.hadoop.fs.Path(m, n.toString), true).close()
-      n
-    }
-    pending
-      .groupBy(col("bucket").as("url_hash_bucket"))
-      .agg(count(lit(1)).as("docs"),
-        sum(length(col("text"))).as("bytes"),
-        sum(when(col("outcome").startsWith("error"), 1L).otherwise(0L))
-          .as("failures"))
-      .withColumn("partition_id", col("url_hash_bucket"))
-      .withColumn("wall_ms", lit(wallMs))
-      .withColumn("attempt", lit(attempt))
-      .withColumn("committed_ts", current_timestamp())
-      .write.mode("append").parquet(metricsDir(out))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // clear partial dirs from a previous crashed attempt
+      todo.foreach { b =>
+        val d = new org.apache.hadoop.fs.Path(s"${dataDir(out)}/bucket=$b")
+        if (fs.exists(d)) fs.delete(d, true)
+      }
+      val t0 = System.nanoTime()
+      pending.write.partitionBy("bucket").mode("append").parquet(dataDir(out))
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      // per-bucket lineage metrics (FIXTURES.md `metrics` schema), written
+      // BEFORE the commit markers so a marker implies metrics exist; attempt
+      // number = how many runs have touched this output. The attempt claim
+      // (list + create) is not atomic — single-driver by design; concurrent
+      // writers to one output dir would need a rename-based claim.
+      val attempt = {
+        val m = new org.apache.hadoop.fs.Path(s"$out/_attempts")
+        fs.mkdirs(m)
+        val n = fs.listStatus(m).length + 1
+        fs.create(new org.apache.hadoop.fs.Path(m, n.toString), true).close()
+        n
+      }
+      // metrics are partitioned by bucket and dynamically OVERWRITTEN: a
+      // resume replaces the rows of exactly the buckets it re-did, so
+      // readers see one authoritative (latest-attempt) row per bucket —
+      // no duplicate-counting across crashed attempts.
+      pending
+        .groupBy(col("bucket").as("url_hash_bucket"))
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("bytes"),
+          sum(when(col("outcome").startsWith("error"), 1L).otherwise(0L))
+            .as("failures"))
+        .withColumn("partition_id", col("url_hash_bucket"))
+        .withColumn("wall_ms", lit(wallMs))
+        .withColumn("attempt", lit(attempt))
+        .withColumn("committed_ts", current_timestamp())
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("url_hash_bucket")
+        .parquet(metricsDir(out))
+    } finally pending.unpersist()
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitDir(out)))
     var committed = 0
     todo.foreach { b =>

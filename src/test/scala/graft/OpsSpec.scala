@@ -57,6 +57,17 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("dedup clusters: connected components resolve to per-component min id") {
+    import spark.implicits._
+    // a 5-chain (tests multi-round propagation), a pair, and a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("similarity: self-nearest excluded, identical vector ranks first") {
     import spark.implicits._
     val df = Seq(

@@ -106,6 +106,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.select("attempt").distinct().count() == 2) // crash run + resume
   }
 
+  test("checkpointed writer runs the kernel exactly once per run") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_once").toString
+    val acc = spark.sparkContext.longAccumulator("kernel_rows")
+    val pages = Jobs.syntheticPages(spark, 100).map { r => acc.add(1); r }
+    val extracted = Jobs.extractNarrow(pages)
+    CheckpointedWriter.run(extracted, out, buckets = 4)
+    // data write + per-bucket metrics from ONE execution (persist barrier):
+    // without it the metrics groupBy would re-run the kernel → 200
+    assert(acc.value == 100L, s"kernel ran ${acc.value / 100.0}x")
+    assert(CheckpointedWriter.readBack(spark, out).count() == 100)
+  }
+
   test("metrics: per-bucket counts reconcile with the extracted table") {
     val extracted = Jobs.extract(Jobs.syntheticPages(spark, 100), 8)
     val m = Jobs.metrics(extracted, buckets = 4, attempt = 1)
