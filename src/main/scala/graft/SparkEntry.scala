@@ -23,6 +23,7 @@ object SparkEntry {
 
   val goldenExtracted = "/root/repo/src/test/resources/golden/extracted/*.parquet"
   val goldenSpans = "/root/repo/src/test/resources/golden/spans/*.parquet"
+  val goldenModes = "/root/repo/src/test/resources/golden/modes/*.parquet"
   val verifyN = 600
 
   // one extraction pass per session, shared by all pipeline queries.
@@ -97,6 +98,36 @@ object SparkEntry {
         .agg(sum(col("pn")).cast("long").as("n_docs"),
           sum(col("pc")).cast("long").as("chars"))
         .orderBy("host")
+    }),
+    "extract_dirlang" -> ((s, _) =>
+      // first-strong bidi direction + resolved language metadata
+      // (reference: renderer.py:30-42 _is_rtl_text; _metadata.py:178-216
+      // /Lang stamping)
+      extracted(s).select("url", "lang", "dir").orderBy("url")),
+    "extract_modes" -> ((s, _) => {
+      // the ProcessingMode × prior-text matrix over the full corpus; spans
+      // detailed only under redo (lazy-analysis gate). Each mode is one
+      // independent pipeline run.
+      import graft.model.{ExtractConfig, ProcessingMode}
+      ProcessingMode.all.map { m =>
+        Jobs.extract(Jobs.syntheticPages(s, verifyN), 32,
+            ExtractConfig(mode = m, detailedSpans = m == ProcessingMode.Redo))
+          .toDF()
+          .select(col("url"), lit(m).as("mode"), col("outcome"), col("engine"),
+            size(col("spans")).cast("long").as("n_spans"),
+            md5(col("text").cast("binary")).as("text_md5"))
+      }.reduce(_.unionAll(_)).orderBy("mode", "url")
+    }),
+    "pages_subset" -> ((s, dir) => {
+      // --pages-style subset as a PUSHED-DOWN parquet filter (reference:
+      // _options.py:72-139; plan shows PushedFilters OR-of-ranges and a
+      // 2-column ReadSchema)
+      val d = docs(s, dir)
+      val total = d.count().toInt
+      d.filter(Jobs.subsetFilter(col("doc_id"), "1-50,111,200-end", total,
+          firstPosValue = 0L))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
     }),
     "text_langid" -> ((s, _) =>
       extracted(s).select(col("url"), langIdUdf(col("text")).as("pred_lang"))
@@ -232,6 +263,12 @@ object SparkEntry {
       s"SELECT split_part(url, '/', 3) AS host, count(*) AS n_docs, string_agg(outcome, chr(12) ORDER BY url) AS outcomes FROM $G GROUP BY 1 ORDER BY host",
     "host_stats_salted" ->
       s"SELECT split_part(url, '/', 3) AS host, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars FROM $G GROUP BY 1 ORDER BY host",
+    "extract_dirlang" ->
+      s"SELECT url, lang, dir FROM $G ORDER BY url",
+    "extract_modes" ->
+      s"SELECT url, mode, outcome, engine, n_spans, text_md5 FROM read_parquet('$goldenModes') ORDER BY mode, url",
+    "pages_subset" ->
+      s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE (doc_id BETWEEN 0 AND 49) OR doc_id = 110 OR (doc_id BETWEEN 199 AND 499) ORDER BY doc_id",
     "text_langid" ->
       s"SELECT url, pred_lang FROM $G ORDER BY url",
     "text_quality" ->

@@ -153,6 +153,19 @@ trait ExtractionEngine {
   def extract(row: PageRow): ExtractResult
 }
 
+/** Language resolution — the reference stamps /Lang on output from the
+  * language map (reference: src/ocrmypdf/_metadata.py:178-216 +
+  * languages.py:848-853). Here: a well-formed ISO-639-3-looking input
+  * hint is trusted; otherwise the language is predicted from the
+  * extracted text (TextStats.langId). */
+object LangResolve {
+  def validHint(hint: String): Boolean =
+    hint != null && hint.length == 3 &&
+      hint.forall(c => c >= 'a' && c <= 'z')
+  def resolve(hint: String, text: String): String =
+    if (validHint(hint)) hint else graft.ops.TextStats.langId(text)
+}
+
 object HtmlEngine extends ExtractionEngine {
   val tag: String = EngineTags.Html
 
@@ -163,37 +176,42 @@ object HtmlEngine extends ExtractionEngine {
   val maxHtmlBytes: Int = 2 << 20
 
   def extract(row: PageRow): ExtractResult =
-    extractDecoded(row, Sniffer.sniff(row.html))
+    extractDecoded(row, Sniffer.sniff(row.html), ExtractConfig())
 
-  def extractDecoded(row: PageRow, s: Sniffer.Sniffed): ExtractResult = {
+  def extractDecoded(row: PageRow, s: Sniffer.Sniffed,
+      cfg: ExtractConfig): ExtractResult = {
     if (s.bytes.length > maxHtmlBytes)
       return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
         "rejected:too_large", tag, s.format, "binary", 0, 0,
-        truncated = false)
+        truncated = false, lang = LangResolve.resolve(row.lang, ""))
     val (charset, decoded) = Sniffer.decodeHtml(s.bytes)
     val tokens = Tokenizer.tokenize(decoded)
     val dom = TreeBuilder.build(tokens)
     val blocks = Blocks.segment(dom)
     val kept = Boilerplate.classify(blocks)
-    val asm = TextAssembler.assemble(dom.title, kept)
+    val asm = TextAssembler.assemble(dom.title, kept, cfg.detailedSpans)
     // Disposition probe — the cheap-probe-then-decide pattern (reference:
     // rasterize_preview + get_orientation_correction,
     // src/ocrmypdf/_pipeline.py:418-495): a meta-refresh page with almost
-    // no body text is a redirect shell, not content.
-    val isRedirect = asm.spans.count(_.kind != "title") == 0 ||
-      TextAssembler.splitWords(asm.text).length < 10
+    // no body text is a redirect shell, not content. `force` mode
+    // overrides the probe (the rasterize-everything analog).
+    val isRedirect = TextAssembler.splitWords(asm.text)
+      .length < 10 // title included; spans may be lazily disabled
     val hasRefresh = dom.nodes.exists { n =>
       n.tag == "meta" && n.attr("http-equiv")
         .exists(_.equalsIgnoreCase("refresh"))
     }
-    if (hasRefresh && isRedirect)
+    if (hasRefresh && isRedirect && cfg.mode != ProcessingMode.Force)
       return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
         "skipped:redirect", tag, s.format, charset, dom.nodes.length,
-        blocks.length, dom.truncated)
+        blocks.length, dom.truncated,
+        lang = LangResolve.resolve(row.lang, ""))
     val outcome =
       if (asm.text.isEmpty) Outcome.SkippedEmpty else Outcome.Ok
     ExtractResult(row.url, row.warc_ts, asm.text, asm.spans, outcome, tag,
-      s.format, charset, dom.nodes.length, blocks.length, dom.truncated)
+      s.format, charset, dom.nodes.length, blocks.length, dom.truncated,
+      lang = LangResolve.resolve(row.lang, asm.text),
+      dir = TextAssembler.firstStrongDir(asm.text))
   }
 }
 
@@ -201,14 +219,16 @@ object PdfEngine extends ExtractionEngine {
   val tag: String = EngineTags.Pdf
 
   def extract(row: PageRow): ExtractResult =
-    extractSniffed(row, Sniffer.sniff(row.html))
+    extractSniffed(row, Sniffer.sniff(row.html), ExtractConfig())
 
-  def extractSniffed(row: PageRow, s: Sniffer.Sniffed): ExtractResult = {
+  def extractSniffed(row: PageRow, s: Sniffer.Sniffed,
+      cfg: ExtractConfig): ExtractResult = {
     val doc = PdfDoc.parse(s.bytes)
     if (doc.encrypted)
       return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
         Outcome.SkippedEncrypted, tag, s.format, "binary",
-        doc.objects.size, 0, truncated = false)
+        doc.objects.size, 0, truncated = false,
+        lang = LangResolve.resolve(row.lang, ""))
     val resolve: Cos => Cos = PdfDoc.resolveIn(doc.objects)
     // Doc-level validation rejects (reference: validate_pdfinfo_options,
     // src/ocrmypdf/_pipeline.py:231-280 — XFA forms :236-240 cannot be
@@ -220,7 +240,8 @@ object PdfEngine extends ExtractionEngine {
     if (hasXfa)
       return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
         "rejected:xfa_form", tag, s.format, "binary",
-        doc.objects.size, 0, truncated = false)
+        doc.objects.size, 0, truncated = false,
+        lang = LangResolve.resolve(row.lang, ""))
     var truncated = false
 
     def fontMap(res: CosDict): Map[String, FontInfo] =
@@ -316,7 +337,7 @@ object PdfEngine extends ExtractionEngine {
         }
       }
     val text = withPlaceholders.mkString("\f")
-    val spans = {
+    val spans = if (!cfg.detailedSpans) Vector.empty[Span] else {
       var off = 0
       withPlaceholders.zipWithIndex.flatMap { case (t, i) =>
         val start = off
@@ -332,9 +353,11 @@ object PdfEngine extends ExtractionEngine {
       if (doc.pages.isEmpty) Outcome.error("pdf_no_pages")
       else if (!nonEmpty) Outcome.SkippedNoText
       else Outcome.Ok
-    ExtractResult(row.url, row.warc_ts, if (nonEmpty) text else "", spans,
+    val finalText = if (nonEmpty) text else ""
+    ExtractResult(row.url, row.warc_ts, finalText, spans,
       outcome, tag, s.format, "binary", doc.objects.size, doc.pages.length,
-      truncated)
+      truncated, lang = LangResolve.resolve(row.lang, finalText),
+      dir = TextAssembler.firstStrongDir(finalText))
   }
 }
 
@@ -353,22 +376,57 @@ object NullEngine extends ExtractionEngine {
   * back-to-back per unit inside one task). */
 object Extractor {
 
-  def extract(row: PageRow): ExtractResult = {
+  def extract(row: PageRow): ExtractResult = extract(row, ExtractConfig())
+
+  /** hasPrior — the page-already-has-text predicate of the reference's
+    * skip matrix (reference: src/ocrmypdf/_pipeline.py:352-372). */
+  def hasPrior(row: PageRow): Boolean =
+    row.text != null && row.text.trim.nonEmpty
+
+  def extract(row: PageRow, cfg: ExtractConfig): ExtractResult = {
     try {
-      val s = Sniffer.sniff(row.html)
+      val s = Sniffer.sniff(row.html) // cheap triage BEFORE the mode gate:
+      // triage facts (format/charset) are recorded even for gated rows,
+      // like the reference's pdfinfo scan preceding is_ocr_required
       s.error match {
         case Some(err) =>
           ExtractResult(row.url, row.warc_ts, "", Vector.empty,
             Outcome.error(err), EngineTags.Html, s.format, s.charset, 0, 0,
-            truncated = false)
-        case None => s.format match {
-          case f if f.endsWith("pdf") => PdfEngine.extractSniffed(row, s)
-          case "unknown" =>
+            truncated = false, lang = LangResolve.resolve(row.lang, ""))
+        case None =>
+          val branchTag =
+            if (s.format.endsWith("pdf")) EngineTags.Pdf else EngineTags.Html
+          // prior-text × mode matrix (ProcessingMode scaladoc; reference:
+          // _options.py:37-55 × _pipeline.py:352-372) — gated rows are
+          // never dropped, they flow through with typed outcomes
+          if (hasPrior(row) && cfg.mode == ProcessingMode.Default) {
             ExtractResult(row.url, row.warc_ts, "", Vector.empty,
-              Outcome.SkippedEmpty, EngineTags.Null, s.format, s.charset,
-              0, 0, truncated = false)
-          case _ => HtmlEngine.extractDecoded(row, s)
-        }
+              Outcome.RejectedPriorText, branchTag, s.format, s.charset,
+              0, 0, truncated = false,
+              lang = LangResolve.resolve(row.lang, ""))
+          } else if (hasPrior(row) && cfg.mode == ProcessingMode.Skip) {
+            ExtractResult(row.url, row.warc_ts, row.text, Vector.empty,
+              Outcome.SkippedPriorText, EngineTags.Prior, s.format,
+              s.charset, 0, 0, truncated = false,
+              lang = LangResolve.resolve(row.lang, row.text),
+              dir = graft.extract.TextAssembler.firstStrongDir(row.text))
+          } else {
+            // redo always runs the detailed (span-level) analysis — the
+            // reference's only char-level-layout path
+            val effCfg =
+              if (cfg.mode == ProcessingMode.Redo) cfg.copy(detailedSpans = true)
+              else cfg
+            s.format match {
+              case f if f.endsWith("pdf") =>
+                PdfEngine.extractSniffed(row, s, effCfg)
+              case "unknown" =>
+                ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+                  Outcome.SkippedEmpty, EngineTags.Null, s.format, s.charset,
+                  0, 0, truncated = false,
+                  lang = LangResolve.resolve(row.lang, ""))
+              case _ => HtmlEngine.extractDecoded(row, s, effCfg)
+            }
+          }
       }
     } catch {
       // Per-row failure containment: a bad document yields a typed outcome,

@@ -105,19 +105,26 @@ object Blocks {
     var curPath = ""
     var isPre = false
     val pending = new java.lang.StringBuilder // partial word across chunks
+    var pendingLinkChars = 0 // link-attributed chars within `pending`
 
-    def flushWord(link: Boolean): Unit = {
+    // The pending word is carried ACROSS text-node boundaries within one
+    // block: inline markup inside a word (caf<b>é</b>, <a>Wiki</a>pedia)
+    // must not split it — rendered text has no space there. Link-char
+    // attribution is per appended char, so a word spanning a link edge
+    // counts only its linked chars toward link density.
+    def flushWord(): Unit = {
       if (pending.length > 0) {
         val w = pending.toString
         words += w; nWords += 1
         chars += w.length
-        if (link) linkChars += w.length
+        linkChars += pendingLinkChars
         pending.setLength(0)
+        pendingLinkChars = 0
       }
     }
 
     def flushBlock(): Unit = {
-      flushWord(false)
+      flushWord()
       if (nWords > 0)
         out += Block(curKind, curPath, words.result(), linkChars, chars, curChrome)
       words = Vector.newBuilder[String]; nWords = 0
@@ -144,11 +151,15 @@ object Blocks {
         var j = 0
         while (j < t.length) {
           val c = t.charAt(j)
-          if (Character.isWhitespace(c)) flushWord(link)
-          else pending.append(c)
+          if (Character.isWhitespace(c)) flushWord()
+          else {
+            pending.append(c)
+            if (link) pendingLinkChars += 1
+          }
           j += 1
         }
-        flushWord(link)
+      } else if (nd.tag == "br") {
+        flushWord() // <br> renders as a line break — a word boundary
       }
       i += 1
     }

@@ -52,4 +52,37 @@ object Ranges {
       }
     }.filter(p => p >= 1 && p <= totalPages).toSet
   }
+
+  /** The same grammar as `parse`, compiled to merged inclusive 1-based
+    * intervals — the pushdown-friendly form (an OR-of-BETWEENs predicate
+    * instead of a membership set; row-group statistics can skip whole
+    * intervals). Sorted, non-overlapping, clamped to [1, totalPages]. */
+  def intervals(spec: String, totalPages: Int): Seq[(Int, Int)] = {
+    if (spec == null || spec.isEmpty) return Nil
+    def bound(s: String): Option[Int] = s.trim match {
+      case "end" => Some(totalPages)
+      case t if t.nonEmpty && t.forall(_.isDigit) =>
+        scala.util.Try(t.toInt).toOption
+      case _ => None
+    }
+    val raw = spec.split(',').iterator.flatMap { frag =>
+      frag.split('-') match {
+        case Array(a) => bound(a).map(p => (p, p)).toSeq
+        case Array(a, b) =>
+          (bound(a), bound(b)) match {
+            case (Some(lo), Some(hi)) if lo <= hi => Seq((lo, hi))
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+    }.map { case (lo, hi) => (math.max(1, lo), math.min(totalPages, hi)) }
+      .filter { case (lo, hi) => lo <= hi }
+      .toSeq.sorted
+    // merge overlapping/adjacent intervals
+    raw.foldLeft(List.empty[(Int, Int)]) {
+      case ((plo, phi) :: rest, (lo, hi)) if lo <= phi + 1 =>
+        (plo, math.max(phi, hi)) :: rest
+      case (acc, iv) => iv :: acc
+    }.reverse
+  }
 }

@@ -17,22 +17,47 @@ object TextAssembler {
 
   final case class Assembled(text: String, spans: Vector[Span])
 
-  def assemble(title: String, blocks: Vector[Block]): Assembled = {
+  /** `emitSpans = false` is the lazy detailed-analysis gate (reference
+    * runs char-level layout only under redo_ocr,
+    * src/ocrmypdf/_pipelines/_common.py:361): text bytes are identical,
+    * span bookkeeping is skipped entirely. */
+  def assemble(title: String, blocks: Vector[Block],
+      emitSpans: Boolean = true): Assembled = {
     val sb = new java.lang.StringBuilder(256)
-    val spans = new ArrayBuffer[Span](blocks.length + 1)
+    val spans = new ArrayBuffer[Span](if (emitSpans) blocks.length + 1 else 0)
 
     def emit(text: String, kind: String, path: String): Unit = {
       if (text.isEmpty) return
       if (sb.length > 0) sb.append("\n\n")
       val start = sb.length
       sb.append(text)
-      spans += Span(start, sb.length, kind, path)
+      if (emitSpans) spans += Span(start, sb.length, kind, path)
     }
 
     val titleText = Blocks.joinWords(splitWords(Blocks.nfkc(title)))
     if (titleText.nonEmpty) emit(titleText, "title", "/html/head/title")
     blocks.foreach { b => emit(Blocks.joinWords(b.words), b.kind, b.path) }
     Assembled(sb.toString, spans.toVector)
+  }
+
+  /** First-strong bidi direction (reference:
+    * src/ocrmypdf/fpdf_renderer/renderer.py:30-42 `_is_rtl_text` — the
+    * first character with a strong directional class decides). Neutral-
+    * only or empty text defaults to "ltr" (the HTML default direction). */
+  def firstStrongDir(s: String): String = {
+    if (s == null) return "ltr"
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      Character.getDirectionality(cp) match {
+        case Character.DIRECTIONALITY_LEFT_TO_RIGHT => return "ltr"
+        case Character.DIRECTIONALITY_RIGHT_TO_LEFT |
+             Character.DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC => return "rtl"
+        case _ => ()
+      }
+      i += Character.charCount(cp)
+    }
+    "ltr"
   }
 
   def splitWords(s: String): Vector[String] = {

@@ -52,6 +52,9 @@ object SyntheticCorpus {
   val arabicVocab: Vector[String] = Vector("بيانات", "معالجة", "استخراج",
     "وثيقة", "محتوى", "نظام", "شبكة", "صفحة", "نص")
 
+  val hebrewVocab: Vector[String] = Vector("נתונים", "עיבוד", "חילוץ",
+    "מסמך", "תוכן", "מערכת", "רשת", "עמוד", "טקסט")
+
   def words(rng: Rng, k: Int, v: Vector[String] = vocab): String =
     (0 until k).map(_ => v(rng.nextInt(v.length))).mkString(" ")
 
@@ -63,7 +66,7 @@ object SyntheticCorpus {
   def paragraph(rng: Rng): String =
     (0 until 3 + rng.nextInt(4)).map(_ => sentence(rng)).mkString(" ")
 
-  def classOf(i: Long): String = (i % 24) match {
+  def classOf(i: Long): String = (i % 26) match {
     case 0 | 1 | 2 | 3 | 4 | 5 => "article"
     case 6 | 7 => "multiblock"
     case 8 => "trivial"
@@ -81,7 +84,9 @@ object SyntheticCorpus {
     case 20 => "redirect"
     case 21 => "toolarge"
     case 22 => "xobject"
-    case _ => "garbage"
+    case 23 => "garbage"
+    case 24 => "priortext"
+    case _ => "bidi"
   }
 
   def hostOf(i: Long, seed: Long): String = {
@@ -105,6 +110,10 @@ object SyntheticCorpus {
     val ts = new java.sql.Timestamp(epochMs + i * 1000L)
     val lang = cls match {
       case "scripts" => Vector("zho", "ara", "mix")((i / 20 % 3).toInt)
+      // priortext hint variants: trusted hint / trusted non-eng hint /
+      // invalid hint (→ kernel predicts from text)
+      case "priortext" => Vector("eng", "zho", "")((i / 20 % 3).toInt)
+      case "bidi" => Vector("ara", "heb", "eng", "")((i / 20 % 4).toInt)
       case _ => "eng"
     }
     val html: Array[Byte] = cls match {
@@ -130,9 +139,47 @@ object SyntheticCorpus {
       case "redirect" => redirect(rng).getBytes(StandardCharsets.UTF_8)
       case "toolarge" => tooLargeHtml
       case "xobject" => pdfXObject(rng)
+      case "priortext" => priortextHtml(rng).getBytes(StandardCharsets.UTF_8)
+      case "bidi" => bidi(rng, (i / 20 % 4).toInt).getBytes(StandardCharsets.UTF_8)
       case _ => garbage(rng).getBytes(StandardCharsets.UTF_8)
     }
-    PageRow(url, ts, html, null, lang)
+    // priortext rows carry upstream-provided text (the prior-text matrix
+    // input, reference: _pipeline.py:352-372); all other rows carry none
+    val prior = if (cls == "priortext") priorText(rng, (i / 20 % 3).toInt)
+      else null
+    PageRow(url, ts, html, prior, lang)
+  }
+
+  /** Upstream text for priortext rows — deliberately different from what
+    * the kernel would extract, so mode semantics are observable. */
+  def priorText(rng: Rng, variant: Int): String = variant match {
+    case 1 => words(rng, 6, cjkVocab).replace(" ", "") // matches zho hint
+    case _ => "PRIOR " + words(rng, 10)
+  }
+
+  def priortextHtml(rng: Rng): String =
+    s"""<html><head><title>${words(rng, 3).capitalize}</title></head>
+<body><p>${paragraph(rng)}</p><p>${paragraph(rng)}</p></body></html>"""
+
+  /** Mixed-direction fixtures for first-strong bidi detection (reference:
+    * src/ocrmypdf/fpdf_renderer/renderer.py:30-42 `_is_rtl_text`).
+    * Expected per-variant dir of the assembled text (title first):
+    *  0 → rtl (Arabic title), 1 → rtl (neutral digits precede Hebrew —
+    *  first STRONG char decides), 2 → ltr (Latin title, Arabic body),
+    *  3 → rtl (Hebrew with embedded Latin brand + digits). */
+  def bidi(rng: Rng, variant: Int): String = variant match {
+    case 0 =>
+      s"""<html><head><title>${words(rng, 3, arabicVocab)}</title></head>
+<body><p>${words(rng, 12, arabicVocab)}</p><p>latin trailer ${words(rng, 8)}</p></body></html>"""
+    case 1 =>
+      s"""<html><body><p>«123» ${words(rng, 10, hebrewVocab)}</p>
+<p>${words(rng, 6, hebrewVocab)} 42 ${words(rng, 5, hebrewVocab)}</p></body></html>"""
+    case 2 =>
+      s"""<html><head><title>${words(rng, 3).capitalize}</title></head>
+<body><p>${words(rng, 10)}</p><p>${words(rng, 9, arabicVocab)}</p></body></html>"""
+    case _ =>
+      s"""<html><body><p>${words(rng, 5, hebrewVocab)} ACME-3000 ${words(rng, 7, hebrewVocab)}</p>
+<p>${words(rng, 4, hebrewVocab)} 2020 ${words(rng, 6, hebrewVocab)}</p></body></html>"""
   }
 
   def corpus(n: Int, seed: Long = defaultSeed): IndexedSeq[PageRow] =

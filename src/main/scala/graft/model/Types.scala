@@ -49,7 +49,9 @@ final case class ExtractResult(
     charset: String, // utf-8 | utf-16le | utf-16be | windows-1252 | binary
     n_nodes: Int, // DOM nodes built (html branch) or PDF objects parsed
     n_blocks: Int, // candidate blocks before classification
-    truncated: Boolean // a bounded-resource guard fired (deterministically)
+    truncated: Boolean, // a bounded-resource guard fired (deterministically)
+    lang: String = "und", // resolved language: valid input hint, else predicted
+    dir: String = "ltr" // first-strong bidi direction of the extracted text
 )
 
 object Outcome {
@@ -57,13 +59,53 @@ object Outcome {
   val SkippedEmpty = "skipped:empty"
   val SkippedEncrypted = "skipped:encrypted"
   val SkippedNoText = "skipped:no_text"
+  val SkippedPriorText = "skipped:prior_text"
+  val RejectedPriorText = "rejected:prior_text"
   def error(cls: String): String = s"error:$cls"
+}
+
+/** Prior-text processing mode — the reference's ProcessingMode enum
+  * (reference: src/ocrmypdf/_options.py:37-55 default/force/skip/redo)
+  * crossed with the per-page prior-text matrix
+  * (reference: src/ocrmypdf/_pipeline.py:352-372 `is_ocr_required`):
+  *  - default: a row that already carries upstream text is REJECTED
+  *    (reference raises PriorOcrFoundError) — never silently re-extracted.
+  *  - skip:    rows with prior text pass it through untouched
+  *    (--skip-text keeps the existing text layer), outcome
+  *    skipped:prior_text; extraction runs only on prior-less rows.
+  *  - redo:    prior text is discarded and extraction re-runs with
+  *    detailed (span-level) analysis — the reference's redo_ocr path is
+  *    the only one doing char-level layout (_pipelines/_common.py:361).
+  *  - force:   extraction runs unconditionally, overriding even
+  *    cheap-probe skips (the rasterize-everything analog).
+  */
+object ProcessingMode {
+  val Default = "default"
+  val Force = "force"
+  val Skip = "skip"
+  val Redo = "redo"
+  val all: Seq[String] = Seq(Default, Force, Skip, Redo)
+}
+
+/** Kernel configuration (broadcast-by-closure to executors; validated at
+  * the driver like the reference's pydantic OcrOptions,
+  * src/ocrmypdf/_options.py:142-686).
+  *
+  * `detailedSpans` is the lazy-detailed-analysis gate (reference runs
+  * char-level layout only under redo_ocr): when false the assembler skips
+  * span bookkeeping entirely and the spans column stays empty — text
+  * bytes are unaffected. */
+final case class ExtractConfig(
+    mode: String = ProcessingMode.Default,
+    detailedSpans: Boolean = true) {
+  require(ProcessingMode.all.contains(mode), s"unknown mode: $mode")
 }
 
 object EngineTags {
   // Version-stamped like the reference's creator_tag; bump when any golden
   // byte changes (FIXTURES.md "Golden outputs").
-  val Html = "graft-html/0.1"
-  val Pdf = "graft-pdf/0.1"
-  val Null = "graft-null/0.1"
+  val Html = "graft-html/0.2"
+  val Pdf = "graft-pdf/0.2"
+  val Null = "graft-null/0.2"
+  val Prior = "graft-prior/0.2" // prior text passed through (mode=skip)
 }

@@ -41,10 +41,14 @@ object ContentStream {
     var truncated = false
 
     var gsDepth = 0
-    // text state (Tr survives q/Q only approximately; we track a stack of it)
+    // graphics state saved/restored by q/Q: the text render mode (Tr) AND
+    // the current font (Tf) are both part of the PDF graphics state
+    // (PDF 32000-1 §8.4.1 lists text state among the device-independent
+    // graphics state parameters), so Q must restore the outer font or
+    // subsequent show-text ops decode with the wrong glyph/ToUnicode map
     var renderMode = 0
-    val rmStack = new ArrayBuffer[Int]
     var font: FontInfo = Glyphs.default
+    val gsStack = new ArrayBuffer[(Int, FontInfo)]
 
     var curY = Double.NaN // text-space y of current line (from Tm/Td)
     val lines = Vector.newBuilder[String]
@@ -80,13 +84,15 @@ object ContentStream {
           op match {
             case "q" =>
               if (gsDepth < hardStackLimit) {
-                gsDepth += 1; rmStack += renderMode
+                gsDepth += 1; gsStack += ((renderMode, font))
               } else truncated = true // past hard limit: ignore, flag
             case "Q" =>
               if (gsDepth > 0) {
                 gsDepth -= 1
-                if (rmStack.nonEmpty) {
-                  renderMode = rmStack.last; rmStack.dropRightInPlace(1)
+                if (gsStack.nonEmpty) {
+                  val (rm, f) = gsStack.last
+                  renderMode = rm; font = f
+                  gsStack.dropRightInPlace(1)
                 }
               } // underflow tolerated (reference :193-199)
             case "BT" =>

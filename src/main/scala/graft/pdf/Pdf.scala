@@ -430,24 +430,121 @@ object PdfDoc {
       case CosArr(fs) => fs.collect { case CosName(f) => f }
       case _ => Vector.empty
     }
-    val earlyChange = resolve(s.dict.get("DecodeParms").getOrElse(CosNull)) match {
-      case d: CosDict => d.get("EarlyChange") match {
-        case Some(CosNum(v)) => v.toInt
-        case _ => 1
-      }
-      case _ => 1
+    // DecodeParms: single dict, or array parallel to the Filter array
+    // (PDF 32000-1 §7.4). /DP is the inline-image abbreviation.
+    val parmsRaw = resolve(s.dict.get("DecodeParms")
+      .orElse(s.dict.get("DP")).getOrElse(CosNull))
+    def parmsFor(i: Int): Option[CosDict] = parmsRaw match {
+      case d: CosDict => if (filters.length == 1) Some(d) else if (i == 0) Some(d) else None
+      case CosArr(items) => items.lift(i).map(resolve).collect { case d: CosDict => d }
+      case _ => None
     }
+    def intParm(p: Option[CosDict], k: String, dflt: Int): Int =
+      p.flatMap(_.get(k)).map(resolve) match {
+        case Some(CosNum(v)) => v.toInt
+        case _ => dflt
+      }
     var cur = s.raw
-    filters.foreach {
-      case "FlateDecode" | "Fl" => cur = inflate(cur)
-      case "ASCIIHexDecode" | "AHx" => cur = asciiHexDecode(cur)
-      case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur)
-      case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur)
-      case "LZWDecode" | "LZW" => cur = lzwDecode(cur, earlyChange)
-      case other if other.nonEmpty => return None
-      case _ => ()
+    var i = 0
+    while (i < filters.length) {
+      val p = parmsFor(i)
+      filters(i) match {
+        case "FlateDecode" | "Fl" | "LZWDecode" | "LZW" =>
+          cur =
+            if (filters(i).startsWith("F")) inflate(cur)
+            else lzwDecode(cur, intParm(p, "EarlyChange", 1))
+          // predictor pass (PNG predictors are routine on object streams
+          // and xref streams; ignoring them would parse garbage as COS
+          // data — reference applies them via pikepdf)
+          val pred = intParm(p, "Predictor", 1)
+          if (pred > 1) {
+            val colors = intParm(p, "Colors", 1)
+            val bpc = intParm(p, "BitsPerComponent", 8)
+            val columns = intParm(p, "Columns", 1)
+            unpredict(cur, pred, colors, bpc, columns) match {
+              case Some(u) => cur = u
+              case None => return None // unsupported predictor: typed reject
+            }
+          }
+        case "ASCIIHexDecode" | "AHx" => cur = asciiHexDecode(cur)
+        case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur)
+        case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur)
+        case other if other.nonEmpty => return None
+        case _ => ()
+      }
+      i += 1
     }
     Some(cur)
+  }
+
+  /** Reverse a PNG (10-15) or TIFF (2) predictor applied before
+    * compression (PDF 32000-1 §7.4.4.4; PNG spec §9 filter algorithms).
+    * Returns None for predictors we can't honor — the caller records a
+    * typed reject instead of parsing garbage. */
+  def unpredict(data: Array[Byte], predictor: Int, colors: Int, bpc: Int,
+      columns: Int): Option[Array[Byte]] = {
+    if (colors < 1 || bpc < 1 || columns < 1) return None
+    val bpp = math.max(1, (colors * bpc + 7) / 8) // bytes per pixel
+    val rowBytes = (colors.toLong * bpc * columns + 7).toInt / 8
+    if (rowBytes <= 0) return None
+    if (predictor == 2) {
+      // TIFF horizontal differencing (8-bit components only — others are
+      // not seen on COS data streams)
+      if (bpc != 8) return None
+      val out = data.clone()
+      var r = 0
+      while (r + rowBytes <= out.length) {
+        var i = r + bpp
+        while (i < r + rowBytes && i < out.length) {
+          out(i) = (out(i) + out(i - bpp)).toByte
+          i += 1
+        }
+        r += rowBytes
+      }
+      return Some(out)
+    }
+    if (predictor < 10 || predictor > 15) return None
+    // PNG predictors: each row = 1 filter-type byte + rowBytes payload;
+    // the per-row filter byte decides the algorithm (predictor 15 = any)
+    val stride = rowBytes + 1
+    val nRows = data.length / stride
+    val out = new Array[Byte](nRows * rowBytes)
+    val prev = new Array[Byte](rowBytes) // zero row above the first
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * stride) & 0xff
+      val src = r * stride + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = prev(i) & 0xff
+        val upLeft = if (i >= bpp) prevAt(prev, i - bpp) else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) / 2)
+          case 4 => raw + paeth(left, up, upLeft)
+          case _ => return None // invalid per-row filter type
+        }
+        out(dst + i) = v.toByte
+        i += 1
+      }
+      System.arraycopy(out, dst, prev, 0, rowBytes)
+      r += 1
+    }
+    Some(out)
+  }
+
+  @inline private def prevAt(prev: Array[Byte], i: Int): Int = prev(i) & 0xff
+
+  /** PNG Paeth predictor (PNG spec §9.4). */
+  def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
   def asciiHexDecode(in: Array[Byte]): Array[Byte] = {

@@ -1,8 +1,10 @@
 package graft.spark
 
-import graft.model.{ExtractResult, PageRow}
+import graft.model.{ExtractConfig, ExtractResult, PageRow}
 import graft.engine.Extractor
+import graft.extract.Ranges
 import graft.gen.SyntheticCorpus
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,8 +75,9 @@ object Jobs {
     * 1 KB of main text), so the shuffle goes after the map. For inputs
     * whose *splits* are skewed (e.g. a pathological file layout), shuffle
     * first via `rebalanceInput`. */
-  def extract(pages: Dataset[PageRow], partitions: Int): Dataset[ExtractResult] = {
-    extractNarrow(pages)
+  def extract(pages: Dataset[PageRow], partitions: Int,
+      cfg: ExtractConfig = ExtractConfig()): Dataset[ExtractResult] = {
+    extractNarrow(pages, cfg)
       .repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
   }
 
@@ -86,10 +89,51 @@ object Jobs {
   /** Extraction without the explicit repartition — used when the upstream
     * layout is already balanced (e.g. bucketed Iceberg scan). Narrow, no
     * shuffle at all. */
-  def extractNarrow(pages: Dataset[PageRow]): Dataset[ExtractResult] = {
+  def extractNarrow(pages: Dataset[PageRow],
+      cfg: ExtractConfig = ExtractConfig()): Dataset[ExtractResult] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.mapPartitions { it => it.map(Extractor.extract) }
+    // cfg is a small immutable case class captured by the task closure —
+    // the broadcast-options pattern (reference: OcrOptions marshalled to
+    // workers, src/ocrmypdf/_options.py:485-569)
+    pages.mapPartitions { it => it.map(Extractor.extract(_, cfg)) }
+  }
+
+  /** `--pages`-style subset selection as a PUSHED-DOWN row filter
+    * (reference: src/ocrmypdf/_options.py:72-139 range grammar;
+    * _pipeline.py:349-350 gates all heavy work on membership). The spec's
+    * intervals become an OR-of-BETWEENs predicate on a 1-BASED position
+    * column, which Catalyst pushes into the parquet scan (shows up as
+    * `PushedFilters: [Or(And(GreaterThanOrEqual...` — row groups outside
+    * every interval are skipped without decoding). */
+  def subsetFilter(posCol: Column, spec: String, total: Int,
+      firstPosValue: Long = 1L): Column =
+    Ranges.intervals(spec, total)
+      .map { case (lo, hi) =>
+        // spec position p (1-based) lives at column value p - 1 + first
+        val l = lo - 1L + firstPosValue
+        val h = hi - 1L + firstPosValue
+        if (l == h) posCol === lit(l)
+        else posCol >= lit(l) && posCol <= lit(h)
+      }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+
+  /** Subset selection on the synthetic source: selection happens at
+    * GENERATION (the partition-pruning analog — out-of-range rows are
+    * never built, like the reference's stub PageInfo for out-of-range
+    * pages, src/ocrmypdf/pdfinfo/info.py:160-213). */
+  def syntheticPagesSubset(spark: SparkSession, n: Long, spec: String,
+      seed: Long = SyntheticCorpus.defaultSeed,
+      parallelism: Int = 0): Dataset[PageRow] = {
+    import spark.implicits._
+    val ivs = Ranges.intervals(spec, n.toInt)
+    val p = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    // generate only in-range indices (1-based spec → 0-based row index)
+    val idx = ivs.map { case (lo, hi) => (lo - 1).toLong to (hi - 1).toLong }
+    spark.sparkContext.parallelize(idx.flatten, math.max(1, p))
+      .toDS().mapPartitions(it => it.map(i => SyntheticCorpus.row(i, seed)))
   }
 
   /** Per-bucket metrics table (FIXTURES.md `metrics` schema): the

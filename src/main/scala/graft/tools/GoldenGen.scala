@@ -24,10 +24,19 @@ object GoldenGen {
 
   final case class GoldenRow(url: String, text: String, outcome: String,
       engine: String, format: String, charset: String, n_nodes: Int,
-      n_blocks: Int, n_spans: Int, truncated: Int, pred_lang: String,
+      n_blocks: Int, n_spans: Int, truncated: Int, lang: String,
+      dir: String, pred_lang: String,
       quality: Double, tokens_ws: Long, tokens_bpe: Long, fingerprint: Long)
   final case class GoldenSpan(url: String, idx: Int, start: Int, end: Int,
       kind: String, path: String)
+  final case class GoldenMode(url: String, mode: String, outcome: String,
+      engine: String, n_spans: Long, text_md5: String)
+
+  def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -44,6 +53,7 @@ object GoldenGen {
     val rows = results.map { r =>
       GoldenRow(r.url, r.text, r.outcome, r.engine, r.format, r.charset,
         r.n_nodes, r.n_blocks, r.spans.length, if (r.truncated) 1 else 0,
+        r.lang, r.dir,
         TextStats.langId(r.text), TextStats.dictHitRatio(r.text),
         TextStats.tokensWs(r.text), TextStats.tokensBpe(r.text),
         TextStats.fingerprint(r.text))
@@ -53,13 +63,30 @@ object GoldenGen {
         GoldenSpan(r.url, i, s.start, s.end, s.kind, s.path)
       }
     }
+    // prior-text × mode matrix golden (reference: _options.py:37-55 ×
+    // _pipeline.py:352-372): the full corpus under every mode; spans are
+    // detailed only under redo (the lazy-analysis gate)
+    val modes = graft.model.ProcessingMode.all.flatMap { m =>
+      val cfg = graft.model.ExtractConfig(mode = m,
+        detailedSpans = m == graft.model.ProcessingMode.Redo)
+      (0L until verifyCorpusSize.toLong).map { i =>
+        val r = Extractor.extract(SyntheticCorpus.row(i), cfg)
+        GoldenMode(r.url, m, r.outcome, r.engine, r.spans.length.toLong,
+          md5hex(r.text))
+      }
+    }
     rows.toDF().coalesce(1).sort("url").write.mode("overwrite")
       .parquet(s"$goldenDir/extracted")
     spans.toDF().coalesce(1).sort("url", "idx").write.mode("overwrite")
       .parquet(s"$goldenDir/spans")
-    println(s"[golden] wrote ${rows.length} rows, ${spans.length} spans")
+    modes.toDF().coalesce(1).sort("mode", "url").write.mode("overwrite")
+      .parquet(s"$goldenDir/modes")
+    println(s"[golden] wrote ${rows.length} rows, ${spans.length} spans, ${modes.length} mode rows")
     val byOutcome = rows.groupBy(_.outcome).view.mapValues(_.size).toMap
     println(s"[golden] outcomes: $byOutcome")
+    val modeOutcomes = modes.groupBy(m => (m.mode, m.outcome))
+      .view.mapValues(_.size).toMap.toSeq.sorted
+    println(s"[golden] mode outcomes: $modeOutcomes")
     spark.stop()
   }
 }

@@ -15,8 +15,9 @@ object Plans {
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append("Reviewed for: parquet pushdown/pruning (PushedFilters, ReadSchema),\n")
     sb.append("broadcast vs shuffle joins, WholeStageCodegen spans, shuffle count.\n\n")
-    Seq("extract_text", "dedup_exact", "dedup_minhash_lsh", "sim_topk_brute",
-      "sim_topk_native", "docstats_tokens", "host_stats_salted").foreach { q =>
+    Seq("extract_text", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+      "sim_topk_brute", "sim_topk_native", "sim_topk_ivf", "merge_ordered",
+      "pages_subset", "docstats_tokens", "host_stats_salted").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

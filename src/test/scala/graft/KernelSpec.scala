@@ -218,6 +218,91 @@ class KernelSpec extends AnyFunSuite {
     assert(Extractor.extract(row(content)).outcome == "ok")
   }
 
+  test("blocks: inline markup inside a word does not split it") {
+    // rendered text has no space in caf<b>é</b> or <a>Wiki</a>pedia
+    val p = "data pipeline extract engine document crawl index stream batch "
+    val t1 = extractText(s"<html><body><p>${p}caf<b>é</b> token</p></body></html>")
+    assert(t1.contains("café token"), t1)
+    val t2 = extractText(s"<html><body><p>$p<a href='/w'>Wiki</a>pedia rocks</p></body></html>")
+    assert(t2.contains("Wikipedia rocks"), t2)
+    // <br> IS a word boundary (renders as a line break)
+    val t3 = extractText(s"<html><body><p>${p}one<br>two</p></body></html>")
+    assert(t3.contains("one two"), t3)
+  }
+
+  test("blocks: link chars attributed per-char across a word spanning a link edge") {
+    val toks = Tokenizer.tokenize(
+      "<html><body><p><a href='/'>Wiki</a>pedia</p></body></html>")
+    val dom = TreeBuilder.build(toks)
+    val b = Blocks.segment(dom).head
+    assert(b.words == Vector("Wikipedia"))
+    assert(b.chars == 9)
+    assert(b.linkChars == 4) // only "Wiki" came from inside the <a>
+  }
+
+  test("bidi: first-strong direction detection (renderer.py:30-42 rule)") {
+    assert(TextAssembler.firstStrongDir("hello עברית") == "ltr")
+    assert(TextAssembler.firstStrongDir("עברית hello") == "rtl")
+    assert(TextAssembler.firstStrongDir("«123» עברית") == "rtl") // neutrals skipped
+    assert(TextAssembler.firstStrongDir("«123» abc") == "ltr")
+    assert(TextAssembler.firstStrongDir("نص عربي") == "rtl")
+    assert(TextAssembler.firstStrongDir("12345 …") == "ltr") // no strong char
+    assert(TextAssembler.firstStrongDir("") == "ltr")
+  }
+
+  test("modes: prior-text matrix (options.py:37-55 x pipeline.py:352-372)") {
+    import graft.model.{ExtractConfig, ProcessingMode}
+    val prior = PageRow("https://t.test/prior", new java.sql.Timestamp(0L),
+      "<html><body><p>the quick brown fox jumps over the lazy dog again</p></body></html>"
+        .getBytes(StandardCharsets.UTF_8),
+      "UPSTREAM prior text here", "eng")
+    val noPrior = prior.copy(url = "https://t.test/noprior", text = null)
+    // default: prior text → typed reject, no extraction
+    val d = Extractor.extract(prior, ExtractConfig(mode = ProcessingMode.Default))
+    assert(d.outcome == "rejected:prior_text" && d.text == "")
+    // skip: prior text passes through untouched
+    val s = Extractor.extract(prior, ExtractConfig(mode = ProcessingMode.Skip))
+    assert(s.outcome == "skipped:prior_text")
+    assert(s.text == "UPSTREAM prior text here")
+    assert(s.engine == graft.model.EngineTags.Prior)
+    // redo: prior discarded, extraction re-runs with detailed spans
+    val r = Extractor.extract(prior, ExtractConfig(mode = ProcessingMode.Redo,
+      detailedSpans = false))
+    assert(r.outcome == "ok" && r.text.contains("quick brown fox"))
+    assert(r.spans.nonEmpty) // redo forces detailed analysis
+    // force: extraction runs; rows without prior behave identically
+    val f = Extractor.extract(prior, ExtractConfig(mode = ProcessingMode.Force))
+    assert(f.outcome == "ok" && f.text == r.text)
+    ProcessingMode.all.foreach { m =>
+      val e = Extractor.extract(noPrior, ExtractConfig(mode = m))
+      assert(e.outcome == "ok" && e.text == r.text, s"mode $m prior-less drift")
+    }
+    // force overrides the redirect cheap-probe skip
+    val redirect = PageRow("https://t.test/r", new java.sql.Timestamp(0L),
+      SyntheticCorpus.redirect(new SyntheticCorpus.Rng(7))
+        .getBytes(StandardCharsets.UTF_8), null, "eng")
+    assert(Extractor.extract(redirect).outcome == "skipped:redirect")
+    assert(Extractor.extract(redirect,
+      ExtractConfig(mode = ProcessingMode.Force)).outcome == "ok")
+  }
+
+  test("lazy spans: detailedSpans=false skips span bookkeeping, text identical") {
+    import graft.model.ExtractConfig
+    val r = row(SyntheticCorpus.article(new SyntheticCorpus.Rng(3)))
+    val full = Extractor.extract(r, ExtractConfig(detailedSpans = true))
+    val lazyR = Extractor.extract(r, ExtractConfig(detailedSpans = false))
+    assert(full.spans.nonEmpty && lazyR.spans.isEmpty)
+    assert(full.text == lazyR.text && full.outcome == lazyR.outcome)
+  }
+
+  test("lang: valid hint trusted, invalid hint falls back to prediction") {
+    import graft.engine.LangResolve
+    assert(LangResolve.resolve("deu", "the quick fox") == "deu")
+    assert(LangResolve.resolve("", "the quick fox and the lazy dog in the yard") == "eng")
+    assert(LangResolve.resolve(null, "数据处理管道提取文档内容分析系统") == "zho")
+    assert(LangResolve.resolve("x1", "") == "und") // malformed hint
+  }
+
   test("quality gate: implausible blocks (mega-words, symbol soup) dropped") {
     val g = SyntheticCorpus.garbage(new SyntheticCorpus.Rng(9))
     val r = Extractor.extract(row(g))

@@ -40,6 +40,52 @@ class PdfSpec extends AnyFunSuite {
     assert(pt.lines == Vector("x"))
   }
 
+  test("content stream: Q restores the font set by Tf (graphics state)") {
+    // the current font is graphics state (PDF 32000-1 §8.4.1): after Q,
+    // show-text ops must decode with the outer font's map again
+    val inner = FontInfo(Some(Map(0x41 -> "Z")), 1, None) // A → Z
+    val ops = "BT /F1 9 Tf (A) Tj q /F2 9 Tf (A) Tj Q (A) Tj ET"
+    val pt = ContentStream.interpret(ops.getBytes(ISO_8859_1),
+      Map("F1" -> Glyphs.default, "F2" -> inner))
+    assert(pt.lines == Vector("AZA"))
+  }
+
+  test("filters: PNG and TIFF predictors reversed; unsupported → typed reject") {
+    val rows = Array[Byte](10, 20, 30, 40, 9, 19, 29, 39, 50, 60, 70, 80)
+    val rowBytes = 4
+    // encode with per-row PNG filters: None, Up, Sub (bpp=1)
+    val enc = new java.io.ByteArrayOutputStream()
+    def rowAt(r: Int) = rows.slice(r * rowBytes, (r + 1) * rowBytes)
+    enc.write(0); enc.write(rowAt(0))
+    enc.write(2) // Up
+    rowAt(1).zip(rowAt(0)).foreach { case (c, u) => enc.write((c - u) & 0xff) }
+    enc.write(1) // Sub
+    val r2 = rowAt(2)
+    enc.write(r2(0).toInt); (1 until rowBytes).foreach(i =>
+      enc.write((r2(i) - r2(i - 1)) & 0xff))
+    val dec = PdfDoc.unpredict(enc.toByteArray, 15, 1, 8, rowBytes)
+    assert(dec.exists(_.sameElements(rows)))
+    // Paeth round-trip on a 2-bpp layout
+    val orig = Array[Byte](1, 2, 3, 4, 5, 6)
+    val p = new java.io.ByteArrayOutputStream()
+    p.write(4)
+    val bpp = 2
+    (0 until 6).foreach { i =>
+      val left = if (i >= bpp) orig(i - bpp) & 0xff else 0
+      p.write((orig(i) - PdfDoc.paeth(left, 0, 0)) & 0xff)
+    }
+    val dp = PdfDoc.unpredict(p.toByteArray, 12, 2, 8, 3)
+    assert(dp.exists(_.sameElements(orig)))
+    // TIFF horizontal differencing
+    val t = Array[Byte](5, 3, 2, 1) // orig 5,8,10,11 with bpp=1
+    assert(PdfDoc.unpredict(t, 2, 1, 8, 4).exists(
+      _.sameElements(Array[Byte](5, 8, 10, 11))))
+    // unsupported shapes are typed rejects, not garbage
+    assert(PdfDoc.unpredict(t, 7, 1, 8, 4).isEmpty) // unknown predictor
+    assert(PdfDoc.unpredict(t, 2, 1, 16, 2).isEmpty) // 16-bit TIFF
+    assert(PdfDoc.unpredict(t, 10, 0, 8, 4).isEmpty) // malformed parms
+  }
+
   test("content stream: Tj/TJ/quote ops, newline on Td y-move, Tr 3 invisible") {
     val ops = "BT /F1 9 Tf (AB) Tj [(C) -500 (D)] TJ 0 -10 Td (E) Tj " +
       "3 Tr (GONE) Tj 0 Tr (F) Tj ET"

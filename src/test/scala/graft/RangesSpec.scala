@@ -43,6 +43,12 @@ class RangesSpec extends AnyFunSuite {
   test("ranges: --pages grammar parse with end alias and tolerance") {
     assert(Ranges.parse("1-3,5,end", 10) == Set(1, 2, 3, 5, 10))
     assert(Ranges.parse("7-end", 9) == Set(7, 8, 9))
+    // the interval form agrees with the set form and merges overlaps
+    assert(Ranges.intervals("1-3,5,end", 10) == Seq((1, 3), (5, 5), (10, 10)))
+    assert(Ranges.intervals("1-4,3-6,7,9", 10) == Seq((1, 7), (9, 9)))
+    assert(Ranges.intervals("junk,,-", 10) == Nil)
+    assert(Ranges.intervals("2-end", 5).flatMap { case (l, h) => l to h }.toSet ==
+      Ranges.parse("2-end", 5))
     assert(Ranges.parse("", 5) == Set.empty)
     assert(Ranges.parse("0,3,99", 5) == Set(3)) // out-of-range clamped away
     assert(Ranges.parse("x,2,bad-4,5-2", 5) == Set(2)) // malformed skipped
