@@ -71,6 +71,13 @@ object Bench {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 100),
         "vec_id", "embedding", 10).count()
     }._1
+    results("sim_topk_ivf") = timeSteady(2) {
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 100),
+        "vec_id", "embedding", 10).count()
+    }._1
+    results("dedup_embed_cosine") = timeSteady(1) {
+      Dedup.embeddingCosineLsh(emb, "vec_id", "embedding").count()
+    }._1
 
     val total = results.values.sum
     val docsPerSec = extractedDocs / results("extract")

@@ -153,6 +153,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", maxHamming = 16)
         .orderBy("doc_a", "doc_b")),
+    "dedup_embed_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosineLsh(emb(s, dir), "vec_id", "embedding")
+        .orderBy("doc_a", "doc_b")),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.resolveClusters(
         Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
@@ -296,6 +299,32 @@ p AS (
   SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d
 )
 SELECT id AS doc_id, min(r) AS cluster_keep_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_embed_cosine" -> s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
+coef AS (
+  SELECT p, d, CASE WHEN strpos('89abcdef', substring(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END AS c
+  FROM range(0, 64) t1(p), range(0, 64) t2(d)
+), planes AS (SELECT p, list(c ORDER BY d) AS cs FROM coef GROUP BY p),
+bitsrc AS (
+  SELECT e.vec_id, pl.p, CASE WHEN list_dot_product(pl.cs, e.v) >= 0 THEN 1 ELSE 0 END AS b
+  FROM e CROSS JOIN planes pl
+), sig AS (SELECT vec_id, list(b ORDER BY p) AS bits FROM bitsrc GROUP BY vec_id),
+banded AS (
+  SELECT vec_id, bits, k AS band_idx,
+    CAST(list_sum(list_transform(range(0, 8), j -> bits[k*8 + j + 1] * (1 << j))) AS INT) AS band_val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n FROM banded
+), ok AS (SELECT * FROM sized WHERE bucket_n <= 10000),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT doc_a, doc_b,
+    list_dot_product(va.v, vb.v) / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS rawcos
+  FROM cand JOIN e va ON va.vec_id = doc_a JOIN e vb ON vb.vec_id = doc_b
+)
+SELECT doc_a, doc_b, round(rawcos, 6) AS cos FROM scored WHERE rawcos >= 0.35 ORDER BY doc_a, doc_b""",
     "dedup_simhash" -> s"""
 WITH hs AS (
   SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x != ''), t -> substring(md5(t), 1, 16)) AS hs

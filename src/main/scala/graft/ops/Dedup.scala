@@ -167,6 +167,71 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-dup via random-hyperplane (sign) LSH
+    * [Charikar, STOC 2002 SimHash/rounding — public technique]: each of
+    * `planes` deterministic ±1 hyperplanes contributes one sign bit
+    * (P[bit differs] = angle/π), bits are banded, and candidate pairs
+    * sharing a band are verified with the EXACT cosine — precision 1,
+    * recall tuned by plane/band count.
+    *
+    * Determinism & oracle: plane coefficients derive from md5("p:d")
+    * (first hex digit ≥ 8 → +1 else −1), so DuckDB rebuilds the identical
+    * matrix; the projection is the same sequential double fold as the
+    * cosine math (bit-identical across engines).
+    *
+    * 100 TB shape: the plane matrix is a tiny literal (model) folded in a
+    * narrow projection — zero-shuffle signatures; the banded self-join
+    * shuffles (band, id, vec) rows. bandBits = planes/bands bounds bucket
+    * count at 2^bandBits per band: GROW `planes` with corpus size (256
+    * planes → 16-bit bands) so buckets stay selective; `maxBucket` is the
+    * hard skew cap either way. */
+  def embeddingCosineLsh(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 64, minCosine: Double = 0.35, planes: Int = 64,
+      bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val bandBits = planes / bands
+    val planeMat: Seq[Seq[Double]] = (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+      }
+    }
+    val planesLit = typedLit(planeMat)
+    val sig = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vn", sqrt(aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("bits", transform(planesLit, cs =>
+        when(aggregate(zip_with(cs, col("v"), (c, x) => c * x.cast("double")),
+          lit(0.0), (acc, t) => acc + t) >= 0, 1).otherwise(0)))
+    val banded = sig.select(col("id"), col("v"), col("vn"), col("bits"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), k -> aggregate(sequence(0, ${bandBits - 1}), 0, (acc, j) -> acc + element_at(bits, k*$bandBits + j + 1) * shiftleft(1, j)))")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val sized = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sized.select(col("band_idx"), col("band_val"),
+      col("id").as("doc_a"), col("v").as("va"), col("vn").as("na"))
+    val b = sized.select(col("band_idx"), col("band_val"),
+      col("id").as("doc_b"), col("v").as("vb"), col("vn").as("nb"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("rawcos",
+        aggregate(zip_with(col("va"), col("vb"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, t) => acc + t) / (col("na") * col("nb")))
+      .select(col("doc_a"), col("doc_b"), round(col("rawcos"), 6).as("cos"),
+        col("rawcos"))
+      .distinct()
+      .filter(col("rawcos") >= minCosine)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
   /** Near-dup cluster resolution: connected components over candidate
     * pairs → (doc_id, cluster_keep_id) with keep = the component's
     * minimum id — the fuzzy-path analog of `exact`'s keep_id. Without

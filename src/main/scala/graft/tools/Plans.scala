@@ -16,8 +16,9 @@ object Plans {
     sb.append("Reviewed for: parquet pushdown/pruning (PushedFilters, ReadSchema),\n")
     sb.append("broadcast vs shuffle joins, WholeStageCodegen spans, shuffle count.\n\n")
     Seq("extract_text", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "sim_topk_brute", "sim_topk_native", "sim_topk_ivf", "merge_ordered",
-      "pages_subset", "docstats_tokens", "host_stats_salted").foreach { q =>
+      "dedup_embed_cosine", "sim_topk_brute", "sim_topk_native",
+      "sim_topk_ivf", "merge_ordered", "pages_subset", "docstats_tokens",
+      "host_stats_salted").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

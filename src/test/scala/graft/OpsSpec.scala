@@ -57,6 +57,19 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("dedup embed-cosine: near-identical vectors pair; unrelated don't") {
+    import spark.implicits._
+    val v1 = Array.tabulate(64)(d => math.sin(d * 0.7).toFloat)
+    val v2 = v1.map(x => x * 1.01f + 0.001f) // same direction, tiny offset
+    val v3 = Array.tabulate(64)(d => math.cos(d * 1.3).toFloat) // unrelated
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosineLsh(df, "vec_id", "embedding",
+      minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    assert(pairs(0)._1 == 1L && pairs(0)._2 == 2L && pairs(0)._3 > 0.99)
+  }
+
   test("dedup clusters: connected components resolve to per-component min id") {
     import spark.implicits._
     // a 5-chain (tests multi-round propagation), a pair, and a triangle
