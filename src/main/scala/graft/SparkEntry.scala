@@ -192,6 +192,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "join_broadcast" -> ((s, dir) => {
+      // fact ⋈ broadcast(dim): the canonical big-join shape (SURVEY §2.7)
+      // — orders stays partitioned, the small customer dim broadcasts, no
+      // shuffle of the fact side; totals quantized to exact ints
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("cast(floor(o_totalprice * 100) as bigint)"))
+            .as("total_centi"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
     "agg_hmean" -> ((s, dir) =>
       // weighted harmonic-mean components (reference: page_dpi_profile,
       // pdfinfo/info.py:355-392 — sum(area)/sum(area/dpi) with builtins);
@@ -371,6 +385,8 @@ ORDER BY doc_a, doc_b""",
       s"SELECT doc_id, md5(text) AS fp FROM ${D(sf)} ORDER BY doc_id",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
+    "join_broadcast" ->
+      s"SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_centi, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers FROM read_parquet('$sf/orders.parquet') o JOIN read_parquet('$sf/customer.parquet') c ON o.o_custkey = c.c_custkey GROUP BY 1 ORDER BY c_mktsegment",
     "agg_hmean" ->
       s"SELECT l_returnflag, l_linestatus, CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi, CAST(sum(CAST(floor((l_quantity / l_extendedprice) * 1e9) AS BIGINT)) AS BIGINT) AS ratio_nano, count(*) AS n FROM read_parquet('$sf/lineitem.parquet') GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus",
     "events_json" ->

@@ -137,17 +137,23 @@ object Dedup {
               a + 2 * pmod(shiftright(instr('0123456789abcdef', substring(h, 16 - (b div 4), 1)) - 1, pmod(b, 4)), 2) - 1)),
           c -> case when c > 0 then 1 else 0 end)""")
 
+  /** The production signature path: the native codegen'd `simhash64`
+    * expression (graft.functions.Simhash64) computes the SAME 64 bits as
+    * `simhashBitsExpr` (pinned by a test) in one fused pass and returns
+    * them as ONE long — banding shuffles 8-byte keys and hamming is a
+    * single bit_count(xor). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sig = docs
-      .select(col(idCol).as("id"), simhashBitsExpr(textCol).as("bits"))
-    val banded = sig.select(col("id"), col("bits"),
+      .select(col(idCol).as("id"), expr(s"simhash64($textCol)").as("simhash"))
+    val banded = sig.select(col("id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0, (acc, j) -> acc + element_at(bits, k*16 + j + 1) * shiftleft(1, j)))")))
+        "transform(sequence(0, 3), k -> cast(shiftright(simhash, k*16) & 65535 as int))")))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    // exact bucket cap (skew guard) + persist barrier: without it Catalyst
-    // inlines the 64-pass signature tree into both self-join sides
+    // exact bucket cap (skew guard) + persist barrier against Catalyst
+    // inlining the signature into both self-join sides
     val sized = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -155,14 +161,13 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sized.select(col("band_idx"), col("band_val"),
-      col("id").as("doc_a"), col("bits").as("bits_a"))
+      col("id").as("doc_a"), col("simhash").as("sh_a"))
     val b = sized.select(col("band_idx"), col("band_val"),
-      col("id").as("doc_b"), col("bits").as("bits_b"))
+      col("id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("cast(size(filter(zip_with(bits_a, bits_b, (x, y) -> x != y), v -> v)) as bigint)")
-          .as("hamming"))
+        expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

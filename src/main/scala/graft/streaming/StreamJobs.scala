@@ -59,4 +59,43 @@ object StreamJobs {
       .withWatermark("warc_ts", "1 hour")
       .groupBy(window(col("warc_ts"), "1 hour"), col("outcome"))
       .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
+
+  /** Per-content-hash dedup state: the first-seen keeper plus the running
+    * duplicate count. State size per key is constant (a url + a counter) —
+    * the streaming analog of `Dedup.exact`'s (h, keep_id, n). */
+  final case class DedupState(keepUrl: String, dups: Long)
+
+  /** One output row per (content hash, micro-batch that touched it). */
+  final case class DedupUpdate(h: String, keep_url: String, dups: Long)
+
+  /** Streaming exact dedup with CUSTOM state (flatMapGroupsWithState):
+    * the first document seen for a content hash becomes the keeper —
+    * across micro-batches, via the state store — and later arrivals only
+    * bump its duplicate counter. Within a batch, rows are ordered by url
+    * so the keeper choice is deterministic, not arrival-ordered (the
+    * reference's completion-order-independence discipline). */
+  def streamingExactDedup(extracted: Dataset[ExtractResult]): Dataset[DedupUpdate] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    extracted
+      .map { r =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (d.map(b => f"${b & 0xff}%02x").mkString, r.url)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupState, DedupUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, rows: Iterator[(String, String)], state: GroupState[DedupState]) =>
+          val urls = rows.map(_._2).toVector.sorted
+          val prev = state.getOption
+          val next = prev match {
+            case Some(s) => DedupState(s.keepUrl, s.dups + urls.length)
+            case None => DedupState(urls.head, (urls.length - 1).toLong)
+          }
+          state.update(next)
+          Iterator.single(DedupUpdate(h, next.keepUrl, next.dups))
+      }
+  }
 }

@@ -17,8 +17,8 @@ object Plans {
     sb.append("broadcast vs shuffle joins, WholeStageCodegen spans, shuffle count.\n\n")
     Seq("extract_text", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_embed_cosine", "sim_topk_brute", "sim_topk_native",
-      "sim_topk_ivf", "merge_ordered", "pages_subset", "docstats_tokens",
-      "host_stats_salted").foreach { q =>
+      "sim_topk_ivf", "merge_ordered", "pages_subset", "join_broadcast",
+      "docstats_tokens", "host_stats_salted").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -57,6 +57,26 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("simhash64 native expression is bit-identical to the builtin spec") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq("alpha beta gamma", "", "  spaced   out  ", "单 字 tokens",
+      "the quick brown fox jumps over the lazy dog",
+      "naïve café résumé — tokens ß ﬁ").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      expr("simhash64(text)").as("sh"),
+      Dedup.simhashBitsExpr("text").as("bits")).collect()
+    both.foreach { r =>
+      val sh = r.getLong(1)
+      val bits = r.getSeq[Int](2)
+      (0 until 64).foreach { b =>
+        assert(((sh >>> b) & 1L).toInt == bits(b),
+          s"doc ${r.getLong(0)} bit $b mismatch")
+      }
+    }
+  }
+
   test("dedup embed-cosine: near-identical vectors pair; unrelated don't") {
     import spark.implicits._
     val v1 = Array.tabulate(64)(d => math.sin(d * 0.7).toFloat)

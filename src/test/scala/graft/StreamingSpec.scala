@@ -54,6 +54,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: stateful exact-dedup keeps first-seen across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def page(url: String, body: String) = graft.model.PageRow(
+      url, new java.sql.Timestamp(0L),
+      s"<html><body><p>$body</p></body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8), null, "eng")
+    val dupBody = "the quick brown fox jumps over the lazy dog again and again"
+    val stream = MemoryStream[graft.model.PageRow]
+    val q = StreamJobs.streamingExactDedup(
+        StreamJobs.extractStream(stream.toDS()))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two duplicates of one doc + one unique
+      stream.addData(Seq(page("https://t.test/b", dupBody),
+        page("https://t.test/a", dupBody),
+        page("https://t.test/u", "completely different unique content here words")))
+      q.processAllAvailable()
+      // batch 2: another duplicate arrives later — keeper must not change
+      stream.addData(Seq(page("https://t.test/z", dupBody)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val dupRows = rows.filter(_._2 == "https://t.test/a")
+      // keeper = lexicographically first of batch 1, stable across batches
+      assert(dupRows.map(_._3).sorted.toSeq == Seq(1L, 2L))
+      assert(rows.exists(r => r._2 == "https://t.test/u" && r._3 == 0L))
+      assert(!rows.exists(_._2 == "https://t.test/z"))
+    } finally q.stop()
+  }
+
   test("streaming: file-source query is exactly-once across restarts") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
