@@ -99,5 +99,7 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => Simhash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinhashSigs(exprs(0)), "built-in")
   }
 }

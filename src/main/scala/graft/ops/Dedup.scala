@@ -48,7 +48,15 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, maxBucket: Int = 50): DataFrame = {
     val rows = k / bands
-    val sig = docs
+    // default config takes the native fused expression
+    // (graft.functions.MinhashSigs — same md5 minima, no per-shingle
+    // allocation; equality with the builtin spec is test-pinned); other
+    // k values fall back to the builtin formulation
+    val sig = if (k == 8) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      docs.select(col(idCol).as("id"),
+        expr(s"minhash_sigs($textCol)").as("sig"))
+    } else docs
       .select(col(idCol).as("id"), shinglesExpr(textCol).as("sh"))
       .select(col("id"), minhashExpr("sh", k).as("sig"))
     val banded = sig.select(col("id"), col("sig"),

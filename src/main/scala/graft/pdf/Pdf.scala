@@ -235,7 +235,60 @@ object PdfDoc {
   val maxObjects = 50000
   val maxPageTreeDepth = 64
 
-  def parse(data: Array[Byte]): PdfDoc = {
+  /** Read an object body (value + optional stream payload) with the lexer
+    * positioned just after the `obj` keyword. Shared by the full scan and
+    * the speculative xref path. */
+  private def readBody(lx: PdfLexer, data: Array[Byte]): Cos = {
+    val n = data.length
+    val v = lx.parseValue()
+    val save = lx.pos
+    lx.next() match {
+      case CosOp("stream") =>
+        // skip single EOL after 'stream'
+        var p = lx.pos
+        if (p < n && data(p) == 0x0d) p += 1
+        if (p < n && data(p) == 0x0a) p += 1
+        val dict = v match { case d: CosDict => d; case _ => CosDict(Map.empty) }
+        val len = dict.get("Length") match {
+          case Some(CosNum(l)) => l.toInt
+          case _ => -1 // ref or missing: scan for endstream
+        }
+        val end =
+          if (len >= 0 && p + len <= n) p + len
+          else indexOf(data, "endstream", p) match {
+            case -1 => n
+            case e => // trim trailing EOL
+              var q = e
+              if (q > p && data(q - 1) == 0x0a) q -= 1
+              if (q > p && data(q - 1) == 0x0d) q -= 1
+              q
+          }
+        val raw = java.util.Arrays.copyOfRange(data, p, math.max(end, p))
+        CosStream(dict, raw)
+      case _ =>
+        lx.pos = save
+        v
+    }
+  }
+
+  /** Forward-parse `N G obj <body>` at a known byte offset (xref path).
+    * Returns (objnum, body) or None if the header doesn't match. */
+  def readObjectAt(data: Array[Byte], off: Int): Option[(Int, Cos)] = {
+    if (off < 0 || off >= data.length) return None
+    val lx = new PdfLexer(data, off)
+    (lx.next(), lx.next(), lx.next()) match {
+      case (CosNum(num), CosNum(_), CosOp("obj")) if num >= 0 =>
+        Some((num.toInt, readBody(lx, data)))
+      case _ => None
+    }
+  }
+
+  def parse(data: Array[Byte]): PdfDoc =
+    parseViaXref(data).getOrElse(parseFullScan(data))
+
+  /** Tolerant whole-file scan — the recovery path: finds every `N G obj`
+    * header regardless of xref integrity. */
+  def parseFullScan(data: Array[Byte]): PdfDoc = {
     val notes = List.newBuilder[String]
     val objects = new HashMap[Int, Cos]
     // scan for "N G obj" headers
@@ -250,36 +303,7 @@ object PdfDoc {
         val hdr = parseHeaderBack(data, i - 1)
         if (hdr >= 0) {
           val lx = new PdfLexer(data, i + 3)
-          val v = lx.parseValue()
-          // stream?
-          val save = lx.pos
-          lx.next() match {
-            case CosOp("stream") =>
-              // skip single EOL after 'stream'
-              var p = lx.pos
-              if (p < n && data(p) == 0x0d) p += 1
-              if (p < n && data(p) == 0x0a) p += 1
-              val dict = v match { case d: CosDict => d; case _ => CosDict(Map.empty) }
-              val len = dict.get("Length") match {
-                case Some(CosNum(l)) => l.toInt
-                case _ => -1 // ref or missing: scan for endstream
-              }
-              val end =
-                if (len >= 0 && p + len <= n) p + len
-                else indexOf(data, "endstream", p) match {
-                  case -1 => n
-                  case e => // trim trailing EOL
-                    var q = e
-                    if (q > p && data(q - 1) == 0x0a) q -= 1
-                    if (q > p && data(q - 1) == 0x0d) q -= 1
-                    q
-                }
-              val raw = java.util.Arrays.copyOfRange(data, p, math.max(end, p))
-              objects(hdr) = CosStream(dict, raw)
-            case _ =>
-              lx.pos = save
-              objects(hdr) = v
-          }
+          objects(hdr) = readBody(lx, data)
           count += 1
         }
       }
@@ -288,48 +312,11 @@ object PdfDoc {
 
     // Expand compressed object streams (/Type /ObjStm): modern PDFs keep
     // most objects inside Flate-compressed streams addressed by an xref
-    // stream; since this parser is xref-free, decode every ObjStm and lift
+    // stream; since this path is xref-free, decode every ObjStm and lift
     // its objects into the map (direct objects win on collision).
-    {
-      val resolveEarly: Cos => Cos = {
-        case CosRef(num, _) => objects.getOrElse(num, CosNull)
-        case other => other
-      }
-      val objStms = objects.values.collect {
-        case s: CosStream
-          if s.dict.get("Type").contains(CosName("ObjStm")) => s
-      }.toVector
-      objStms.foreach { s =>
-        decodeStream(s, resolveEarly).foreach { data =>
-          val nObjs = resolveEarly(s.dict.get("N").getOrElse(CosNull)) match {
-            case CosNum(v) => v.toInt
-            case _ => 0
-          }
-          val first = resolveEarly(s.dict.get("First").getOrElse(CosNull)) match {
-            case CosNum(v) => v.toInt
-            case _ => 0
-          }
-          val lx = new PdfLexer(data)
-          val pairs = Vector.newBuilder[(Int, Int)]
-          var k = 0
-          var bad = false
-          while (k < nObjs && k < 10000 && !bad) {
-            (lx.next(), lx.next()) match {
-              case (CosNum(num), CosNum(off)) => pairs += ((num.toInt, off.toInt))
-              case _ => bad = true; notes += "objstm:bad_header"
-            }
-            k += 1
-          }
-          pairs.result().foreach { case (num, off) =>
-            if (!objects.contains(num) && first + off >= 0 &&
-              first + off < data.length) {
-              val olx = new PdfLexer(data, first + off)
-              objects(num) = olx.parseValue()
-            }
-          }
-        }
-      }
-    }
+    expandObjStms(objects, notes,
+      objects.collect { case (num, s: CosStream)
+        if s.dict.get("Type").contains(CosName("ObjStm")) => num }.toSet)
 
     // trailers
     var encrypted = false
@@ -353,6 +340,235 @@ object PdfDoc {
         if (rootRef.isEmpty) rootRef = s.dict.get("Root")
       case _ => ()
     }
+    assemble(objects, encrypted, rootRef, notes)
+  }
+
+  /** Speculative fast path: follow startxref → xref table / xref stream →
+    * parse ONLY the objects the cross-reference addresses, then validate
+    * (a catalog must resolve and yield ≥1 page). Any inconsistency —
+    * missing/garbled xref, bad offsets, empty page tree, any throw —
+    * returns None and the caller falls back to the tolerant whole-file
+    * scan. This is the reference's speculative-execute + validate +
+    * fallback discipline (reference: src/ocrmypdf/_pipeline.py:1115-1171
+    * `try_auto_pdfa`: cheap path, verify, recover), applied to parsing:
+    * well-formed files skip the O(file) header scan; damaged files get
+    * the recovery parser, never a wrong answer.
+    *
+    * Incremental updates: /Prev chains are followed newest-first (capped)
+    * and earlier revisions never overwrite newer entries — the spec's
+    * shadowing rule. */
+  def parseViaXref(data: Array[Byte]): Option[PdfDoc] = try {
+    val n = data.length
+    // locate the LAST startxref in the tail window (spec: last 1024 bytes;
+    // be generous)
+    val tailFrom = math.max(0, n - 2048)
+    var sx = -1
+    var probe = indexOf(data, "startxref", tailFrom)
+    while (probe >= 0) { sx = probe; probe = indexOf(data, "startxref", probe + 9) }
+    if (sx < 0) return None
+    val off0 = new PdfLexer(data, sx + 9).next() match {
+      case CosNum(v) if v >= 0 && v < n => v.toInt
+      case _ => return None
+    }
+    val notes = List.newBuilder[String]
+    val offsets = new HashMap[Int, Int] // objnum → byte offset (newest wins)
+    val packed = new HashMap[Int, Int] // objnum → container ObjStm objnum
+    var trailers = Vector.empty[CosDict]
+    var xrefStreamOffs = Vector.empty[Int]
+
+    def record(num: Int, tpe: Int, f2: Long, f3: Long): Unit = {
+      if (num >= 0 && num < maxObjects &&
+        !offsets.contains(num) && !packed.contains(num)) {
+        tpe match {
+          case 1 if f2 >= 0 && f2 < n => offsets(num) = f2.toInt
+          case 2 => packed(num) = f2.toInt
+          case _ => () // type 0 = free
+        }
+      }
+    }
+
+    var off = off0
+    var hops = 0
+    while (off >= 0 && hops < 8) {
+      hops += 1
+      // skip whitespace to see what lives at the offset
+      var p = off
+      while (p < n && isWs(data(p))) p += 1
+      if (p + 4 <= n && data(p) == 'x' && data(p + 1) == 'r' &&
+        data(p + 2) == 'e' && data(p + 3) == 'f') {
+        // classic table: subsections of `start count` then fixed entries
+        val lx = new PdfLexer(data, p + 4)
+        var trailerDict: Option[CosDict] = None
+        var done = false
+        var guard = 0
+        while (!done && guard < maxObjects) {
+          lx.next() match {
+            case CosNum(start) =>
+              lx.next() match {
+                case CosNum(cnt) =>
+                  var k = 0
+                  while (k < cnt.toInt && guard < maxObjects) {
+                    (lx.next(), lx.next(), lx.next()) match {
+                      case (CosNum(o), CosNum(_), CosOp(t))
+                        if t == "n" || t == "f" =>
+                        record(start.toInt + k, if (t == "n") 1 else 0,
+                          o.toLong, 0L)
+                      case _ => return None // garbled entry: not a real xref
+                    }
+                    k += 1; guard += 1
+                  }
+                case _ => return None
+              }
+            case CosOp("trailer") =>
+              lx.parseValue() match {
+                case d: CosDict => trailerDict = Some(d); done = true
+                case _ => return None
+              }
+            case _ => done = true // tolerate missing trailer keyword
+          }
+        }
+        trailerDict match {
+          case Some(d) =>
+            trailers :+= d
+            off = d.get("Prev") match {
+              case Some(CosNum(v)) if v >= 0 && v < n => v.toInt
+              case _ => -1
+            }
+          case None => off = -1
+        }
+      } else {
+        // xref STREAM: an object whose stream encodes the table via /W
+        readObjectAt(data, p) match {
+          case Some((num, s: CosStream))
+            if s.dict.get("Type").contains(CosName("XRef")) =>
+            offsets.getOrElseUpdate(num, p) // the xref object itself
+            xrefStreamOffs :+= p
+            val resolveNone: Cos => Cos = identity
+            val decoded = decodeStream(s, resolveNone).getOrElse(return None)
+            val w = s.dict.get("W") match {
+              case Some(CosArr(ws)) => ws.collect { case CosNum(v) => v.toInt }
+              case _ => return None
+            }
+            if (w.length < 3 || w.exists(x => x < 0 || x > 8)) return None
+            val rowLen = w.sum
+            if (rowLen <= 0) return None
+            val size = s.dict.get("Size") match {
+              case Some(CosNum(v)) => v.toInt
+              case _ => return None
+            }
+            val index: Vector[(Int, Int)] = s.dict.get("Index") match {
+              case Some(CosArr(items)) =>
+                val nums = items.collect { case CosNum(v) => v.toInt }
+                nums.grouped(2).collect { case Seq(a, b) => (a, b) }.toVector
+              case _ => Vector((0, size))
+            }
+            var r = 0
+            index.foreach { case (start, cnt) =>
+              var k = 0
+              while (k < cnt) {
+                val base = r * rowLen
+                if (base + rowLen <= decoded.length) {
+                  var fi = 0
+                  val fields = new Array[Long](3)
+                  var pos = base
+                  while (fi < 3) {
+                    var v = 0L
+                    var b = 0
+                    while (b < w(fi)) { v = (v << 8) | (decoded(pos) & 0xffL); pos += 1; b += 1 }
+                    fields(fi) = if (w(fi) == 0 && fi == 0) 1L else v // W[0]=0 ⇒ type 1
+                    fi += 1
+                  }
+                  record(start + k, fields(0).toInt, fields(1), fields(2))
+                }
+                r += 1; k += 1
+              }
+            }
+            trailers :+= s.dict
+            off = s.dict.get("Prev") match {
+              case Some(CosNum(v)) if v >= 0 && v < n => v.toInt
+              case _ => -1
+            }
+          case _ => return None
+        }
+      }
+    }
+
+    // parse every addressed object at its recorded offset
+    val objects = new HashMap[Int, Cos]
+    offsets.toVector.sortBy(_._1).foreach { case (num, o) =>
+      readObjectAt(data, o) match {
+        case Some((parsedNum, body)) if parsedNum == num => objects(num) = body
+        case Some(_) => return None // offset points at the wrong object: stale xref
+        case None => return None
+      }
+    }
+    // expand only the ObjStms that type-2 entries reference
+    expandObjStms(objects, notes, packed.values.toSet)
+    // packed objects the ObjStm expansion failed to produce ⇒ corrupt
+    if (packed.keysIterator.exists(num => !objects.contains(num))) return None
+
+    val encrypted = trailers.exists(_.get("Encrypt").isDefined)
+    val rootRef = trailers.flatMap(_.get("Root")).headOption
+    if (rootRef.isEmpty && !encrypted) return None
+    notes += "xref:fast_path"
+    val doc = assemble(objects, encrypted, rootRef, notes)
+    // validation gate: the fast path must have produced a usable document
+    if (doc.encrypted) Some(doc)
+    else if (doc.catalog.isEmpty || doc.pages.isEmpty) None
+    else Some(doc)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Lift the member objects of the given /ObjStm streams into the map
+    * (objects already present win — direct/newer always beats packed). */
+  private def expandObjStms(objects: HashMap[Int, Cos],
+      notes: scala.collection.mutable.Builder[String, List[String]],
+      stmNums: Set[Int]): Unit = {
+    val resolveEarly: Cos => Cos = {
+      case CosRef(num, _) => objects.getOrElse(num, CosNull)
+      case other => other
+    }
+    stmNums.toVector.sorted.foreach { stmNum =>
+      objects.get(stmNum) match {
+        case Some(s: CosStream)
+          if s.dict.get("Type").contains(CosName("ObjStm")) =>
+          decodeStream(s, resolveEarly).foreach { data =>
+            val nObjs = resolveEarly(s.dict.get("N").getOrElse(CosNull)) match {
+              case CosNum(v) => v.toInt
+              case _ => 0
+            }
+            val first = resolveEarly(s.dict.get("First").getOrElse(CosNull)) match {
+              case CosNum(v) => v.toInt
+              case _ => 0
+            }
+            val lx = new PdfLexer(data)
+            val pairs = Vector.newBuilder[(Int, Int)]
+            var k = 0
+            var bad = false
+            while (k < nObjs && k < 10000 && !bad) {
+              (lx.next(), lx.next()) match {
+                case (CosNum(num), CosNum(off)) => pairs += ((num.toInt, off.toInt))
+                case _ => bad = true; notes += "objstm:bad_header"
+              }
+              k += 1
+            }
+            pairs.result().foreach { case (num, off) =>
+              if (!objects.contains(num) && first + off >= 0 &&
+                first + off < data.length) {
+                val olx = new PdfLexer(data, first + off)
+                objects(num) = olx.parseValue()
+              }
+            }
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  /** Shared back half of both parse paths: catalog resolution + page-tree
+    * walk + tolerant page fallback. */
+  private def assemble(objects: HashMap[Int, Cos], encrypted: Boolean,
+      rootRef: Option[Cos],
+      notes: scala.collection.mutable.Builder[String, List[String]]): PdfDoc = {
 
     def resolve(c: Cos, depth: Int = 0): Cos = c match {
       case CosRef(num, _) if depth < 16 =>

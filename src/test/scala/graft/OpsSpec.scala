@@ -57,6 +57,26 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("minhash_sigs native expression equals the builtin spec") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq("", "short", "exactly8", "the quick brown fox jumps",
+      "naïve café — résumé text with multibyte çhars über ånd mœre",
+      "数据处理管道提取文档内容分析系统网络页面文本引擎多字节",
+      ("repeat me " * 30).trim).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val builtin = docs
+      .select(col("doc_id"), Dedup.shinglesExpr("text").as("sh"))
+      .select(col("doc_id"), Dedup.minhashExpr("sh", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = docs.select(col("doc_id"),
+        expr("minhash_sigs(text)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    builtin.foreach { case (id, sig) =>
+      assert(native(id) == sig, s"doc $id minhash drift")
+    }
+  }
+
   test("simhash64 native expression is bit-identical to the builtin spec") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -253,6 +253,80 @@ endcmap"""
     assert(pt.lines == Vector("before", "after"))
   }
 
+  test("parser: speculative xref fast path equals full scan; stale xref falls back") {
+    val content = "BT /F1 9 Tf (xref fast path) Tj ET"
+    val objs = Vector(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >> endobj\n",
+      s"5 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = scala.collection.mutable.ArrayBuffer[Int]()
+    objs.foreach { o => offs += sb.length; sb.append(o) }
+    val xrefOff = sb.length
+    sb.append("xref\n0 6\n").append("0000000000 65535 f \n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    val bytes = sb.toString.getBytes(ISO_8859_1)
+    val fast = PdfDoc.parseViaXref(bytes)
+    assert(fast.isDefined)
+    assert(fast.get.parseNotes.contains("xref:fast_path"))
+    val full = PdfDoc.parseFullScan(bytes)
+    assert(fast.get.pages.length == full.pages.length)
+    val r = PdfEngine.extract(row(bytes))
+    assert(r.outcome == "ok" && r.text == "xref fast path")
+    // stale startxref: fast path rejects, tolerant scan still extracts
+    val stale = sb.toString.replace(s"startxref\n$xrefOff\n", "startxref\n3\n")
+      .getBytes(ISO_8859_1)
+    assert(PdfDoc.parseViaXref(stale).isEmpty)
+    assert(PdfEngine.extract(row(stale)).text == "xref fast path")
+  }
+
+  test("parser: xref STREAM with Up predictor drives the fast path") {
+    val content = "BT /F1 9 Tf (xref stream path) Tj ET"
+    val objs = Vector(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n",
+      "4 0 obj << /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >> endobj\n",
+      s"5 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    val sb = new StringBuilder("%PDF-1.5\n")
+    val offs = scala.collection.mutable.ArrayBuffer[Int]()
+    objs.foreach { o => offs += sb.length; sb.append(o) }
+    val xrefOff = sb.length
+    // xref rows, W = [1 2 1]: (type, offset, 0) for objects 0..6
+    val rows: Vector[Array[Int]] =
+      Vector(Array(0, 0, 0)) ++
+        offs.map(o => Array(1, o, 0)) :+ Array(1, xrefOff, 0)
+    val rowBytes = 4
+    val plain = rows.map(r =>
+      Array[Byte](r(0).toByte, ((r(1) >> 8) & 0xff).toByte,
+        (r(1) & 0xff).toByte, r(2).toByte))
+    // PNG Up predictor encode (filter type 2 per row)
+    val enc = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](rowBytes)
+    plain.foreach { cur =>
+      enc.write(2)
+      (0 until rowBytes).foreach(i => enc.write((cur(i) - prev(i)) & 0xff))
+      prev = cur
+    }
+    val stm = SyntheticCorpus.deflate(enc.toByteArray)
+    sb.append(s"6 0 obj << /Type /XRef /Size 7 /Root 1 0 R /W [1 2 1] /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> /Length ${stm.length} >> stream\n")
+    val head = sb.toString.getBytes(ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+    out.write(stm, 0, stm.length)
+    val tail = s"\nendstream endobj\nstartxref\n$xrefOff\n%%EOF\n".getBytes(ISO_8859_1)
+    out.write(tail, 0, tail.length)
+    val bytes = out.toByteArray
+    val fast = PdfDoc.parseViaXref(bytes)
+    assert(fast.isDefined, "xref-stream fast path did not engage")
+    assert(fast.get.parseNotes.contains("xref:fast_path"))
+    val r = PdfEngine.extract(row(bytes))
+    assert(r.outcome == "ok" && r.text == "xref stream path")
+  }
+
   test("parser: objects inside compressed ObjStm + xref-stream Root resolve") {
     def obj(ss: String*): String = ss.mkString(" ")
     val inner = Vector(
