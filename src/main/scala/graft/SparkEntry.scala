@@ -118,6 +118,14 @@ object SparkEntry {
             md5(col("text").cast("binary")).as("text_md5"))
       }.reduce(_.unionAll(_)).orderBy("mode", "url")
     }),
+    "extract_subset" -> ((s, _) =>
+      // --pages subset against the pipeline itself: out-of-range rows are
+      // never GENERATED (the partition-pruning analog; reference gates all
+      // heavy work on page membership, _pipeline.py:349-350), and the
+      // survivors must still match the goldens byte-identically
+      Jobs.extract(
+        Jobs.syntheticPagesSubset(s, verifyN, "1-40,101-130,590-end"), 8)
+        .toDF().select("url", "text", "outcome").orderBy("url")),
     "pages_subset" -> ((s, dir) => {
       // --pages-style subset as a PUSHED-DOWN parquet filter (reference:
       // _options.py:72-139; plan shows PushedFilters OR-of-ranges and a
@@ -286,6 +294,8 @@ object SparkEntry {
       s"SELECT url, mode, outcome, engine, n_spans, text_md5 FROM read_parquet('$goldenModes') ORDER BY mode, url",
     "pages_subset" ->
       s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE (doc_id BETWEEN 0 AND 49) OR doc_id = 110 OR (doc_id BETWEEN 199 AND 499) ORDER BY doc_id",
+    "extract_subset" ->
+      s"SELECT url, text, outcome FROM $G WHERE CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 1 AND 40 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 101 AND 130 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 590 AND 600 ORDER BY url",
     "text_langid" ->
       s"SELECT url, pred_lang FROM $G ORDER BY url",
     "text_quality" ->

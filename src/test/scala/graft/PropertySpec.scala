@@ -61,6 +61,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: random startxref tails never break the speculative parse") {
+    val g = for {
+      body <- bytes
+      off <- Gen.choose(-5, 5000)
+    } yield "%PDF-1.5\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+      body ++ s"\nstartxref\n$off\n%%EOF\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    samples(g, 150).foreach { bs =>
+      val row = PageRow("u", new java.sql.Timestamp(0), bs, null, null)
+      val a = Extractor.extract(row)
+      val b = Extractor.extract(row)
+      assert(a.outcome.nonEmpty && a.text == b.text && a.outcome == b.outcome)
+      graft.pdf.PdfDoc.parseViaXref(bs) // must return, never throw
+    }
+  }
+
+  test("property: Ranges.intervals expands to exactly Ranges.parse") {
+    val frag = Gen.oneOf(
+      Gen.choose(1, 30).map(_.toString),
+      Gen.choose(1, 30).flatMap(a => Gen.choose(a, 35).map(b => s"$a-$b")),
+      Gen.const("end"), Gen.const("junk"), Gen.const(""))
+    val spec = Gen.listOf(frag).map(_.mkString(","))
+    samples(spec).foreach { sp =>
+      val total = 25
+      val viaIntervals = Ranges.intervals(sp, total)
+        .flatMap { case (l, h) => l to h }.toSet
+      assert(viaIntervals == Ranges.parse(sp, total), sp)
+    }
+  }
+
   test("property: ascii word join is reversible (CJK rule aside)") {
     val asciiWords = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString))
