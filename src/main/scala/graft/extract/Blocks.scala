@@ -158,8 +158,11 @@ object Blocks {
           }
           j += 1
         }
-      } else if (nd.tag == "br") {
-        flushWord() // <br> renders as a line break — a word boundary
+      } else if (nd.tag == "br" && nd.visible) {
+        // a VISIBLE <br> renders as a line break — a word boundary; a br
+        // inside a hidden subtree renders nothing and must not split the
+        // visible word spanning the hidden span
+        flushWord()
       }
       i += 1
     }

@@ -251,13 +251,16 @@ object Dedup {
     * this, LSH/simhash emit pairs but nothing actually deduplicates.
     *
     * Algorithm: iterative min-label propagation on the COMPACT id graph
-    * (edges are (long, long) pairs — document text never enters). Each
-    * round every vertex takes min(own label, neighbours' labels); the
-    * fixpoint is the per-component minimum, independent of execution
-    * order (deterministic). Rounds = graph diameter; near-dup clusters
-    * are dense and shallow, so a handful of rounds suffices. At 10^12
-    * edges each round is one shuffle of 16-byte rows — the
-    * iterative-small-key-join shape, no driver-side graph. */
+    * (edges are (long, long) pairs — document text never enters), with a
+    * POINTER-JUMPING round after each propagation (label(v) ←
+    * label(label(v))): labels chase their own current root, so a chain of
+    * length d converges in O(log d) rounds instead of O(d) — chained
+    * near-dups at corpus scale can't blow the round budget. The fixpoint
+    * is the per-component minimum, independent of execution order
+    * (deterministic). Each round is a constant number of shuffles of
+    * 16-byte rows — the iterative-small-key-join shape, no driver-side
+    * graph. Non-convergence within `maxIters` throws (deterministic
+    * failure beats silently-partial clusters). */
   def resolveClusters(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 50): DataFrame = {
@@ -268,24 +271,35 @@ object Dedup {
       .distinct().persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    var persisted: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // propagate: take the minimum over neighbour labels
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("nid"), col("label"))
         .groupBy("nid").agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id").as("id"), labels("label").as("old_label"),
           least(labels("label"), coalesce(col("nbr_min"), labels("label")))
             .as("label"))
-        .persist(lvl)
+      // pointer-jump: follow the label's own label one hop. The self-join
+      // references `prop` twice, so WITHOUT a lineage cut the logical plan
+      // would double per round (exponential analysis cost); the eager
+      // localCheckpoint below truncates it to a leaf each round. (On a
+      // real cluster with lossy executors use reliable checkpointing —
+      // same call shape, sc.setCheckpointDir.)
+      val roots = prop.select(col("id").as("rid"), col("label").as("rlabel"))
+      val next = prop.join(roots, prop("label") === roots("rid"), "left")
+        .select(prop("id").as("id"), prop("old_label").as("old_label"),
+          least(prop("label"), coalesce(col("rlabel"), prop("label")))
+            .as("label"))
+        .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old_label")).count()
-      if (persisted != null) persisted.unpersist()
-      persisted = next
       labels = next.select("id", "label")
       iter += 1
     }
+    require(changed == 0,
+      s"resolveClusters did not converge within $maxIters rounds")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_keep_id"))
   }

@@ -228,6 +228,10 @@ class KernelSpec extends AnyFunSuite {
     // <br> IS a word boundary (renders as a line break)
     val t3 = extractText(s"<html><body><p>${p}one<br>two</p></body></html>")
     assert(t3.contains("one two"), t3)
+    // …but a br inside a HIDDEN subtree renders nothing and must not
+    // split the visible word spanning the hidden span
+    val t4 = extractText(s"<html><body><p>${p}foo<span style='display:none'>x<br>y</span>bar</p></body></html>")
+    assert(t4.contains("foobar"), t4)
   }
 
   test("blocks: link chars attributed per-char across a word spanning a link edge") {

@@ -119,6 +119,11 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // pointer-jumping: a 120-long chain converges within the round budget
+    // (O(log d) rounds; plain propagation would need 120)
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val resolved = Dedup.resolveClusters(chain, maxIters = 12).collect()
+    assert(resolved.length == 121 && resolved.forall(_.getLong(1) == 0L))
   }
 
   test("similarity: self-nearest excluded, identical vector ranks first") {
