@@ -69,7 +69,17 @@ object Sniffer {
   /** Charset detection: BOM > <meta charset> in first 1024 bytes > UTF-8
     * with U+FFFD replacement (never fails — the reference's charset
     * analog is raster device escalation,
-    * src/ocrmypdf/_pipeline.py:530-570 `_select_raster_device`). */
+    * src/ocrmypdf/_pipeline.py:530-570 `_select_raster_device`).
+    *
+    * Confidence-gated mojibake correction — the
+    * get_orientation_correction analog (reference:
+    * src/ocrmypdf/_pipeline.py:467-495: cheap probe detects a wrong
+    * disposition, correction applied before the expensive stage, gated on
+    * confidence): when a (non-BOM) UTF-8 decode produces replacement
+    * chars, the bytes are re-decoded as windows-1252 — the web's dominant
+    * mis-labelling — and the correction is accepted only if it strictly
+    * reduces the damage. A BOM is an explicit declaration and is never
+    * second-guessed. */
   def decodeHtml(raw: Array[Byte]): (String, String) = {
     if (raw.length >= 3 && (raw(0) & 0xff) == 0xef && (raw(1) & 0xff) == 0xbb &&
       (raw(2) & 0xff) == 0xbf)
@@ -79,11 +89,46 @@ object Sniffer {
     if (raw.length >= 2 && (raw(0) & 0xff) == 0xfe && (raw(1) & 0xff) == 0xff)
       return ("utf-16be", decodeWith(raw, 2, StandardCharsets.UTF_16BE))
     declaredCharset(raw) match {
+      case Some(cs) if cs == StandardCharsets.UTF_8 =>
+        utf8WithCorrection(raw, "utf-8")
       case Some(cs) => (cs.name().toLowerCase(java.util.Locale.ROOT),
         decodeWith(raw, 0, cs))
-      case None => ("utf-8", decodeWith(raw, 0, StandardCharsets.UTF_8))
+      case None => utf8WithCorrection(raw, "utf-8")
     }
   }
+
+  private def replacements(s: String): Int = {
+    var c = 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == '�') c += 1; i += 1 }
+    c
+  }
+
+  /** Confidence threshold: correct only when ≤1/20 of the decoded chars
+    * are damaged. A real mis-labelled page is mostly valid ASCII markup
+    * with sparse high bytes; random binary decodes to DENSE damage and
+    * must stay damaged (so the implausibility gates still reject it)
+    * rather than "correct" to plausible-looking cp1252 letter soup —
+    * the reference's rotate_pages_threshold discipline: no correction
+    * below confidence. */
+  val maxCorrectableDamage = 20 // 1 damaged char per this many chars
+
+  private def utf8WithCorrection(raw: Array[Byte], label: String): (String, String) = {
+    val first = decodeWith(raw, 0, StandardCharsets.UTF_8)
+    val bad = replacements(first)
+    if (bad == 0 || bad.toLong * maxCorrectableDamage > first.length)
+      (label, first)
+    else {
+      // the probe runs only on suspicion (cheap-probe-then-decide); cp1252
+      // maps every byte except 5 undefined ones, so a real mojibake page
+      // decodes strictly cleaner
+      val alt = decodeWith(raw, 0, Charset1252)
+      if (replacements(alt) < bad) (s"$label->windows-1252", alt)
+      else (label, first)
+    }
+  }
+
+  private val Charset1252 = Charset.forName("windows-1252")
 
   private def decodeWith(raw: Array[Byte], offset: Int, cs: Charset): String = {
     val dec = cs.newDecoder()

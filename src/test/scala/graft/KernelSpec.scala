@@ -164,6 +164,32 @@ class KernelSpec extends AnyFunSuite {
     assert(cs == "windows-1252" && decoded.contains("café"))
   }
 
+  test("charset correction: mojibake re-decoded as cp1252 when strictly cleaner") {
+    // declared utf-8, actual windows-1252 bytes — the confidence-gated
+    // correction (get_orientation_correction analog): probe on damage,
+    // accept only a strictly cleaner re-decode
+    val mojibake =
+      """<html><head><meta charset="utf-8"></head><body><p>café résumé tokens</p></body></html>"""
+        .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val (cs, text) = Sniffer.decodeHtml(mojibake)
+    assert(cs == "utf-8->windows-1252")
+    assert(text.contains("café résumé"))
+    // clean utf-8 is never touched
+    val clean = "<html><body><p>café ok</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+    assert(Sniffer.decodeHtml(clean)._1 == "utf-8")
+    assert(Sniffer.decodeHtml(clean)._2.contains("café"))
+    // a BOM is an explicit declaration: never second-guessed, even damaged
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "x".getBytes(StandardCharsets.UTF_8) :+ 0xe9.toByte
+    assert(Sniffer.decodeHtml(bom)._1 == "utf-8")
+    // DENSE damage (random binary) is below confidence: no correction, so
+    // the implausibility gates still see replacement chars, not letter soup
+    val rng = new SyntheticCorpus.Rng(9)
+    val binary = Array.fill(512)((rng.nextLong() & 0xff).toByte)
+    assert(Sniffer.decodeHtml(binary)._1 == "utf-8")
+  }
+
   test("sniffer: truncated gzip yields typed error outcome, not a throw") {
     val gz = SyntheticCorpus.gzipCase(new SyntheticCorpus.Rng(1), 1)
     val r = Extractor.extract(PageRow("u", new java.sql.Timestamp(0), gz, null, null))
