@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{CorpusStats, Dedup, Similarity}
 import graft.spark.Jobs
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -77,6 +77,9 @@ object Bench {
     }._1
     results("dedup_embed_cosine") = timeSteady(1) {
       Dedup.embeddingCosineLsh(emb, "vec_id", "embedding").count()
+    }._1
+    results("dedup_passages") = timeSteady(1) {
+      CorpusStats.passageDedup(docs, "doc_id", "text").count()
     }._1
 
     val total = results.values.sum

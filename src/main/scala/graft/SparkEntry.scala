@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Events, Similarity, TextStats, Media, OrderedMerge}
+import graft.ops.{CorpusStats, Dedup, Events, Similarity, TextStats, Media, OrderedMerge}
 import graft.spark.Jobs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -188,6 +188,16 @@ object SparkEntry {
     "docstats_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp")).orderBy("doc_id")),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style per-doc repetition signals (narrow, builtins only)
+      CorpusStats.repetition(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "dedup_passages" -> ((s, dir) =>
+      // CCNet-style corpus-wide passage dedup: keep-first-occurrence stats
+      CorpusStats.passageDedup(docs(s, dir), "doc_id", "text", windowWords = 4)
+        .orderBy("doc_id")),
+    "vocab_topk" -> ((s, dir) =>
+      CorpusStats.vocabTopK(docs(s, dir), "text", k = 100)),
     "media_meta" -> ((s, dir) =>
       Media.metaFromBinary(
         docs(s, dir).select(col("doc_id"),
@@ -393,6 +403,37 @@ ORDER BY doc_a, doc_b""",
       s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, CAST(floor(1000.0 * (length(text) - (length(text) - length(replace(text, ' ', '')))) / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)) AS BIGINT) AS avg_wordlen_milli FROM ${D(sf)} ORDER BY doc_id",
     "docstats_fingerprint" ->
       s"SELECT doc_id, md5(text) AS fp FROM ${D(sf)} ORDER BY doc_id",
+    "text_repetition" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), b AS (
+  SELECT doc_id, ws,
+    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bg
+  FROM w
+)
+SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct_words,
+  CAST(len(bg) AS BIGINT) AS n_bigrams, CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+  (1000 * (len(ws) - len(list_distinct(ws)))) // greatest(len(ws), 1) AS dup_word_milli
+FROM b ORDER BY doc_id""",
+    "dedup_passages" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), f AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws) // 4), i ->
+      {'pos': i, 'h': md5(array_to_string(ws[i*4+1 : i*4+4], ' '))})) AS u
+    FROM w)
+), g AS (
+  SELECT h, count(*) AS cnt, min(doc_id * 1000000 + pos) AS first_key FROM f GROUP BY h
+)
+SELECT f.doc_id, count(*) AS n_passages,
+  CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(sum(CASE WHEN g.cnt > 1 AND f.doc_id * 1000000 + f.pos <> g.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM f JOIN g USING (h)
+GROUP BY 1 ORDER BY f.doc_id""",
+    "vocab_topk" -> s"""
+WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})
+SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
     "join_broadcast" ->

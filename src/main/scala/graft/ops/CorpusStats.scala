@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and passage-grain deduplication for the
+  * training-data pipeline — the document-INTERNAL repetition signals
+  * (Gopher-style quality rules) and the corpus-WIDE repeated-passage
+  * removal (CCNet-style paragraph dedup) that sit alongside the
+  * document-grain operators in `Dedup`.
+  *
+  * Everything here is pure Catalyst builtins (split / transform /
+  * array_distinct / md5) — no UDF, fully codegen'd, and every fraction is
+  * computed in INTEGER arithmetic (milli-units via integer division) so
+  * the DuckDB oracle reproduces values bit-exactly with no float-rounding
+  * hazard.
+  */
+object CorpusStats {
+
+  /** Whitespace tokens, empties dropped — mirrors DuckDB
+    * list_filter(string_split(text, ' '), x -> x != ''). */
+  private def wordsExpr(textCol: String) =
+    expr(s"filter(split($textCol, ' '), x -> x != '')")
+
+  /** Per-document repetition signals (Gopher repetition rules, public:
+    * Rae et al. 2021 §A1.1 "repetition removal" — fraction of duplicate
+    * n-grams): exact word/bigram counts and their distinct counts, plus a
+    * milli-quantized duplicate-word fraction.
+    *
+    * 100 TB shape: a NARROW projection — one pass per row, no shuffle at
+    * all; the signals land next to the doc and feed a filter predicate.
+    * The guard on size(ws) >= 2 matters: sequence(1, 0) in Spark is the
+    * DESCENDING [1, 0], not empty. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .withColumn("bg", expr(
+        """case when size(ws) >= 2
+             then transform(sequence(1, size(ws) - 1),
+                            i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+             else cast(array() as array<string>) end"""))
+      .select(
+        col("doc_id"),
+        expr("cast(size(ws) as bigint)").as("n_words"),
+        expr("cast(size(array_distinct(ws)) as bigint)").as("n_distinct_words"),
+        expr("cast(size(bg) as bigint)").as("n_bigrams"),
+        expr("cast(size(array_distinct(bg)) as bigint)").as("n_distinct_bigrams"),
+        // integer milli-fraction: exact in any engine, no IEEE hazard
+        expr("cast((1000 * (size(ws) - size(array_distinct(ws)))) div greatest(size(ws), 1) as bigint)")
+          .as("dup_word_milli"))
+
+  /** Corpus-wide passage dedup stats (CCNet-style, public: Wenzek et al.
+    * 2020 §3.1 dedups by paragraph hash across the whole crawl). The unit
+    * here is a non-overlapping `windowWords`-word passage (this corpus has
+    * no newlines; real crawls would use paragraphs). For each document:
+    * how many passages it has, how many are duplicated ANYWHERE in the
+    * corpus, and how many would be removed under keep-first-occurrence
+    * (first = lowest (doc_id, pos)).
+    *
+    * 100 TB shape: passages reduce to 32-char md5 keys immediately — the
+    * corpus-wide count/argmin is a two-phase hash aggregation on those
+    * keys (map-side partial combine absorbs within-partition repeats), the
+    * join back is hash-partitioned on the same key (text never moves), and
+    * the final per-doc rollup shuffles one row per passage. Hot passages
+    * (the corpus-wide boilerplate this operator exists to find) are
+    * SAFE-skewed: the aggregation side collapses them map-side, and the
+    * join fans the single (h, cnt, first_key) row back out — no bucket
+    * blowup, because we never self-join passages against each other.
+    *
+    * first_key packs (doc_id, pos) as doc_id * posCap + pos — exact while
+    * passages-per-doc < posCap (a 4M-word web page at the default cap;
+    * raise posCap for book-scale rows). */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 4, posCap: Long = 1000000L): DataFrame = {
+    val w = windowWords
+    val pass = docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""case when size(ws) >= $w
+              then transform(sequence(0, size(ws) div $w - 1),
+                             i -> md5(array_join(slice(ws, i * $w + 1, $w), ' ')))
+              else cast(array() as array<string>) end""")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+      // persist barrier: `pass` feeds BOTH the corpus-wide aggregation and
+      // the join back — without it Catalyst re-inlines the scan+split+md5
+      // subtree into both sides (double text read, double hashing). At
+      // warehouse scale this is a materialized passage-hash table (write
+      // once, aggregate and join against it).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = pass.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(col("doc_id") * posCap + col("pos")).as("first_key"))
+    pass.join(grp, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("cnt") > 1 &&
+          col("doc_id") * posCap + col("pos") =!= col("first_key"), 1L)
+          .otherwise(0L)).as("n_removed"))
+  }
+
+  /** Corpus vocabulary top-k: (token, count) ordered by count desc then
+    * token asc — a total order, so the result is deterministic.
+    *
+    * 100 TB shape: the classic two-phase aggregation — map-side partial
+    * hash agg collapses each partition's token counts before the shuffle
+    * (the shuffle carries at most |vocab| rows per partition, not one row
+    * per token OCCURRENCE), then TakeOrderedAndProject computes the global
+    * top-k with per-partition partial top-k — no full sort of the
+    * vocabulary ever materializes. */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    docs
+      .select(explode(wordsExpr(textCol)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+}

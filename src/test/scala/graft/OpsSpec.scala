@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{CorpusStats, Dedup, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -124,6 +124,51 @@ class OpsSpec extends AnyFunSuite {
     val chain = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val resolved = Dedup.resolveClusters(chain, maxIters = 12).collect()
     assert(resolved.length == 121 && resolved.forall(_.getLong(1) == 0L))
+  }
+
+  test("corpus repetition: exact counts and integer milli fraction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"), // 5 words, 2 distinct; 4 bigrams {a b, b a}×2
+      (2L, "x"), // single word: no bigrams (the sequence(1,0) guard)
+      (3L, ""), // empty text
+      (4L, "u v w")) // all distinct
+      .toDF("doc_id", "text")
+    val out = CorpusStats.repetition(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, 4L, 2L, 600L), // (1000 * (5-2)) div 5 = 600
+      (2L, 1L, 1L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L, 0L),
+      (4L, 3L, 3L, 2L, 2L, 0L)))
+  }
+
+  test("corpus passage dedup: keep-first-occurrence across documents") {
+    import spark.implicits._
+    // docs 1 and 2 share the passage "p q r s"; doc 1 also repeats it
+    // internally. windowWords=4 → doc1 has passages [p q r s][p q r s],
+    // doc2 has [p q r s][t u v w], doc3 is all-unique.
+    val df = Seq(
+      (1L, "p q r s p q r s"),
+      (2L, "p q r s t u v w"),
+      (3L, "k l m n o"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.passageDedup(df, "doc_id", "text", windowWords = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // doc1: 2 passages, both dup'd, 1 removed (pos 0 is the global first);
+    // doc2: 2 passages, 1 dup'd, that one removed; doc3: 1 unique passage
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1L), (2L, 2L, 1L, 1L),
+      (3L, 1L, 0L, 0L)))
+  }
+
+  test("corpus vocab top-k: count-desc then token-asc total order") {
+    import spark.implicits._
+    val df = Seq((1L, "b a b c"), (2L, "a c c")).toDF("doc_id", "text")
+    val out = CorpusStats.vocabTopK(df, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("c", 3L), ("a", 2L))) // b=2 loses the a/b tie
   }
 
   test("similarity: self-nearest excluded, identical vector ranks first") {
