@@ -289,16 +289,32 @@ object PdfEngine extends ExtractionEngine {
         lang = LangResolve.resolve(row.lang, ""))
     var truncated = false
 
-    def fontMap(res: CosDict): Map[String, FontInfo] =
-      res.get("Font").map(resolve) match {
-        case Some(fd: CosDict) => fd.m.map { case (k, v) =>
-          k -> (resolve(v) match {
-            case d: CosDict => Glyphs.fontInfo(d, resolve)
-            case _ => Glyphs.default
-          })
+    // Per-document memo on resource-dict IDENTITY: pages usually share one
+    // inherited /Resources dict, so fonts/xobjects are resolved once per
+    // document instead of once per page (the within-doc half of the
+    // MultiFontManager memoization; the cross-doc half is the CMap content
+    // cache in Glyphs.parseCMapCached). Identity keying is safe — resolve
+    // returns the same CosDict instance for the same object number.
+    val fontMemo = new java.util.IdentityHashMap[CosDict, Map[String, FontInfo]]()
+    val xobjMemo = new java.util.IdentityHashMap[CosDict, Map[String, ContentStream.FormXObject]]()
+
+    def fontMap(res: CosDict): Map[String, FontInfo] = {
+      val got = fontMemo.get(res)
+      if (got != null) got
+      else {
+        val v: Map[String, FontInfo] = res.get("Font").map(resolve) match {
+          case Some(fd: CosDict) => fd.m.map { case (k, v) =>
+            k -> (resolve(v) match {
+              case d: CosDict => Glyphs.fontInfo(d, resolve)
+              case _ => Glyphs.default
+            })
+          }
+          case _ => Map.empty
         }
-        case _ => Map.empty
+        fontMemo.put(res, v)
+        v
       }
+    }
 
     // Resolve drawable Form XObjects against /Resources/XObject — the
     // reference's only join-like operation (reference:
@@ -326,10 +342,23 @@ object PdfEngine extends ExtractionEngine {
         case _ => Map.empty
       }
 
+    // memoize only the page-level (depth 0) entry: the recursion-depth
+    // guard inside xobjectMap must stay live for self-referential
+    // resource dicts, so inner calls are never cached
+    def xobjectMapTop(res: CosDict): Map[String, ContentStream.FormXObject] = {
+      val got = xobjMemo.get(res)
+      if (got != null) got
+      else {
+        val v = xobjectMap(res, 0)
+        xobjMemo.put(res, v)
+        v
+      }
+    }
+
     val pageTexts = doc.pages.zipWithIndex.map { case (page, idx) =>
       val fonts: Map[String, FontInfo] =
         page.inheritedResources.map(fontMap).getOrElse(Map.empty)
-      val xobjs = page.inheritedResources.map(xobjectMap(_, 0))
+      val xobjs = page.inheritedResources.map(xobjectMapTop)
         .getOrElse(Map.empty)
       val contents: Vector[Array[Byte]] = page.dict.get("Contents").map(resolve) match {
         case Some(s: CosStream) =>

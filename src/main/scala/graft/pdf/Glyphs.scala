@@ -229,6 +229,52 @@ object Glyphs {
     (codeBytes, m.toMap)
   }
 
+  /** Content key for byte arrays: equality/hash over the bytes. */
+  private final class BytesKey(val b: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(b)
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => java.util.Arrays.equals(b, k.b)
+      case _ => false
+    }
+  }
+
+  val cmapCacheSize = 256
+
+  /** Count of actual CMap parses — a probe for the cache test and for
+    * kernel metrics (monotone; reads are racy-but-sufficient). */
+  val cmapParses = new java.util.concurrent.atomic.AtomicLong
+
+  // Cross-row memoized CMap parsing — the MultiFontManager analog
+  // (reference: src/ocrmypdf/font/multi_font_manager.py:182-188 memoizes
+  // per-font selection results). Identical embedded ToUnicode CMaps recur
+  // across documents from one producer, so an LRU keyed on CMap CONTENT
+  // skips the re-parse. Per-thread: the engine is a shared singleton
+  // running on every task thread — a shared map would serialize the
+  // kernel hot path (and per-thread caches die with their executor,
+  // bounding memory at threads × cmapCacheSize entries).
+  private val cmapCache = ThreadLocal.withInitial[
+      java.util.LinkedHashMap[BytesKey, (Int, Map[Int, String])]](() =>
+    new java.util.LinkedHashMap[BytesKey, (Int, Map[Int, String])](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[BytesKey, (Int, Map[Int, String])]): Boolean =
+        size() > cmapCacheSize
+    })
+
+  /** Memoized [[parseCMap]]: same bytes → cached (codeBytes, map). */
+  def parseCMapCached(data: Array[Byte]): (Int, Map[Int, String]) = {
+    val cache = cmapCache.get()
+    val k = new BytesKey(data)
+    val got = cache.get(k)
+    if (got != null) got
+    else {
+      cmapParses.incrementAndGet()
+      val v = parseCMap(data)
+      cache.put(k, v)
+      v
+    }
+  }
+
   /** Build a FontInfo from a font dict (resolved). */
   def fontInfo(dict: CosDict, resolve: Cos => Cos): FontInfo = {
     val subtype = dict.get("Subtype").map(resolve) match {
@@ -237,7 +283,7 @@ object Glyphs {
     }
     val toUni = dict.get("ToUnicode").map(resolve) match {
       case Some(s: CosStream) =>
-        PdfDoc.decodeStream(s, resolve).map(parseCMap)
+        PdfDoc.decodeStream(s, resolve).map(parseCMapCached)
       case _ => None
     }
     toUni match {

@@ -40,6 +40,22 @@ class PdfSpec extends AnyFunSuite {
     assert(pt.lines == Vector("x"))
   }
 
+  test("glyphs: CMap parse memo hits on equal content, misses on new") {
+    // the MultiFontManager analog: identical ToUnicode bytes across rows
+    // parse once per thread; distinct content parses fresh
+    val cmap = ("begincodespacerange <00> <FF> endcodespacerange " +
+      "beginbfchar <41> <005A> endbfchar").getBytes(ISO_8859_1)
+    val copy = cmap.clone() // distinct array, equal content
+    val before = Glyphs.cmapParses.get()
+    val a = Glyphs.parseCMapCached(cmap)
+    val b = Glyphs.parseCMapCached(copy)
+    assert(a == b && a._2(0x41) == "Z")
+    assert(Glyphs.cmapParses.get() == before + 1) // one real parse
+    val other = ("beginbfchar <42> <0059> endbfchar").getBytes(ISO_8859_1)
+    Glyphs.parseCMapCached(other)
+    assert(Glyphs.cmapParses.get() == before + 2)
+  }
+
   test("content stream: Q restores the font set by Tf (graphics state)") {
     // the current font is graphics state (PDF 32000-1 §8.4.1): after Q,
     // show-text ops must decode with the outer font's map again
