@@ -171,6 +171,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("c", 3L), ("a", 2L))) // b=2 loses the a/b tie
   }
 
+  test("media: container headers parsed (PNG/GIF/BMP/JPEG/WAV), stub fallback") {
+    import graft.ops.Media
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR chunk, 640×480
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      bytes(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    assert(Media.parseHeader(1L, png).contains(
+      Media.MediaMeta(1L, 640L, 480L, 1L, "img")))
+    // GIF89a logical screen 320×200 (LE u16)
+    val gif = "GIF89a".getBytes ++ bytes(0x40, 0x01, 0xc8, 0x00, 0, 0, 0)
+    assert(Media.parseHeader(2L, gif).contains(
+      Media.MediaMeta(2L, 320L, 200L, 1L, "img")))
+    // BMP with negative (top-down) height -50 → magnitude
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      bytes(100, 0, 0, 0) ++ bytes(0xce, 0xff, 0xff, 0xff) ++ new Array[Byte](4)
+    assert(Media.parseHeader(3L, bmp).contains(
+      Media.MediaMeta(3L, 100L, 50L, 1L, "img")))
+    // JPEG: SOI, APP0 (skipped by length), SOF0 320×240
+    val jpg = bytes(0xff, 0xd8, 0xff, 0xe0, 0, 4, 0, 0,
+      0xff, 0xc0, 0, 17, 8, 0, 0xf0, 1, 0x40) ++ new Array[Byte](10)
+    assert(Media.parseHeader(4L, jpg).contains(
+      Media.MediaMeta(4L, 320L, 240L, 1L, "img")))
+    // WAV: RIFF/WAVE, fmt (stereo 44100, blockAlign 4), data 400 bytes
+    val wav = "RIFF".getBytes ++ bytes(0, 1, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0) ++
+      bytes(1, 0, 2, 0) ++ bytes(0x44, 0xac, 0, 0) ++
+      bytes(0x10, 0xb1, 2, 0) ++ bytes(4, 0, 16, 0) ++
+      "data".getBytes ++ bytes(0x90, 1, 0, 0) ++ new Array[Byte](16)
+    assert(Media.parseHeader(5L, wav).contains(
+      Media.MediaMeta(5L, 44100L, 2L, 100L, "aud")))
+    // unrecognized payloads fall through to the deterministic stub
+    val txt = "plain text payload".getBytes
+    assert(Media.parseHeader(6L, txt).isEmpty)
+    assert(Media.decodeMeta(6L, txt) == Media.decodeStub(6L, txt))
+    // total on adversarial bytes: truncated/corrupt headers → None or stub
+    Seq(bytes(0xff, 0xd8, 0xff), "GIF89a".getBytes.take(6),
+      "RIFF0000WAVE".getBytes, bytes(0x89, 'P', 'N', 'G')).foreach { p =>
+      Media.decodeMeta(9L, p) // must not throw
+    }
+  }
+
   test("similarity: self-nearest excluded, identical vector ranks first") {
     import spark.implicits._
     val df = Seq(
