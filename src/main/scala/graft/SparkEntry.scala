@@ -196,6 +196,12 @@ object SparkEntry {
       // CCNet-style corpus-wide passage dedup: keep-first-occurrence stats
       CorpusStats.passageDedup(docs(s, dir), "doc_id", "text", windowWords = 4)
         .orderBy("doc_id")),
+    "dedup_passages_clean" -> ((s, dir) =>
+      // the actual removal transform: drop non-first duplicate passages
+      // corpus-wide, reassemble survivors in order (skew-safe ordered
+      // concat — no per-doc buffer)
+      CorpusStats.passageDedupClean(docs(s, dir), "doc_id", "text",
+        windowWords = 4).orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
       CorpusStats.vocabTopK(docs(s, dir), "text", k = 100)),
     "media_meta" -> ((s, dir) =>
@@ -430,6 +436,22 @@ SELECT f.doc_id, count(*) AS n_passages,
   CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
   CAST(sum(CASE WHEN g.cnt > 1 AND f.doc_id * 1000000 + f.pos <> g.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM f JOIN g USING (h)
+GROUP BY 1 ORDER BY f.doc_id""",
+    "dedup_passages_clean" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), f AS (
+  SELECT doc_id, u.pos AS pos, u.p AS p FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws) // 4), i ->
+      {'pos': i, 'p': array_to_string(ws[i*4+1 : i*4+4], ' ')})) AS u
+    FROM w)
+), g AS (
+  SELECT p, count(*) AS cnt, min(doc_id * 1000000 + pos) AS first_key FROM f GROUP BY p
+)
+SELECT f.doc_id, count(*) AS n_kept,
+  string_agg(f.p, ' ' ORDER BY f.pos) AS clean_text
+FROM f JOIN g USING (p)
+WHERE g.cnt = 1 OR f.doc_id * 1000000 + f.pos = g.first_key
 GROUP BY 1 ORDER BY f.doc_id""",
     "vocab_topk" -> s"""
 WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})

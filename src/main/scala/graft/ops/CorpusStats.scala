@@ -100,6 +100,49 @@ object CorpusStats {
           .otherwise(0L)).as("n_removed"))
   }
 
+  /** The passage-grain view shared by [[passageDedup]] (stats) and
+    * [[passageDedupClean]] (transform): one row per non-overlapping
+    * passage, (doc_id, pos, p, h). */
+  private def passages(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""case when size(ws) >= $w
+              then transform(sequence(0, size(ws) div $w - 1),
+                             i -> array_join(slice(ws, i * $w + 1, $w), ' '))
+              else cast(array() as array<string>) end""")))
+      .select(col("doc_id"), col("pos"), col("col").as("p"),
+        md5(col("col").cast("binary")).as("h"))
+
+  /** The actual CCNet-style TRANSFORM: remove every passage that is a
+    * non-first duplicate of a passage seen anywhere in the corpus, then
+    * reassemble each document's surviving passages in order. Returns
+    * (doc_id, n_kept, clean_text); documents whose words don't fill one
+    * passage — or whose every passage was removed — emit no row.
+    *
+    * Composition is the point: the keep-decision is the same
+    * two-phase-agg + hash-join shape as [[passageDedup]], and the ordered
+    * reassembly reuses [[OrderedMerge.concatOrdered]] — the skew-safe
+    * sort-based streaming concat (no per-doc collect_list buffer), with
+    * pos zero-padded so its string order equals its numeric order. */
+  def passageDedupClean(docs: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 4, posCap: Long = 1000000L): DataFrame = {
+    val pass = passages(docs, idCol, textCol, windowWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = pass.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(col("doc_id") * posCap + col("pos")).as("first_key"))
+    val kept = pass.join(grp, Seq("h"))
+      .filter(col("cnt") === 1 ||
+        col("doc_id") * posCap + col("pos") === col("first_key"))
+      .withColumn("pos_pad", lpad(col("pos").cast("string"), 9, "0"))
+    OrderedMerge.concatOrdered(kept, "doc_id", "pos_pad", "p", " ",
+        nName = "n_kept", mergedName = "clean_text")
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_kept"),
+        col("clean_text"))
+  }
+
   /** Corpus vocabulary top-k: (token, count) ordered by count desc then
     * token asc — a total order, so the result is deterministic.
     *

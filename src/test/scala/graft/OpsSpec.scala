@@ -163,6 +163,24 @@ class OpsSpec extends AnyFunSuite {
       (3L, 1L, 0L, 0L)))
   }
 
+  test("corpus passage clean: duplicates removed, survivors reassembled in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s p q r s a b c d"), // [pqrs][pqrs][abcd]: 2nd pqrs removed
+      (2L, "p q r s t u v w"), // its pqrs loses to doc1 pos0 → "t u v w"
+      (3L, "k l m n o"), // remainder word "o" is not a passage
+      (4L, "x y")) // < 1 passage → no output row
+      .toDF("doc_id", "text")
+    val out = CorpusStats.passageDedupClean(df, "doc_id", "text",
+      windowWords = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, "p q r s a b c d"),
+      (2L, 1L, "t u v w"),
+      (3L, 1L, "k l m n")))
+  }
+
   test("corpus vocab top-k: count-desc then token-asc total order") {
     import spark.implicits._
     val df = Seq((1L, "b a b c"), (2L, "a c c")).toDF("doc_id", "text")

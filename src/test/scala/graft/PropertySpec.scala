@@ -4,6 +4,7 @@ import graft.engine.Extractor
 import graft.extract.{Blocks, Ranges}
 import graft.html.{Tokenizer, TreeBuilder}
 import graft.model.PageRow
+import graft.ops.CorpusStats
 import graft.pdf.PdfLexer
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
@@ -89,6 +90,54 @@ class PropertySpec extends AnyFunSuite {
         .flatMap { case (l, h) => l to h }.toSet
       assert(viaIntervals == Ranges.parse(sp, total), sp)
     }
+  }
+
+  test("property: repetition signals match a naive in-JVM model") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val text: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("aa", "bb", "cc", "dd"), // small vocab → repeats
+      1 -> Gen.const(""), 1 -> Gen.alphaStr.map(_.take(5))))
+      .map(_.mkString(" "))
+    val docs = samples(text, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = CorpusStats.repetition(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    docs.foreach { case (id, t) =>
+      val ws = t.split(' ').filter(_.nonEmpty).toSeq
+      val bg = if (ws.length >= 2)
+        ws.sliding(2).map(p => p(0) + " " + p(1)).toSeq else Seq.empty[String]
+      val expect = (ws.length.toLong, ws.distinct.length.toLong,
+        bg.length.toLong, bg.distinct.length.toLong,
+        1000L * (ws.length - ws.distinct.length) / math.max(ws.length, 1))
+      assert(got(id) == expect, s"doc $id: '$t'")
+    }
+  }
+
+  test("property: passage clean keeps each distinct passage exactly once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val text: Gen[String] = Gen.listOf(Gen.oneOf("aa", "bb", "cc"))
+      .map(_.mkString(" "))
+    val docs = samples(text, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val w = 3
+    val kept = CorpusStats.passageDedupClean(df, "doc_id", "text",
+        windowWords = w)
+      .collect().flatMap(_.getString(2).split(' ').grouped(w)
+        .map(_.mkString(" ")))
+    // every passage string survives exactly once corpus-wide…
+    assert(kept.length == kept.distinct.length)
+    // …and the surviving SET is the set of all passages that existed
+    val all = docs.flatMap { case (_, t) =>
+      val ws = t.split(' ').filter(_.nonEmpty)
+      ws.grouped(w).filter(_.length == w).map(_.mkString(" "))
+    }
+    assert(kept.toSet == all.toSet)
   }
 
   test("property: ascii word join is reversible (CJK rule aside)") {
