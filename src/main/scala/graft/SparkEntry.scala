@@ -204,6 +204,10 @@ object SparkEntry {
         windowWords = 4).orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
       CorpusStats.vocabTopK(docs(s, dir), "text", k = 100)),
+    "docstats_signals" -> ((s, dir) =>
+      // stopword/punct ratio quality signals, integer milli-exact
+      CorpusStats.qualitySignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "media_meta" -> ((s, dir) =>
       Media.metaFromBinary(
         docs(s, dir).select(col("doc_id"),
@@ -456,6 +460,12 @@ GROUP BY 1 ORDER BY f.doc_id""",
     "vocab_topk" -> s"""
 WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})
 SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
+    "docstats_signals" -> s"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM ${D(sf)})
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+  (1000 * len(list_filter(ws, w -> list_contains(['the','and','of','to','is','in','that','it','for','with'], w)))) // greatest(len(ws), 1) AS stopword_milli,
+  (1000 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))) // greatest(length(text), 1) AS punct_milli
+FROM w ORDER BY doc_id""",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
     "join_broadcast" ->

@@ -100,6 +100,32 @@ object CorpusStats {
           .otherwise(0L)).as("n_removed"))
   }
 
+  /** Fixed English stopword markers for the ratio signal (mirrors
+    * TextStats.stopwords("eng"); a literal here so the whole expression
+    * stays builtins). */
+  val stopwordList: Seq[String] = Seq("the", "and", "of", "to", "is",
+    "in", "that", "it", "for", "with")
+
+  /** Per-document quality-signal ratios (the length/punct/stopword family
+    * of training-data filters, à la C4/Gopher quality rules): stopword
+    * fraction and non-alphanumeric ("punct") character fraction, both as
+    * exact integer milli-units. Narrow builtins projection — zero shuffle,
+    * codegen'd, feeds a filter predicate at scale. */
+  def qualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sw = stopwordList.map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col(idCol).as("doc_id"),
+      wordsExpr(textCol).as("ws"),
+      col(textCol).as("t"))
+      .select(
+        col("doc_id"),
+        expr("cast(size(ws) as bigint)").as("n_words"),
+        expr(s"cast((1000 * size(filter(ws, w -> w in ($sw)))) div greatest(size(ws), 1) as bigint)")
+          .as("stopword_milli"),
+        expr("cast((1000 * length(regexp_replace(t, '[a-z0-9 ]', ''))) div greatest(length(t), 1) as bigint)")
+          .as("punct_milli"))
+  }
+
   /** The passage-grain view shared by [[passageDedup]] (stats) and
     * [[passageDedupClean]] (transform): one row per non-overlapping
     * passage, (doc_id, pos, p, h). */

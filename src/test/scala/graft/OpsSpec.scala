@@ -181,6 +181,20 @@ class OpsSpec extends AnyFunSuite {
       (3L, 1L, "k l m n")))
   }
 
+  test("corpus quality signals: stopword and punct ratios in exact milli") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog"), // 3 stopwords / 5 words = 600 milli
+      (2L, "a, b! c?"), // 3 punct chars / 8 chars = 375 milli
+      (3L, "")) // empty: all zero
+      .toDF("doc_id", "text")
+    val out = CorpusStats.qualitySignals(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 5L, 600L, 0L), (2L, 3L, 0L, 375L), (3L, 0L, 0L, 0L)))
+  }
+
   test("corpus vocab top-k: count-desc then token-asc total order") {
     import spark.implicits._
     val df = Seq((1L, "b a b c"), (2L, "a c c")).toDF("doc_id", "text")
