@@ -98,4 +98,59 @@ object StreamJobs {
           Iterator.single(DedupUpdate(h, next.keepUrl, next.dups))
       }
   }
+
+  /** Per-passage ownership state: the first (doc, pos) to present a
+    * passage owns it; later sightings only bump the counter. Constant
+    * size per key — the streaming analog of
+    * `CorpusStats.passageDedup`'s (h, first_key, cnt). */
+  final case class PassageState(ownerDoc: Long, ownerPos: Int, dups: Long)
+
+  /** One row per (passage hash, micro-batch that touched it). */
+  final case class PassageUpdate(h: String, owner_doc: Long, owner_pos: Int,
+      dups: Long)
+
+  /** Streaming corpus-wide passage dedup (the stateful twin of
+    * `CorpusStats.passageDedup`): documents arriving on the stream are
+    * split into non-overlapping `windowWords`-word passages; the state
+    * store remembers each passage's first owner across micro-batches, so
+    * boilerplate arriving in later batches is recognized as duplicate.
+    * Within a batch, ownership goes to the lowest (doc_id, pos) — the
+    * same keep-first rule as the batch operator, independent of arrival
+    * order. */
+  def streamingPassageDedup(docs: Dataset[(Long, String)],
+      windowWords: Int = 4): Dataset[PassageUpdate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val w = windowWords
+    docs
+      .flatMap { case (id, text) =>
+        val ws = if (text == null) Array.empty[String]
+          else text.split(' ').filter(_.nonEmpty)
+        ws.grouped(w).zipWithIndex.collect {
+          case (g, i) if g.length == w =>
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(g.mkString(" ")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (d.map(b => f"${b & 0xff}%02x").mkString, id, i)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PassageState, PassageUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, rows: Iterator[(String, Long, Int)],
+            state: GroupState[PassageState]) =>
+          val seen = rows.toVector
+          val first = seen.minBy(r => (r._2, r._3))
+          val next = state.getOption match {
+            case Some(s) => PassageState(s.ownerDoc, s.ownerPos,
+              s.dups + seen.length)
+            case None => PassageState(first._2, first._3,
+              (seen.length - 1).toLong)
+          }
+          state.update(next)
+          Iterator.single(PassageUpdate(h, next.ownerDoc, next.ownerPos,
+            next.dups))
+      }
+  }
 }

@@ -19,7 +19,8 @@ object Plans {
       "dedup_embed_cosine", "sim_topk_brute", "sim_topk_native",
       "sim_topk_ivf", "merge_ordered", "pages_subset", "join_broadcast",
       "docstats_tokens", "host_stats_salted", "text_repetition",
-      "dedup_passages", "vocab_topk").foreach { q =>
+      "dedup_passages", "dedup_passages_clean", "vocab_topk",
+      "docstats_signals").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

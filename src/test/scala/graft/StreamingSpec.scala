@@ -86,6 +86,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: passage dedup owner is stable across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamJobs.streamingPassageDedup(stream.toDS(), windowWords = 4)
+      .writeStream.format("memory").queryName("passage_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 5 and 2 share passage "p q r s"; within-batch
+      // ownership must go to the LOWEST (doc, pos), not arrival order
+      stream.addData(Seq(
+        (5L, "p q r s a b c d"),
+        (2L, "x x x x p q r s")))
+      q.processAllAvailable()
+      // batch 2: the same passage arrives again — owner must not change
+      stream.addData(Seq((9L, "p q r s")))
+      q.processAllAvailable()
+      val rows = spark.table("passage_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      val pqrs = rows.filter(r => r._2 == 2L && r._3 == 1)
+      assert(pqrs.map(_._4).sorted.toSeq == Seq(1L, 2L)) // dup counts grow
+      assert(!rows.exists(_._2 == 9L)) // late arrival never owns
+      // unique passages own themselves with zero dups
+      assert(rows.exists(r => r._2 == 5L && r._3 == 1 && r._4 == 0L))
+      assert(rows.exists(r => r._2 == 2L && r._3 == 0 && r._4 == 0L))
+    } finally q.stop()
+  }
+
   test("streaming: file-source query is exactly-once across restarts") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
