@@ -234,6 +234,44 @@ object SparkEntry {
           countDistinct(col("c_custkey")).as("n_customers"))
         .orderBy("c_mktsegment")
     }),
+    "join_anti" -> ((s, dir) => {
+      // blocklist filtering as a broadcast LEFT ANTI join — the standard
+      // training-pipeline URL/domain exclusion shape: the blocklist is a
+      // small dim (broadcast), the fact side never shuffles
+      val d = docs(s, dir)
+      val blocklist = d.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("bad_id"))
+      d.join(broadcast(blocklist), col("doc_id") === col("bad_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "agg_rollup" -> ((s, dir) =>
+      // hierarchical subtotals in ONE pass (rollup = grouping-sets agg:
+      // partial aggregation expands grouping ids map-side, one shuffle)
+      docs(s, dir).rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+    "agg_quantiles" -> ((s, dir) => {
+      // EXACT order statistics per group via rank selection (one shuffle on
+      // the group key + in-partition sort). At corpus scale swap in a
+      // mergeable sketch (KLL/t-digest); the exact form is the
+      // oracle-checkable baseline the sketch is validated against.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val wn = Window.partitionBy("lang")
+      docs(s, dir)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("lang")
+        .agg(
+          max(when(col("rn") === lit(1) + floor((col("n") - 1) * 0.5),
+            col("n_chars"))).as("p50"),
+          max(when(col("rn") === lit(1) + floor((col("n") - 1) * 0.9),
+            col("n_chars"))).as("p90"),
+          max(col("n_chars")).as("p100"))
+        .orderBy("lang")
+    }),
     "agg_hmean" -> ((s, dir) =>
       // weighted harmonic-mean components (reference: page_dpi_profile,
       // pdfinfo/info.py:355-392 — sum(area)/sum(area/dpi) with builtins);
@@ -472,6 +510,22 @@ FROM w ORDER BY doc_id""",
       s"SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_centi, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers FROM read_parquet('$sf/orders.parquet') o JOIN read_parquet('$sf/customer.parquet') c ON o.o_custkey = c.c_custkey GROUP BY 1 ORDER BY c_mktsegment",
     "agg_hmean" ->
       s"SELECT l_returnflag, l_linestatus, CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi, CAST(sum(CAST(floor((l_quantity / l_extendedprice) * 1e9) AS BIGINT)) AS BIGINT) AS ratio_nano, count(*) AS n FROM read_parquet('$sf/lineitem.parquet') GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus",
+    "join_anti" ->
+      s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE doc_id % 17 <> 0 ORDER BY doc_id",
+    "agg_rollup" ->
+      s"SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM ${D(sf)} GROUP BY ROLLUP (lang, source) ORDER BY lang NULLS FIRST, source NULLS FIRST",
+    "agg_quantiles" -> s"""
+WITH r AS (
+  SELECT lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM ${D(sf)}
+)
+SELECT lang,
+  CAST(max(CASE WHEN rn = 1 + floor((n-1) * 0.5) THEN n_chars END) AS BIGINT) AS p50,
+  CAST(max(CASE WHEN rn = 1 + floor((n-1) * 0.9) THEN n_chars END) AS BIGINT) AS p90,
+  CAST(max(n_chars) AS BIGINT) AS p100
+FROM r GROUP BY lang ORDER BY lang""",
     "events_json" ->
       s"SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM read_parquet('$sf/events.parquet') ORDER BY event_id",
     "events_hourly" ->

@@ -20,7 +20,8 @@ object Plans {
       "sim_topk_ivf", "merge_ordered", "pages_subset", "join_broadcast",
       "docstats_tokens", "host_stats_salted", "text_repetition",
       "dedup_passages", "dedup_passages_clean", "vocab_topk",
-      "docstats_signals").foreach { q =>
+      "docstats_signals", "join_anti", "agg_rollup",
+      "agg_quantiles").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
