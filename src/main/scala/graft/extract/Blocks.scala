@@ -4,18 +4,28 @@ import graft.html.{Dom, DomNode}
 import scala.collection.mutable.ArrayBuffer
 
 /** A candidate text block: the unit of boilerplate classification.
-  * Words carry link-ness so the classifier can compute link density —
+  * Link-chars carry link-ness so the classifier can compute link density —
   * the generalization of the reference's geometric content-vs-chrome
   * predicate (reference: src/ocrmypdf/pdfinfo/info.py:44-70
   * `_page_has_text` ignores text in the 12.5% margin band; here "margin"
   * is structural: nav/header/footer/aside ancestry + link density).
-  */
+  *
+  * `text` is the final joined form (single space between words except
+  * CJK–CJK, the renderer.py:740-748 rule) built DURING segmentation:
+  * per-word Strings and word vectors were the segmentation hot path's
+  * dominant allocation, so the classifier features that used to be
+  * derived from the word list (max word length, letter count, CJK count)
+  * are folded into the same single pass. */
 final case class Block(
     kind: String, // title|heading|para|list_item|pre|quote|cell|caption
     path: String, // /html/body/div[1]/p[2]
-    words: Vector[String],
+    text: String, // words joined: ' ' except between two CJK words
+    nWords: Int,
     linkChars: Int,
-    chars: Int,
+    chars: Int, // sum of word lengths (separators excluded)
+    maxWordLen: Int,
+    letters: Int, // Character.isLetter chars across words
+    cjk: Int, // CJK codepoints across words
     inChrome: Boolean // nav/header/footer/aside ancestry
 )
 
@@ -96,10 +106,13 @@ object Blocks {
 
     val out = new ArrayBuffer[Block]
     var curAnc = -2
-    var words = Vector.newBuilder[String]
+    val btext = new java.lang.StringBuilder // joined block text, built inline
     var nWords = 0
     var linkChars = 0
     var chars = 0
+    var maxWordLen = 0
+    var letters = 0
+    var cjkCount = 0
     var curChrome = false
     var curKind = "para"
     var curPath = ""
@@ -112,11 +125,36 @@ object Blocks {
     // must not split it — rendered text has no space there. Link-char
     // attribution is per appended char, so a word spanning a link edge
     // counts only its linked chars toward link density.
+    //
+    // The join rule (single space except CJK–CJK) is applied HERE, at word
+    // granularity, identical to the former joinWords pass over the word
+    // vector — one allocation (the block text) instead of one per word.
     def flushWord(): Unit = {
       if (pending.length > 0) {
-        val w = pending.toString
-        words += w; nWords += 1
-        chars += w.length
+        if (btext.length() > 0) {
+          val prevCp = btext.codePointBefore(btext.length())
+          val nextCp = pending.codePointAt(0)
+          if (!(isCjk(prevCp) && isCjk(nextCp))) btext.append(' ')
+        }
+        btext.append(pending)
+        nWords += 1
+        chars += pending.length
+        if (pending.length > maxWordLen) maxWordLen = pending.length
+        // letters is CHAR-based (exactly the former
+        // `w.count(Character.isLetter)` — surrogate units count as
+        // non-letters), cjk is CODEPOINT-based (the former effectiveChars
+        // walk) — both rules are frozen classifier behavior
+        var i = 0
+        while (i < pending.length) {
+          if (Character.isLetter(pending.charAt(i))) letters += 1
+          i += 1
+        }
+        var j = 0
+        while (j < pending.length) {
+          val cp = pending.codePointAt(j)
+          if (isCjk(cp)) cjkCount += 1
+          j += Character.charCount(cp)
+        }
         linkChars += pendingLinkChars
         pending.setLength(0)
         pendingLinkChars = 0
@@ -126,9 +164,10 @@ object Blocks {
     def flushBlock(): Unit = {
       flushWord()
       if (nWords > 0)
-        out += Block(curKind, curPath, words.result(), linkChars, chars, curChrome)
-      words = Vector.newBuilder[String]; nWords = 0
-      linkChars = 0; chars = 0
+        out += Block(curKind, curPath, btext.toString, nWords, linkChars,
+          chars, maxWordLen, letters, cjkCount, curChrome)
+      btext.setLength(0); nWords = 0
+      linkChars = 0; chars = 0; maxWordLen = 0; letters = 0; cjkCount = 0
     }
 
     i = 0

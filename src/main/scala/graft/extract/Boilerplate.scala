@@ -34,31 +34,18 @@ object Boilerplate {
     * plausibly hold their text): a "word" longer than any natural-language
     * word, or a long block that is mostly non-letters, is machine junk. */
   def implausible(b: Block): Boolean = {
-    if (b.words.exists(_.length > maxWordLen)) return true
-    if (b.chars > 80) {
-      var letters = 0
-      b.words.foreach(w => letters += w.count(Character.isLetter))
-      if (letters.toDouble / b.chars < minAlphaRatio) return true
-    }
+    if (b.maxWordLen > maxWordLen) return true
+    if (b.chars > 80 && b.letters.toDouble / b.chars < minAlphaRatio)
+      return true
     false
   }
 
   /** Length measured in information, not code units: a CJK char carries a
     * word's worth of content, so it counts 3× toward the good-length
     * threshold (the latin-centric 40-char rule would drop normal Chinese/
-    * Japanese paragraphs otherwise). */
-  def effectiveChars(b: Block): Int = {
-    var cjk = 0
-    b.words.foreach { w =>
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        if (Blocks.isCjk(cp)) cjk += 1
-        i += Character.charCount(cp)
-      }
-    }
-    b.chars + 2 * cjk
-  }
+    * Japanese paragraphs otherwise). Counts are folded into the block at
+    * segmentation time (one pass). */
+  def effectiveChars(b: Block): Int = b.chars + 2 * b.cjk
 
   def contextFree(b: Block): Cls = {
     val ld = if (b.chars == 0) 0.0 else b.linkChars.toDouble / b.chars

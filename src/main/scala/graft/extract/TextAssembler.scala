@@ -36,7 +36,7 @@ object TextAssembler {
 
     val titleText = Blocks.joinWords(splitWords(Blocks.nfkc(title)))
     if (titleText.nonEmpty) emit(titleText, "title", "/html/head/title")
-    blocks.foreach { b => emit(Blocks.joinWords(b.words), b.kind, b.path) }
+    blocks.foreach { b => emit(b.text, b.kind, b.path) } // joined in segment()
     Assembled(sb.toString, spans.toVector)
   }
 

@@ -265,7 +265,7 @@ class KernelSpec extends AnyFunSuite {
       "<html><body><p><a href='/'>Wiki</a>pedia</p></body></html>")
     val dom = TreeBuilder.build(toks)
     val b = Blocks.segment(dom).head
-    assert(b.words == Vector("Wikipedia"))
+    assert(b.text == "Wikipedia" && b.nWords == 1)
     assert(b.chars == 9)
     assert(b.linkChars == 4) // only "Wiki" came from inside the <a>
   }
@@ -353,7 +353,8 @@ class KernelSpec extends AnyFunSuite {
         val s = Sniffer.sniff(p.html)
         val (_, decoded) = Sniffer.decodeHtml(s.bytes)
         val dom = graft.html.TreeBuilder.build(Tokenizer.tokenize(decoded))
-        val naive = Blocks.segment(dom).flatMap(_.words).toSet
+        val naive = Blocks.segment(dom)
+          .flatMap(b => TextAssembler.splitWords(b.text)).toSet
         val kept = Extractor.extract(p)
         val titleWords = TextAssembler.splitWords(Blocks.nfkc(dom.title)).toSet
         val keptWords = TextAssembler.splitWords(kept.text).toSet -- titleWords
