@@ -55,8 +55,19 @@ object SyntheticCorpus {
   val hebrewVocab: Vector[String] = Vector("נתונים", "עיבוד", "חילוץ",
     "מסמך", "תוכן", "מערכת", "רשת", "עמוד", "טקסט")
 
-  def words(rng: Rng, k: Int, v: Vector[String] = vocab): String =
-    (0 until k).map(_ => v(rng.nextInt(v.length))).mkString(" ")
+  def words(rng: Rng, k: Int, v: Vector[String] = vocab): String = {
+    // byte-identical to the former map().mkString(" ") — same rng call
+    // sequence, no intermediate collection (this is the generator's
+    // innermost allocator at bench scale)
+    val sb = new java.lang.StringBuilder(k * 8)
+    var i = 0
+    while (i < k) {
+      if (i > 0) sb.append(' ')
+      sb.append(v(rng.nextInt(v.length)))
+      i += 1
+    }
+    sb.toString
+  }
 
   def sentence(rng: Rng): String = {
     val w = words(rng, 8 + rng.nextInt(10))
