@@ -209,9 +209,15 @@ object SparkEntry {
       CorpusStats.qualitySignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     "media_meta" -> ((s, dir) =>
+      // headerParse=false: this query verifies the binary-column PLUMBING
+      // against a SQL oracle, which can only express the stub arithmetic;
+      // the real container-header parsers (production default) are pinned
+      // by OpsSpec unit tests — and must never be reachable here, or a
+      // future corpus whose text happens to start with a magic prefix
+      // (e.g. "BM") would diverge from the oracle
       Media.metaFromBinary(
         docs(s, dir).select(col("doc_id"),
-          col("text").cast("binary").as("payload")))
+          col("text").cast("binary").as("payload")), headerParse = false)
         .orderBy("doc_id")),
     "sim_topk_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -472,11 +478,11 @@ WITH w AS (
       {'pos': i, 'h': md5(array_to_string(ws[i*4+1 : i*4+4], ' '))})) AS u
     FROM w)
 ), g AS (
-  SELECT h, count(*) AS cnt, min(doc_id * 1000000 + pos) AS first_key FROM f GROUP BY h
+  SELECT h, count(*) AS cnt, min({'d': doc_id, 'p': pos}) AS first FROM f GROUP BY h
 )
 SELECT f.doc_id, count(*) AS n_passages,
   CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-  CAST(sum(CASE WHEN g.cnt > 1 AND f.doc_id * 1000000 + f.pos <> g.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+  CAST(sum(CASE WHEN g.cnt > 1 AND NOT (f.doc_id = (g.first).d AND f.pos = (g.first).p) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM f JOIN g USING (h)
 GROUP BY 1 ORDER BY f.doc_id""",
     "dedup_passages_clean" -> s"""
@@ -488,21 +494,26 @@ WITH w AS (
       {'pos': i, 'p': array_to_string(ws[i*4+1 : i*4+4], ' ')})) AS u
     FROM w)
 ), g AS (
-  SELECT p, count(*) AS cnt, min(doc_id * 1000000 + pos) AS first_key FROM f GROUP BY p
+  SELECT p, count(*) AS cnt, min({'d': doc_id, 'p': pos}) AS first FROM f GROUP BY p
+), kept AS (
+  SELECT f.doc_id, f.pos, f.p FROM f JOIN g USING (p)
+  WHERE g.cnt = 1 OR (f.doc_id = (g.first).d AND f.pos = (g.first).p)
+  UNION ALL
+  SELECT doc_id, len(ws) // 4 AS pos,
+    array_to_string(ws[(len(ws) // 4) * 4 + 1 : (len(ws) // 4) * 4 + 4], ' ') AS p
+  FROM w
+  WHERE length(array_to_string(ws[(len(ws) // 4) * 4 + 1 : (len(ws) // 4) * 4 + 4], ' ')) > 0
 )
-SELECT f.doc_id, count(*) AS n_kept,
-  string_agg(f.p, ' ' ORDER BY f.pos) AS clean_text
-FROM f JOIN g USING (p)
-WHERE g.cnt = 1 OR f.doc_id * 1000000 + f.pos = g.first_key
-GROUP BY 1 ORDER BY f.doc_id""",
+SELECT doc_id, count(*) AS n_kept, string_agg(p, ' ' ORDER BY pos) AS clean_text
+FROM kept GROUP BY 1 ORDER BY doc_id""",
     "vocab_topk" -> s"""
 WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})
 SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
     "docstats_signals" -> s"""
 WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM ${D(sf)})
 SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-  (1000 * len(list_filter(ws, w -> list_contains(['the','and','of','to','is','in','that','it','for','with'], w)))) // greatest(len(ws), 1) AS stopword_milli,
-  (1000 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))) // greatest(length(text), 1) AS punct_milli
+  (1000 * len(list_filter(ws, w -> list_contains(['and','for','in','is','it','of','that','the','to','with'], lower(w))))) // greatest(len(ws), 1) AS stopword_milli,
+  (1000 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) // greatest(length(text), 1) AS nonalnum_milli
 FROM w ORDER BY doc_id""",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",

@@ -49,68 +49,22 @@ object CorpusStats {
         expr("cast((1000 * (size(ws) - size(array_distinct(ws)))) div greatest(size(ws), 1) as bigint)")
           .as("dup_word_milli"))
 
-  /** Corpus-wide passage dedup stats (CCNet-style, public: Wenzek et al.
-    * 2020 §3.1 dedups by paragraph hash across the whole crawl). The unit
-    * here is a non-overlapping `windowWords`-word passage (this corpus has
-    * no newlines; real crawls would use paragraphs). For each document:
-    * how many passages it has, how many are duplicated ANYWHERE in the
-    * corpus, and how many would be removed under keep-first-occurrence
-    * (first = lowest (doc_id, pos)).
-    *
-    * 100 TB shape: passages reduce to 32-char md5 keys immediately — the
-    * corpus-wide count/argmin is a two-phase hash aggregation on those
-    * keys (map-side partial combine absorbs within-partition repeats), the
-    * join back is hash-partitioned on the same key (text never moves), and
-    * the final per-doc rollup shuffles one row per passage. Hot passages
-    * (the corpus-wide boilerplate this operator exists to find) are
-    * SAFE-skewed: the aggregation side collapses them map-side, and the
-    * join fans the single (h, cnt, first_key) row back out — no bucket
-    * blowup, because we never self-join passages against each other.
-    *
-    * first_key packs (doc_id, pos) as doc_id * posCap + pos — exact while
-    * passages-per-doc < posCap (a 4M-word web page at the default cap;
-    * raise posCap for book-scale rows). */
-  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 4, posCap: Long = 1000000L): DataFrame = {
-    val w = windowWords
-    val pass = docs
-      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""case when size(ws) >= $w
-              then transform(sequence(0, size(ws) div $w - 1),
-                             i -> md5(array_join(slice(ws, i * $w + 1, $w), ' ')))
-              else cast(array() as array<string>) end""")))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
-      // persist barrier: `pass` feeds BOTH the corpus-wide aggregation and
-      // the join back — without it Catalyst re-inlines the scan+split+md5
-      // subtree into both sides (double text read, double hashing). At
-      // warehouse scale this is a materialized passage-hash table (write
-      // once, aggregate and join against it).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grp = pass.groupBy("h").agg(
-      count(lit(1)).as("cnt"),
-      min(col("doc_id") * posCap + col("pos")).as("first_key"))
-    pass.join(grp, Seq("h"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_passages"),
-        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
-        sum(when(col("cnt") > 1 &&
-          col("doc_id") * posCap + col("pos") =!= col("first_key"), 1L)
-          .otherwise(0L)).as("n_removed"))
-  }
-
-  /** Fixed English stopword markers for the ratio signal (mirrors
-    * TextStats.stopwords("eng"); a literal here so the whole expression
-    * stays builtins). */
-  val stopwordList: Seq[String] = Seq("the", "and", "of", "to", "is",
-    "in", "that", "it", "for", "with")
+  /** English stopword markers for the ratio signal — THE source of truth
+    * is TextStats.stopwords("eng"); referenced (sorted for a stable SQL
+    * literal) so the scalar kernel and this operator can never diverge. */
+  val stopwordList: Seq[String] = TextStats.stopwords("eng").toSeq.sorted
 
   /** Per-document quality-signal ratios (the length/punct/stopword family
-    * of training-data filters, à la C4/Gopher quality rules): stopword
-    * fraction and non-alphanumeric ("punct") character fraction, both as
-    * exact integer milli-units. Narrow builtins projection — zero shuffle,
-    * codegen'd, feeds a filter predicate at scale. */
+    * of training-data filters, à la C4/Gopher quality rules), as exact
+    * integer milli-units:
+    *  - stopword_milli: fraction of words that are (case-folded) English
+    *    stopword markers;
+    *  - nonalnum_milli: fraction of characters outside [A-Za-z0-9 ]. The
+    *    ASCII class is deliberate — Unicode letter classes differ across
+    *    engines, so this is the determinism-safe "punctuation-ish" proxy;
+    *    non-ASCII text scores high by design and should be routed by
+    *    langId, not this filter.
+    * Narrow builtins projection — zero shuffle, codegen'd. */
   def qualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sw = stopwordList.map(w => s"'$w'").mkString(", ")
     docs.select(
@@ -120,15 +74,16 @@ object CorpusStats {
       .select(
         col("doc_id"),
         expr("cast(size(ws) as bigint)").as("n_words"),
-        expr(s"cast((1000 * size(filter(ws, w -> w in ($sw)))) div greatest(size(ws), 1) as bigint)")
+        expr(s"cast((1000 * size(filter(ws, w -> lower(w) in ($sw)))) div greatest(size(ws), 1) as bigint)")
           .as("stopword_milli"),
-        expr("cast((1000 * length(regexp_replace(t, '[a-z0-9 ]', ''))) div greatest(length(t), 1) as bigint)")
-          .as("punct_milli"))
+        expr("cast((1000 * length(regexp_replace(t, '[a-zA-Z0-9 ]', ''))) div greatest(length(t), 1) as bigint)")
+          .as("nonalnum_milli"))
   }
 
   /** The passage-grain view shared by [[passageDedup]] (stats) and
     * [[passageDedupClean]] (transform): one row per non-overlapping
-    * passage, (doc_id, pos, p, h). */
+    * `w`-word passage, (doc_id, pos, p, h). Trailing words that don't
+    * fill a window are NOT passages (see tailExpr). */
   private def passages(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
     docs
@@ -141,29 +96,90 @@ object CorpusStats {
       .select(col("doc_id"), col("pos"), col("col").as("p"),
         md5(col("col").cast("binary")).as("h"))
 
+  /** Corpus-wide passage dedup stats (CCNet-style, public: Wenzek et al.
+    * 2020 §3.1 dedups by paragraph hash across the whole crawl). The unit
+    * here is a non-overlapping `windowWords`-word passage (this corpus has
+    * no newlines; real crawls would use paragraphs). For each document:
+    * how many passages it has, how many are duplicated ANYWHERE in the
+    * corpus, and how many would be removed under keep-first-occurrence
+    * (first = lowest (doc_id, pos), tracked as a struct min — exact at any
+    * document size, no key packing).
+    *
+    * 100 TB shape: passages reduce to 32-char md5 keys immediately — the
+    * corpus-wide count/argmin is a two-phase hash aggregation on those
+    * keys (map-side partial combine absorbs within-partition repeats), the
+    * join back is hash-partitioned on the same key (text never moves), and
+    * the final per-doc rollup shuffles one row per passage. Hot passages
+    * (the corpus-wide boilerplate this operator exists to find) are
+    * SAFE-skewed: the aggregation side collapses them map-side, and the
+    * join fans the single (h, cnt, first) row back out — no bucket
+    * blowup, because we never self-join passages against each other. */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 4): DataFrame = {
+    val pass = passages(docs, idCol, textCol, windowWords)
+      .select("doc_id", "pos", "h") // passage strings pruned: stats are hash-only
+      // persist barrier: `pass` feeds BOTH the corpus-wide aggregation and
+      // the join back — without it Catalyst re-inlines the scan+split+md5
+      // subtree into both sides (double text read, double hashing). At
+      // warehouse scale this is a materialized passage-hash table (write
+      // once, aggregate and join against it).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = pass.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val isFirst = col("doc_id") === col("first.doc_id") &&
+      col("pos") === col("first.pos")
+    pass.join(grp, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("cnt") > 1 && !isFirst, 1L).otherwise(0L))
+          .as("n_removed"))
+  }
+
   /** The actual CCNet-style TRANSFORM: remove every passage that is a
     * non-first duplicate of a passage seen anywhere in the corpus, then
-    * reassemble each document's surviving passages in order. Returns
-    * (doc_id, n_kept, clean_text); documents whose words don't fill one
-    * passage — or whose every passage was removed — emit no row.
+    * reassemble each document's surviving passages in order. Trailing
+    * words that don't fill a window are NOT dedup units — they are always
+    * kept and re-appended after the surviving passages, so the transform
+    * loses no content except removed duplicates (documents whose every
+    * passage was removed and that have no tail emit no row). Returns
+    * (doc_id, n_kept, clean_text) where n_kept counts kept units
+    * (passages + the tail, if any).
     *
     * Composition is the point: the keep-decision is the same
     * two-phase-agg + hash-join shape as [[passageDedup]], and the ordered
     * reassembly reuses [[OrderedMerge.concatOrdered]] — the skew-safe
     * sort-based streaming concat (no per-doc collect_list buffer), with
-    * pos zero-padded so its string order equals its numeric order. */
+    * pos zero-padded so its string order equals its numeric order (9
+    * digits = 10^9 units per document, orders of magnitude beyond any web
+    * page). */
   def passageDedupClean(docs: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 4, posCap: Long = 1000000L): DataFrame = {
-    val pass = passages(docs, idCol, textCol, windowWords)
+      windowWords: Int = 4): DataFrame = {
+    val w = windowWords
+    val pass = passages(docs, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grp = pass.groupBy("h").agg(
       count(lit(1)).as("cnt"),
-      min(col("doc_id") * posCap + col("pos")).as("first_key"))
+      min(struct(col("doc_id"), col("pos"))).as("first"))
     val kept = pass.join(grp, Seq("h"))
       .filter(col("cnt") === 1 ||
-        col("doc_id") * posCap + col("pos") === col("first_key"))
+        (col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      .select("doc_id", "pos", "p")
+    // the sub-window tail, positioned after the last full passage —
+    // always kept (it is not a dedup unit)
+    val tails = docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"),
+        expr(s"size(ws) div $w").as("pos"),
+        expr(s"array_join(slice(ws, (size(ws) div $w) * $w + 1, $w), ' ')")
+          .as("p"))
+      .filter(length(col("p")) > 0)
+    val units = kept.unionAll(tails)
       .withColumn("pos_pad", lpad(col("pos").cast("string"), 9, "0"))
-    OrderedMerge.concatOrdered(kept, "doc_id", "pos_pad", "p", " ",
+    OrderedMerge.concatOrdered(units, "doc_id", "pos_pad", "p", " ",
         nName = "n_kept", mergedName = "clean_text")
       .select(col("doc_id").cast("long").as("doc_id"), col("n_kept"),
         col("clean_text"))

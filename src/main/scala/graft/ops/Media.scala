@@ -75,12 +75,13 @@ object Media {
       return None
     }
     // JPEG: FF D8, then marker segments; SOFn (C0-C3) carries height@+5
-    // BE u16, width@+7 (ITU T.81 §B.2.2). Skip other segments by length.
+    // BE u16, width@+7 (ITU T.81 §B.2.2). Skip other segments by length —
+    // i advances ≥2 per step, so the walk terminates without a segment
+    // cap (a cap would mis-stub metadata-heavy JPEGs: ICC alone can span
+    // 255 APP2 segments)
     if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       var i = 2
-      var guard = 0
-      while (i + 4 <= b.length && guard < 64) {
-        guard += 1
+      while (i + 4 <= b.length) {
         if ((b(i) & 0xff) != 0xff) return None // desynced: not a JPEG
         val marker = b(i + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xc3) {
@@ -131,15 +132,20 @@ object Media {
 
   /** (id: Long, payload: Binary) → typed metadata. Narrow map, one kernel
     * instance per partition — the same fused-stage shape as the extract
-    * kernel. */
-  def metaFromBinary(df: DataFrame): DataFrame = {
+    * kernel. `headerParse = false` forces the stub for every payload —
+    * used where an independent oracle must reproduce the arithmetic in
+    * SQL (the header parsers are pinned by unit tests instead; SQL can't
+    * express a JPEG segment walk). */
+  def metaFromBinary(df: DataFrame, headerParse: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
       df.select(col(df.columns(0)).cast("long"), col(df.columns(1)))
         .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
-      it.map { case (id, payload) => decodeMeta(id, payload) }
+      it.map { case (id, payload) =>
+        if (headerParse) decodeMeta(id, payload) else decodeStub(id, payload)
+      }
     }.toDF()
   }
 }

@@ -163,13 +163,14 @@ class OpsSpec extends AnyFunSuite {
       (3L, 1L, 0L, 0L)))
   }
 
-  test("corpus passage clean: duplicates removed, survivors reassembled in order") {
+  test("corpus passage clean: duplicates removed, survivors + tail reassembled") {
     import spark.implicits._
     val df = Seq(
       (1L, "p q r s p q r s a b c d"), // [pqrs][pqrs][abcd]: 2nd pqrs removed
       (2L, "p q r s t u v w"), // its pqrs loses to doc1 pos0 → "t u v w"
-      (3L, "k l m n o"), // remainder word "o" is not a passage
-      (4L, "x y")) // < 1 passage → no output row
+      (3L, "k l m n o"), // trailing "o" is a tail, not a dedup unit: KEPT
+      (4L, "x y"), // sub-window doc = pure tail, kept verbatim
+      (5L, "")) // no words at all → no output row
       .toDF("doc_id", "text")
     val out = CorpusStats.passageDedupClean(df, "doc_id", "text",
       windowWords = 4)
@@ -178,14 +179,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, 2L, "p q r s a b c d"),
       (2L, 1L, "t u v w"),
-      (3L, 1L, "k l m n")))
+      (3L, 2L, "k l m n o"), // passage + tail: no content loss
+      (4L, 1L, "x y")))
   }
 
-  test("corpus quality signals: stopword and punct ratios in exact milli") {
+  test("corpus quality signals: stopword and non-alnum ratios in exact milli") {
     import spark.implicits._
     val df = Seq(
-      (1L, "the cat and the dog"), // 3 stopwords / 5 words = 600 milli
-      (2L, "a, b! c?"), // 3 punct chars / 8 chars = 375 milli
+      (1L, "The cat AND the dog"), // case-folded: 3 stopwords / 5 = 600
+      (2L, "a, b! c?"), // 3 non-alnum chars / 8 chars = 375 milli
       (3L, "")) // empty: all zero
       .toDF("doc_id", "text")
     val out = CorpusStats.qualitySignals(df, "doc_id", "text").collect()

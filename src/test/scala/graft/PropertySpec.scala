@@ -126,10 +126,12 @@ class PropertySpec extends AnyFunSuite {
       .map { case (t, i) => (i.toLong, t) }
     val df = docs.toDF("doc_id", "text")
     val w = 3
+    // full w-word groups of the clean text align with kept passages; the
+    // final partial group (if any) is the always-kept tail — excluded here
     val kept = CorpusStats.passageDedupClean(df, "doc_id", "text",
         windowWords = w)
       .collect().flatMap(_.getString(2).split(' ').grouped(w)
-        .map(_.mkString(" ")))
+        .filter(_.length == w).map(_.mkString(" ")))
     // every passage string survives exactly once corpus-wide…
     assert(kept.length == kept.distinct.length)
     // …and the surviving SET is the set of all passages that existed
