@@ -197,7 +197,15 @@ object Tokenizer {
         if (r != null) { text.append(r._1); i += 1 + r._2 }
         else { text.append('&'); i += 1 }
       } else {
-        text.append(c); i += 1
+        // bulk run: copy everything up to the next markup/entity start in
+        // one append instead of one call per char (the tokenizer's hottest
+        // loop — most of a page is plain text)
+        var j = i + 1
+        while (j < n && {
+          val ch = input.charAt(j); ch != '<' && ch != '&'
+        }) j += 1
+        text.append(input, i, j)
+        i = j
       }
     }
     flushText()
