@@ -57,6 +57,37 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("extensions: spark.sql.extensions injects the native functions") {
+    import org.apache.spark.sql.SparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val expected = spark.sql(
+      "SELECT simhash64('alpha beta gamma') AS h").collect()(0).getLong(0)
+    // build a SEPARATE session (same SparkContext) with the extensions
+    // class — the library integration point: no register() call on it.
+    // (withExtensions is the in-JVM route; spark.sql.extensions is a
+    // STATIC conf read at SparkContext launch, so it can't be exercised
+    // mid-suite — on a cluster both routes run the same class.)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      val row = s2.sql(
+        """SELECT simhash64('alpha beta gamma') AS h,
+                  cosine_sim(array(1.0f, 0f), array(1.0f, 0f)) AS c,
+                  size(minhash_sigs('eight-gram shingle text')) AS k""")
+        .collect()(0)
+      assert(row.getLong(0) == expected) // same bits as the registry path
+      assert(row.getDouble(1) == 1.0)
+      assert(row.getInt(2) == 8)
+    } finally {
+      // restore the shared test session (do NOT stop — shared context)
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("minhash_sigs native expression equals the builtin spec") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
