@@ -189,13 +189,16 @@ object Blocks {
         val t = nfkc(nd.text)
         var j = 0
         while (j < t.length) {
-          val c = t.charAt(j)
-          if (Character.isWhitespace(c)) flushWord()
+          if (Character.isWhitespace(t.charAt(j))) { flushWord(); j += 1 }
           else {
-            pending.append(c)
-            if (link) pendingLinkChars += 1
+            // bulk run: append the whole non-whitespace stretch in one
+            // call (the segmentation hot loop — pages are mostly words)
+            val start = j
+            j += 1
+            while (j < t.length && !Character.isWhitespace(t.charAt(j))) j += 1
+            pending.append(t, start, j)
+            if (link) pendingLinkChars += j - start
           }
-          j += 1
         }
       } else if (nd.tag == "br" && nd.visible) {
         // a VISIBLE <br> renders as a line break — a word boundary; a br
