@@ -204,6 +204,10 @@ object SparkEntry {
         windowWords = 4).orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
       CorpusStats.vocabTopK(docs(s, dir), "text", k = 100)),
+    "shard_pack" -> ((s, dir) =>
+      // token-budget shard assignment via distributed two-phase prefix sum
+      CorpusStats.shardByTokenBudget(docs(s, dir), "doc_id", "text",
+        shardTokens = 2000L, bucketSize = 50L).orderBy("doc_id")),
     "docstats_signals" -> ((s, dir) =>
       // stopword/punct ratio quality signals, integer milli-exact
       CorpusStats.qualitySignals(docs(s, dir), "doc_id", "text")
@@ -509,6 +513,18 @@ FROM kept GROUP BY 1 ORDER BY doc_id""",
     "vocab_topk" -> s"""
 WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})
 SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
+    "shard_pack" -> s"""
+WITH t AS (
+  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+  FROM ${D(sf)}
+), c AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+  (cum_tokens - n_tokens) // 2000 AS shard_id
+FROM c ORDER BY doc_id""",
     "docstats_signals" -> s"""
 WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM ${D(sf)})
 SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,

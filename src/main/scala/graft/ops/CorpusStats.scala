@@ -185,6 +185,42 @@ object CorpusStats {
         col("clean_text"))
   }
 
+  /** Token-budget shard packing: assign documents (in doc-id order) to
+    * consecutive training shards of ~`shardTokens` whitespace tokens each —
+    * shard_id = the shard containing the document's START offset in the
+    * corpus-wide token stream. The standard "pack the corpus into N-token
+    * training files" step.
+    *
+    * 100 TB shape: a corpus-wide running sum CANNOT be one global window
+    * (that is a single-partition sort of every row). Two-phase prefix sum
+    * instead: docs bucket by id range; per-bucket token sums aggregate
+    * two-phase (tiny result: one row per `bucketSize` docs); the running
+    * bucket offsets need a global window over only those rows (10^12 docs
+    * / 10^5-doc buckets = 10^7 rows — trivially one executor); offsets
+    * broadcast-join back; the within-bucket running sum is a window
+    * PARTITIONED by bucket — bounded work per partition, fully parallel.
+    * Every sum is integer-exact, so the oracle reproduces it with one
+    * plain window. */
+  def shardByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      shardTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol).as("doc_id"),
+      expr(s"cast(size(filter(split($textCol, ' '), x -> x != '')) as bigint)")
+        .as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
+      .withColumn("offset", coalesce(
+        sum(col("bsum")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    t.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("offset") +
+        sum(col("n_tokens")).over(
+          Window.partitionBy("bucket").orderBy("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $shardTokens").as("shard_id"))
+  }
+
   /** Corpus vocabulary top-k: (token, count) ordered by count desc then
     * token asc — a total order, so the result is deterministic.
     *

@@ -228,6 +228,25 @@ class OpsSpec extends AnyFunSuite {
       (1L, 5L, 600L, 0L), (2L, 3L, 0L, 375L), (3L, 0L, 0L, 0L)))
   }
 
+  test("corpus shard pack: two-phase prefix sum equals a sequential cumsum") {
+    import spark.implicits._
+    // deterministic token counts; bucketSize=3 forces multiple buckets so
+    // the offsets join is actually exercised
+    val docs = (0L until 20L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim))
+    val df = docs.toDF("doc_id", "text")
+    val out = CorpusStats.shardByTokenBudget(df, "doc_id", "text",
+      shardTokens = 10L, bucketSize = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    var cum = 0L
+    docs.foreach { case (id, text) =>
+      val n = text.split(' ').count(_.nonEmpty).toLong
+      val start = cum
+      cum += n
+      assert(out(id) == ((n, cum, start / 10L)), s"doc $id")
+    }
+  }
+
   test("corpus vocab top-k: count-desc then token-asc total order") {
     import spark.implicits._
     val df = Seq((1L, "b a b c"), (2L, "a c c")).toDF("doc_id", "text")
