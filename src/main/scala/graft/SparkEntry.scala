@@ -204,6 +204,10 @@ object SparkEntry {
         windowWords = 4).orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
       CorpusStats.vocabTopK(docs(s, dir), "text", k = 100)),
+    "corpus_filter" -> ((s, dir) =>
+      // composed C4-style keep/reject with typed reasons; rows never drop
+      CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "shard_pack" -> ((s, dir) =>
       // token-budget shard assignment via distributed two-phase prefix sum
       CorpusStats.shardByTokenBudget(docs(s, dir), "doc_id", "text",
@@ -513,6 +517,25 @@ FROM kept GROUP BY 1 ORDER BY doc_id""",
     "vocab_topk" -> s"""
 WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})
 SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
+    "corpus_filter" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), sig AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+    (1000 * (len(ws) - len(list_distinct(ws)))) // greatest(len(ws), 1) AS dup_word_milli,
+    (1000 * len(list_filter(ws, w -> list_contains(['and','for','in','is','it','of','that','the','to','with'], lower(w))))) // greatest(len(ws), 1) AS stopword_milli
+  FROM w
+), dec AS (
+  SELECT *, CASE
+    WHEN n_words < 10 THEN 'too_few_words'
+    WHEN dup_word_milli > 300 THEN 'too_repetitive'
+    WHEN stopword_milli < 5 THEN 'too_few_stopwords'
+    WHEN stopword_milli > 600 THEN 'too_many_stopwords'
+  END AS reject_reason FROM sig
+)
+SELECT doc_id, n_words, dup_word_milli, stopword_milli, reject_reason,
+  reject_reason IS NULL AS kept
+FROM dec ORDER BY doc_id""",
     "shard_pack" -> s"""
 WITH t AS (
   SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens

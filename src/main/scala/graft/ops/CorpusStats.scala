@@ -185,6 +185,36 @@ object CorpusStats {
         col("clean_text"))
   }
 
+  /** C4-style document quality filter: compose the signal family into one
+    * keep/reject decision with a TYPED reason (first failing rule in fixed
+    * order — the same never-drop-silently discipline as the extraction
+    * outcomes). Rules: minimum word count, duplicate-word fraction cap,
+    * stopword-fraction band (too low = not prose, too high = filler).
+    *
+    * 100 TB shape: ONE fused narrow projection — all signals computed in
+    * the same pass over the row, no join between signal operators, no
+    * shuffle at all; rows are never dropped (kept=false flows through), so
+    * the downstream writer decides what to materialize. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxDupMilli: Int = 300,
+      minStopMilli: Int = 5, maxStopMilli: Int = 600): DataFrame = {
+    val sw = stopwordList.map(w => s"'$w'").mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"),
+        expr("cast(size(ws) as bigint)").as("n_words"),
+        expr("cast((1000 * (size(ws) - size(array_distinct(ws)))) div greatest(size(ws), 1) as bigint)")
+          .as("dup_word_milli"),
+        expr(s"cast((1000 * size(filter(ws, w -> lower(w) in ($sw)))) div greatest(size(ws), 1) as bigint)")
+          .as("stopword_milli"))
+      .withColumn("reject_reason",
+        when(col("n_words") < minWords, "too_few_words")
+          .when(col("dup_word_milli") > maxDupMilli, "too_repetitive")
+          .when(col("stopword_milli") < minStopMilli, "too_few_stopwords")
+          .when(col("stopword_milli") > maxStopMilli, "too_many_stopwords"))
+      .withColumn("kept", col("reject_reason").isNull)
+  }
+
   /** Token-budget shard packing: assign documents (in doc-id order) to
     * consecutive training shards of ~`shardTokens` whitespace tokens each —
     * shard_id = the shard containing the document's START offset in the

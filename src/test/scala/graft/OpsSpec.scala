@@ -228,6 +228,26 @@ class OpsSpec extends AnyFunSuite {
       (1L, 5L, 600L, 0L), (2L, 3L, 0L, 375L), (3L, 0L, 0L, 0L)))
   }
 
+  test("corpus filter: first failing rule wins, kept rows flow with null reason") {
+    import spark.implicits._
+    val prose = "the cat and the dog ran to the park with a ball in it"
+    val df = Seq(
+      (1L, prose), // kept: 14 words, low dup, stopwords in band
+      (2L, "short text"), // too_few_words
+      (3L, ("dup " * 20).trim + " " + prose), // dup fraction past cap
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"), // no stopwords
+      (5L, "the and of to is in that it for with alpha beta")) // 10/12 stopwords, no dups
+      .toDF("doc_id", "text")
+    val out = CorpusStats.qualityFilter(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getBoolean(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, null, true),
+      (2L, "too_few_words", false),
+      (3L, "too_repetitive", false),
+      (4L, "too_few_stopwords", false),
+      (5L, "too_many_stopwords", false)))
+  }
+
   test("corpus shard pack: two-phase prefix sum equals a sequential cumsum") {
     import spark.implicits._
     // deterministic token counts; bucketSize=3 forces multiple buckets so
