@@ -17,21 +17,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+  private def info(cls: Class[_], name: String) =
+    new ExpressionInfo(cls.getName, null, name) // catalog introspection
+    // (DESCRIBE FUNCTION) reports each expression's own class
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
-      info("cosine_sim"), // exact cosine similarity of two float vectors
+      info(classOf[CosineSim], "cosine_sim"), // exact float-vector cosine
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
-      info("simhash64"), // 64-bit SimHash over whitespace tokens
+      info(classOf[Simhash64], "simhash64"), // 64-bit SimHash over tokens
       (exprs: Seq[Expression]) => Simhash64(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
-      info("minhash_sigs"), // 8 seeded-md5 minhashes over 8-gram shingles
+      info(classOf[MinhashSigs], "minhash_sigs"), // 8 seeded-md5 minhashes
       (exprs: Seq[Expression]) => MinhashSigs(exprs(0))))
   }
 }

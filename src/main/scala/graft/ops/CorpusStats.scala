@@ -234,10 +234,13 @@ object CorpusStats {
   def shardByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
       shardTokens: Long, bucketSize: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col(idCol).as("doc_id"),
-      expr(s"cast(size(filter(split($textCol, ' '), x -> x != '')) as bigint)")
-        .as("n_tokens"))
+    val t = docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), expr("cast(size(ws) as bigint)").as("n_tokens"))
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+      // persist barrier: `t` feeds both the offsets aggregation and the
+      // join probe — without it the source scan + tokenization runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
       .withColumn("offset", coalesce(
         sum(col("bsum")).over(Window.orderBy("bucket")
@@ -245,8 +248,12 @@ object CorpusStats {
       .select("bucket", "offset")
     t.join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum_tokens", col("offset") +
+        // explicit ROWS frame: the default RANGE frame would lump rows
+        // tied on doc_id together, diverging from the oracle's
+        // ROWS UNBOUNDED PRECEDING on duplicate-id inputs
         sum(col("n_tokens")).over(
-          Window.partitionBy("bucket").orderBy("doc_id")))
+          Window.partitionBy("bucket").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
         expr(s"(cum_tokens - n_tokens) div $shardTokens").as("shard_id"))
   }
