@@ -309,6 +309,11 @@ object SparkEntry {
       Events.ordered(spark_read_events(s, dir))),
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(spark_read_events(s, dir))),
+    "events_asof" -> ((s, dir) =>
+      // as-of join via tagged-union window (one user_id shuffle); the
+      // oracle is DuckDB's NATIVE ASOF JOIN — fully independent semantics
+      Events.asofJoin(spark_read_events(s, dir), "purchase", "view")
+        .orderBy("left_id")),
     "sim_topk_native" -> ((s, dir) => { // codegen'd CosineSim expression
       val e = emb(s, dir)
       Similarity.bruteForceTopKNative(e, e.filter(col("vec_id") < 10),
@@ -596,6 +601,13 @@ WITH g AS (
 SELECT user_id, event_id,
   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM f ORDER BY user_id, event_id""",
+    "events_asof" -> s"""
+WITH l AS (SELECT event_id AS left_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'purchase'),
+r AS (SELECT event_id AS right_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'view')
+SELECT l.left_id, l.user_id, r.right_id,
+  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY left_id""",
     "sim_topk_native" -> s"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
 q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),

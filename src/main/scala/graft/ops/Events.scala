@@ -36,6 +36,43 @@ object Events {
       .orderBy("user_id", "rn")
   }
 
+  /** AS-OF join: each `leftType` event gets the LATEST `rightType` event
+    * of the same user with right.ts <= left.ts (null when none precedes) —
+    * the classic "purchase joined to the view that drove it" shape that
+    * plain equi-joins can't express.
+    *
+    * Spark lacks a native as-of join; the idiomatic distributed form is
+    * the tagged-union window: both sides union into one stream, one
+    * shuffle partitioned by user, and a running last_value(ignoreNulls)
+    * carries the latest right event forward into each left row. At equal
+    * timestamps the right row sorts FIRST, so right.ts == left.ts counts
+    * as "preceding" — exactly DuckDB ASOF JOIN's `ON l.ts >= r.ts`
+    * inclusive semantics (the independent oracle).
+    *
+    * 100 TB shape: ONE hash shuffle on user_id + an in-partition sort —
+    * same cost as any per-user window; never a range/band join, never a
+    * per-user buffer beyond the sort. */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_left").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("is_left", when(col("event_type") === lit(leftType), 1)
+        .otherwise(0))
+      .withColumn("r_id",
+        when(col("is_left") === 0, col("event_id")))
+      .withColumn("r_ts",
+        when(col("is_left") === 0, col("ts")))
+      .withColumn("right_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("right_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("right_id"),
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("right_ts").cast("timestamp"))).as("lag_us"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapSec` of
     * inactivity; session index = running count of session starts. */
   def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {

@@ -157,6 +157,31 @@ class OpsSpec extends AnyFunSuite {
     assert(resolved.length == 121 && resolved.forall(_.getLong(1) == 0L))
   }
 
+  test("events asof: latest preceding right event, ties inclusive, null when none") {
+    import spark.implicits._
+    import graft.ops.Events
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // (event_id, ts, user_id, event_type)
+    val df = Seq(
+      (1L, ts(10), 1, "view"),
+      (2L, ts(20), 1, "purchase"), // matches view 1 (lag 10s)
+      (3L, ts(30), 1, "view"),
+      (4L, ts(30), 1, "purchase"), // SAME ts as view 3: inclusive → view 3
+      (5L, ts(5), 2, "purchase"), // no preceding view → null match
+      (6L, ts(50), 2, "view"),
+      (7L, ts(60), 2, "purchase")) // matches view 6
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.asofJoin(df, "purchase", "view").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (2L, 1L, 10000000L),
+      (4L, 3L, 0L),
+      (5L, -1L, -1L),
+      (7L, 6L, 10000000L)))
+  }
+
   test("corpus repetition: exact counts and integer milli fraction") {
     import spark.implicits._
     val df = Seq(
