@@ -204,6 +204,22 @@ object SparkEntry {
         windowWords = 4).orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
       CorpusStats.vocabTopK(docs(s, dir), "text", k = 100)),
+    "sketch_kmv" -> ((s, dir) => {
+      // KMV bottom-k distinct sketch as a native TypedImperativeAggregate:
+      // bounded ≤k state, map-side PARTIAL merge — the mergeable-sketch
+      // alternative to exact count-distinct (which shuffles every value)
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(expr("kmv_minima(text, 32)").as("minima"),
+          countDistinct(col("text")).as("exact_distinct"))
+        .select(col("lang"),
+          expr("cast(size(minima) as bigint)").as("n_minima"),
+          expr("element_at(minima, size(minima))").as("kth_hash"),
+          md5(expr("array_join(minima, ',')").cast("binary")).as("minima_md5"),
+          col("exact_distinct"))
+        .orderBy("lang")
+    }),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -522,6 +538,16 @@ FROM kept GROUP BY 1 ORDER BY doc_id""",
     "vocab_topk" -> s"""
 WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})
 SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
+    "sketch_kmv" -> s"""
+WITH m AS (
+  SELECT lang, list_sort(list_distinct(list(md5(text))))[1:32] AS minima,
+    CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+  FROM ${D(sf)} GROUP BY lang
+)
+SELECT lang, CAST(len(minima) AS BIGINT) AS n_minima,
+  minima[len(minima)] AS kth_hash,
+  md5(array_to_string(minima, ',')) AS minima_md5, exact_distinct
+FROM m ORDER BY lang""",
     "corpus_filter" -> s"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}

@@ -101,5 +101,16 @@ object GraftFunctions {
       "simhash64", exprs => Simhash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinhashSigs(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_minima", exprs => KmvMinima(exprs(0), GraftFunctions.litInt(exprs(1)))
+        .toAggregateExpression(), "built-in")
   }
+
+  /** Extract a literal int argument (e.g. the k of kmv_minima(col, k)). */
+  def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"expected a literal int argument, got $other")
+    }
 }

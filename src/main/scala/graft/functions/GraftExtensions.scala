@@ -34,5 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       info(classOf[MinhashSigs], "minhash_sigs"), // 8 seeded-md5 minhashes
       (exprs: Seq[Expression]) => MinhashSigs(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_minima"),
+      info(classOf[KmvMinima], "kmv_minima"), // bottom-k distinct sketch
+      (exprs: Seq[Expression]) =>
+        KmvMinima(exprs(0), GraftFunctions.litInt(exprs(1)))
+          .toAggregateExpression()))
   }
 }

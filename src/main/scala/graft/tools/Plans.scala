@@ -21,7 +21,7 @@ object Plans {
       "docstats_tokens", "host_stats_salted", "text_repetition",
       "dedup_passages", "dedup_passages_clean", "vocab_topk",
       "docstats_signals", "join_anti", "agg_rollup",
-      "agg_quantiles", "shard_pack", "corpus_filter").foreach { q =>
+      "agg_quantiles", "shard_pack", "corpus_filter", "sketch_kmv").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -57,6 +57,26 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("kmv sketch: bottom-k distinct minima survive partial merge across partitions") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 200 distinct values + duplicates, spread over 8 partitions so the
+    // TypedImperativeAggregate MUST partial-merge ≤k buffers; expected =
+    // the k smallest md5s computed sequentially
+    val vals = (0 until 200).map(i => s"value-$i") ++ (0 until 50).map(i => s"value-$i")
+    val df = spark.sparkContext.parallelize(vals, 8).toDF("v")
+    val got = df.agg(expr("kmv_minima(v, 16)").as("m"))
+      .collect()(0).getSeq[String](0)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expected = vals.distinct.map(md5hex).sorted.take(16)
+    assert(got.toSeq == expected)
+    // degenerate: fewer distinct values than k → all of them, sorted
+    val small = Seq("a", "b", "a").toDF("v")
+      .agg(expr("kmv_minima(v, 16)")).collect()(0).getSeq[String](0)
+    assert(small.toSeq == Seq("a", "b").map(md5hex).sorted)
+  }
+
   test("extensions: spark.sql.extensions injects the native functions") {
     import org.apache.spark.sql.SparkSession
     graft.functions.GraftFunctions.register(spark)
