@@ -325,6 +325,11 @@ object SparkEntry {
       Events.ordered(spark_read_events(s, dir))),
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(spark_read_events(s, dir))),
+    "events_range_join" -> ((s, dir) =>
+      // point-in-interval range join via the disjoint-interval window
+      // trick; the oracle is a literal BETWEEN join in DuckDB
+      Events.rangeJoinSessions(spark_read_events(s, dir), "error",
+        gapSec = 86400).orderBy("event_id")),
     "events_asof" -> ((s, dir) =>
       // as-of join via tagged-union window (one user_id shuffle); the
       // oracle is DuckDB's NATIVE ASOF JOIN — fully independent semantics
@@ -627,6 +632,21 @@ WITH g AS (
 SELECT user_id, event_id,
   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM f ORDER BY user_id, event_id""",
+    "events_range_join" -> s"""
+WITH base AS (SELECT * FROM read_parquet('$sf/events.parquet') WHERE event_type <> 'error'),
+g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 86400000000 THEN 1 ELSE 0 END AS ns
+  FROM base
+), s AS (
+  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx FROM g
+), iv AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, min(ts) AS s, max(ts) AS e FROM s GROUP BY 1, 2
+), p AS (SELECT event_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'error')
+SELECT p.event_id, p.user_id, iv.session_idx
+FROM p LEFT JOIN iv ON p.user_id = iv.user_id AND p.ts BETWEEN iv.s AND iv.e
+ORDER BY p.event_id""",
     "events_asof" -> s"""
 WITH l AS (SELECT event_id AS left_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'purchase'),
 r AS (SELECT event_id AS right_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'view')

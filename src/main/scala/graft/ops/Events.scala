@@ -73,6 +73,62 @@ object Events {
           unix_micros(col("right_ts").cast("timestamp"))).as("lag_us"))
   }
 
+  /** RANGE join: assign each `pointType` event to the session INTERVAL of
+    * the same user that contains it (sessions derived from all OTHER
+    * event types with `gapSec` inactivity splits; points in gaps get
+    * null). The point-in-interval shape a plain equi-join can't express.
+    *
+    * Spark's generic range join degenerates to a per-key nested loop;
+    * because gap-based sessions are DISJOINT per user, the idiomatic
+    * distributed form is again the tagged-union window: interval STARTS
+    * enter the per-user stream as right rows carrying (session_idx,
+    * end_ts), a running last_value gives each point the latest interval
+    * starting at or before it, and containment is then one end_ts
+    * comparison. One hash shuffle on user_id + in-partition sort — no
+    * nested loop, no band join.
+    *
+    * Oracle independence: DuckDB recomputes it as an actual
+    * `p.ts BETWEEN iv.s AND iv.e` LEFT JOIN — a genuinely different
+    * evaluation strategy over the same semantics. */
+  def rangeJoinSessions(events: DataFrame, pointType: String,
+      gapSec: Long = 86400): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val iv = events.filter(col("event_type") =!= pointType)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev_ts").isNull, 1L)
+          .when(unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("prev_ts").cast("timestamp"))
+            > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("ts"), max(col("ts")).as("e_ts"))
+    val rights = iv.select(col("user_id"), col("ts"),
+      lit(0).as("is_left"), lit(null).cast("long").as("event_id"),
+      col("session_idx").cast("long").as("session_idx"), col("e_ts"))
+    val lefts = events.filter(col("event_type") === lit(pointType))
+      .select(col("user_id"), col("ts"), lit(1).as("is_left"),
+        col("event_id").cast("long").as("event_id"),
+        lit(null).cast("long").as("session_idx"),
+        lit(null).cast("timestamp").as("e_ts"))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_left").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rights.unionByName(lefts)
+      .withColumn("m_idx", last(
+        when(col("is_left") === 0, col("session_idx")), ignoreNulls = true)
+        .over(w2))
+      .withColumn("m_end", last(
+        when(col("is_left") === 0, col("e_ts")), ignoreNulls = true)
+        .over(w2))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"),
+        when(col("ts") <= col("m_end"), col("m_idx")).as("session_idx"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapSec` of
     * inactivity; session index = running count of session starts. */
   def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {

@@ -202,6 +202,31 @@ class OpsSpec extends AnyFunSuite {
       (7L, 6L, 10000000L)))
   }
 
+  test("events range join: points land in containing session, gaps get null") {
+    import spark.implicits._
+    import graft.ops.Events
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1 sessions (gap 100s over non-error events):
+    //   [10..50] and [300..320]
+    val df = Seq(
+      (1L, ts(10), 1, "view"),
+      (2L, ts(50), 1, "click"),
+      (3L, ts(300), 1, "view"),
+      (4L, ts(320), 1, "click"),
+      (10L, ts(30), 1, "error"), // inside session 1
+      (11L, ts(50), 1, "error"), // ON the boundary: inclusive
+      (12L, ts(200), 1, "error"), // in the gap → null
+      (13L, ts(5), 1, "error"), // before any session → null
+      (14L, ts(310), 1, "error"), // inside session 2
+      (20L, ts(10), 2, "error")) // user with no sessions at all → null
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.rangeJoinSessions(df, "error", gapSec = 100).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((10L, 1L), (11L, 1L), (12L, -1L), (13L, -1L),
+      (14L, 2L), (20L, -1L)))
+  }
+
   test("corpus repetition: exact counts and integer milli fraction") {
     import spark.implicits._
     val df = Seq(
