@@ -264,6 +264,27 @@ object SparkEntry {
           countDistinct(col("c_custkey")).as("n_customers"))
         .orderBy("c_mktsegment")
     }),
+    "sample_stratified" -> ((s, dir) =>
+      // deterministic stratified hash sampling (CCNet-style per-language
+      // rates): keep when the first 32 bits of md5(doc_id) fall under the
+      // stratum's milli-rate threshold. Pure narrow filter — zero shuffle,
+      // reproducible across engines and runs (no RNG)
+      docs(s, dir)
+        .filter(expr(
+          """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)
+             < (case when lang = 'en' then 500 else 200 end) * 4294967296L div 1000"""))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    "join_semi" -> ((s, dir) => {
+      // exact-dedup APPLY: keep only each content group's keeper row via a
+      // broadcast LEFT SEMI join on the keeper-id set (small dim) — the
+      // materialization step downstream of dedup_exact's keep_id column
+      val d = docs(s, dir)
+      val keepers = Dedup.exact(d, "doc_id", "text").select(col("keep_id"))
+      d.join(broadcast(keepers), col("doc_id") === col("keep_id"), "left_semi")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "join_anti" -> ((s, dir) => {
       // blocklist filtering as a broadcast LEFT ANTI join — the standard
       // training-pipeline URL/domain exclusion shape: the blocklist is a
@@ -598,6 +619,10 @@ FROM w ORDER BY doc_id""",
       s"SELECT l_returnflag, l_linestatus, CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi, CAST(sum(CAST(floor((l_quantity / l_extendedprice) * 1e9) AS BIGINT)) AS BIGINT) AS ratio_nano, count(*) AS n FROM read_parquet('$sf/lineitem.parquet') GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus",
     "join_anti" ->
       s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE doc_id % 17 <> 0 ORDER BY doc_id",
+    "sample_stratified" ->
+      s"SELECT doc_id, lang FROM ${D(sf)} WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < (CASE WHEN lang = 'en' THEN 500 ELSE 200 END) * 4294967296 // 1000 ORDER BY doc_id",
+    "join_semi" ->
+      s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE doc_id IN (SELECT min(doc_id) FROM ${D(sf)} GROUP BY text) ORDER BY doc_id",
     "agg_rollup" ->
       s"SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM ${D(sf)} GROUP BY ROLLUP (lang, source) ORDER BY lang NULLS FIRST, source NULLS FIRST",
     "agg_quantiles" -> s"""
