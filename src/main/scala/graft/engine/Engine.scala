@@ -478,6 +478,20 @@ object Extractor {
               Outcome.RejectedPriorText, branchTag, s.format, s.charset,
               0, 0, truncated = false,
               lang = LangResolve.resolve(row.lang, ""))
+          } else if (cfg.mode == ProcessingMode.Strip) {
+            // strip: remove the machine text layer in place, do NOT
+            // re-extract (reference `--mode strip`, _options.py:55) — the
+            // prior channel is emptied and no engine runs on any row
+            if (hasPrior(row))
+              ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+                Outcome.StrippedPriorText, EngineTags.Prior, s.format,
+                s.charset, 0, 0, truncated = false,
+                lang = LangResolve.resolve(row.lang, ""))
+            else
+              ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+                Outcome.SkippedNothingToStrip, EngineTags.Null, s.format,
+                s.charset, 0, 0, truncated = false,
+                lang = LangResolve.resolve(row.lang, ""))
           } else if (hasPrior(row) && cfg.mode == ProcessingMode.Skip) {
             ExtractResult(row.url, row.warc_ts, row.text, Vector.empty,
               Outcome.SkippedPriorText, EngineTags.Prior, s.format,

@@ -93,17 +93,27 @@ case class CosineSim(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Register SQL-callable graft functions on a session
-    * (`SELECT cosine_sim(a, b)` / `expr("cosine_sim(a, b)")`). */
+    * (`SELECT cosine_sim(a, b)` / `expr("cosine_sim(a, b)")`). Idempotent:
+    * re-registering an already-present name would log a replacement WARN
+    * per function per call site, so skip names the registry already has.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => Simhash64(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", exprs => MinhashSigs(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_minima", exprs => KmvMinima(exprs(0), GraftFunctions.litInt(exprs(1)))
-        .toAggregateExpression(), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def reg1(name: String,
+             builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    reg1("cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
+    reg1("simhash64", exprs => Simhash64(exprs(0)))
+    reg1("minhash_sigs", exprs => MinhashSigs(exprs(0)))
+    reg1("kmv_minima", exprs =>
+      KmvMinima(exprs(0), GraftFunctions.litInt(exprs(1)))
+        .toAggregateExpression())
+    reg1("kll_quantiles", exprs =>
+      KllQuantiles(exprs(0), GraftFunctions.litInt(exprs(1)),
+        exprs.drop(2).map(GraftFunctions.litDouble))
+        .toAggregateExpression())
   }
 
   /** Extract a literal int argument (e.g. the k of kmv_minima(col, k)). */
@@ -112,5 +122,18 @@ object GraftFunctions {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
         s"expected a literal int argument, got $other")
+    }
+
+  /** Extract a literal numeric argument as Double (SQL fractional literals
+    * like `0.5` arrive as DecimalType, DataFrame lit(0.5) as DoubleType). */
+  def litDouble(e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+        v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"expected a literal numeric argument, got $other")
     }
 }

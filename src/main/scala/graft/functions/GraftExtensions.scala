@@ -40,5 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         KmvMinima(exprs(0), GraftFunctions.litInt(exprs(1)))
           .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantiles"),
+      info(classOf[KllQuantiles], "kll_quantiles"), // mergeable quantile sketch
+      (exprs: Seq[Expression]) =>
+        KllQuantiles(exprs(0), GraftFunctions.litInt(exprs(1)),
+          exprs.drop(2).map(GraftFunctions.litDouble))
+          .toAggregateExpression()))
   }
 }

@@ -61,6 +61,8 @@ object Outcome {
   val SkippedNoText = "skipped:no_text"
   val SkippedPriorText = "skipped:prior_text"
   val RejectedPriorText = "rejected:prior_text"
+  val StrippedPriorText = "stripped:prior_text"
+  val SkippedNothingToStrip = "skipped:nothing_to_strip"
   def error(cls: String): String = s"error:$cls"
 }
 
@@ -78,13 +80,20 @@ object Outcome {
   *    the only one doing char-level layout (_pipelines/_common.py:361).
   *  - force:   extraction runs unconditionally, overriding even
   *    cheap-probe skips (the rasterize-everything analog).
+  *  - strip:   the machine text layer is REMOVED and extraction does NOT
+  *    run (reference `--mode strip`, _options.py:55 "Remove the invisible
+  *    OCR text layer in place; do not OCR"): rows with prior text emit
+  *    empty text with outcome stripped:prior_text; rows without prior
+  *    text have nothing to strip and pass through untouched
+  *    (skipped:nothing_to_strip) — no engine runs on any row.
   */
 object ProcessingMode {
   val Default = "default"
   val Force = "force"
   val Skip = "skip"
   val Redo = "redo"
-  val all: Seq[String] = Seq(Default, Force, Skip, Redo)
+  val Strip = "strip"
+  val all: Seq[String] = Seq(Default, Force, Skip, Redo, Strip)
 }
 
 /** Kernel configuration (broadcast-by-closure to executors; validated at

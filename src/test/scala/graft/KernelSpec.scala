@@ -303,7 +303,16 @@ class KernelSpec extends AnyFunSuite {
     // force: extraction runs; rows without prior behave identically
     val f = Extractor.extract(prior, ExtractConfig(mode = ProcessingMode.Force))
     assert(f.outcome == "ok" && f.text == r.text)
-    ProcessingMode.all.foreach { m =>
+    // strip: machine text layer removed in place, NO re-extraction
+    // (reference --mode strip, _options.py:55)
+    val st = Extractor.extract(prior, ExtractConfig(mode = ProcessingMode.Strip))
+    assert(st.outcome == "stripped:prior_text" && st.text == "")
+    assert(st.engine == graft.model.EngineTags.Prior)
+    assert(st.format == "html") // triage facts still recorded
+    val stNp = Extractor.extract(noPrior, ExtractConfig(mode = ProcessingMode.Strip))
+    assert(stNp.outcome == "skipped:nothing_to_strip" && stNp.text == "")
+    assert(stNp.engine == graft.model.EngineTags.Null)
+    ProcessingMode.all.filterNot(_ == ProcessingMode.Strip).foreach { m =>
       val e = Extractor.extract(noPrior, ExtractConfig(mode = m))
       assert(e.outcome == "ok" && e.text == r.text, s"mode $m prior-less drift")
     }

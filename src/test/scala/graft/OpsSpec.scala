@@ -77,6 +77,59 @@ class OpsSpec extends AnyFunSuite {
     assert(small.toSeq == Seq("a", "b").map(md5hex).sorted)
   }
 
+  test("kll sketch: exact (≤k) regime survives partial merge across 8 partitions") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 500 values over 8 partitions with k=1024: every per-task buffer and
+    // every merge stays ≤ k, so NO compaction fires and the sketch must
+    // equal the exact lower-rank selection bit-for-bit — the regime the
+    // DuckDB oracle pins at verify scale
+    val vals = (0 until 500).map(i => ((i * 7919) % 500).toDouble)
+    val df = spark.sparkContext.parallelize(vals, 8).toDF("v")
+    val got = df.agg(expr("kll_quantiles(v, 1024, 0.0, 0.5, 0.9, 1.0)"))
+      .collect()(0).getSeq[Double](0)
+    val sorted = vals.sorted
+    def exact(q: Double) = sorted((math.floor((sorted.length - 1) * q)).toInt)
+    assert(got.toSeq == Seq(exact(0.0), exact(0.5), exact(0.9), exact(1.0)))
+  }
+
+  test("kll sketch: compacted (>k) regime keeps bounded state and rank error") {
+    import graft.functions.KllBuffer
+    // 20k values into k=128: compaction MUST fire; check (a) state stays
+    // ≤ k per level with O(log(n/k)) levels, (b) rank error of the answer
+    // is small relative to n, (c) merge of split streams ≈ single stream
+    val n = 20000
+    val vals = (0 until n).map(i => ((i.toLong * 104729L) % n).toDouble)
+    val one = new KllBuffer(128)
+    vals.foreach(one.add)
+    assert(one.levels.forall(_.length <= 128), "level over capacity")
+    assert(one.levels.length <= 12, s"too many levels: ${one.levels.length}")
+    assert(one.totalWeight == n.toLong, "compaction lost weight")
+    val sorted = vals.sorted
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val est = one.quantile(q).get
+      val trueRank = 1 + math.floor((n - 1) * q)
+      // rank of the estimate in the true data
+      val estRank = sorted.count(_ <= est)
+      assert(math.abs(estRank - trueRank) <= n * 0.05,
+        s"q=$q rank error ${math.abs(estRank - trueRank)} > 5% of n")
+    }
+    // mergeability: 8 split buffers merged ≈ same bounds
+    val parts = vals.grouped(n / 8).toSeq
+    val merged = new KllBuffer(128)
+    parts.foreach { p =>
+      val b = new KllBuffer(128); p.foreach(b.add)
+      // serialize/deserialize round-trip like the shuffle does
+      merged.mergeIn(KllBuffer.deserialize(b.serialize()))
+    }
+    assert(merged.totalWeight == n.toLong)
+    Seq(0.5).foreach { q =>
+      val est = merged.quantile(q).get
+      val estRank = sorted.count(_ <= est)
+      assert(math.abs(estRank - (1 + math.floor((n - 1) * q))) <= n * 0.05)
+    }
+  }
+
   test("extensions: spark.sql.extensions injects the native functions") {
     import org.apache.spark.sql.SparkSession
     graft.functions.GraftFunctions.register(spark)
