@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.{CorpusStats, Dedup, Events, Similarity, TextStats, Media, OrderedMerge}
 import graft.spark.Jobs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,6 +54,25 @@ object SparkEntry {
   private val qualityUdf = udf(TextStats.dictHitRatio _)
   private val tokensWsUdf = udf(TextStats.tokensWs _)
   private val tokensBpeUdf = udf(TextStats.tokensBpe _)
+
+  /** BPE merge cascade as a Catalyst column: the same priority-ordered
+    * replace chain as `TextStats.tokensBpe`, fully codegen'd (no UDF).
+    * `length` counts codepoints in both Spark and DuckDB, matching the
+    * kernel's codePointCount. */
+  private def tokensBpeCol(c: Column): Column = {
+    val merged = TextStats.bpeMerges.zipWithIndex.foldLeft(c) {
+      case (acc, (m, i)) => replace(acc, lit(m), lit(TextStats.bpeAtom(i)))
+    }
+    length(merged).cast("long")
+  }
+
+  /** The same cascade as a DuckDB SQL expression over column `text`. */
+  private lazy val tokensBpeSql: String = {
+    val inner = TextStats.bpeMerges.zipWithIndex.foldLeft("text") {
+      case (acc, (m, i)) => s"replace($acc, '$m', chr(${0xE000 + i}))"
+    }
+    s"CAST(length($inner) AS BIGINT)"
+  }
   private val fingerprintUdf = udf(TextStats.fingerprint _)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -155,6 +174,12 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+    "dedup_substrings" -> ((s, dir) =>
+      // exact substring-level dedup (Lee et al. 2021 ExactSubstr): maximal
+      // ≥40-char runs occurring more than once in the corpus, at arbitrary
+      // boundaries — the modality passage/doc hashing cannot see
+      Dedup.substringRuns(docs(s, dir), "doc_id", "text", minLen = 40)
+        .orderBy("doc_id", "run_start")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", minJaccard = 0.1)
         .orderBy("doc_a", "doc_b")),
@@ -170,10 +195,13 @@ object SparkEntry {
           .select("doc_a", "doc_b"))
         .orderBy("doc_id")),
     "docstats_tokens" -> ((s, dir) =>
+      // tokens_bpe = the real merge-cascade tokenizer (TextStats.bpeMerges)
+      // expressed as a codegen'd replace chain — one narrow projection, no
+      // UDF; the oracle runs the identical chain in DuckDB
       docs(s, dir).select(col("doc_id"),
         expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)")
           .as("n_tokens"),
-        expr("cast(ceil(length(text) / 4.0) as bigint)").as("tokens_bpe"),
+        tokensBpeCol(col("text")).as("tokens_bpe"),
         length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
     "docstats_wordlen" -> ((s, dir) =>
@@ -387,6 +415,17 @@ object SparkEntry {
         "vec_id", "embedding", 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    }),
+    "sim_topk_ivf_kmeans" -> ((s, dir) => {
+      // IVF with REAL Lloyd-trained cells: training runs in exact integer
+      // micro-units (order-independent sums, truncating integer means), so
+      // the DuckDB oracle replays the same 3 iterations verbatim; in-cell
+      // rerank is the shared exact double cosine
+      val e = emb(s, dir)
+      Similarity.ivfTopKKmeans(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -395,6 +434,50 @@ object SparkEntry {
   private def D(dir: String) = s"read_parquet('$dir/documents.parquet')"
   private def E(dir: String) = s"read_parquet('$dir/embeddings.parquet')"
   private val sf = "/root/testdata/sf0.01"
+
+  /** Lloyd k-means replay for the sim_topk_ivf_kmeans oracle: the same
+    * hash-seeded init + `iters` assign/update rounds as
+    * `Similarity.kmeansMicro`, in exact integer micro-units (floor(x·1e6)
+    * longs; d² expanded via list_dot_product on doubles — every
+    * intermediate ≤ ~3e14 is exactly representable, so the decomposition
+    * equals Spark's long fold; centroid mean via `//`, which truncates
+    * toward zero exactly like Spark `div`). One CTE block per iteration. */
+  private def kmeansCtes(iters: Int, centroids: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
+m AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vm FROM e),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cent_id, vm AS cm
+  FROM m ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $centroids
+)""")
+    (1 to iters).foreach { i =>
+      sb.append(s""",
+d$i AS (
+  SELECT m.vec_id, m.vm, c.cent_id,
+    list_dot_product(m.vm::DOUBLE[], m.vm::DOUBLE[])
+      - 2 * list_dot_product(m.vm::DOUBLE[], c.cm::DOUBLE[])
+      + list_dot_product(c.cm::DOUBLE[], c.cm::DOUBLE[]) AS d2
+  FROM m CROSS JOIN c${i - 1} c
+),
+a$i AS (
+  SELECT vec_id, vm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM d$i
+  ) WHERE rn = 1
+),
+u$i AS (
+  SELECT cell, pos, CAST(sum(x) AS BIGINT) AS s, count(*) AS n FROM (
+    SELECT cell, unnest(range(1, len(vm) + 1)) AS pos, unnest(vm) AS x FROM a$i
+  ) GROUP BY cell, pos
+),
+n$i AS (
+  SELECT cell AS cent_id, list(s // n ORDER BY pos) AS cm FROM u$i GROUP BY cell
+),
+c$i AS (
+  SELECT p.cent_id, coalesce(nn.cm, p.cm) AS cm FROM c${i - 1} p LEFT JOIN n$i nn USING (cent_id)
+)""")
+    }
+    sb.toString
+  }
 
   /** MinHash-LSH candidate CTE chain, shared by the dedup_minhash_lsh and
     * dedup_clusters oracles (the latter appends a recursive
@@ -525,7 +608,7 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.1
 ORDER BY doc_a, doc_b""",
     "docstats_tokens" ->
-      s"SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens_bpe, CAST(length(text) AS BIGINT) AS n_chars FROM ${D(sf)} ORDER BY doc_id",
+      s"SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens, $tokensBpeSql AS tokens_bpe, CAST(length(text) AS BIGINT) AS n_chars FROM ${D(sf)} ORDER BY doc_id",
     "docstats_wordlen" ->
       s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, CAST(floor(1000.0 * (length(text) - (length(text) - length(replace(text, ' ', '')))) / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)) AS BIGINT) AS avg_wordlen_milli FROM ${D(sf)} ORDER BY doc_id",
     "docstats_fingerprint" ->
@@ -592,6 +675,30 @@ SELECT lang, CAST(len(minima) AS BIGINT) AS n_minima,
   minima[len(minima)] AS kth_hash,
   md5(array_to_string(minima, ',')) AS minima_md5, exact_distinct
 FROM m ORDER BY lang""",
+    "dedup_substrings" -> s"""
+WITH p AS (
+  SELECT doc_id, unnest(range(1, length(text) - 38)) AS pos, text
+  FROM ${D(sf)} WHERE length(text) >= 40
+), g AS (
+  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h FROM p
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING count(*) > 1
+), dp AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+      THEN 1 ELSE 0 END AS newrun
+  FROM dp
+), runs AS (
+  SELECT doc_id, pos,
+    sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
+  CAST(max(pos) + 39 AS BIGINT) AS run_end,
+  CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
+FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
     "corpus_filter" -> s"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
@@ -745,6 +852,34 @@ cents AS (
   FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
   WHERE p.query_id <> a.nbr_id
 ), r AS (
+  SELECT query_id, nbr_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s
+)
+SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_topk_ivf_kmeans" -> s"""
+WITH ${kmeansCtes(3, 16)},
+fd AS (
+  SELECT m.vec_id, c.cent_id,
+    list_dot_product(m.vm::DOUBLE[], m.vm::DOUBLE[])
+      - 2 * list_dot_product(m.vm::DOUBLE[], c.cm::DOUBLE[])
+      + list_dot_product(c.cm::DOUBLE[], c.cm::DOUBLE[]) AS d2
+  FROM m CROSS JOIN c3 c
+),
+assigned AS (
+  SELECT f.vec_id AS nbr_id, e.v AS cv, sqrt(list_dot_product(e.v, e.v)) AS cn, f.cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM fd
+  ) f JOIN e ON e.vec_id = f.vec_id WHERE f.rn = 1
+),
+probed AS (
+  SELECT f.vec_id AS query_id, e.v AS qv, sqrt(list_dot_product(e.v, e.v)) AS qn, f.cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM fd WHERE vec_id < 10
+  ) f JOIN e ON e.vec_id = f.vec_id WHERE f.rn <= 4
+),
+s AS (
+  SELECT p.query_id, a.nbr_id, list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos
+  FROM probed p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.nbr_id
+),
+r AS (
   SELECT query_id, nbr_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s
 )
 SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY query_id, rank"""

@@ -3,7 +3,7 @@ package graft.engine
 import graft.model._
 import graft.html.{Tokenizer, TreeBuilder}
 import graft.extract.{Blocks, Boilerplate, TextAssembler}
-import graft.pdf.{ContentStream, CosDict, CosName, CosArr, CosStream, Cos, CosNull, PdfDoc, Glyphs, FontInfo}
+import graft.pdf.{ContentStream, CosDict, CosName, CosArr, CosStream, Cos, CosBool, CosNull, CosNum, PdfDoc, Glyphs, FontInfo}
 import java.nio.charset.{Charset, StandardCharsets, CodingErrorAction}
 
 /** Format/charset triage — analog of the reference's `triage` stage
@@ -278,15 +278,45 @@ object PdfEngine extends ExtractionEngine {
     // Doc-level validation rejects (reference: validate_pdfinfo_options,
     // src/ocrmypdf/_pipeline.py:231-280 — XFA forms :236-240 cannot be
     // processed; the row flows through with a typed reject outcome).
-    val hasXfa = doc.catalog.flatMap(_.get("AcroForm")).map(resolve).exists {
-      case d: CosDict => d.get("XFA").isDefined
-      case _ => false
-    }
-    if (hasXfa)
-      return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
-        "rejected:xfa_form", tag, s.format, "binary",
+    val acroForm: Option[CosDict] =
+      doc.catalog.flatMap(_.get("AcroForm")).map(resolve).collect {
+        case d: CosDict => d
+      }
+    def reject(outcome: String): ExtractResult =
+      ExtractResult(row.url, row.warc_ts, "", Vector.empty,
+        outcome, tag, s.format, "binary",
         doc.objects.size, 0, truncated = false,
         lang = LangResolve.resolve(row.lang, ""))
+    val hasXfa = acroForm.exists(_.get("XFA").isDefined)
+    if (hasXfa) return reject("rejected:xfa_form")
+    // Doc-level policy matrix, same order as the reference's
+    // validate_pdfinfo_options (src/ocrmypdf/_pipeline.py:241-279):
+    //  - digital signature → reject in every mode (re-writing the text
+    //    layer would invalidate it; DigitalSignatureError)
+    //  - fillable AcroForm → reject under redo only (InputFileError:
+    //    redo cannot rebuild form text); other modes proceed with the
+    //    form flattened (the reference warns and continues)
+    //  - Tagged PDF / structure tree → reject under default mode only
+    //    (TaggedPDFError: born-digital, OCR would discard the markup);
+    //    force/skip/redo proceed
+    val hasSignature = acroForm.flatMap(_.get("SigFlags")).map(resolve).exists {
+      case n: CosNum => n.i != 0
+      case _ => false
+    }
+    if (hasSignature) return reject("rejected:digital_signature")
+    val hasAcroform = acroForm.exists(_.get("Fields").isDefined)
+    if (hasAcroform && cfg.mode == ProcessingMode.Redo)
+      return reject("rejected:acroform_redo")
+    val isTagged = doc.catalog.exists { c =>
+      c.get("StructTreeRoot").isDefined ||
+      (c.get("MarkInfo").map(resolve) match {
+        case Some(d: CosDict) =>
+          d.get("Marked").map(resolve).contains(CosBool(true))
+        case _ => false
+      })
+    }
+    if (isTagged && cfg.mode == ProcessingMode.Default)
+      return reject("rejected:tagged_pdf")
     var truncated = false
 
     // Per-document memo on resource-dict IDENTITY: pages usually share one

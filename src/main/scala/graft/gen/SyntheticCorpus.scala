@@ -144,7 +144,7 @@ object SyntheticCorpus {
       case "entities" => entities(rng).getBytes(StandardCharsets.UTF_8)
       case "hidden" => hidden(rng).getBytes(StandardCharsets.UTF_8)
       case "linkfarm" => linkfarm(rng).getBytes(StandardCharsets.UTF_8)
-      case "pdf" => pdf(rng, (i / 20 % 3).toInt)
+      case "pdf" => pdf(rng, (i / 20 % 6).toInt)
       case "gzip" => gzipCase(rng, (i / 20 % 2).toInt)
       case "fault" => fault(rng, (i / 20 % 3).toInt)
       case "redirect" => redirect(rng).getBytes(StandardCharsets.UTF_8)
@@ -454,6 +454,43 @@ $sections
         w(s"5 0 obj << /Length ${c.length} /Filter /ASCIIHexDecode >> stream\n")
         wb(c)
         w("\nendstream endobj\n")
+        w("trailer << /Root 1 0 R >>\n%%EOF\n")
+      // doc-level policy fixtures (reference: validate_pdfinfo_options,
+      // _pipeline.py:241-279): tagged / fillable form / digital signature
+      case 3 =>
+        val c1 = content(page1Lines)
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R /MarkInfo << /Marked true >> /StructTreeRoot 8 0 R >> endobj\n")
+        w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n")
+        w("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >> endobj\n")
+        w(s"5 0 obj << /Length ${c1.length} /Filter /FlateDecode >> stream\n")
+        wb(c1)
+        w("\nendstream endobj\n")
+        w("8 0 obj << /Type /StructTreeRoot >> endobj\n")
+        w("trailer << /Root 1 0 R >>\n%%EOF\n")
+      case 4 =>
+        val c1 = content(page1Lines)
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R /AcroForm 8 0 R >> endobj\n")
+        w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n")
+        w("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >> endobj\n")
+        w(s"5 0 obj << /Length ${c1.length} /Filter /FlateDecode >> stream\n")
+        wb(c1)
+        w("\nendstream endobj\n")
+        w("8 0 obj << /Fields [9 0 R] >> endobj\n")
+        w("9 0 obj << /FT /Tx /T (name) >> endobj\n")
+        w("trailer << /Root 1 0 R >>\n%%EOF\n")
+      case 5 =>
+        val c1 = content(page1Lines)
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R /AcroForm 8 0 R >> endobj\n")
+        w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n")
+        w("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >> endobj\n")
+        w(s"5 0 obj << /Length ${c1.length} /Filter /FlateDecode >> stream\n")
+        wb(c1)
+        w("\nendstream endobj\n")
+        w("8 0 obj << /Fields [9 0 R] /SigFlags 3 >> endobj\n")
+        w("9 0 obj << /FT /Sig /T (sig) >> endobj\n")
         w("trailer << /Root 1 0 R >>\n%%EOF\n")
       case _ =>
         val c1 = content(page1Lines)

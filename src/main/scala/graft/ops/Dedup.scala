@@ -303,4 +303,55 @@ object Dedup {
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_keep_id"))
   }
+
+  /** Exact substring-level dedup [public technique: Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr]: find every maximal run of ≥ `minLen` characters that
+    * occurs more than once in the corpus — at ARBITRARY boundaries, the
+    * modality passage/document hashing cannot see.
+    *
+    * Formulation (the Spark-native equivalent of the paper's suffix
+    * array): hash every `minLen`-gram at every position (stride 1), keep
+    * hashes occurring >1 time, merge each document's surviving positions
+    * into maximal runs (gaps-and-islands). A character belongs to a run
+    * iff it is inside some duplicated `minLen`-gram — exactly the paper's
+    * duplicated-span definition.
+    *
+    * 100 TB shape: the position table is O(total chars) compact rows
+    * (16-byte hash, id, pos) — the same asymptotic footprint as the
+    * paper's suffix array, built with two shuffles (hash count, doc
+    * re-group) and no text movement. The gram table feeds both the count
+    * and the join-back, so it is persisted once (the signature-table
+    * barrier, same as minhashLsh). */
+  def substringRuns(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - $minLen + 1)," +
+          s" i -> md5(substring(text, i, $minLen)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = grams.groupBy("h")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
+    val dupPos = grams.join(dupHashes, Seq("h")).select("doc_id", "pos")
+    // gaps-and-islands per doc: grams at p1 < p2 overlap/touch iff
+    // p2 ≤ p1 + minLen, else a new run starts
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("newrun",
+        when(col("pos") > lag(col("pos"), 1).over(wOrd) + minLen, 1)
+          .otherwise(lit(0)))
+      .withColumn("run_id", sum(col("newrun")).over(wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("doc_id", "run_id")
+      .agg(min(col("pos")).as("run_start"),
+        (max(col("pos")) + lit(minLen) - 1).as("run_end"))
+      .select(col("doc_id"), col("run_start").cast("long").as("run_start"),
+        col("run_end").cast("long").as("run_end"),
+        (col("run_end") - col("run_start") + 1).cast("long").as("run_len"))
+  }
 }

@@ -82,8 +82,8 @@ object Similarity {
   }
 
   /** IVF-flat ANN: centroids = the `centroids` lowest-id corpus vectors
-    * (deterministic "training" — a k-means step can replace this without
-    * changing the dataflow). Each corpus vector is assigned to its
+    * (the trivial deterministic "training"; `ivfTopKKmeans` above is the
+    * same dataflow with real Lloyd training). Each corpus vector is assigned to its
     * nearest centroid; a query probes the `nprobe` nearest cells and
     * reranks exactly within them.
     *
@@ -94,6 +94,112 @@ object Similarity {
     * exchange: assignment adds zero shuffle on the 10^9-row side. Only
     * the scored candidates (a nprobe/C fraction of the corpus) move
     * through the final per-query top-k. */
+  /** Micro-quantization: each float component to floor(x·1e6) as a long.
+    * Everything downstream of this is EXACT integer arithmetic, so sums
+    * are order-independent (safe under any partitioning) and a SQL oracle
+    * can replay the same numbers bit-for-bit. */
+  private def microCol(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1e6)).cast("long"))
+
+  /** Squared Euclidean distance between two micro-quantized vectors —
+    * exact long arithmetic (dim 64, |micro| ≤ ~1e6 ⇒ Σ(Δ²) ≤ ~3e14,
+    * far inside Long and even Double-exact range). */
+  private def d2Micro(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic Lloyd k-means over micro-quantized vectors [public
+    * technique: Lloyd 1982]. Init is hash-seeded (the C rows with the
+    * lexicographically smallest md5(vec_id), id tie-break); each
+    * iteration assigns by exact integer squared-Euclidean distance (tie →
+    * lower cent_id) and recomputes centroids as the truncating integer
+    * mean per dimension (Spark `div` ≡ DuckDB `//` ≡ Scala Long `/`).
+    * Empty cells keep their previous centroid. Every step is a pure
+    * integer function of the input SET — no float summation order, no
+    * RNG — so the DuckDB oracle replays the identical iterations.
+    *
+    * 100 TB shape: per iteration, ONE narrow assignment projection over a
+    * collected ≤2^16-row centroid literal (zero shuffle on the corpus)
+    * plus ONE two-phase (cell, dim) agg whose partial sums combine
+    * map-side; the (C·dim)-row model is what crosses to the driver. */
+  def kmeansMicro(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Int = 16, iters: Int = 3): Seq[(Long, Seq[Long])] = {
+    val vm = corpus.select(col(idCol).cast("long").as("vec_id"),
+        microCol(col(vecCol)).as("vm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = vm
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(centroids).collect()
+      var cents: Seq[(Long, Seq[Long])] = init.zipWithIndex.map {
+        case (r, i) => (i.toLong, r.getSeq[Long](1))
+      }.toSeq
+      (0 until iters).foreach { _ =>
+        val centsLit = typedLit(cents)
+        val assigned = vm.withColumn("cell",
+          element_at(array_sort(transform(centsLit, c =>
+            struct(d2Micro(col("vm"), c.getField("_2")).as("d2"),
+              c.getField("_1").as("cent_id")))), 1).getField("cent_id"))
+        val sums = assigned
+          .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCell = sums.groupBy(_.getLong(0))
+        cents = cents.map { case (cid, old) =>
+          byCell.get(cid) match {
+            case Some(rows) =>
+              // Scala Long `/` truncates toward zero — same as Spark div
+              // and DuckDB // (verified), so the oracle reproduces it
+              (cid, rows.sortBy(_.getInt(1)).map(r =>
+                r.getLong(2) / r.getLong(3)).toSeq)
+            case None => (cid, old)
+          }
+        }
+      }
+      cents
+    } finally { vm.unpersist(); () }
+  }
+
+  /** IVF with k-means-trained cells: `kmeansMicro` fits the coarse
+    * quantizer, corpus/query cell assignment uses the SAME exact integer
+    * metric, and the in-cell rerank is the exact double cosine shared
+    * with `ivfTopK`/its oracle. The dataflow is identical to `ivfTopK`
+    * (narrow assignment, broadcast probes, partial top-k) — only the
+    * model fit changed, as promised there. */
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Int = 16, nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
+    val centsLit = typedLit(cents)
+    def cellRanking(v: Column): Column =
+      array_sort(transform(centsLit, c =>
+        struct(d2Micro(microCol(v), c.getField("_2")).as("d2"),
+          c.getField("_1").as("cent_id"))))
+    val assigned = corpus
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm("cv"))
+      .withColumn("cell",
+        element_at(cellRanking(col("cv")), 1).getField("cent_id"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm("qv"))
+      .withColumn("probe",
+        explode(slice(cellRanking(col("qv")), 1, nprobe)))
+      .withColumn("cell", col("probe").getField("cent_id"))
+      .drop("probe")
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int = 16, nprobe: Int = 4): DataFrame = {
     // Driver-side model fit: deterministic centroid pick + norm. The norm

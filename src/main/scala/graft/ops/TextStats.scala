@@ -89,10 +89,49 @@ object TextStats {
     if (text == null || text.isEmpty) 0L
     else text.split("\\s+").count(_.nonEmpty).toLong
 
-  /** BPE-ish token estimate: ceil(chars / 4) — the standard subword
-    * budget heuristic; deterministic and SQL-mirrorable. */
-  def tokensBpe(text: String): Long =
-    if (text == null) 0L else (text.length + 3L) / 4L
+  /** Fixed BPE merge vocabulary [public technique: Sennrich et al. 2016
+    * "Neural Machine Translation of Rare Words with Subword Units"],
+    * priority-ordered: frequent English subwords first (space-prefixed
+    * word-boundary forms before interior trigrams before digrams, the
+    * order a corpus-trained BPE learns them). Applying the rules as a
+    * SEQUENTIAL REPLACE CASCADE — rule i rewrites all its occurrences to
+    * the atomic symbol U+E000+i before rule i+1 runs — is exactly BPE
+    * inference when each merge result is an atom: every engine (Scala
+    * kernel, Spark `replace` chain, DuckDB `replace` chain) applies the
+    * same rewrites in the same order, so the count is tri-identical. */
+  val bpeMerges: Vector[String] = Vector(
+    // word-boundary 4-grams (space-prefixed = new-word marker, à la GPT-2
+    // byte-level pretokenization)
+    " the", " and", " ing", " for", " that", " with", " this", " from",
+    " have", " are", " was", " not", " but", " you", " all",
+    // frequent interior trigrams
+    "the", "ing", "and", "ion", "ent", "her", "tio", "ere", "ter", "est",
+    "ati", "ate", "all", "ver", "his", "ith", "res", "ons", "ess", "ine",
+    // frequent digrams
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+    "nt", "ha", "ou", "le", "ve", "co", "me", "de", "hi", "ri", "ro",
+    "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be", "ma", "si",
+    "om", "ur")
+
+  /** The atomic symbol rule i rewrites to (Unicode private-use block —
+    * absent from extracted web text by construction of the charset
+    * pipeline; a collision would only inflate the count by merging). */
+  def bpeAtom(i: Int): String = String.valueOf((0xE000 + i).toChar)
+
+  /** BPE token count: sequential merge cascade, then one codepoint =
+    * one token (merged subwords are single atoms). Replaces the former
+    * ceil(chars/4) heuristic with a real vocabulary tokenizer. */
+  def tokensBpe(text: String): Long = {
+    if (text == null || text.isEmpty) return 0L
+    var s = text
+    var i = 0
+    while (i < bpeMerges.length) {
+      s = s.replace(bpeMerges(i), bpeAtom(i))
+      i += 1
+    }
+    s.codePointCount(0, s.length).toLong
+  }
 
   /** 64-bit rolling document fingerprint (polynomial rolling hash over
     * codepoints, base 1000003 — deterministic, locale-free). */

@@ -21,7 +21,17 @@ class OpsSpec extends AnyFunSuite {
     assert(TextStats.dictHitRatio("data pipeline spark") == 1.0)
     assert(TextStats.dictHitRatio("zzzqqq xxxyyy") == 0.0)
     assert(TextStats.tokensWs("a b  c\n d") == 4L)
-    assert(TextStats.tokensBpe("12345678") == 2L)
+    // real BPE merge cascade: no vocabulary hit → one token per char
+    assert(TextStats.tokensBpe("12345678") == 8L)
+    // "the" is rule 15 (after the space-prefixed forms) → single atom
+    assert(TextStats.tokensBpe("the") == 1L)
+    // " the" word-boundary rule beats the interior split: "on the" =
+    // "on"→atom("on"), " the"→atom → 2 tokens
+    assert(TextStats.tokensBpe("on the") == 2L)
+    // merged text is always ≤ chars and ≥ chars/maxRuleLen
+    val s = "the quick brown fox jumps over the lazy dog again"
+    assert(TextStats.tokensBpe(s) <= s.length &&
+      TextStats.tokensBpe(s) >= s.length / 5)
     assert(TextStats.fingerprint("abc") == TextStats.fingerprint("abc"))
     assert(TextStats.fingerprint("abc") != TextStats.fingerprint("abd"))
   }
@@ -128,6 +138,60 @@ class OpsSpec extends AnyFunSuite {
       val estRank = sorted.count(_ <= est)
       assert(math.abs(estRank - (1 + math.floor((n - 1) * q))) <= n * 0.05)
     }
+  }
+
+  test("dedup substrings: shared passage yields one maximal run per doc") {
+    import spark.implicits._
+    // two docs share a 60-char passage at different offsets inside
+    // otherwise-unique text; a third doc has no 40-gram in common
+    val shared = "0123456789" * 6 // 60 chars, unique to docs 1 & 2
+    // distinct flanking chars (X/Y vs P/Q) so the maximal duplicated run
+    // is exactly the shared span, not shared-plus-common-boundary
+    val d1 = "AAAA unique prefix oneX" + shared + "Yunique suffix alpha zzz"
+    val d2 = "BB other start twoP" + shared + "Qdifferent ending beta qqq"
+    val d3 = "completely disjoint text with no forty-char overlap at all " +
+      "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ!"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val runs = Dedup.substringRuns(df, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one maximal run per sharing doc (overlapping dup 40-grams merged),
+    // covering exactly the shared 60 chars (1-based, inclusive)
+    val s1 = d1.indexOf(shared) + 1
+    val s2 = d2.indexOf(shared) + 1
+    assert(runs.toSet == Set(
+      (1L, s1.toLong, (s1 + 59).toLong),
+      (2L, s2.toLong, (s2 + 59).toLong)))
+  }
+
+  test("kmeans ivf: Lloyd training separates clusters; full recall on them") {
+    import spark.implicits._
+    // 3 well-separated clusters of 12 vectors (dim 8), deterministic
+    // jitter; k-means with C=3, iters=3 must put each cluster in one cell
+    val dim = 8
+    def mk(cluster: Int, i: Int): Seq[Float] =
+      (0 until dim).map { d =>
+        val base = if (d % 3 == cluster) 1.0f else 0.0f
+        base + ((i * 31 + d * 7) % 10) * 0.01f
+      }
+    val rows = for (c <- 0 until 3; i <- 0 until 12)
+      yield ((c * 12 + i).toLong, mk(c, i))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansMicro(df, "vec_id", "embedding",
+      centroids = 3, iters = 3)
+    assert(cents.length == 3)
+    // training is deterministic: same input → same centroids
+    val cents2 = Similarity.kmeansMicro(df, "vec_id", "embedding",
+      centroids = 3, iters = 3)
+    assert(cents == cents2)
+    // with 3 trained cells and nprobe=1, same-cluster neighbors are all
+    // found: top-5 from the IVF path equals brute-force top-5
+    val q = df.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopKKmeans(df, q, "vec_id", "embedding", 5,
+        centroids = 3, nprobe = 1, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == brute, "IVF-kmeans recall@5 below 1.0 on separable clusters")
   }
 
   test("extensions: spark.sql.extensions injects the native functions") {

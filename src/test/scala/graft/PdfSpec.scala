@@ -253,6 +253,29 @@ endcmap"""
     assert(PdfDoc.lzwDecode(lzw, 1).toSeq == data.toSeq)
   }
 
+  test("engine: doc-level policy matrix (tagged / acroform / signature)") {
+    import graft.model.{ExtractConfig, ProcessingMode => M}
+    val rng = () => new SyntheticCorpus.Rng(3)
+    val tagged = row(SyntheticCorpus.pdf(rng(), 3))
+    val form = row(SyntheticCorpus.pdf(rng(), 4))
+    val signed = row(SyntheticCorpus.pdf(rng(), 5))
+    def out(r: PageRow, m: String): String =
+      PdfEngine.extractSniffed(r, graft.engine.Sniffer.sniff(r.html),
+        ExtractConfig(mode = m)).outcome
+    // tagged PDF: reject under default ONLY (reference TaggedPDFError when
+    // tagged_pdf_mode=default AND mode=default, _pipeline.py:264-279)
+    assert(out(tagged, M.Default) == "rejected:tagged_pdf")
+    Seq(M.Force, M.Skip, M.Redo).foreach(m => assert(out(tagged, m) == "ok"))
+    // fillable AcroForm: reject under redo ONLY (InputFileError,
+    // _pipeline.py:246-254); other modes warn and proceed
+    assert(out(form, M.Redo) == "rejected:acroform_redo")
+    Seq(M.Default, M.Force, M.Skip).foreach(m => assert(out(form, m) == "ok"))
+    // digital signature (SigFlags != 0): reject in EVERY mode
+    // (DigitalSignatureError, _pipeline.py:241-245)
+    Seq(M.Default, M.Force, M.Skip, M.Redo).foreach(m =>
+      assert(out(signed, m) == "rejected:digital_signature"))
+  }
+
   test("engine: ASCIIHex-filtered content stream extracts (nomap fixture)") {
     val pdf = SyntheticCorpus.pdf(new SyntheticCorpus.Rng(3), 1)
     val r = PdfEngine.extract(row(pdf))
