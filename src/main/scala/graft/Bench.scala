@@ -88,6 +88,23 @@ object Bench {
       CorpusStats.passageDedup(docs, "doc_id", "text").count()
     }._1
 
+    // ANN quality: recall@10 of each approximate path against the exact
+    // brute-force top-10 over the same queries (fraction of true
+    // neighbors the IVF probe recovers — the accuracy axis of the
+    // speed/accuracy trade the nprobe knob controls)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("nbr_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qdf = emb.filter(col("vec_id") < 100)
+    val bruteSet = topSet(
+      Similarity.bruteForceTopK(emb, qdf, "vec_id", "embedding", 10))
+    val recallIvf = topSet(
+      Similarity.ivfTopK(emb, qdf, "vec_id", "embedding", 10))
+      .intersect(bruteSet).size.toDouble / bruteSet.size
+    val recallKmeans = topSet(
+      Similarity.ivfTopKKmeans(emb, qdf, "vec_id", "embedding", 10))
+      .intersect(bruteSet).size.toDouble / bruteSet.size
+
     val best = results.map { case (k, ts) => (k, ts.min) }
     val total = best.values.sum
     val docsPerSec = extractedDocs / best("extract")
@@ -97,7 +114,7 @@ object Bench {
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":$qs,"trials":$trialsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":$qs,"trials":$trialsJson,"recall_at_10":{"ivf":$recallIvf%.3f,"ivf_kmeans":$recallKmeans%.3f},"sf":"$sfDir"}"""
     println(json)
     // machine-readable copy, free of sbt log prefixes (the stdout line is
     // buried in [info] noise when run through sbt): the driver/judge can

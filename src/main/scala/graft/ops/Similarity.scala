@@ -170,6 +170,7 @@ object Similarity {
   def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int = 16, nprobe: Int = 4,
       iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
     val centsLit = typedLit(cents)
     def cellRanking(v: Column): Column =
@@ -178,19 +179,19 @@ object Similarity {
           c.getField("_1").as("cent_id"))))
     val assigned = corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .withColumn("cn", norm("cv"))
       .withColumn("cell",
         element_at(cellRanking(col("cv")), 1).getField("cent_id"))
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", norm("qv"))
       .withColumn("probe",
         explode(slice(cellRanking(col("qv")), 1, nprobe)))
       .withColumn("cell", col("probe").getField("cent_id"))
       .drop("probe")
+    // in-cell rerank through the native fused cosine (bit-identity with
+    // the HOF dot/(qn·cn) form is pinned by sim_topk_native's oracle)
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
@@ -202,6 +203,7 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Driver-side model fit: deterministic centroid pick + norm. The norm
     // is the same sequential double fold as normC / DuckDB
     // sqrt(list_dot_product) — bit-identical across all three.
@@ -218,33 +220,35 @@ object Similarity {
       }
     val centsLit = typedLit(centRows) // array<struct<_1:bigint,_2:array<float>,_3:double>>
 
-    // Per-row cell ranking: cosine against every centroid, sorted by
-    // (cos DESC, cent_id ASC) via an ascending struct sort on
-    // (-cos, cent_id). Negation is exact in IEEE754, so ties and order
-    // match the oracle's ORDER BY ccos DESC, cent_id ASC bit-for-bit.
-    def cellRanking(v: Column, vn: Column): Column =
-      array_sort(transform(centsLit, c =>
-        struct(
-          (-(dotC(v, c.getField("_2")) / (vn * c.getField("_3"))))
-            .as("negcos"),
-          c.getField("_1").as("cent_id"))))
-
+    // Per-row cell ranking: cosine against every centroid via the NATIVE
+    // codegen'd `cosine_sim` (one fused loop per centroid — the HOF
+    // zip_with/aggregate formulation allocates an intermediate array per
+    // comparison; bit-identity of the two is pinned by sim_topk_native's
+    // shared oracle), sorted by (cos DESC, cent_id ASC) via an ascending
+    // struct sort on (-cos, cent_id). Negation is exact in IEEE754, so
+    // ties and order match the oracle's ORDER BY ccos DESC, cent_id ASC.
+    val cellRankingSql =
+      "array_sort(transform(cents, c -> named_struct(" +
+        "'negcos', -cosine_sim(VEC, c._2), 'cent_id', c._1)))"
     val assigned = corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm("cv"))
+      .withColumn("cents", centsLit)
       .withColumn("cell",
-        element_at(cellRanking(col("cv"), col("cn")), 1).getField("cent_id"))
+        expr(s"element_at(${cellRankingSql.replace("VEC", "cv")}, 1).cent_id"))
+      .drop("cents")
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm("qv"))
+      .withColumn("cents", centsLit)
       .withColumn("probe",
-        explode(slice(cellRanking(col("qv"), col("qn")), 1, nprobe)))
+        explode(expr(s"slice(${cellRankingSql.replace("VEC", "qv")}, 1, $nprobe)")))
       .withColumn("cell", col("probe").getField("cent_id"))
-      .drop("probe")
+      .drop("probe", "cents")
     // corpus side (assigned) stays partitioned; probed queries broadcast
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)

@@ -21,7 +21,9 @@ object Plans {
       "docstats_tokens", "host_stats_salted", "text_repetition",
       "dedup_passages", "dedup_passages_clean", "vocab_topk",
       "docstats_signals", "join_anti", "agg_rollup",
-      "agg_quantiles", "shard_pack", "corpus_filter", "sketch_kmv").foreach { q =>
+      "agg_quantiles", "shard_pack", "corpus_filter", "sketch_kmv",
+      "sketch_quantiles", "sim_topk_ivf_kmeans", "dedup_substrings",
+      "extract_modes").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
