@@ -174,6 +174,39 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+    "corpus_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: the "benchmark" is a deterministic
+      // held-out slice of the corpus itself (doc_id ≡ 7 mod 13 — no
+      // external data); docs sharing any 8-word n-gram with it are flagged
+      val d = docs(s, dir)
+      CorpusStats.decontaminate(d, "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(13)) === 7), "text")
+        .orderBy("doc_id")
+    }),
+    "sample_quota" -> ((s, dir) =>
+      // domain-mixing quota sampling: exact per-lang target fractions via
+      // deterministic hash-rank selection (eng 50%, zho 30%, others 20%)
+      CorpusStats.quotaSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.3), defaultFrac = 0.2)
+        .orderBy("doc_id")),
+    "text_redact" -> ((s, dir) => {
+      // PII redaction over deterministically AUGMENTED text (the synthetic
+      // corpus carries no emails/IPs/digit runs, so 2 of 3 rows get a
+      // doc_id-derived PII suffix — both engines build the same string)
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, col("text")).otherwise(
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex.com ip 10.1."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+            pmod(col("doc_id"), lit(100)).cast("string"),
+            lit(" ref "), (col("doc_id") * 7919).cast("string")))
+          .as("text"))
+      CorpusStats.redactPii(aug, "doc_id", "text")
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_num"),
+          md5(col("redacted").cast("binary")).as("red_md5"))
+        .orderBy("doc_id")
+    }),
     "dedup_substrings" -> ((s, dir) =>
       // exact substring-level dedup (Lee et al. 2021 ExactSubstr): maximal
       // ≥40-char runs occurring more than once in the corpus, at arbitrary
@@ -675,6 +708,51 @@ SELECT lang, CAST(len(minima) AS BIGINT) AS n_minima,
   minima[len(minima)] AS kth_hash,
   md5(array_to_string(minima, ',')) AS minima_md5, exact_distinct
 FROM m ORDER BY lang""",
+    "corpus_decontaminate" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), g AS (
+  SELECT doc_id, CASE WHEN len(ws) >= 8
+    THEN list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
+    ELSE [] END AS gs
+  FROM w
+), bg AS (
+  SELECT DISTINCT unnest(gs) AS gh FROM g WHERE doc_id % 13 = 7
+), dg AS (
+  SELECT doc_id, unnest(gs) AS gh FROM g
+), hits AS (
+  SELECT dg.doc_id, count(DISTINCT dg.gh) AS n_hits FROM dg JOIN bg USING (gh) GROUP BY dg.doc_id
+)
+SELECT g.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id""",
+    "sample_quota" -> s"""
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM ${D(sf)}
+)
+SELECT doc_id, lang,
+  rn <= ceil(n * CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3 ELSE 0.2 END) AS kept
+FROM r ORDER BY doc_id""",
+    "text_redact" -> s"""
+WITH a AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text
+    ELSE text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com ip 10.1.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) END AS t
+  FROM ${D(sf)}
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '\\d{4,}')) AS BIGINT) AS n_num,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+    '\\d{4,}', '<NUM>', 'g')) AS red_md5
+FROM a ORDER BY doc_id""",
     "dedup_substrings" -> s"""
 WITH p AS (
   SELECT doc_id, unnest(range(1, length(text) - 38)) AS pos, text

@@ -274,4 +274,100 @@ object CorpusStats {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /** Word n-gram hash list (md5 of the space-joined window, stride 1),
+    * empty when the document has fewer than n words — the guard matters:
+    * Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty. */
+  private def wordGramsExpr(n: Int) = expr(
+    s"case when size(ws) >= $n then transform(sequence(1, size(ws) - $n + 1)," +
+      s" i -> md5(array_join(slice(ws, i, $n), ' '))) " +
+      "else array() end")
+
+  /** Benchmark decontamination [public technique: Brown et al. 2020
+    * (GPT-3) §C; Dodge et al. 2021 C4 analysis — remove training docs
+    * sharing long n-grams with evaluation sets]: flag every document that
+    * shares at least one `n`-word n-gram with the benchmark table. Rows
+    * are never dropped — (doc_id, n_hits, contaminated) lands next to the
+    * corpus so the removal policy stays a downstream filter.
+    *
+    * 100 TB shape: benchmark sets are tiny (MBs) next to the corpus, so
+    * the distinct benchmark-gram hash set BROADCASTS and the corpus-side
+    * probe is a map-side semi-join — no corpus shuffle; the only exchange
+    * is the per-doc hit count re-aggregation. Gram hashes (16 bytes) move,
+    * text never does. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), explode(wordGramsExpr(n)).as("gh"))
+    val benchGrams = bench
+      .select(wordsExpr(benchTextCol).as("ws"))
+      .select(explode(wordGramsExpr(n)).as("gh"))
+      .distinct()
+    val hits = docGrams.join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_hits"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic per-group quota sampling — the domain-mixing primitive
+    * (hold each group to a target fraction of its rows, e.g. language or
+    * source-domain proportions for a training mix): rank rows inside each
+    * group by md5(id) (id tie-break) and keep the first ceil(frac·n).
+    * Hash-ranked selection is a pure function of the input set — no RNG,
+    * reproducible under any partitioning, and the quota is met EXACTLY
+    * (unlike hash-threshold sampling, which is only exact in expectation).
+    * Rows are never dropped: `kept` is a column.
+    *
+    * 100 TB shape: one shuffle on the group key + in-partition sort.
+    * Groups at corpus scale are large; when a single group outgrows a
+    * partition comfortably, swap the rank for a two-pass hash-threshold
+    * refinement (count → threshold bisect) — same determinism, no
+    * per-group sort; the window form is the exact-quota baseline it
+    * would be validated against. */
+  def quotaSample(docs: DataFrame, idCol: String, groupCol: String,
+      fracs: Map[String, Double], defaultFrac: Double): DataFrame = {
+    val fracCol = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, v)) =>
+      when(col(groupCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("doc_id"), col(groupCol),
+        (col("rn") <= ceil(col("n") * fracCol)).as("kept"))
+  }
+
+  /** PII redaction [public technique: the standard pre-training scrub —
+    * e.g. Penedo et al. 2023 (RefinedWeb) §3.4]: sequential
+    * regexp_replace cascade over conservative RE2-and-Java-compatible
+    * patterns (no backrefs, no lookaround, ASCII \\d semantics in both):
+    * emails → <EMAIL>, IPv4 → <IP>, then ≥4-digit runs → <NUM>. Counts
+    * are measured on the ORIGINAL text (so they are order-independent);
+    * the cascade order is part of the contract (an IP redacted first can
+    * not be double-counted as a digit run).
+    *
+    * 100 TB shape: a narrow codegen'd projection — zero shuffle. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val numRe = "\\d{4,}"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(emailRe)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col(textCol), lit(numRe)).cast("long").as("n_num"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+        numRe, "<NUM>").as("redacted"))
 }

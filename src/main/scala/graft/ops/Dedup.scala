@@ -212,12 +212,10 @@ object Dedup {
     val planesLit = typedLit(planeMat)
     val sig = emb
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("vn", sqrt(aggregate(col("v"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
       .withColumn("bits", transform(planesLit, cs =>
         when(aggregate(zip_with(cs, col("v"), (c, x) => c * x.cast("double")),
           lit(0.0), (acc, t) => acc + t) >= 0, 1).otherwise(0)))
-    val banded = sig.select(col("id"), col("v"), col("vn"), col("bits"),
+    val banded = sig.select(col("id"), col("v"), col("bits"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), k -> aggregate(sequence(0, ${bandBits - 1}), 0, (acc, j) -> acc + element_at(bits, k*$bandBits + j + 1) * shiftleft(1, j)))")))
       .withColumnRenamed("pos", "band_idx")
@@ -229,15 +227,16 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sized.select(col("band_idx"), col("band_val"),
-      col("id").as("doc_a"), col("v").as("va"), col("vn").as("na"))
+      col("id").as("doc_a"), col("v").as("va"))
     val b = sized.select(col("band_idx"), col("band_val"),
-      col("id").as("doc_b"), col("v").as("vb"), col("vn").as("nb"))
+      col("id").as("doc_b"), col("v").as("vb"))
+    // in-bucket verify through the native fused cosine — the quadratic
+    // stage; bit-identical to dot/(na·nb) with precomputed norms (pinned
+    // by sim_topk_native's shared oracle)
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("rawcos",
-        aggregate(zip_with(col("va"), col("vb"),
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, t) => acc + t) / (col("na") * col("nb")))
+      .withColumn("rawcos", expr("cosine_sim(va, vb)"))
       .select(col("doc_a"), col("doc_b"), round(col("rawcos"), 6).as("cos"),
         col("rawcos"))
       .distinct()

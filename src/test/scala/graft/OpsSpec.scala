@@ -140,6 +140,53 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: doc sharing an 8-gram with the benchmark is flagged") {
+    import spark.implicits._
+    val gram8 = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"prefix words here $gram8 and a tail"), // shares the 8-gram
+      (2L, "completely different words with no overlap at all whatsoever"),
+      (3L, "seven eight nine ten eleven twelve thirteen fourteen fifteen"))
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, s"benchmark eval question: $gram8 answer"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.decontaminate(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("quota sample: exact per-group quotas, deterministic selection") {
+    import spark.implicits._
+    val df = (0 until 100).map(i =>
+      (i.toLong, if (i < 60) "en" else "zh")).toDF("doc_id", "lang")
+    val out = CorpusStats.quotaSample(df, "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.5), defaultFrac = 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val kept = out.filter(_._3).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(kept == Map("en" -> 15, "zh" -> 20)) // ceil(60·.25)=15, ceil(40·.5)=20
+    // deterministic: second run selects the identical doc ids
+    val out2 = CorpusStats.quotaSample(df, "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.5), defaultFrac = 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
+
+  test("redact pii: email/ip/digit-run cascade with counts on original") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org and 192.168.10.20 ref 1234567 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co plus 12345678901"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.redactPii(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 1L, 1L,
+      "mail <EMAIL> and <IP> ref <NUM> end")))
+    assert(out(1) == ((2L, 0L, 0L, 0L, "no pii here at all")))
+    assert(out(2) == ((3L, 2L, 0L, 1L, "two mails <EMAIL> <EMAIL> plus <NUM>")))
+  }
+
   test("dedup substrings: shared passage yields one maximal run per doc") {
     import spark.implicits._
     // two docs share a 60-char passage at different offsets inside
