@@ -153,4 +153,32 @@ object StreamJobs {
             next.dups))
       }
   }
+
+  /** Streaming decontamination — the STREAM-STATIC join twin of
+    * `CorpusStats.decontaminate`: documents arrive on the stream, the
+    * benchmark gram-hash set is a static (broadcast) table, and the
+    * equijoin is stateless by construction (stream-static joins keep no
+    * watermark state — exactly why the benchmark side must be the static
+    * one). Grams are DISTINCT within each document before the join, so
+    * `n_hits` counts distinct shared grams, matching the batch operator;
+    * a document arrives atomically in one micro-batch, so the per-doc
+    * update-mode count never double-counts across batches. */
+  def streamingDecontaminate(docs: Dataset[(Long, String)],
+      benchGrams: DataFrame, n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.flatMap { case (id, text) =>
+      val ws = if (text == null) Array.empty[String]
+        else text.split(' ').filter(_.nonEmpty)
+      ws.sliding(n).filter(_.length == n).map { g =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.map(b => f"${b & 0xff}%02x").mkString
+      }.toSet.toSeq.map((h: String) => (id, h))
+    }.toDF("doc_id", "gh")
+    grams.join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -23,7 +23,8 @@ object Plans {
       "docstats_signals", "join_anti", "agg_rollup",
       "agg_quantiles", "shard_pack", "corpus_filter", "sketch_kmv",
       "sketch_quantiles", "sim_topk_ivf_kmeans", "dedup_substrings",
-      "extract_modes").foreach { q =>
+      "extract_modes", "corpus_decontaminate", "sample_quota",
+      "text_redact").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

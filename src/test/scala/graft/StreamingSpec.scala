@@ -114,6 +114,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: stream-static decontamination matches the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val gram8 = "one two three four five six seven eight"
+    val docRows = Seq(
+      (1L, s"lead in words $gram8 trailing tail"),
+      (2L, "nothing shared here in this entirely different document text"),
+      (3L, s"another carrier with $gram8 inside and $gram8 twice"))
+    // static benchmark side: distinct gram hashes of the bench text (the
+    // broadcast model table)
+    val bench = Seq((99L, s"eval prompt $gram8 answer")).toDF("doc_id", "text")
+    val benchGrams = bench
+      .select(expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 7), i -> md5(array_join(slice(ws, i, 8), ' ')))"))
+        .as("gh")).distinct()
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamJobs.streamingDecontaminate(stream.toDS(), benchGrams)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("update").start()
+    try {
+      stream.addData(docRows.take(2))
+      q.processAllAvailable()
+      stream.addData(docRows.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("decon_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch reference over the same union
+      val batch = graft.ops.CorpusStats.decontaminate(
+          docRows.toDF("doc_id", "text"), "doc_id", "text", bench, "text")
+        .filter(col("contaminated")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+      assert(got.keySet == Set(1L, 3L) && !got.contains(2L))
+    } finally q.stop()
+  }
+
   test("streaming: file-source query is exactly-once across restarts") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
