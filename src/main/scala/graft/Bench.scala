@@ -87,6 +87,13 @@ object Bench {
     results("dedup_passages") = timeTrials(1, 3) {
       CorpusStats.passageDedup(docs, "doc_id", "text").count()
     }._1
+    results("dedup_substrings") = timeTrials(1, 3) {
+      Dedup.substringRuns(docs, "doc_id", "text").count()
+    }._1
+    results("decontaminate") = timeTrials(1, 3) {
+      CorpusStats.decontaminate(docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(13)) === 7), "text").count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -148,10 +148,10 @@ object SparkEntry {
     "pages_subset" -> ((s, dir) => {
       // --pages-style subset as a PUSHED-DOWN parquet filter (reference:
       // _options.py:72-139; plan shows PushedFilters OR-of-ranges and a
-      // 2-column ReadSchema)
+      // 2-column ReadSchema). `end` stays open-ended — no driver-side
+      // count() to resolve it
       val d = docs(s, dir)
-      val total = d.count().toInt
-      d.filter(Jobs.subsetFilter(col("doc_id"), "1-50,111,200-end", total,
+      d.filter(Jobs.subsetFilterOpenEnd(col("doc_id"), "1-50,111,200-end",
           firstPosValue = 0L))
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")

@@ -209,9 +209,10 @@ final class KllBuffer(val k: Int) {
   }
 
   def serialize(): Array[Byte] = {
-    var n = 4 // nLevels
+    var n = 8 // k + nLevels
     levels.foreach(lv => n += 8 + lv.length * 8) // count+flip, doubles
     val bb = java.nio.ByteBuffer.allocate(n)
+    bb.putInt(k)
     bb.putInt(levels.length)
     var i = 0
     while (i < levels.length) {
@@ -226,10 +227,10 @@ final class KllBuffer(val k: Int) {
 object KllBuffer {
   def deserialize(bytes: Array[Byte]): KllBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val k = bb.getInt // carried in the bytes: a deserialized buffer must
+    // keep the aggregate's capacity even if used as a merge TARGET
     val nLevels = bb.getInt
-    // k is re-imposed by the enclosing aggregate on the next update/merge;
-    // carry a lower bound so a deserialized buffer alone stays usable
-    val buf = new KllBuffer(8)
+    val buf = new KllBuffer(k)
     buf.levels = ArrayBuffer.empty
     buf.flips = ArrayBuffer.empty
     var i = 0

@@ -119,6 +119,26 @@ object Jobs {
       .reduceOption(_ || _)
       .getOrElse(lit(false))
 
+  /** As `subsetFilter`, but the `end` alias stays OPEN-ENDED
+    * (posCol >= lo) instead of being resolved against a row count — at
+    * warehouse scale the total is table metadata you should not have to
+    * fetch (let alone count()), and `GreaterThanOrEqual` pushes into the
+    * parquet scan identically. */
+  def subsetFilterOpenEnd(posCol: Column, spec: String,
+      firstPosValue: Long = 1L): Column =
+    Ranges.intervals(spec, Int.MaxValue)
+      .map { case (lo, hi) =>
+        val l = lo - 1L + firstPosValue
+        if (hi == Int.MaxValue) posCol >= lit(l)
+        else {
+          val h = hi - 1L + firstPosValue
+          if (l == h) posCol === lit(l)
+          else posCol >= lit(l) && posCol <= lit(h)
+        }
+      }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+
   /** Subset selection on the synthetic source: selection happens at
     * GENERATION (the partition-pruning analog — out-of-range rows are
     * never built, like the reference's stub PageInfo for out-of-range

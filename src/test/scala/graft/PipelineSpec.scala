@@ -128,6 +128,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg.getLong(1) == failDirect)
   }
 
+  test("subset filter: open-ended `end` selects the same rows as resolved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0L until 300L).toDF("doc_id")
+    val spec = "1-50,111,200-end"
+    val resolved = df.filter(graft.spark.Jobs.subsetFilter(
+        col("doc_id"), spec, 300, firstPosValue = 0L))
+      .collect().map(_.getLong(0)).toSet
+    val open = df.filter(graft.spark.Jobs.subsetFilterOpenEnd(
+        col("doc_id"), spec, firstPosValue = 0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(open == resolved) // no driver-side count needed for `end`
+    assert(open.contains(299L) && !open.contains(150L))
+  }
+
   test("skew: salted key spreads the hot host across partitions") {
     import spark.implicits._
     val pages = Jobs.syntheticPages(spark, 400)
