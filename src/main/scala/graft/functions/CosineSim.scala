@@ -114,6 +114,12 @@ object GraftFunctions {
       KllQuantiles(exprs(0), GraftFunctions.litInt(exprs(1)),
         exprs.drop(2).map(GraftFunctions.litDouble))
         .toAggregateExpression())
+    // optimizer integration on a plain (extension-less) session: rewrite
+    // builtin HOF cosine trees into the fused native kernel; idempotent
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.NativeCosineRule))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.NativeCosineRule
   }
 
   /** Extract a literal int argument (e.g. the k of kmv_minima(col, k)). */

@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KllQuantiles(exprs(0), GraftFunctions.litInt(exprs(1)),
           exprs.drop(2).map(GraftFunctions.litDouble))
           .toAggregateExpression()))
+    // builtin-HOF-cosine → fused native kernel (semantics-preserving;
+    // see NativeCosineRule scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.NativeCosineRule)
   }
 }

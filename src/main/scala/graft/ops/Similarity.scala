@@ -43,16 +43,20 @@ object Similarity {
     * (cos DESC, neighbor id ASC). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // register() also installs NativeCosineRule: this operator DECLARES
+    // the builtin HOF cosine below and the optimizer rewrites it into the
+    // fused cosine_hof kernel — the declarative-formulation-fast-plan
+    // contract the library's optimizer rule exists for
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .withColumn("cn", norm("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", norm("qv"))
     // broadcast the QUERY side: the corpus is the 10^9-row side at scale,
     // so it stays partitioned and each task scores its slice against the
     // broadcast queries; WindowGroupLimit then takes partial top-k per
     // partition before the (tiny) shuffle on query_id
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("cos",
+        dotC(col("qv"), col("cv")) / (normC(col("qv")) * normC(col("cv"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)

@@ -241,6 +241,64 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf == brute, "IVF-kmeans recall@5 below 1.0 on separable clusters")
   }
 
+  test("optimizer rule: builtin HOF cosine rewrites to the fused native kernel") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the flagship consumer: bruteForceTopK DECLARES the builtin HOF
+    // cosine; the optimized plan must show the rewrite (catches pattern
+    // drift across Spark upgrades before it silently regresses perf)
+    val emb = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(2.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val plan = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 1),
+      "vec_id", "embedding", 2).queryExecution.optimizedPlan.toString
+    assert(plan.contains("cosine_hof"), s"rule did not fire:\n$plan")
+  }
+
+  test("optimizer rule: rewrite preserves HOF edge semantics exactly") {
+    import org.apache.spark.sql.{Row, SparkSession}
+    import org.apache.spark.sql.types._
+    graft.functions.GraftFunctions.register(spark)
+    // a sibling session WITHOUT the rule evaluates the raw HOF tree; the
+    // shared-context session WITH the rule evaluates cosine_hof — results
+    // must match on every edge case, or the rewrite is not a legal
+    // optimization
+    val plain = spark.newSession()
+    assert(plain.experimental.extraOptimizations.isEmpty)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType), nullable = true),
+      StructField("b", ArrayType(FloatType), nullable = true)))
+    val rows = Seq(
+      Row(Seq(1.0f, 2.0f), Seq(0.5f, 1.5f)), // normal
+      Row(Seq(1.0f, 2.0f), Seq(0.5f)), // length mismatch → null
+      Row(null, Seq(1.0f, 1.0f))) // null input → null
+    val hofSql =
+      """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+        |  cast(0.0 as double), (acc, v) -> acc + v)
+        | / (sqrt(aggregate(a, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))
+        |    * sqrt(aggregate(b, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))))
+        |""".stripMargin.replace("\n", " ")
+    def run(s: SparkSession, rs: Seq[Row]): Seq[Any] = {
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rs, 1), schema)
+      df.selectExpr(s"$hofSql as cos").collect().map(r =>
+        if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    }
+    val unrewritten = run(plain, rows)
+    val rewritten = run(spark, rows)
+    assert(unrewritten == rewritten,
+      s"edge drift: $unrewritten vs $rewritten")
+    assert(rewritten(1) == null && rewritten(2) == null)
+    // zero-norm vector: ANSI mode (the Spark 4 default) throws
+    // DIVIDE_BY_ZERO from the raw Divide — the rewritten kernel must
+    // throw the SAME error class, not return NaN
+    val zero = Seq(Row(Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)))
+    val ePlain = intercept[Exception] { run(plain, zero) }
+    val eRewrite = intercept[Exception] { run(spark, zero) }
+    assert(ePlain.getMessage.contains("DIVIDE_BY_ZERO"))
+    assert(eRewrite.getMessage.contains("DIVIDE_BY_ZERO"),
+      s"rewritten kernel lost the ANSI error: ${eRewrite.getMessage}")
+  }
+
   test("extensions: spark.sql.extensions injects the native functions") {
     import org.apache.spark.sql.SparkSession
     graft.functions.GraftFunctions.register(spark)
