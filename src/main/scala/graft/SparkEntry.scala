@@ -213,6 +213,12 @@ object SparkEntry {
       // boundaries — the modality passage/doc hashing cannot see
       Dedup.substringRuns(docs(s, dir), "doc_id", "text", minLen = 40)
         .orderBy("doc_id", "run_start")),
+    "dedup_substrings_rolling" -> ((s, dir) =>
+      // scale path: native O(n) Karp-Rabin rolling_hash (two 61-bit
+      // bases) instead of md5 per window; oracled against the SAME
+      // md5-gram SQL — equal runs is a cross-strategy equality check
+      Dedup.substringRunsRolling(docs(s, dir), "doc_id", "text", minLen = 40)
+        .orderBy("doc_id", "run_start")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", minJaccard = 0.1)
         .orderBy("doc_a", "doc_b")),
@@ -754,6 +760,30 @@ SELECT doc_id,
     '\\d{4,}', '<NUM>', 'g')) AS red_md5
 FROM a ORDER BY doc_id""",
     "dedup_substrings" -> s"""
+WITH p AS (
+  SELECT doc_id, unnest(range(1, length(text) - 38)) AS pos, text
+  FROM ${D(sf)} WHERE length(text) >= 40
+), g AS (
+  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h FROM p
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING count(*) > 1
+), dp AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+      THEN 1 ELSE 0 END AS newrun
+  FROM dp
+), runs AS (
+  SELECT doc_id, pos,
+    sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
+  CAST(max(pos) + 39 AS BIGINT) AS run_end,
+  CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
+FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
+    "dedup_substrings_rolling" -> s"""
 WITH p AS (
   SELECT doc_id, unnest(range(1, length(text) - 38)) AS pos, text
   FROM ${D(sf)} WHERE length(text) >= 40

@@ -114,6 +114,9 @@ object GraftFunctions {
       KllQuantiles(exprs(0), GraftFunctions.litInt(exprs(1)),
         exprs.drop(2).map(GraftFunctions.litDouble))
         .toAggregateExpression())
+    reg1("rolling_hash", exprs =>
+      RollingHash(exprs(0), GraftFunctions.litInt(exprs(1)),
+        GraftFunctions.litInt(exprs(2)).toLong))
     // optimizer integration on a plain (extension-less) session: rewrite
     // builtin HOF cosine trees into the fused native kernel; idempotent
     val extra = spark.experimental.extraOptimizations

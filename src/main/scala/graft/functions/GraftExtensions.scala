@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KllQuantiles(exprs(0), GraftFunctions.litInt(exprs(1)),
           exprs.drop(2).map(GraftFunctions.litDouble))
           .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info(classOf[RollingHash], "rolling_hash"), // O(n) Karp-Rabin windows
+      (exprs: Seq[Expression]) =>
+        RollingHash(exprs(0), GraftFunctions.litInt(exprs(1)),
+          GraftFunctions.litInt(exprs(2)).toLong)))
     // builtin-HOF-cosine → fused native kernel (semantics-preserving;
     // see NativeCosineRule scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.NativeCosineRule)

@@ -332,9 +332,40 @@ object Dedup {
           s" i -> md5(substring(text, i, $minLen)))")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupHashes = grams.groupBy("h")
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
-    val dupPos = grams.join(dupHashes, Seq("h")).select("doc_id", "pos")
+    substringRunsFromGrams(grams, Seq("h"), minLen)
+  }
+
+  /** As `substringRuns`, but gram hashing is the native O(n) Karp-Rabin
+    * `rolling_hash` expression (graft.functions.RollingHash) — ONE pass
+    * per base instead of an md5 over every L-char window (40× less hash
+    * work at L=40). Two independent bases give a 122-bit key; the same
+    * run output as the md5 form up to negligible collision mass, so the
+    * md5-based SQL oracle doubles as a cross-strategy check. */
+  def substringRunsRolling(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id"),
+        expr(s"rolling_hash(text, $minLen, 131)").as("h1s"),
+        expr(s"rolling_hash(text, $minLen, 137)").as("h2s"))
+      .select(col("doc_id"), posexplode(expr("arrays_zip(h1s, h2s)")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col.h1s").as("h1"), col("col.h2s").as("h2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    substringRunsFromGrams(grams, Seq("h1", "h2"), minLen)
+  }
+
+  /** Shared tail of the substring-dedup formulations: corpus-duplicated
+    * gram keys → per-doc surviving positions → maximal runs
+    * (gaps-and-islands). `grams` must have (doc_id, pos, keyCols...). */
+  private def substringRunsFromGrams(grams: DataFrame, keyCols: Seq[String],
+      minLen: Int): DataFrame = {
+    val dupHashes = grams.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(keyCols.map(col): _*)
+    val dupPos = grams.join(dupHashes, keyCols).select("doc_id", "pos")
     // gaps-and-islands per doc: grams at p1 < p2 overlap/touch iff
     // p2 ≤ p1 + minLen, else a new run starts
     val wOrd = org.apache.spark.sql.expressions.Window

@@ -210,6 +210,46 @@ class OpsSpec extends AnyFunSuite {
       (2L, s2.toLong, (s2 + 59).toLong)))
   }
 
+  test("rolling hash: exact Karp-Rabin windows, BigInt-verified, multibyte") {
+    import graft.functions.RollingHashImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = BigInt(RollingHashImpl.P)
+    def reference(s: String, l: Int, b: Long): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - l).map { i =>
+        cps.slice(i, i + l).foldLeft(BigInt(0))((acc, c) =>
+          (acc * b + c) mod P).toLong
+      }
+    }
+    val samples = Seq(
+      "hello world this is a rolling hash test string",
+      "数据处理管道提取文档内容分析系统网络页面文本", // multibyte CJK
+      "emoji 😀 astral codepoints 🚀 mix", // surrogate pairs
+      "aaaaaaaaaaaaaaaaaaaa") // degenerate repetition
+    for (s <- samples; l <- Seq(3, 8); b <- Seq(131L, 137L)) {
+      val got = RollingHashImpl.compute(UTF8String.fromString(s), l, b)
+        .toLongArray().toSeq
+      assert(got == reference(s, l, b), s"drift on '$s' l=$l b=$b")
+    }
+    // shorter than window → empty
+    assert(RollingHashImpl.compute(UTF8String.fromString("ab"), 3, 131L)
+      .numElements() == 0)
+  }
+
+  test("dedup substrings rolling: same runs as the md5 formulation") {
+    import spark.implicits._
+    val shared = "0123456789" * 6
+    val d1 = "AAAA unique prefix oneX" + shared + "Yunique suffix alpha zzz"
+    val d2 = "BB other start twoP" + shared + "Qdifferent ending beta qqq"
+    val d3 = "completely disjoint text with no forty-char overlap at all " +
+      "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ!"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(rows(Dedup.substringRunsRolling(df, "doc_id", "text", 40)) ==
+      rows(Dedup.substringRuns(df, "doc_id", "text", 40)))
+  }
+
   test("kmeans ivf: Lloyd training separates clusters; full recall on them") {
     import spark.implicits._
     // 3 well-separated clusters of 12 vectors (dim 8), deterministic
