@@ -24,7 +24,7 @@ object Plans {
       "agg_quantiles", "shard_pack", "corpus_filter", "sketch_kmv",
       "sketch_quantiles", "sim_topk_ivf_kmeans", "dedup_substrings",
       "extract_modes", "corpus_decontaminate", "sample_quota",
-      "text_redact").foreach { q =>
+      "text_redact", "dedup_substrings_rolling").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
