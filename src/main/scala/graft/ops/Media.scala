@@ -74,6 +74,75 @@ object Media {
           if (blockAlign > 0) dataLen / blockAlign else 0L, "aud"))
       return None
     }
+    // TIFF: "II*\0" (LE) or "MM\0*" (BE); IFD0 at u32@4; entries are
+    // 12 bytes: tag(2) type(2) count(4) value(4); tags 256/257 = w/h,
+    // value inline as SHORT(3) or LONG(4) (TIFF 6.0 spec §2)
+    if ((ascii(b, 0, "II") && b.length >= 8 && (b(2) & 0xff) == 42 && b(3) == 0) ||
+        (ascii(b, 0, "MM") && b.length >= 8 && b(2) == 0 && (b(3) & 0xff) == 42)) {
+      val le = b(0) == 'I'
+      def u16(i: Int) = if (le) u16le(b, i) else u16be(b, i)
+      def u32(i: Int) = if (le) u32le(b, i) else u32be(b, i)
+      val ifd = u32(4)
+      if (ifd >= 8 && ifd + 2 <= b.length) {
+        val n = math.min(u16(ifd.toInt), 512L).toInt // entry cap: bounded walk
+        var w = 0L; var h = 0L
+        var e = 0
+        while (e < n && ifd.toInt + 2 + (e + 1) * 12 <= b.length) {
+          val off = ifd.toInt + 2 + e * 12
+          val tag = u16(off); val typ = u16(off + 2)
+          val v = if (typ == 3) u16(off + 8) else u32(off + 8)
+          if (tag == 256) w = v else if (tag == 257) h = v
+          e += 1
+        }
+        if (w > 0 && h > 0) return Some(MediaMeta(id, w, h, 1L, "img"))
+      }
+      return None
+    }
+    // MP4 / ISO-BMFF (ISO 14496-12): boxes are [u32be size][4cc]; a file
+    // starts with ftyp; moov/mvhd carries timescale+duration, trak/tkhd
+    // the 16.16-fixed display size. Bounded recursive walk (depth ≤ 3,
+    // sizes validated, size==1 largesize and size==0 to-end handled).
+    if (b.length >= 12 && ascii(b, 4, "ftyp")) {
+      var timescale = 0L; var duration = 0L; var w = 0L; var h = 0L
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 3) return
+        var i = start
+        while (i + 8 <= end) {
+          var sz = u32be(b, i)
+          var hdr = 8
+          if (sz == 1 && i + 16 <= end) { // 64-bit largesize: hi must be 0
+            if (u32be(b, i + 8) != 0L) return
+            sz = u32be(b, i + 12); hdr = 16
+          } else if (sz == 0) sz = (end - i).toLong // box extends to end
+          if (sz < hdr || i + sz > end) return // corrupt: stop the walk
+          if (ascii(b, i + 4, "moov") || ascii(b, i + 4, "trak"))
+            walk(i + hdr, i + sz.toInt, depth + 1)
+          else if (ascii(b, i + 4, "mvhd") && i + hdr + 20 <= end) {
+            val ver = b(i + hdr) & 0xff
+            if (ver == 0 && i + hdr + 20 <= end) {
+              timescale = u32be(b, i + hdr + 12)
+              duration = u32be(b, i + hdr + 16)
+            } else if (ver == 1 && i + hdr + 32 <= end) {
+              timescale = u32be(b, i + hdr + 20)
+              duration = u32be(b, i + hdr + 28) // low 32 bits of u64
+            }
+          } else if (ascii(b, i + 4, "tkhd")) {
+            val ver = b(i + hdr) & 0xff
+            val wOff = i + hdr + (if (ver == 1) 88 else 76)
+            if (wOff + 8 <= end) {
+              val wv = u32be(b, wOff) >> 16 // 16.16 fixed → integer part
+              val hv = u32be(b, wOff + 4) >> 16
+              if (wv > 0 && hv > 0) { w = wv; h = hv }
+            }
+          }
+          i += sz.toInt
+        }
+      }
+      walk(0, b.length, 0)
+      if (timescale > 0)
+        return Some(MediaMeta(id, w, h, duration / timescale, "vid"))
+      return None
+    }
     // JPEG: FF D8, then marker segments; SOFn (C0-C3) carries height@+5
     // BE u16, width@+7 (ITU T.81 §B.2.2). Skip other segments by length —
     // i advances ≥2 per step, so the walk terminates without a segment

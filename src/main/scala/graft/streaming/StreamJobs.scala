@@ -154,6 +154,50 @@ object StreamJobs {
       }
   }
 
+  /** Per-user sessionization state: last event time + running session
+    * counter — constant size per user. */
+  final case class SessionState(lastTsMicros: Long, sessionIdx: Long)
+
+  final case class SessionAssign(user_id: Long, event_id: Long,
+      session_idx: Long)
+
+  /** Streaming gap sessionization — the stateful twin of
+    * `Events.sessionize`: a user's session index lives in the state store
+    * across micro-batches; a new session starts after `gapSec` of
+    * inactivity. Within a batch, events are ordered by (ts, event_id) —
+    * the same total order as the batch window — so intra-batch arrival
+    * order never changes assignments. Cross-batch correctness assumes
+    * per-user event-time monotonicity across batches (the standard
+    * streaming-sessionization contract; pair with a watermark upstream to
+    * bound lateness before this stage). */
+  def streamingSessionize(events: Dataset[(Long, Long, java.sql.Timestamp)],
+      gapSec: Long = 1800): Dataset[SessionAssign] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = gapSec * 1000000L
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          val ordered = rows.toVector.sortBy(r => (r._3.getTime, r._2))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = ordered.map { case (_, eventId, ts) =>
+            val micros = ts.getTime * 1000L
+            val idx =
+              if (st.lastTsMicros == Long.MinValue ||
+                micros - st.lastTsMicros > gapMicros) st.sessionIdx + 1
+              else st.sessionIdx
+            st = SessionState(micros, idx)
+            SessionAssign(user, eventId, idx)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming decontamination — the STREAM-STATIC join twin of
     * `CorpusStats.decontaminate`: documents arrive on the stream, the
     * benchmark gram-hash set is a static (broadcast) table, and the

@@ -638,13 +638,57 @@ class OpsSpec extends AnyFunSuite {
       "data".getBytes ++ bytes(0x90, 1, 0, 0) ++ new Array[Byte](16)
     assert(Media.parseHeader(5L, wav).contains(
       Media.MediaMeta(5L, 44100L, 2L, 100L, "aud")))
+    // TIFF little-endian: II*\0, IFD0 @8 with SHORT ImageWidth=800 (tag
+    // 256) and LONG ImageLength=600 (tag 257)
+    val tif = "II".getBytes ++ bytes(42, 0) ++ bytes(8, 0, 0, 0) ++
+      bytes(2, 0) ++ // 2 IFD entries
+      bytes(0, 1, 3, 0, 1, 0, 0, 0, 0x20, 3, 0, 0) ++ // 256 SHORT 800
+      bytes(1, 1, 4, 0, 1, 0, 0, 0, 0x58, 2, 0, 0) ++ // 257 LONG 600
+      bytes(0, 0, 0, 0)
+    assert(Media.parseHeader(7L, tif).contains(
+      Media.MediaMeta(7L, 800L, 600L, 1L, "img")))
+    // TIFF big-endian variant: MM\0*, same tags BE
+    val tifBe = "MM".getBytes ++ bytes(0, 42) ++ bytes(0, 0, 0, 8) ++
+      bytes(0, 2) ++
+      bytes(1, 0, 0, 3, 0, 0, 0, 1, 3, 0x20, 0, 0) ++
+      bytes(1, 1, 0, 4, 0, 0, 0, 1, 0, 0, 2, 0x58) ++
+      bytes(0, 0, 0, 0)
+    assert(Media.parseHeader(8L, tifBe).contains(
+      Media.MediaMeta(8L, 800L, 600L, 1L, "img")))
+    // MP4 / ISO-BMFF: ftyp + moov{mvhd v0 timescale=1000 duration=12000,
+    // trak{tkhd v0 width=1280.0 height=720.0 (16.16 fixed)}} → 12 s video
+    val ftyp = bytes(0, 0, 0, 16) ++ "ftyp".getBytes ++
+      "isom".getBytes ++ bytes(0, 0, 0, 1)
+    val mvhd = bytes(0, 0, 0, 108) ++ "mvhd".getBytes ++
+      bytes(0, 0, 0, 0) ++ // version 0 + flags
+      bytes(0, 0, 0, 0, 0, 0, 0, 0) ++ // ctime mtime
+      bytes(0, 0, 3, 0xe8) ++ // timescale 1000
+      bytes(0, 0, 0x2e, 0xe0) ++ // duration 12000
+      new Array[Byte](108 - 8 - 4 - 8 - 4 - 4)
+    val tkhdContent = bytes(0, 0, 0, 0) ++ // v0 + flags
+      new Array[Byte](72) ++ // ctime..matrix (76 bytes total incl v/f)
+      bytes(5, 0, 0, 0) ++ // width 1280.0 as 16.16 (0x0500_0000)
+      bytes(2, 0xd0, 0, 0) // height 720.0 (0x02d0_0000)
+    val tkhd = bytes(0, 0, 0, 8 + tkhdContent.length) ++ "tkhd".getBytes ++
+      tkhdContent
+    val trak = bytes(0, 0, 0, 8 + tkhd.length) ++ "trak".getBytes ++ tkhd
+    val moovLen = 8 + mvhd.length + trak.length
+    val mp4 = ftyp ++ bytes(0, 0, (moovLen >> 8) & 0xff, moovLen & 0xff) ++
+      "moov".getBytes ++ mvhd ++ trak
+    assert(Media.parseHeader(9L, mp4).contains(
+      Media.MediaMeta(9L, 1280L, 720L, 12L, "vid")))
     // unrecognized payloads fall through to the deterministic stub
     val txt = "plain text payload".getBytes
     assert(Media.parseHeader(6L, txt).isEmpty)
     assert(Media.decodeMeta(6L, txt) == Media.decodeStub(6L, txt))
     // total on adversarial bytes: truncated/corrupt headers → None or stub
     Seq(bytes(0xff, 0xd8, 0xff), "GIF89a".getBytes.take(6),
-      "RIFF0000WAVE".getBytes, bytes(0x89, 'P', 'N', 'G')).foreach { p =>
+      "RIFF0000WAVE".getBytes, bytes(0x89, 'P', 'N', 'G'),
+      "II".getBytes ++ bytes(42, 0, 8, 0, 0, 0),
+      bytes(0, 0, 0, 16) ++ "ftyp".getBytes, // truncated mp4
+      bytes(0, 0, 0, 16) ++ "ftypisom".getBytes ++ bytes(0, 0, 0, 1) ++
+        bytes(0, 0, 0, 1) ++ "moov".getBytes // largesize abuse
+    ).foreach { p =>
       Media.decodeMeta(9L, p) // must not throw
     }
   }

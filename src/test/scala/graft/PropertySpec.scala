@@ -151,6 +151,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: KLL sketch conserves weight, bounds state, bounds rank error") {
+    import graft.functions.KllBuffer
+    val cfg: Gen[(Int, Int, Int)] = for {
+      n <- Gen.choose(1, 5000)
+      k <- Gen.oneOf(16, 64, 256)
+      parts <- Gen.choose(1, 9)
+    } yield (n, k, parts)
+    samples(cfg, n = 60).foreach { case (n, k, parts) =>
+      val vals = (0 until n).map(i => ((i.toLong * 48271L) % n).toDouble)
+      // split into `parts` streams, build + serialize-roundtrip + merge —
+      // the shuffle shape
+      val merged = new KllBuffer(k)
+      vals.grouped(math.max(1, n / parts)).foreach { chunk =>
+        val b = new KllBuffer(k)
+        chunk.foreach(b.add)
+        merged.mergeIn(KllBuffer.deserialize(b.serialize()))
+      }
+      assert(merged.totalWeight == n.toLong, s"weight lost n=$n k=$k")
+      assert(merged.levels.forall(_.length <= k), s"level overflow k=$k")
+      // O(log(n/k)) levels with slack
+      assert(merged.levels.length <= 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(n / k, 1).toLong) + 3, s"level blowup n=$n k=$k")
+      val sorted = vals.sorted
+      Seq(0.25, 0.5, 0.75).foreach { q =>
+        val est = merged.quantile(q).get
+        val estRank = sorted.count(_ <= est)
+        val trueRank = 1 + math.floor((n - 1) * q)
+        // generous deterministic-compaction bound: 25% of n or exact when
+        // nothing compacts
+        val tol = if (n <= k) 0.0 else n * 0.25
+        assert(math.abs(estRank - trueRank) <= tol,
+          s"rank error n=$n k=$k parts=$parts q=$q: $estRank vs $trueRank")
+      }
+    }
+  }
+
   test("property: range compression covers exactly the input set, in order") {
     samples(Gen.listOf(Gen.choose(1, 60))).foreach { pages =>
       val ranges = Ranges.compress(pages)

@@ -152,6 +152,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: sessionize matches the batch window across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: events at 0,10,70,75 min (gap 30 → sessions 1,1,2,2)
+    // user 2: events at 5, then 200 min (→ sessions 1, 2); the 200-min
+    // event arrives in the SECOND micro-batch — state must carry over
+    val batch1 = Seq((1L, 10L, ts(0)), (1L, 11L, ts(10)), (2L, 20L, ts(5)))
+    val batch2 = Seq((1L, 12L, ts(70)), (1L, 13L, ts(75)), (2L, 21L, ts(200)))
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamJobs.streamingSessionize(stream.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      val got = spark.table("sess_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.Events.sessionize(
+          (batch1 ++ batch2).toDF("user_id", "event_id", "ts"), gapSec = 1800)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch, s"streaming $got vs batch $batch")
+      assert(got((2L, 21L)) == 2L) // cross-batch gap opened a new session
+    } finally q.stop()
+  }
+
   test("streaming: file-source query is exactly-once across restarts") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
