@@ -142,16 +142,13 @@ object Blocks {
         if (pending.length > maxWordLen) maxWordLen = pending.length
         // letters is CHAR-based (exactly the former
         // `w.count(Character.isLetter)` — surrogate units count as
-        // non-letters), cjk is CODEPOINT-based (the former effectiveChars
-        // walk) — both rules are frozen classifier behavior
-        var i = 0
-        while (i < pending.length) {
-          if (Character.isLetter(pending.charAt(i))) letters += 1
-          i += 1
-        }
+        // non-letters, so astral codepoints contribute 0 either way),
+        // cjk is CODEPOINT-based (the former effectiveChars walk) — both
+        // frozen classifier rules, fused into ONE codepoint walk
         var j = 0
         while (j < pending.length) {
           val cp = pending.codePointAt(j)
+          if (cp <= 0xffff && Character.isLetter(cp)) letters += 1
           if (isCjk(cp)) cjkCount += 1
           j += Character.charCount(cp)
         }
