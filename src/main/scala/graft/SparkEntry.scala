@@ -145,6 +145,24 @@ object SparkEntry {
       Jobs.extract(
         Jobs.syntheticPagesSubset(s, verifyN, "1-40,101-130,590-end"), 8)
         .toDF().select("url", "text", "outcome").orderBy("url")),
+    "extract_warc" -> ((s, _) => {
+      // the verify corpus re-serialized as WARC/1.0 archives (Common
+      // Crawl's real container: Content-Length-framed response records),
+      // re-ingested through the WARC source's tolerant record walk, then
+      // extracted — must match the goldens byte-identically, proving the
+      // source round-trips every field the kernel consumes
+      import s.implicits._
+      val blobs = (0 until 12).map { g =>
+        graft.spark.WarcSource.writeRecords(
+          (0 until 50).map(k =>
+            graft.gen.SyntheticCorpus.row((g * 50 + k).toLong)))
+      }
+      val pages = s.createDataset(blobs)
+        .repartition(4) // archives parse in parallel, like binaryFile tasks
+        .flatMap(graft.spark.WarcSource.parseRecords _)
+      Jobs.extract(pages, 32).toDF()
+        .select("url", "text", "outcome", "engine").orderBy("url")
+    }),
     "pages_subset" -> ((s, dir) => {
       // --pages-style subset as a PUSHED-DOWN parquet filter (reference:
       // _options.py:72-139; plan shows PushedFilters OR-of-ranges and a
@@ -536,6 +554,8 @@ c$i AS (
 
   def oracleSql: Map[String, String] = Map(
     "extract_text" ->
+      s"SELECT url, text, outcome, engine FROM $G ORDER BY url",
+    "extract_warc" ->
       s"SELECT url, text, outcome, engine FROM $G ORDER BY url",
     "extract_spans" ->
       s"""SELECT url, idx, start, "end", kind, path FROM $GS ORDER BY url, idx""",

@@ -1,0 +1,160 @@
+package graft.spark
+
+import graft.model.PageRow
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** WARC ingestion source — the container format Common Crawl actually
+  * ships (WARC/1.0, ISO 28500): a file is a sequence of records, each a
+  * CRLF-line header block (terminated by a blank line) followed by
+  * exactly Content-Length payload bytes and a CRLF CRLF separator.
+  * Content-Length framing means payloads are OPAQUE — html containing
+  * "WARC/1.0" never desyncs the reader.
+  *
+  * Only `WARC-Type: response` records with a `WARC-Target-URI` become
+  * pages; other record types (warcinfo, request, metadata) are skipped,
+  * and a structurally corrupt header ends the walk deterministically
+  * (same failure-containment discipline as the extraction kernel — bad
+  * bytes degrade, never throw).
+  *
+  * 100 TB shape: `readWarcFiles` maps each WARC file to one task via the
+  * binaryFile source and explodes records with a flatMap — a narrow
+  * stage, so record parsing runs where the bytes land and only PageRows
+  * enter the pipeline. Real CC archives are per-file gzip members;
+  * Sniffer already handles gzip payloads per record, and a per-file
+  * gunzip would slot in front of parseRecords unchanged.
+  */
+object WarcSource {
+
+  private val CRLF = "\r\n"
+
+  /** Serialize pages as WARC response records (the fixture/writer side —
+    * also how an upstream fetcher would hand us bytes). Prior text rides
+    * in a base64 extension header (it may contain any character); the
+    * lang hint in a plain one. */
+  def writeRecords(rows: Seq[PageRow]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    rows.foreach { r =>
+      val sb = new StringBuilder
+      sb.append("WARC/1.0").append(CRLF)
+      sb.append("WARC-Type: response").append(CRLF)
+      sb.append("WARC-Target-URI: ").append(r.url).append(CRLF)
+      sb.append("WARC-Date: ").append(
+        java.time.Instant.ofEpochMilli(r.warc_ts.getTime).toString)
+        .append(CRLF)
+      if (r.lang != null)
+        sb.append("WARC-Graft-Lang: ").append(r.lang).append(CRLF)
+      if (r.text != null)
+        sb.append("WARC-Graft-Prior: ").append(
+          java.util.Base64.getEncoder.encodeToString(
+            r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          .append(CRLF)
+      val payload = if (r.html == null) Array.empty[Byte] else r.html
+      sb.append("Content-Length: ").append(payload.length).append(CRLF)
+      sb.append(CRLF)
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(payload)
+      out.write(s"$CRLF$CRLF".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    out.toByteArray
+  }
+
+  /** Tolerant record walk: yields one PageRow per well-formed response
+    * record; stops (without throwing) at the first structural
+    * inconsistency. Total on arbitrary bytes. */
+  def parseRecords(bytes: Array[Byte]): Iterator[PageRow] = {
+    if (bytes == null) return Iterator.empty
+    val rows = Vector.newBuilder[PageRow]
+    var i = 0
+    var ok = true
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j + 1 < bytes.length &&
+        !(bytes(j) == '\r' && bytes(j + 1) == '\n')) j += 1
+      if (j + 1 < bytes.length) j else -1
+    }
+    while (ok && i < bytes.length) {
+      // version line
+      val ve = lineEnd(i)
+      if (ve < 0) { ok = false }
+      else {
+        val version = new String(bytes, i, ve - i,
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!version.startsWith("WARC/")) { ok = false }
+        else {
+          i = ve + 2
+          // header lines until the blank separator
+          var url: String = null
+          var date: String = null
+          var lang: String = null
+          var prior: String = null
+          var warcType: String = null
+          var contentLength = -1L
+          var headerDone = false
+          while (ok && !headerDone) {
+            val he = lineEnd(i)
+            if (he < 0) ok = false
+            else if (he == i) { headerDone = true; i += 2 } // blank line
+            else {
+              val line = new String(bytes, i, he - i,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val colon = line.indexOf(':')
+              if (colon <= 0) ok = false
+              else {
+                val name = line.substring(0, colon).trim.toLowerCase
+                val value = line.substring(colon + 1).trim
+                name match {
+                  case "warc-type" => warcType = value
+                  case "warc-target-uri" => url = value
+                  case "warc-date" => date = value
+                  case "warc-graft-lang" => lang = value
+                  case "warc-graft-prior" => prior = new String(
+                    java.util.Base64.getDecoder.decode(value),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  case "content-length" =>
+                    contentLength = try value.toLong catch {
+                      case _: NumberFormatException => -1L
+                    }
+                  case _ => () // unknown headers are legal — skip
+                }
+                i = he + 2
+              }
+            }
+          }
+          if (ok) {
+            if (contentLength < 0 || i + contentLength > bytes.length) ok = false
+            else {
+              val payload = java.util.Arrays.copyOfRange(
+                bytes, i, i + contentLength.toInt)
+              i += contentLength.toInt
+              // record separator CRLF CRLF (tolerate EOF right after)
+              var sep = 0
+              while (sep < 4 && i < bytes.length &&
+                (bytes(i) == '\r' || bytes(i) == '\n')) { i += 1; sep += 1 }
+              if (warcType == "response" && url != null && date != null) {
+                val ts = try {
+                  java.sql.Timestamp.from(java.time.Instant.parse(date))
+                } catch { case _: Exception => null }
+                if (ts != null)
+                  rows += PageRow(url, ts, payload, prior, lang)
+              }
+            }
+          }
+        }
+      }
+    }
+    rows.result().iterator
+  }
+
+  /** Distributed WARC read: one task per archive file (binaryFile
+    * source), records exploded by a narrow flatMap — parsing runs where
+    * the bytes land. */
+  def readWarcFiles(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .load(dir)
+      .select("content")
+      .as[Array[Byte]]
+      .flatMap(parseRecords _)
+  }
+}

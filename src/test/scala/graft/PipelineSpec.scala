@@ -128,6 +128,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg.getLong(1) == failDirect)
   }
 
+  test("warc source: file round-trip, non-response skip, adversarial bytes") {
+    import graft.spark.WarcSource
+    val rows = (0L until 40L).map(SyntheticCorpus.row(_))
+    // byte round-trip preserves every field the kernel consumes
+    val back = WarcSource.parseRecords(WarcSource.writeRecords(rows)).toVector
+    assert(back.length == 40)
+    rows.zip(back).foreach { case (a, b) =>
+      assert(a.url == b.url && a.warc_ts == b.warc_ts)
+      assert(java.util.Arrays.equals(a.html, b.html), a.url)
+      assert(a.text == b.text && a.lang == b.lang, a.url)
+    }
+    // real files through the binaryFile source
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    (0 until 4).foreach { g =>
+      java.nio.file.Files.write(dir.resolve(s"part-$g.warc"),
+        WarcSource.writeRecords(rows.slice(g * 10, g * 10 + 10)))
+    }
+    val fromFiles = WarcSource.readWarcFiles(spark, dir.toString)
+      .collect().map(_.url).sorted.toSeq
+    assert(fromFiles == rows.map(_.url).sorted)
+    // warcinfo/request records are skipped; response records still parse
+    val mixed = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n" +
+      "\r\nabc\r\n\r\n").getBytes("UTF-8") ++
+      WarcSource.writeRecords(rows.take(2))
+    assert(WarcSource.parseRecords(mixed).toVector.map(_.url) ==
+      rows.take(2).map(_.url))
+    // total on arbitrary bytes: corrupt structures degrade, never throw
+    Seq(Array.empty[Byte], "WARC/1.0".getBytes("UTF-8"),
+      "WARC/1.0\r\nContent-Length: 99999\r\n\r\nxx".getBytes("UTF-8"),
+      "not a warc at all".getBytes("UTF-8"),
+      "WARC/1.0\r\nbadheader\r\n\r\n".getBytes("UTF-8")).foreach { b =>
+      WarcSource.parseRecords(b).toVector // must not throw
+    }
+  }
+
   test("subset filter: open-ended `end` selects the same rows as resolved") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
