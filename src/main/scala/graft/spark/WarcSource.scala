@@ -145,16 +145,47 @@ object WarcSource {
     rows.result().iterator
   }
 
+  /** Bounded whole-archive gunzip. Common Crawl ships `.warc.gz` as
+    * CONCATENATED per-record gzip members; Java's GZIPInputStream reads
+    * successive members transparently, so one stream pass restores the
+    * full record sequence. `maxBytes` caps decompression (zip-bomb
+    * guard — same discipline as the kernel's maxGunzipBytes); overflow
+    * returns the prefix, and the record walk then stops at the first
+    * truncated record. Total on arbitrary bytes. */
+  def gunzipAll(bytes: Array[Byte],
+      maxBytes: Int = 1 << 30): Array[Byte] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4L, 1 << 20).toInt)
+      val buf = new Array[Byte](65536)
+      var total = 0
+      var k = in.read(buf)
+      while (k >= 0 && total < maxBytes) {
+        out.write(buf, 0, math.min(k, maxBytes - total))
+        total += k
+        k = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: java.io.IOException => Array.empty[Byte] }
+  }
+
   /** Distributed WARC read: one task per archive file (binaryFile
     * source), records exploded by a narrow flatMap — parsing runs where
-    * the bytes land. */
+    * the bytes land. `.warc.gz` members are gunzipped per file first
+    * (magic-sniffed, so mixed directories work). */
   def readWarcFiles(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.warc*")
       .load(dir)
       .select("content")
       .as[Array[Byte]]
-      .flatMap(parseRecords _)
+      .flatMap { b =>
+        val raw = if (b.length >= 2 && (b(0) & 0xff) == 0x1f &&
+          (b(1) & 0xff) == 0x8b) gunzipAll(b) else b
+        parseRecords(raw)
+      }
   }
 }

@@ -148,6 +148,20 @@ class PipelineSpec extends AnyFunSuite {
     val fromFiles = WarcSource.readWarcFiles(spark, dir.toString)
       .collect().map(_.url).sorted.toSeq
     assert(fromFiles == rows.map(_.url).sorted)
+    // .warc.gz: concatenated per-record gzip members (the real CC layout)
+    // restore through the multi-member gunzip
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val members = rows.take(6).map(r =>
+      gzip(WarcSource.writeRecords(Seq(r)))).reduce(_ ++ _)
+    java.nio.file.Files.write(dir.resolve("gzipped.warc.gz"), members)
+    val withGz = WarcSource.readWarcFiles(spark, dir.toString)
+      .collect().map(_.url).toSeq
+    assert(withGz.length == 46) // 40 plain + 6 gzipped
+    assert(rows.take(6).map(_.url).forall(u => withGz.count(_ == u) == 2))
     // warcinfo/request records are skipped; response records still parse
     val mixed = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n" +
       "\r\nabc\r\n\r\n").getBytes("UTF-8") ++
