@@ -115,6 +115,31 @@ object Bench {
       Similarity.ivfTopKKmeans(emb, qdf, "vec_id", "embedding", 10))
       .intersect(bruteSet).size.toDouble / bruteSet.size
 
+    // the driver's embeddings are near-uniform (recall ≈ probed fraction
+    // for ANY quantizer); a CLUSTERED set shows what training buys: 16
+    // deterministic centers + small hash jitter, same dim. ivf picks its
+    // cells from the 16 lowest-id vectors (likely few distinct clusters),
+    // kmeans finds the true centers.
+    val nClustered = 20000
+    val clustered = spark.range(0, nClustered.toLong, 1, 32)
+      .selectExpr("id as vec_id",
+        // cluster membership is HASH-scrambled (not id % 16): the 16
+        // lowest ids then cover only ~10 distinct clusters, so the
+        // untrained lowest-id quantizer structurally misses cells
+        """transform(sequence(0, 63), d ->
+           cast((case when pmod(xxhash64(id), 16) = d % 16 then 1.0 else 0.0 end)
+             + (pmod(xxhash64(id, d), 1000) / 10000.0) as float)) as embedding""")
+    clustered.count() // materialize shape
+    val cq = clustered.filter(col("vec_id") < 100)
+    val cBrute = topSet(
+      Similarity.bruteForceTopK(clustered, cq, "vec_id", "embedding", 10))
+    val cIvf = topSet(
+      Similarity.ivfTopK(clustered, cq, "vec_id", "embedding", 10))
+      .intersect(cBrute).size.toDouble / cBrute.size
+    val cKmeans = topSet(
+      Similarity.ivfTopKKmeans(clustered, cq, "vec_id", "embedding", 10))
+      .intersect(cBrute).size.toDouble / cBrute.size
+
     val best = results.map { case (k, ts) => (k, ts.min) }
     val total = best.values.sum
     val docsPerSec = extractedDocs / best("extract")
@@ -124,7 +149,7 @@ object Bench {
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":$qs,"trials":$trialsJson,"recall_at_10":{"ivf":$recallIvf%.3f,"ivf_kmeans":$recallKmeans%.3f},"sf":"$sfDir"}"""
+      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":$qs,"trials":$trialsJson,"recall_at_10":{"ivf":$recallIvf%.3f,"ivf_kmeans":$recallKmeans%.3f},"recall_at_10_clustered":{"ivf":$cIvf%.3f,"ivf_kmeans":$cKmeans%.3f},"sf":"$sfDir"}"""
     println(json)
     // machine-readable copy, free of sbt log prefixes (the stdout line is
     // buried in [info] noise when run through sbt): the driver/judge can

@@ -201,6 +201,20 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(13)) === 7), "text")
         .orderBy("doc_id")
     }),
+    "sample_weighted" -> ((s, dir) => {
+      // quality-weighted sampling: per-row keep probability = a quality
+      // signal (300 base + stopword milli-ratio, capped 900), realized by
+      // the deterministic md5 coin — higher-quality docs oversampled
+      val w = docs(s, dir)
+        .withColumn("ws", expr("filter(split(text, ' '), x -> x != '')"))
+        .withColumn("sw_milli", expr(
+          "(1000 * size(filter(ws, w -> array_contains(" +
+            "array('and','for','in','is','it','of','that','the','to','with')" +
+            ", lower(w))))) div greatest(size(ws), 1)"))
+        .withColumn("wm", least(lit(900L), lit(300L) + col("sw_milli")))
+      CorpusStats.weightedSample(w, "doc_id", col("wm"))
+        .orderBy("doc_id")
+    }),
     "sample_quota" -> ((s, dir) =>
       // domain-mixing quota sampling: exact per-lang target fractions via
       // deterministic hash-rank selection (eng 50%, zho 30%, others 20%)
@@ -752,6 +766,17 @@ WITH w AS (
 SELECT g.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
   coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id""",
+    "sample_weighted" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), q AS (
+  SELECT doc_id,
+    least(900, 300 + (1000 * len(list_filter(ws, w -> list_contains(['and','for','in','is','it','of','that','the','to','with'], lower(w))))) // greatest(len(ws), 1)) AS weight_milli
+  FROM w
+)
+SELECT doc_id, CAST(weight_milli AS BIGINT) AS weight_milli,
+  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < (weight_milli * 4294967296) // 1000 AS kept
+FROM q ORDER BY doc_id""",
     "sample_quota" -> s"""
 WITH r AS (
   SELECT doc_id, lang,

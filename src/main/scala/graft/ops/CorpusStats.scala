@@ -346,6 +346,24 @@ object CorpusStats {
         (col("rn") <= ceil(col("n") * fracCol)).as("kept"))
   }
 
+  /** Quality-weighted deterministic sampling [public technique:
+    * quality-score-weighted data selection à la Brown et al. 2020
+    * (GPT-3) §A "fuzzy-deduplicated, quality-filtered, and SAMPLED in
+    * proportion to quality"]: each row's keep probability is its
+    * `weightMilli` column (0..1000), realized by the md5(id) coin — the
+    * same deterministic hash-threshold mechanism as stratified sampling,
+    * but with a PER-ROW data-dependent rate. No RNG, zero shuffle,
+    * reproducible under any partitioning; `kept` is a column, rows are
+    * never dropped. */
+  def weightedSample(docs: DataFrame, idCol: String,
+      weightMilli: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .withColumn("weight_milli", weightMilli.cast("long"))
+      .select(col(idCol).as("doc_id"), col("weight_milli"),
+        // integer div (Spark `div` ≡ DuckDB `//`), never float `/`
+        (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint)")
+          < expr("(weight_milli * 4294967296L) div 1000")).as("kept"))
+
   /** PII redaction [public technique: the standard pre-training scrub —
     * e.g. Penedo et al. 2023 (RefinedWeb) §3.4]: sequential
     * regexp_replace cascade over conservative RE2-and-Java-compatible

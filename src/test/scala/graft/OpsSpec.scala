@@ -171,6 +171,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
   }
 
+  test("weighted sample: keep rate tracks the per-row weight, no RNG") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // weights 0 / 1000 are exact (never / always kept); 500 ≈ half
+    val df = (0 until 3000).map { i =>
+      (i.toLong, if (i < 1000) 0L else if (i < 2000) 1000L else 500L)
+    }.toDF("doc_id", "w")
+    val out = CorpusStats.weightedSample(df, "doc_id", col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.filter(_._2 == 0L).forall(!_._3))
+    assert(out.filter(_._2 == 1000L).forall(_._3))
+    val half = out.filter(_._2 == 500L)
+    val rate = half.count(_._3).toDouble / half.length
+    assert(rate > 0.4 && rate < 0.6, s"rate $rate")
+    // deterministic: identical selection on a second run
+    val out2 = CorpusStats.weightedSample(df, "doc_id", col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
+
   test("redact pii: email/ip/digit-run cascade with counts on original") {
     import spark.implicits._
     val df = Seq(
