@@ -357,6 +357,57 @@ object Dedup {
     substringRunsFromGrams(grams, Seq("h1", "h2"), minLen)
   }
 
+  /** Substring-dedup APPLY: cut every duplicated run (ALL copies) out of
+    * every document — the drop-all-occurrences variant of Lee et al.
+    * 2021 (keeping exactly one copy would need global owner coordination
+    * across arbitrary-boundary overlaps; the public
+    * deduplicate-text-datasets tooling removes every duplicated byte the
+    * same way). Returns one row per input doc: (doc_id, removed_chars,
+    * clean_md5) — rows without duplicated runs pass through with their
+    * original text.
+    *
+    * Dataflow: runs (disjoint, maximal, sorted — adjacent runs always
+    * have ≥1 gap char by construction of the island merge) → per-doc gap
+    * intervals via a lag window → gap/tail substrings joined from the
+    * doc text → skew-safe ordered concat (OrderedMerge, no per-doc
+    * buffer) → left join back. Only docs WITH runs pay the join. */
+  def substringRunsClean(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val runs = substringRunsRolling(docs, idCol, textCol, minLen)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("run_start"), col("run_end"), col("run_len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("run_start")
+    val gaps = runs
+      .withColumn("gs", coalesce(lag(col("run_end"), 1).over(w), lit(0L)) + 1)
+      .withColumn("ge", col("run_start") - 1)
+      .select(col("doc_id"), col("gs"), col("ge"))
+    val tails = runs.groupBy("doc_id")
+      .agg((max(col("run_end")) + 1).as("gs"))
+      .select(col("doc_id"), col("gs"), lit(null).cast("long").as("ge"))
+    val pieces = gaps.unionByName(tails)
+      .join(d, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("gs"),
+        when(col("ge").isNull, expr("substring(text, cast(gs as int), 2147483647)"))
+          .otherwise(expr("substring(text, cast(gs as int), cast(ge - gs + 1 as int))"))
+          .as("piece"))
+      .withColumn("ord", lpad(col("gs").cast("string"), 12, "0"))
+    val cleaned = OrderedMerge.concatOrdered(pieces, "doc_id", "ord",
+        "piece", "", mergedName = "clean")
+      .select(col("doc_id").cast("long").as("doc_id"), col("clean"))
+    val removed = runs.groupBy("doc_id")
+      .agg(sum(col("run_len")).as("removed_chars"))
+    d.join(cleaned, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        md5(coalesce(col("clean"), col("text")).cast("binary")).as("clean_md5"))
+  }
+
   /** Shared tail of the substring-dedup formulations: corpus-duplicated
     * gram keys → per-doc surviving positions → maximal runs
     * (gaps-and-islands). `grams` must have (doc_id, pos, keyCols...). */

@@ -270,6 +270,27 @@ class OpsSpec extends AnyFunSuite {
       rows(Dedup.substringRuns(df, "doc_id", "text", 40)))
   }
 
+  test("dedup substrings clean: duplicated runs cut, gaps stitched exactly") {
+    import spark.implicits._
+    val shared = "0123456789" * 6
+    val d1 = "AAAA unique prefix oneX" + shared + "Yunique suffix alpha zzz"
+    val d2 = "BB other start twoP" + shared + "Qdifferent ending beta qqq"
+    val d3 = "completely disjoint text with no forty-char overlap at all " +
+      "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ!"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val out = Dedup.substringRunsClean(df, "doc_id", "text", minLen = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // the shared 60 chars vanish from BOTH docs (drop-all-copies); the
+    // flanks stitch back together with nothing added
+    assert(out(1L) == ((60L, md5hex(d1.replace(shared, "")))))
+    assert(out(2L) == ((60L, md5hex(d2.replace(shared, "")))))
+    // no duplicated run → text unchanged, zero removed
+    assert(out(3L) == ((0L, md5hex(d3))))
+  }
+
   test("kmeans ivf: Lloyd training separates clusters; full recall on them") {
     import spark.implicits._
     // 3 well-separated clusters of 12 vectors (dim 8), deterministic
