@@ -337,6 +337,27 @@ object SparkEntry {
       // stopword/punct ratio quality signals, integer milli-exact
       CorpusStats.qualitySignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "media_resize" -> ((s, dir) =>
+      // aspect-preserving fit into 224×224 (the pre-encoder plan): pure
+      // integer milli-scale math over the stub metadata — the resample
+      // itself is codec-side work; the PLAN is what the pipeline owns
+      Media.resizeFit(
+        Media.metaFromBinary(
+          docs(s, dir).select(col("doc_id"),
+            col("text").cast("binary").as("payload")), headerParse = false),
+        224L, 224L)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("scale_milli"), col("out_w"), col("out_h"))
+        .orderBy("doc_id")),
+    "media_frames" -> ((s, dir) =>
+      // frame-sampling plumbing: ≤4 stride-sampled frame indices per
+      // video row, exploded to the (doc, frame) grain an encoder batches
+      Media.frameSample(
+        Media.metaFromBinary(
+          docs(s, dir).select(col("doc_id"),
+            col("text").cast("binary").as("payload")), headerParse = false),
+        maxFrames = 4)
+        .orderBy("doc_id", "frame_idx")),
     "media_meta" -> ((s, dir) =>
       // headerParse=false: this query verifies the binary-column PLUMBING
       // against a SQL oracle, which can only express the stub arithmetic;
@@ -943,6 +964,35 @@ SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
 FROM w ORDER BY doc_id""",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
+    "media_resize" -> s"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+    CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height
+  FROM ${D(sf)}
+), f AS (
+  SELECT *, least(1000, (224 * 1000) // greatest(width, 1),
+    (224 * 1000) // greatest(height, 1)) AS scale_milli FROM m
+)
+SELECT doc_id, width, height, CAST(scale_milli AS BIGINT) AS scale_milli,
+  CAST((width * scale_milli) // 1000 AS BIGINT) AS out_w,
+  CAST((height * scale_milli) // 1000 AS BIGINT) AS out_h
+FROM f ORDER BY doc_id""",
+    "media_frames" -> s"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames,
+    CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind
+  FROM ${D(sf)}
+), v AS (
+  SELECT doc_id, n_frames,
+    greatest((n_frames + 3) // 4, 1) AS stride
+  FROM m WHERE media_kind = 'vid' AND n_frames >= 1
+)
+SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(fi AS VARCHAR)) AS frame_tag
+FROM v, unnest(range(0, n_frames, stride)) AS t(fi)
+ORDER BY doc_id, frame_idx""",
     "join_broadcast" ->
       s"SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_centi, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers FROM read_parquet('$sf/orders.parquet') o JOIN read_parquet('$sf/customer.parquet') c ON o.o_custkey = c.c_custkey GROUP BY 1 ORDER BY c_mktsegment",
     "agg_hmean" ->

@@ -199,6 +199,42 @@ object Media {
   def decodeMeta(id: Long, payload: Array[Byte]): MediaMeta =
     parseHeader(id, payload).getOrElse(decodeStub(id, payload))
 
+  /** Aspect-preserving resize-fit planning (the pre-encoder step of a
+    * vision pipeline): scale (width, height) into (maxW, maxH) without
+    * upscaling. Pure INTEGER milli-scale arithmetic (`div` semantics) so
+    * the plan is deterministic and SQL-mirrorable; the pixel resample
+    * itself is the codec-side work that stays out of scope. */
+  def resizeFit(meta: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    meta
+      .withColumn("scale_milli",
+        least(lit(1000L),
+          expr(s"(${maxW}L * 1000) div greatest(width, 1)"),
+          expr(s"(${maxH}L * 1000) div greatest(height, 1)")))
+      .withColumn("out_w", expr("(width * scale_milli) div 1000"))
+      .withColumn("out_h", expr("(height * scale_milli) div 1000"))
+  }
+
+  /** Frame-sampling plumbing: one row per sampled frame index, stride
+    * chosen so at most `maxFrames` frames survive per video — the batch
+    * shape a frame encoder consumes. Frame CONTENT is the out-of-scope
+    * decode (represented by a deterministic md5 tag); the index
+    * arithmetic, bounded explode, and row shape are the real pipeline. */
+  def frameSample(meta: DataFrame, maxFrames: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    meta.filter(col("media_kind") === "vid" && col("n_frames") >= 1)
+      // stride = ceil(n_frames / maxFrames) ⇒ sequence(0, n-1, stride)
+      // yields ceil(n/stride) ≤ maxFrames indices, all < n_frames
+      .withColumn("stride",
+        expr(s"greatest((n_frames + $maxFrames - 1) div $maxFrames, 1)"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, cast(n_frames - 1 as int), cast(stride as int))"))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("frame_idx").cast("string"))).as("frame_tag"))
+  }
+
   /** (id: Long, payload: Binary) → typed metadata. Narrow map, one kernel
     * instance per partition — the same fused-stage shape as the extract
     * kernel. `headerParse = false` forces the stub for every payload —

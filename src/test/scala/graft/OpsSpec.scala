@@ -140,6 +140,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("media: resize-fit plan and frame sampling over typed metadata") {
+    import spark.implicits._
+    import graft.ops.Media
+    val meta = Seq(
+      (1L, 1280L, 720L, 300L, "vid"), // downscale, bounded by width
+      (2L, 100L, 100L, 1L, "img"), // smaller than target: never upscaled
+      (3L, 224L, 448L, 9L, "vid"), // bounded by height
+      (4L, 50L, 10L, 0L, "vid")) // zero frames: no sample rows
+      .toDF("doc_id", "width", "height", "n_frames", "media_kind")
+    val fit = Media.resizeFit(meta, 224L, 224L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("scale_milli"), r.getAs[Long]("out_w"),
+          r.getAs[Long]("out_h")))).toMap
+    assert(fit(1L) == ((175L, 224L, 126L))) // 224000 div 1280 = 175
+    assert(fit(2L) == ((1000L, 100L, 100L))) // no upscale
+    assert(fit(3L) == ((500L, 112L, 224L)))
+    val frames = Media.frameSample(meta, maxFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1: 300 frames, stride ceil(300/4)=75 → 0,75,150,225
+    assert(frames.filter(_._1 == 1L).map(_._2).sorted.toSeq ==
+      Seq(0L, 75L, 150L, 225L))
+    // doc 3: 9 frames, stride 3 → 0,3,6
+    assert(frames.filter(_._1 == 3L).map(_._2).sorted.toSeq == Seq(0L, 3L, 6L))
+    assert(!frames.exists(_._1 == 2L)) // images don't sample
+    assert(!frames.exists(_._1 == 4L)) // zero-frame videos don't sample
+  }
+
   test("decontaminate: doc sharing an 8-gram with the benchmark is flagged") {
     import spark.implicits._
     val gram8 = "one two three four five six seven eight"
