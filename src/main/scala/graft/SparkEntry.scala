@@ -201,6 +201,12 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(13)) === 7), "text")
         .orderBy("doc_id")
     }),
+    "trigram_quality" -> ((s, dir) =>
+      // CCNet-style corpus-trained quality score with exact arithmetic:
+      // model = trigrams seen ≥5× corpus-wide (broadcast), score =
+      // milli-fraction of a doc's trigram occurrences the model covers
+      CorpusStats.trigramQuality(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "sample_weighted" -> ((s, dir) => {
       // quality-weighted sampling: per-row keep probability = a quality
       // signal (300 base + stopword milli-ratio, capped 900), realized by
@@ -839,6 +845,22 @@ WITH w AS (
 SELECT g.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
   coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id""",
+    "trigram_quality" -> s"""
+WITH t AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS tri
+  FROM ${D(sf)} WHERE length(text) >= 3
+), model AS (
+  SELECT tri FROM t GROUP BY tri HAVING count(*) >= 5
+), per AS (
+  SELECT doc_id, count(*) AS n_tri FROM t GROUP BY doc_id
+), com AS (
+  SELECT t.doc_id, count(*) AS n_common FROM t JOIN model USING (tri) GROUP BY t.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+  CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+  CAST((1000 * coalesce(c.n_common, 0)) // greatest(coalesce(p.n_tri, 0), 1) AS BIGINT) AS common_milli
+FROM ${D(sf)} d LEFT JOIN per p USING (doc_id) LEFT JOIN com c USING (doc_id)
+ORDER BY d.doc_id""",
     "sample_weighted" -> s"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}

@@ -346,6 +346,45 @@ object CorpusStats {
         (col("rn") <= ceil(col("n") * fracCol)).as("kept"))
   }
 
+  /** Corpus-trained character-trigram quality score — the shape of
+    * CCNet's LM-perplexity filter [Wenzek et al. 2020 §3.3: score each
+    * document with a model trained on reference text, keep the
+    * well-scoring head] with an honest in-corpus model and EXACT
+    * arithmetic instead of floating log-probs: the "model" is the set of
+    * trigrams occurring ≥ `minCount` times corpus-wide (two-phase count,
+    * small by construction — trigram space is bounded by the alphabet,
+    * not the corpus), and a document's score is the milli-fraction of
+    * its trigram OCCURRENCES covered by that set. Gibberish and
+    * wrong-alphabet text scores low exactly as under a char-LM.
+    *
+    * 100 TB shape: one two-phase agg builds the model (map-side combine
+    * collapses each partition to ≤ |alphabet|³ partials), the model
+    * BROADCASTS, and scoring is a map-side semi-probe + per-doc count —
+    * document text never joins. */
+  def trigramQuality(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val tris = docs
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"case when length($textCol) >= 3 then " +
+          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)) " +
+          "else array() end")).as("tri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = tris.groupBy("tri")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+      .select("tri")
+    val perDoc = tris.groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val common = tris.join(broadcast(model), Seq("tri"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(common, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("(1000 * coalesce(n_common, 0)) div greatest(coalesce(n_tri, 0), 1)")
+          .as("common_milli"))
+  }
+
   /** Quality-weighted deterministic sampling [public technique:
     * quality-score-weighted data selection à la Brown et al. 2020
     * (GPT-3) §A "fuzzy-deduplicated, quality-filtered, and SAMPLED in

@@ -198,6 +198,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
   }
 
+  test("trigram quality: gibberish scores low under the corpus-trained model") {
+    import spark.implicits._
+    // 10 near-identical fluent docs train the model; one gibberish doc
+    // shares (almost) no trigram with them
+    val fluent = (0 until 10).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog $i"))
+    val junk = Seq((99L, "zqxjkwvyp bgdtc mfrhn zqxjw"))
+    val df = (fluent ++ junk).toDF("doc_id", "text")
+    val out = CorpusStats.trigramQuality(df, "doc_id", "text", minCount = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fluent.forall(f => out(f._1) > 800L),
+      s"fluent docs should score high: $out")
+    assert(out(99L) < 200L, s"gibberish should score low: ${out(99L)}")
+    // short/empty text degrades to zero, never divides by zero
+    val tiny = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+    val t = CorpusStats.trigramQuality(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(t.forall(x => x._1 == 0L && x._2 == 0L))
+  }
+
   test("weighted sample: keep rate tracks the per-row weight, no RNG") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
