@@ -24,7 +24,8 @@ object Plans {
       "agg_quantiles", "shard_pack", "corpus_filter", "sketch_kmv",
       "sketch_quantiles", "sim_topk_ivf_kmeans", "dedup_substrings",
       "extract_modes", "corpus_decontaminate", "sample_quota",
-      "text_redact", "dedup_substrings_rolling").foreach { q =>
+      "text_redact", "dedup_substrings_rolling", "dedup_substrings_clean",
+      "trigram_quality", "sample_weighted", "media_resize", "media_frames").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
