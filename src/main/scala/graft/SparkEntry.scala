@@ -201,6 +201,12 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(13)) === 7), "text")
         .orderBy("doc_id")
     }),
+    "corpus_chunks" -> ((s, dir) =>
+      // context-window chunking: 64-word windows, 16-word overlap — the
+      // (doc, chunk) grain between cleaning and shard packing
+      CorpusStats.chunkByWords(docs(s, dir), "doc_id", "text",
+          chunkWords = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
     "trigram_quality" -> ((s, dir) =>
       // CCNet-style corpus-trained quality score with exact arithmetic:
       // model = trigrams seen ≥5× corpus-wide (broadcast), score =
@@ -845,6 +851,18 @@ WITH w AS (
 SELECT g.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
   coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id""",
+    "corpus_chunks" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), c AS (
+  SELECT doc_id, ws, s FROM w, unnest(range(0, len(ws), 48)) AS t(s)
+  WHERE len(ws) >= 1
+)
+SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+  CAST(s + 1 AS BIGINT) AS start_word,
+  CAST(len(ws[s + 1 : s + 64]) AS BIGINT) AS n_words,
+  md5(array_to_string(ws[s + 1 : s + 64], ' ')) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_idx""",
     "trigram_quality" -> s"""
 WITH t AS (
   SELECT doc_id, unnest(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS tri

@@ -346,6 +346,33 @@ object CorpusStats {
         (col("rn") <= ceil(col("n") * fracCol)).as("kept"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * preparation step between cleaning and shard packing [public: the
+    * standard LM pretraining practice of splitting long documents into
+    * window-sized pieces with a small overlap so no boundary context is
+    * lost]. Stride = chunkWords - overlap; chunk k covers words
+    * [k·stride, k·stride + chunkWords) clamped to the document, for
+    * every k·stride < n_words (short docs yield one chunk). A narrow
+    * explode — zero shuffle; one row per (doc, chunk) at the grain the
+    * packer consumes. */
+  def chunkByWords(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkWords, "need 0 <= overlap < chunkWords")
+    val stride = chunkWords - overlap
+    docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, cast(size(ws) - 1 as int), $stride)"))
+          .as("s"))
+      .select(col("doc_id"),
+        expr(s"s div $stride").cast("long").as("chunk_idx"),
+        (col("s") + 1).cast("long").as("start_word"),
+        expr(s"size(slice(ws, s + 1, $chunkWords))").cast("long").as("n_words"),
+        md5(expr(s"array_join(slice(ws, s + 1, $chunkWords), ' ')")
+          .cast("binary")).as("chunk_md5"))
+  }
+
   /** Corpus-trained character-trigram quality score — the shape of
     * CCNet's LM-perplexity filter [Wenzek et al. 2020 §3.3: score each
     * document with a model trained on reference text, keep the

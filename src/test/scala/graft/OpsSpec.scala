@@ -198,6 +198,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
   }
 
+  test("chunking: overlapping windows cover every word, clamped tail") {
+    import spark.implicits._
+    val words = (1 to 25).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "single"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.chunkByWords(df, "doc_id", "text",
+        chunkWords = 10, overlap = 4) // stride 6
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,6,12,18,24 (1-based 1,7,13,19,25); last two clamp
+    assert(d1.map(x => (x._3, x._4)).toSeq ==
+      Seq((1L, 10L), (7L, 10L), (13L, 10L), (19L, 7L), (25L, 1L)))
+    // every word covered: union of [start, start+n) == 1..25
+    val covered = d1.flatMap(x => x._3 until (x._3 + x._4)).toSet
+    assert(covered == (1L to 25L).toSet)
+    assert(out.count(_._1 == 2L) == 1) // short doc → one chunk
+    assert(!out.exists(_._1 == 3L)) // empty doc → no chunks
+  }
+
   test("trigram quality: gibberish scores low under the corpus-trained model") {
     import spark.implicits._
     // 10 near-identical fluent docs train the model; one gibberish doc
