@@ -471,6 +471,20 @@ class OpsSpec extends AnyFunSuite {
       assert(row.getLong(0) == expected) // same bits as the registry path
       assert(row.getDouble(1) == 1.0)
       assert(row.getInt(2) == 8)
+      // the injected OPTIMIZER RULE is live too: the builtin HOF cosine
+      // formulation rewrites to cosine_hof in this session's plans
+      // (range source — a literal input would constant-fold away)
+      val df = s2.range(4).selectExpr(
+        "transform(sequence(0, 3), d -> cast(id + d as float)) as a",
+        "transform(sequence(0, 3), d -> cast(id * d as float)) as b")
+      val plan = df.selectExpr(
+        """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+           cast(0.0 as double), (acc, v) -> acc + v)
+         / (sqrt(aggregate(a, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))
+            * sqrt(aggregate(b, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))) as cos""")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("cosine_hof"),
+        s"injectOptimizerRule not active:\n$plan")
     } finally {
       // restore the shared test session (do NOT stop — shared context)
       SparkSession.setDefaultSession(spark)
