@@ -856,7 +856,7 @@ WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
 ), c AS (
   SELECT doc_id, ws, s FROM w, unnest(range(0, len(ws), 48)) AS t(s)
-  WHERE len(ws) >= 1
+  WHERE len(ws) >= 1 AND (s = 0 OR s + 16 < len(ws))
 )
 SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
   CAST(s + 1 AS BIGINT) AS start_word,

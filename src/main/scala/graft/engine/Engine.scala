@@ -299,8 +299,10 @@ object PdfEngine extends ExtractionEngine {
     //  - Tagged PDF / structure tree → reject under default mode only
     //    (TaggedPDFError: born-digital, OCR would discard the markup);
     //    force/skip/redo proceed
+    // bit 1 of /SigFlags = SignaturesExist (PDF 32000-1 §12.7.2); bit 2
+    // (AppendOnly) alone does NOT mean the document is signed
     val hasSignature = acroForm.flatMap(_.get("SigFlags")).map(resolve).exists {
-      case n: CosNum => n.i != 0
+      case n: CosNum => (n.i & 1) != 0
       case _ => false
     }
     if (hasSignature) return reject("rejected:digital_signature")

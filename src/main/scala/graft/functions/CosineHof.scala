@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *  - null element → NULL (same poisoning);
   *  - zero denominator: under ANSI mode (the Spark 4 default) `Divide`
   *    THROWS DIVIDE_BY_ZERO even for doubles, so `ansi = true` raises
-  *    the same error; under legacy mode plain IEEE division (NaN/±Inf).
-  *    CosineSim's 0.0 guard is deliberately NOT applied here.
+  *    the same error; under LEGACY mode Spark's DivModLike returns NULL
+  *    for a zero divisor (also even for doubles — empirically verified),
+  *    so `ansi = false` yields NULL, NOT IEEE NaN. CosineSim's 0.0 guard
+  *    is deliberately NOT applied here.
   * On equal-length, non-null, nonzero inputs the arithmetic sequence is
   * identical to both the HOF tree and CosineSim (sequential
   * left-to-right double accumulation), so results are bit-identical
@@ -60,8 +62,11 @@ case class CosineHof(left: Expression, right: Expression, ansi: Boolean)
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (ansi && denom == 0.0) throw CosineHofErrors.divideByZero()
-    dot / denom // legacy: plain IEEE NaN/Inf
+    if (denom == 0.0) {
+      if (ansi) throw CosineHofErrors.divideByZero()
+      return null // legacy Divide: zero divisor → NULL, even for doubles
+    }
+    dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -75,11 +80,9 @@ case class CosineHof(left: Expression, right: Expression, ansi: Boolean)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
-      val ansiGuard = if (ansi)
-        s"""if ($denom == 0.0) {
-           |  throw graft.functions.CosineHofErrors.divideByZero();
-           |}""".stripMargin
-      else ""
+      val zeroDenom = if (ansi)
+        s"throw graft.functions.CosineHofErrors.divideByZero();"
+      else s"${ev.isNull} = true; // legacy Divide: zero divisor → NULL"
       s"""
         int $n = $a.numElements();
         boolean $bail = ($n != $b.numElements());
@@ -94,8 +97,11 @@ case class CosineHof(left: Expression, right: Expression, ansi: Boolean)
           ${ev.isNull} = true;
         } else {
           double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-          $ansiGuard
-          ${ev.value} = $dot / $denom;
+          if ($denom == 0.0) {
+            $zeroDenom
+          } else {
+            ${ev.value} = $dot / $denom;
+          }
         }
       """
     })

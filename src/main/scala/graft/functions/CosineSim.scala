@@ -92,18 +92,27 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** Session-scoped once-marker: graft operators call register() on
+    * every invocation; only the FIRST call per session actually writes
+    * the registry (kills the replacement-WARN spam) — and that first
+    * call REGISTERS UNCONDITIONALLY, so a same-name temp function a user
+    * happened to define earlier cannot silently hijack the semantics of
+    * library operators that resolve by name (reviewed). Weak keys: a
+    * discarded session must not be pinned. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Register SQL-callable graft functions on a session
-    * (`SELECT cosine_sim(a, b)` / `expr("cosine_sim(a, b)")`). Idempotent:
-    * re-registering an already-present name would log a replacement WARN
-    * per function per call site, so skip names the registry already has.
-    */
+    * (`SELECT cosine_sim(a, b)` / `expr("cosine_sim(a, b)")`).
+    * Once per session; the first call overwrites any same-name temp
+    * functions so graft operators always get graft semantics. */
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     def reg1(name: String,
              builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
     reg1("cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
     reg1("simhash64", exprs => Simhash64(exprs(0)))
     reg1("minhash_sigs", exprs => MinhashSigs(exprs(0)))

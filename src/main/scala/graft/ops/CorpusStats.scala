@@ -352,9 +352,12 @@ object CorpusStats {
     * window-sized pieces with a small overlap so no boundary context is
     * lost]. Stride = chunkWords - overlap; chunk k covers words
     * [k·stride, k·stride + chunkWords) clamped to the document, for
-    * every k·stride < n_words (short docs yield one chunk). A narrow
-    * explode — zero shuffle; one row per (doc, chunk) at the grain the
-    * packer consumes. */
+    * every k·stride < n_words whose chunk contributes at least one NEW
+    * word (s = 0 or s + overlap < n_words — a tail shorter than the
+    * overlap is wholly contained in the previous chunk and emitting it
+    * would duplicate training data; reviewed). Short docs yield one
+    * chunk. A narrow explode — zero shuffle; one row per (doc, chunk)
+    * at the grain the packer consumes. */
   def chunkByWords(docs: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap >= 0 && overlap < chunkWords, "need 0 <= overlap < chunkWords")
@@ -365,6 +368,7 @@ object CorpusStats {
       .select(col("doc_id"), col("ws"),
         explode(expr(s"sequence(0, cast(size(ws) - 1 as int), $stride)"))
           .as("s"))
+      .filter(col("s") === 0 || col("s") + lit(overlap) < size(col("ws")))
       .select(col("doc_id"),
         expr(s"s div $stride").cast("long").as("chunk_idx"),
         (col("s") + 1).cast("long").as("start_word"),

@@ -328,8 +328,10 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= minLen)
       .select(col("doc_id"), posexplode(expr(
+        // unhex: 16-byte binary keys — half the persisted/shuffled bytes
+        // of the 32-char hex form, same 128-bit exactness
         s"transform(sequence(1, length(text) - $minLen + 1)," +
-          s" i -> md5(substring(text, i, $minLen)))")))
+          s" i -> unhex(md5(substring(text, i, $minLen))))")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     substringRunsFromGrams(grams, Seq("h"), minLen)
@@ -410,7 +412,15 @@ object Dedup {
 
   /** Shared tail of the substring-dedup formulations: corpus-duplicated
     * gram keys → per-doc surviving positions → maximal runs
-    * (gaps-and-islands). `grams` must have (doc_id, pos, keyCols...). */
+    * (gaps-and-islands). `grams` must have (doc_id, pos, keyCols...).
+    *
+    * On the persisted gram tables' lifetime: the barrier must outlive the
+    * returned LAZY DataFrame, so these operators cannot unpersist
+    * internally. MEMORY_AND_DISK caching degrades by LRU eviction/spill
+    * (never job failure) when a long-lived session accumulates barriers;
+    * a session running many corpora should `spark.catalog.clearCache()`
+    * between them — and at warehouse scale the barrier is a written
+    * signature TABLE, not an RDD cache, by design. */
   private def substringRunsFromGrams(grams: DataFrame, keyCols: Seq[String],
       minLen: Int): DataFrame = {
     val dupHashes = grams.groupBy(keyCols.map(col): _*)

@@ -126,7 +126,9 @@ object Media {
               timescale = u32be(b, i + hdr + 20)
               duration = u32be(b, i + hdr + 28) // low 32 bits of u64
             }
-          } else if (ascii(b, i + 4, "tkhd")) {
+          } else if (ascii(b, i + 4, "tkhd") && i + hdr < end) {
+            // the version-byte read needs its own guard: sz == hdr passes
+            // the size check with i+hdr == end (reviewed crash)
             val ver = b(i + hdr) & 0xff
             val wOff = i + hdr + (if (ver == 1) 88 else 76)
             if (wOff + 8 <= end) {

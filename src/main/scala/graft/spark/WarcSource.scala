@@ -107,9 +107,13 @@ object WarcSource {
                   case "warc-target-uri" => url = value
                   case "warc-date" => date = value
                   case "warc-graft-lang" => lang = value
-                  case "warc-graft-prior" => prior = new String(
-                    java.util.Base64.getDecoder.decode(value),
-                    java.nio.charset.StandardCharsets.UTF_8)
+                  case "warc-graft-prior" =>
+                    // corrupt base64 (one flipped byte in an archive)
+                    // degrades to an absent prior, never a task death
+                    prior = try new String(
+                      java.util.Base64.getDecoder.decode(value),
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    catch { case _: IllegalArgumentException => null }
                   case "content-length" =>
                     contentLength = try value.toLong catch {
                       case _: NumberFormatException => -1L
@@ -154,11 +158,11 @@ object WarcSource {
     * truncated record. Total on arbitrary bytes. */
   def gunzipAll(bytes: Array[Byte],
       maxBytes: Int = 1 << 30): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4L, 1 << 20).toInt)
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(bytes.length.toLong * 4L, 1 << 20).toInt)
       val buf = new Array[Byte](65536)
       var total = 0
       var k = in.read(buf)
@@ -167,8 +171,13 @@ object WarcSource {
         total += k
         k = in.read(buf)
       }
-      out.toByteArray
-    } catch { case _: java.io.IOException => Array.empty[Byte] }
+    } catch {
+      // a truncated/corrupt trailing member must not lose the good
+      // members already decompressed: return the prefix, the record walk
+      // then stops at the first truncated record (reviewed)
+      case _: java.io.IOException => ()
+    }
+    out.toByteArray
   }
 
   /** Distributed WARC read: one task per archive file (binaryFile

@@ -208,9 +208,10 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
     val d1 = out.filter(_._1 == 1L).sortBy(_._2)
-    // starts 0,6,12,18,24 (1-based 1,7,13,19,25); last two clamp
+    // starts 0,6,12,18 (1-based 1,7,13,19); s=24 is dropped — its chunk
+    // (words 25..25) is wholly inside the s=18 chunk (words 19..25)
     assert(d1.map(x => (x._3, x._4)).toSeq ==
-      Seq((1L, 10L), (7L, 10L), (13L, 10L), (19L, 7L), (25L, 1L)))
+      Seq((1L, 10L), (7L, 10L), (13L, 10L), (19L, 7L)))
     // every word covered: union of [start, start+n) == 1..25
     val covered = d1.flatMap(x => x._3 until (x._3 + x._4)).toSet
     assert(covered == (1L to 25L).toSet)
@@ -445,6 +446,19 @@ class OpsSpec extends AnyFunSuite {
     assert(ePlain.getMessage.contains("DIVIDE_BY_ZERO"))
     assert(eRewrite.getMessage.contains("DIVIDE_BY_ZERO"),
       s"rewritten kernel lost the ANSI error: ${eRewrite.getMessage}")
+    // LEGACY mode: Spark's Divide returns NULL on a zero divisor (even
+    // for doubles) — the rewritten kernel must yield NULL, not IEEE NaN
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    plain.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val lr = run(spark, zero)
+      val lp = run(plain, zero)
+      assert(lr == Seq(null) && lp == Seq(null),
+        s"legacy zero-denominator drift: rewritten=$lr unrewritten=$lp")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      plain.conf.set("spark.sql.ansi.enabled", "true")
+    }
   }
 
   test("extensions: spark.sql.extensions injects the native functions") {
@@ -809,7 +823,11 @@ class OpsSpec extends AnyFunSuite {
       "II".getBytes ++ bytes(42, 0, 8, 0, 0, 0),
       bytes(0, 0, 0, 16) ++ "ftyp".getBytes, // truncated mp4
       bytes(0, 0, 0, 16) ++ "ftypisom".getBytes ++ bytes(0, 0, 0, 1) ++
-        bytes(0, 0, 0, 1) ++ "moov".getBytes // largesize abuse
+        bytes(0, 0, 0, 1) ++ "moov".getBytes, // largesize abuse
+      // tkhd box of size exactly 8 ending at the buffer edge: the
+      // version-byte read must be bounds-guarded (reviewed crash)
+      bytes(0, 0, 0, 16) ++ "ftypisom".getBytes ++ bytes(0, 0, 0, 1) ++
+        bytes(0, 0, 0, 8) ++ "tkhd".getBytes
     ).foreach { p =>
       Media.decodeMeta(9L, p) // must not throw
     }

@@ -270,10 +270,19 @@ endcmap"""
     // _pipeline.py:246-254); other modes warn and proceed
     assert(out(form, M.Redo) == "rejected:acroform_redo")
     Seq(M.Default, M.Force, M.Skip).foreach(m => assert(out(form, m) == "ok"))
-    // digital signature (SigFlags != 0): reject in EVERY mode
-    // (DigitalSignatureError, _pipeline.py:241-245)
+    // digital signature (SigFlags bit 1 = SignaturesExist): reject in
+    // EVERY mode (DigitalSignatureError, _pipeline.py:241-245)
     Seq(M.Default, M.Force, M.Skip, M.Redo).foreach(m =>
       assert(out(signed, m) == "rejected:digital_signature"))
+    // SigFlags = 2 is AppendOnly WITHOUT SignaturesExist — an unsigned
+    // fillable form, NOT a signed doc (PDF 32000-1 §12.7.2): flows
+    // through the acroform branch instead
+    val appendOnly = row(new String(SyntheticCorpus.pdf(rng(), 5),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/SigFlags 3", "/SigFlags 2")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(out(appendOnly, M.Default) == "ok")
+    assert(out(appendOnly, M.Redo) == "rejected:acroform_redo")
   }
 
   test("engine: ASCIIHex-filtered content stream extracts (nomap fixture)") {

@@ -175,6 +175,24 @@ class PipelineSpec extends AnyFunSuite {
       "WARC/1.0\r\nbadheader\r\n\r\n".getBytes("UTF-8")).foreach { b =>
       WarcSource.parseRecords(b).toVector // must not throw
     }
+    // corrupt base64 prior degrades to an absent prior, record survives
+    val badPrior = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x.test/a\r\n" +
+      "WARC-Date: 2020-01-01T00:00:00Z\r\n" +
+      "WARC-Graft-Prior: !!!not-base64!!!\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n").getBytes("UTF-8")
+    val bp = WarcSource.parseRecords(badPrior).toVector
+    assert(bp.length == 1 && bp.head.text == null)
+    // a truncated trailing gzip member keeps the good-prefix members
+    val goodMembers = rows.take(5).map(r =>
+      gzip(WarcSource.writeRecords(Seq(r)))).reduce(_ ++ _)
+    val truncatedTail = goodMembers ++
+      gzip(WarcSource.writeRecords(Seq(rows(6)))).dropRight(8)
+    val restored = WarcSource.parseRecords(
+      WarcSource.gunzipAll(truncatedTail)).toVector
+    assert(restored.length >= 5,
+      s"good prefix lost: only ${restored.length} records survived")
+    assert(restored.take(5).map(_.url) == rows.take(5).map(_.url))
   }
 
   test("subset filter: open-ended `end` selects the same rows as resolved") {
