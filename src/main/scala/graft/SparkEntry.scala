@@ -1112,21 +1112,21 @@ SELECT l.left_id, l.user_id, r.right_id,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY left_id""",
     "sim_topk_native" -> s"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)} WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),
 c AS (SELECT vec_id AS nbr_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM e),
 s AS (SELECT query_id, nbr_id, list_dot_product(qv, cv) / (qn * cn) AS cos FROM q CROSS JOIN c WHERE query_id <> nbr_id),
 r AS (SELECT query_id, nbr_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_topk_brute" -> s"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)} WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),
 c AS (SELECT vec_id AS nbr_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM e),
 s AS (SELECT query_id, nbr_id, list_dot_product(qv, cv) / (qn * cn) AS cos FROM q CROSS JOIN c WHERE query_id <> nbr_id),
 r AS (SELECT query_id, nbr_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_topk_ivf" -> s"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)} WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 cents AS (
   SELECT vec_id AS cent_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn
   FROM e ORDER BY vec_id LIMIT 16

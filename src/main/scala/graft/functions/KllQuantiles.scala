@@ -83,11 +83,12 @@ case class KllQuantiles(
   }
 
   override def eval(buf: KllBuffer): Any = {
-    val arr: Array[Any] = probs.map { p =>
-      buf.quantile(p) match {
-        case Some(v) => v: java.lang.Double
-        case None => null // empty group
-      }
+    // one flatten+sort serves every requested quantile (per-prob
+    // quantile() calls would redo it probs.length times)
+    val qs = buf.quantiles(probs)
+    val arr: Array[Any] = qs.map {
+      case Some(v) => v: java.lang.Double
+      case None => null // empty group
     }.toArray
     new GenericArrayData(arr)
   }
@@ -184,13 +185,13 @@ final class KllBuffer(val k: Int) {
   /** Weighted LOWER rank selection at rank 1 + floor((W-1)·q) — matches
     * the exact `agg_quantiles` rank arithmetic, so an uncompacted sketch
     * reproduces the exact answer bit-for-bit. */
-  def quantile(q: Double): Option[Double] = {
+  def quantile(q: Double): Option[Double] = quantiles(Seq(q)).head
+
+  /** All requested quantiles from ONE flatten+sort of the sketch
+    * (≤ k entries per level, ≤ ~log(n/k) levels). */
+  def quantiles(qs: Seq[Double]): Seq[Option[Double]] = {
     val w = totalWeight
-    if (w == 0L) return None
-    val rank = 1L + math.floor((w - 1L) * q).toLong
-    // gather (value, weight) sorted by value; levels ≥1 are sorted, level
-    // 0 needs a sort — do a k-way walk via a flattened sort (small: ≤ k
-    // entries per level, ≤ ~log(n/k) levels)
+    if (w == 0L) return qs.map(_ => None)
     val pairs = ArrayBuffer.empty[(Double, Long)]
     var i = 0
     while (i < levels.length) {
@@ -199,13 +200,17 @@ final class KllBuffer(val k: Int) {
       i += 1
     }
     val sorted = pairs.sortInPlace()(Ordering.by(_._1))
-    var cum = 0L; var j = 0
-    while (j < sorted.length) {
-      cum += sorted(j)._2
-      if (cum >= rank) return Some(sorted(j)._1)
-      j += 1
+    qs.map { q =>
+      val rank = 1L + math.floor((w - 1L) * q).toLong
+      var cum = 0L; var j = 0
+      var found: Option[Double] = None
+      while (j < sorted.length && found.isEmpty) {
+        cum += sorted(j)._2
+        if (cum >= rank) found = Some(sorted(j)._1)
+        j += 1
+      }
+      found.orElse(Some(sorted.last._1))
     }
-    Some(sorted.last._1)
   }
 
   def serialize(): Array[Byte] = {

@@ -51,11 +51,8 @@ case class RollingHash(child: Expression, len: Int, base: Long)
     copy(child = newChild)
 
   override def prettyName: String = "rolling_hash"
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
+  // (UnaryExpression's default eval already does the null-gated
+  // nullSafeEval dispatch — no override needed)
 }
 
 /** The O(n) kernel (top-level object: generated Java calls the static
@@ -81,10 +78,13 @@ object RollingHashImpl {
     if (r >= P) r - P else r
   }
 
-  def compute(s: UTF8String, l: Int, base: Long): GenericArrayData = {
+  def compute(s: UTF8String,
+      l: Int, base: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val str = s.toString
     val n = str.codePointCount(0, str.length)
-    if (n < l) return new GenericArrayData(Array.empty[Any])
+    if (n < l)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
     val cps = new Array[Long](n)
     var ci = 0; var off = 0
     while (off < str.length) {
@@ -96,7 +96,9 @@ object RollingHashImpl {
     var bl = 1L
     var j = 0
     while (j < l - 1) { bl = mulmod(bl, base); j += 1 }
-    val out = new Array[Any](n - l + 1)
+    // primitive long array → UnsafeArrayData: no per-window Long boxing
+    // (the dedup scale path computes one window hash per character)
+    val out = new Array[Long](n - l + 1)
     var h = 0L
     j = 0
     while (j < l) { h = addmod(mulmod(h, base), cps(j) % P); j += 1 }
@@ -110,6 +112,7 @@ object RollingHashImpl {
       out(i) = h
       i += 1
     }
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 }

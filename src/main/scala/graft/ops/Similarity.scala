@@ -38,6 +38,15 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** Zero vectors have no cosine direction: under Spark 4's default ANSI
+    * mode one all-zero embedding (an empty/padded doc) would otherwise
+    * abort the whole job with DIVIDE_BY_ZERO at the cosine — every ANN
+    * operator here excludes them from both sides up front (a narrow
+    * codegen'd predicate; the exclusion is part of the operator
+    * contract, not silent row loss). */
+  private def nonZeroVec(v: Column): Column =
+    exists(v, x => x =!= lit(0.0f))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide). Deterministic ordering:
     * (cos DESC, neighbor id ASC). */
@@ -49,7 +58,9 @@ object Similarity {
     // contract the library's optimizer rule exists for
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .filter(nonZeroVec(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(nonZeroVec(col("qv")))
     // broadcast the QUERY side: the corpus is the 10^9-row side at scale,
     // so it stays partitioned and each task scores its slice against the
     // broadcast queries; WindowGroupLimit then takes partial top-k per
@@ -68,12 +79,18 @@ object Similarity {
 
   /** As bruteForceTopK, but scoring through the native codegen'd
     * `cosine_sim` expression (graft.functions.CosineSim) — one fused loop
-    * per pair instead of three HOF folds; results are bit-identical. */
+    * per pair instead of three HOF folds; results are bit-identical on
+    * the shared domain (equal-length, non-null, non-zero vectors — the
+    * zero-vector exclusion above makes that the operators' whole input;
+    * only RAGGED dimensions would still differ: cosine_sim truncates to
+    * the shorter array where the HOF form nulls out). */
   def bruteForceTopKNative(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .filter(nonZeroVec(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(nonZeroVec(col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cos", expr("cosine_sim(qv, cv)"))
     val w = org.apache.spark.sql.expressions.Window
@@ -130,6 +147,10 @@ object Similarity {
       centroids: Int = 16, iters: Int = 3): Seq[(Long, Seq[Long])] = {
     val vm = corpus.select(col(idCol).cast("long").as("vec_id"),
         microCol(col(vecCol)).as("vm"))
+      // a null ELEMENT would poison the per-dim sums (driver NPE on an
+      // all-null (cell, dim) group, silently deflated mean otherwise):
+      // train only on fully-defined vectors
+      .filter(!exists(col("vm"), x => x.isNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val init = vm
@@ -177,20 +198,29 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
     val centsLit = typedLit(cents)
-    def cellRanking(v: Column): Column =
+    // rank against a MATERIALIZED micro column: codegen does not hoist
+    // common subexpressions out of HOF lambdas, so quantizing inside the
+    // per-centroid transform would redo the O(dim) floor/cast C times
+    // per row
+    def cellRanking(vm: Column): Column =
       array_sort(transform(centsLit, c =>
-        struct(d2Micro(microCol(v), c.getField("_2")).as("d2"),
+        struct(d2Micro(vm, c.getField("_2")).as("d2"),
           c.getField("_1").as("cent_id"))))
     val assigned = corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .filter(nonZeroVec(col("cv")))
+      .withColumn("vm", microCol(col("cv")))
       .withColumn("cell",
-        element_at(cellRanking(col("cv")), 1).getField("cent_id"))
+        element_at(cellRanking(col("vm")), 1).getField("cent_id"))
+      .drop("vm")
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(nonZeroVec(col("qv")))
+      .withColumn("vm", microCol(col("qv")))
       .withColumn("probe",
-        explode(slice(cellRanking(col("qv")), 1, nprobe)))
+        explode(slice(cellRanking(col("vm")), 1, nprobe)))
       .withColumn("cell", col("probe").getField("cent_id"))
-      .drop("probe")
+      .drop("probe", "vm")
     // in-cell rerank through the native fused cosine (bit-identity with
     // the HOF dot/(qn·cn) form is pinned by sim_topk_native's oracle)
     val scored = assigned.join(broadcast(probed), Seq("cell"))
@@ -208,21 +238,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // Driver-side model fit: deterministic centroid pick + norm. The norm
-    // is the same sequential double fold as normC / DuckDB
-    // sqrt(list_dot_product) — bit-identical across all three.
-    val centRows: Seq[(Long, Seq[Float], Double)] = corpus
+    // Driver-side model fit: deterministic centroid pick (cosine_sim
+    // computes norms inside its fused loop, so the model carries only
+    // (id, vector))
+    val centRows: Seq[(Long, Seq[Float])] = corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol).asc).limit(centroids)
       .collect().toSeq
-      .map { r =>
-        val id = r.getLong(0)
-        val v = r.getSeq[Float](1)
-        val n = math.sqrt(v.foldLeft(0.0)((acc, x) =>
-          acc + x.toDouble * x.toDouble))
-        (id, v, n)
-      }
-    val centsLit = typedLit(centRows) // array<struct<_1:bigint,_2:array<float>,_3:double>>
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centsLit = typedLit(centRows) // array<struct<_1:bigint,_2:array<float>>>
 
     // Per-row cell ranking: cosine against every centroid via the NATIVE
     // codegen'd `cosine_sim` (one fused loop per centroid — the HOF
@@ -236,14 +260,14 @@ object Similarity {
         "'negcos', -cosine_sim(VEC, c._2), 'cent_id', c._1)))"
     val assigned = corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .withColumn("cn", norm("cv"))
+      .filter(nonZeroVec(col("cv")))
       .withColumn("cents", centsLit)
       .withColumn("cell",
         expr(s"element_at(${cellRankingSql.replace("VEC", "cv")}, 1).cent_id"))
       .drop("cents")
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", norm("qv"))
+      .filter(nonZeroVec(col("qv")))
       .withColumn("cents", centsLit)
       .withColumn("probe",
         explode(expr(s"slice(${cellRankingSql.replace("VEC", "qv")}, 1, $nprobe)")))
