@@ -97,6 +97,12 @@ object Bench {
       CorpusStats.decontaminate(docs, "doc_id", "text",
         docs.filter(pmod(col("doc_id"), lit(13)) === 7), "text").count()
     }._1
+    results("trigram_quality") = timeTrials(1, 3) {
+      CorpusStats.trigramQuality(docs, "doc_id", "text").count()
+    }._1
+    results("corpus_chunks") = timeTrials(1, 3) {
+      CorpusStats.chunkByWords(docs, "doc_id", "text").count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true
