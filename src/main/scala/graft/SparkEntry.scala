@@ -220,9 +220,9 @@ object SparkEntry {
       val w = docs(s, dir)
         .withColumn("ws", expr("filter(split(text, ' '), x -> x != '')"))
         .withColumn("sw_milli", expr(
-          "(1000 * size(filter(ws, w -> array_contains(" +
+          "(1000L * cast(size(filter(ws, w -> array_contains(" +
             "array('and','for','in','is','it','of','that','the','to','with')" +
-            ", lower(w))))) div greatest(size(ws), 1)"))
+            ", lower(w)))) as bigint)) div greatest(cast(size(ws) as bigint), 1L)"))
         .withColumn("wm", least(lit(900L), lit(300L) + col("sw_milli")))
       CorpusStats.weightedSample(w, "doc_id", col("wm"))
         .orderBy("doc_id")
@@ -898,7 +898,7 @@ WITH r AS (
   FROM ${D(sf)}
 )
 SELECT doc_id, lang,
-  rn <= ceil(n * CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3 ELSE 0.2 END) AS kept
+  rn <= (n * CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 200 END + 999) // 1000 AS kept
 FROM r ORDER BY doc_id""",
     "text_redact" -> s"""
 WITH a AS (

@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is pure Catalyst builtins (split / transform /
   * array_distinct / md5) — no UDF, fully codegen'd, and every fraction is
-  * computed in INTEGER arithmetic (milli-units via integer division) so
-  * the DuckDB oracle reproduces values bit-exactly with no float-rounding
-  * hazard.
+  * computed in INTEGER arithmetic (milli-units via integer division,
+  * widened to BIGINT before multiplying — non-ANSI INT×INT wraps
+  * silently on multi-million-word documents) so the DuckDB oracle
+  * reproduces values bit-exactly with no float-rounding hazard.
+  *
+  * Persist barriers here follow the same lifetime contract documented at
+  * Dedup.substringRunsFromGrams: the barrier must outlive the returned
+  * lazy DataFrame, eviction degrades by LRU/spill, and at warehouse
+  * scale each barrier is a written table, not an RDD cache.
   */
 object CorpusStats {
 
@@ -46,7 +52,7 @@ object CorpusStats {
         expr("cast(size(bg) as bigint)").as("n_bigrams"),
         expr("cast(size(array_distinct(bg)) as bigint)").as("n_distinct_bigrams"),
         // integer milli-fraction: exact in any engine, no IEEE hazard
-        expr("cast((1000 * (size(ws) - size(array_distinct(ws)))) div greatest(size(ws), 1) as bigint)")
+        expr("(1000L * cast(size(ws) - size(array_distinct(ws)) as bigint)) div greatest(cast(size(ws) as bigint), 1L)")
           .as("dup_word_milli"))
 
   /** English stopword markers for the ratio signal — THE source of truth
@@ -74,9 +80,9 @@ object CorpusStats {
       .select(
         col("doc_id"),
         expr("cast(size(ws) as bigint)").as("n_words"),
-        expr(s"cast((1000 * size(filter(ws, w -> lower(w) in ($sw)))) div greatest(size(ws), 1) as bigint)")
+        expr(s"(1000L * cast(size(filter(ws, w -> lower(w) in ($sw))) as bigint)) div greatest(cast(size(ws) as bigint), 1L)")
           .as("stopword_milli"),
-        expr("cast((1000 * length(regexp_replace(t, '[a-zA-Z0-9 ]', ''))) div greatest(length(t), 1) as bigint)")
+        expr("(1000L * cast(length(regexp_replace(t, '[a-zA-Z0-9 ]', '')) as bigint)) div greatest(cast(length(t) as bigint), 1L)")
           .as("nonalnum_milli"))
   }
 
@@ -203,9 +209,9 @@ object CorpusStats {
       .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
       .select(col("doc_id"),
         expr("cast(size(ws) as bigint)").as("n_words"),
-        expr("cast((1000 * (size(ws) - size(array_distinct(ws)))) div greatest(size(ws), 1) as bigint)")
+        expr("(1000L * cast(size(ws) - size(array_distinct(ws)) as bigint)) div greatest(cast(size(ws) as bigint), 1L)")
           .as("dup_word_milli"),
-        expr(s"cast((1000 * size(filter(ws, w -> lower(w) in ($sw)))) div greatest(size(ws), 1) as bigint)")
+        expr(s"(1000L * cast(size(filter(ws, w -> lower(w) in ($sw))) as bigint)) div greatest(cast(size(ws) as bigint), 1L)")
           .as("stopword_milli"))
       .withColumn("reject_reason",
         when(col("n_words") < minWords, "too_few_words")
@@ -331,8 +337,14 @@ object CorpusStats {
     * would be validated against. */
   def quotaSample(docs: DataFrame, idCol: String, groupCol: String,
       fracs: Map[String, Double], defaultFrac: Double): DataFrame = {
-    val fracCol = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, v)) =>
-      when(col(groupCol) === lit(k), lit(v)).otherwise(acc)
+    // fractions quantized to EXACT milli-units: ceil in floating point
+    // would violate the exact-quota contract (fl(100·fl(0.07)) = 7.0…01,
+    // ceil → 8) and this file's integer-arithmetic invariant. Quota =
+    // ceil(n·milli/1000) in pure integer arithmetic.
+    def milli(f: Double): Long = math.round(f * 1000.0)
+    val milliCol = fracs.foldLeft(lit(milli(defaultFrac))) {
+      case (acc, (k, v)) => when(col(groupCol) === lit(k), lit(milli(v)))
+        .otherwise(acc)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
@@ -342,8 +354,9 @@ object CorpusStats {
       .select(col(idCol).as("doc_id"), col(groupCol))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("fm", milliCol)
       .select(col("doc_id"), col(groupCol),
-        (col("rn") <= ceil(col("n") * fracCol)).as("kept"))
+        (col("rn") <= expr("(n * fm + 999L) div 1000L")).as("kept"))
   }
 
   /** Fixed-size token-window chunking with overlap — the context-window

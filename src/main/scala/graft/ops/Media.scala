@@ -57,17 +57,18 @@ object Media {
     // WAV: RIFF....WAVE; walk chunks for fmt (channels @+2 LE u16,
     // sample rate @+4 LE u32) and data (frame estimate = size/blockAlign)
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
-      var i = 12
+      var i = 12L // LONG walk: an int cursor wraps negative past 2^31 on
+      // multi-GB payloads with large declared chunk sizes
       var rate = 0L; var channels = 0L; var blockAlign = 0L; var dataLen = 0L
       while (i + 8 <= b.length) {
-        val sz = u32le(b, i + 4)
-        if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
-          channels = u16le(b, i + 10)
-          rate = u32le(b, i + 12)
-          blockAlign = u16le(b, i + 20)
-        } else if (ascii(b, i, "data")) dataLen = sz
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-        if (sz < 0 || sz > b.length) i = b.length // corrupt size: stop
+        val ii = i.toInt
+        val sz = u32le(b, ii + 4)
+        if (ascii(b, ii, "fmt ") && i + 24 <= b.length) {
+          channels = u16le(b, ii + 10)
+          rate = u32le(b, ii + 12)
+          blockAlign = u16le(b, ii + 20)
+        } else if (ascii(b, ii, "data")) dataLen = sz
+        i += 8L + sz + (sz & 1L) // chunks are word-aligned
       }
       if (rate > 0)
         return Some(MediaMeta(id, rate, channels,
@@ -155,12 +156,16 @@ object Media {
       while (i + 4 <= b.length) {
         if ((b(i) & 0xff) != 0xff) return None // desynced: not a JPEG
         val marker = b(i + 1) & 0xff
-        if (marker >= 0xc0 && marker <= 0xc3) {
+        if (marker == 0xff) i += 1 // legal fill byte before a marker
+        else if (marker >= 0xc0 && marker <= 0xc3) {
           if (i + 9 <= b.length)
             return Some(MediaMeta(id, u16be(b, i + 7), u16be(b, i + 5), 1L, "img"))
           return None
         }
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else if (marker == 0xd9) return None // EOI before any SOFn
+        // standalone (length-less) markers: SOI, RSTn, TEM
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+          marker == 0x01) i += 2
         else {
           val len = u16be(b, i + 2)
           if (len < 2) return None
@@ -225,12 +230,17 @@ object Media {
   def frameSample(meta: DataFrame, maxFrames: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions._
     meta.filter(col("media_kind") === "vid" && col("n_frames") >= 1)
-      // stride = ceil(n_frames / maxFrames) ⇒ sequence(0, n-1, stride)
-      // yields ceil(n/stride) ≤ maxFrames indices, all < n_frames
+      // stride = ceil(n_frames / maxFrames); sampled indices are the
+      // < maxFrames multiples of stride below n_frames. Generated from a
+      // FIXED-length k-sequence in pure long arithmetic — casting a huge
+      // n_frames (mvhd duration/timescale is u32-ish) to int would wrap
+      // negative and make sequence() throw, killing the task
       .withColumn("stride",
-        expr(s"greatest((n_frames + $maxFrames - 1) div $maxFrames, 1)"))
+        expr(s"greatest((n_frames + $maxFrames - 1) div $maxFrames, 1L)"))
       .select(col("doc_id"),
-        explode(expr("sequence(0, cast(n_frames - 1 as int), cast(stride as int))"))
+        explode(expr(
+          s"filter(transform(sequence(0, ${maxFrames - 1})," +
+            " k -> cast(k as bigint) * stride), i -> i < n_frames)"))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         md5(concat(col("doc_id").cast("string"), lit(":"),

@@ -31,18 +31,26 @@ object WarcSource {
     * also how an upstream fetcher would hand us bytes). Prior text rides
     * in a base64 extension header (it may contain any character); the
     * lang hint in a plain one. */
+  /** Header values ride on CRLF-framed lines: a CR/LF inside a value
+    * (un-normalized crawl input) would inject a forged header and desync
+    * every following record, so line breaks are flattened to spaces. */
+  private def headerSafe(v: String): String =
+    if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0) v
+    else v.replace('\r', ' ').replace('\n', ' ')
+
   def writeRecords(rows: Seq[PageRow]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     rows.foreach { r =>
       val sb = new StringBuilder
       sb.append("WARC/1.0").append(CRLF)
       sb.append("WARC-Type: response").append(CRLF)
-      sb.append("WARC-Target-URI: ").append(r.url).append(CRLF)
+      sb.append("WARC-Target-URI: ").append(headerSafe(r.url)).append(CRLF)
       sb.append("WARC-Date: ").append(
-        java.time.Instant.ofEpochMilli(r.warc_ts.getTime).toString)
+        java.time.Instant.ofEpochMilli(
+          if (r.warc_ts == null) 0L else r.warc_ts.getTime).toString)
         .append(CRLF)
       if (r.lang != null)
-        sb.append("WARC-Graft-Lang: ").append(r.lang).append(CRLF)
+        sb.append("WARC-Graft-Lang: ").append(headerSafe(r.lang)).append(CRLF)
       if (r.text != null)
         sb.append("WARC-Graft-Prior: ").append(
           java.util.Base64.getEncoder.encodeToString(
@@ -60,19 +68,28 @@ object WarcSource {
 
   /** Tolerant record walk: yields one PageRow per well-formed response
     * record; stops (without throwing) at the first structural
-    * inconsistency. Total on arbitrary bytes. */
-  def parseRecords(bytes: Array[Byte]): Iterator[PageRow] = {
-    if (bytes == null) return Iterator.empty
-    val rows = Vector.newBuilder[PageRow]
-    var i = 0
-    var ok = true
-    def lineEnd(from: Int): Int = {
+    * inconsistency. Total on arbitrary bytes. LAZY: advances one record
+    * per pull, so the downstream flatMap streams records out of a large
+    * archive instead of materializing every payload copy up front. */
+  def parseRecords(bytes: Array[Byte]): Iterator[PageRow] =
+    if (bytes == null) Iterator.empty
+    else new RecordIterator(bytes)
+
+  private final class RecordIterator(bytes: Array[Byte])
+      extends Iterator[PageRow] {
+    private var i = 0
+    private var ok = true
+    private var pending: PageRow = null
+
+    private def lineEnd(from: Int): Int = {
       var j = from
       while (j + 1 < bytes.length &&
         !(bytes(j) == '\r' && bytes(j + 1) == '\n')) j += 1
       if (j + 1 < bytes.length) j else -1
     }
-    while (ok && i < bytes.length) {
+
+    /** Advance to the next response record; sets `pending` or exhausts. */
+    private def advance(): Unit = while (pending == null && ok && i < bytes.length) {
       // version line
       val ve = lineEnd(i)
       if (ve < 0) { ok = false }
@@ -139,14 +156,25 @@ object WarcSource {
                   java.sql.Timestamp.from(java.time.Instant.parse(date))
                 } catch { case _: Exception => null }
                 if (ts != null)
-                  rows += PageRow(url, ts, payload, prior, lang)
+                  pending = PageRow(url, ts, payload, prior, lang)
               }
             }
           }
         }
       }
     }
-    rows.result().iterator
+
+    override def hasNext: Boolean = {
+      if (pending == null) advance()
+      pending != null
+    }
+
+    override def next(): PageRow = {
+      if (!hasNext) throw new NoSuchElementException("exhausted WARC walk")
+      val r = pending
+      pending = null
+      r
+    }
   }
 
   /** Bounded whole-archive gunzip. Common Crawl ships `.warc.gz` as

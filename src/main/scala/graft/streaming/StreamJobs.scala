@@ -182,10 +182,16 @@ object StreamJobs {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
             state: GroupState[SessionState]) =>
-          val ordered = rows.toVector.sortBy(r => (r._3.getTime, r._2))
+          // FULL microseconds (getTime is millis; the sub-milli part
+          // lives in getNanos) — matching the batch window's unix_micros
+          // exactly, or gap decisions straddling a millisecond boundary
+          // would diverge from Events.sessionize
+          def microsOf(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+          val ordered = rows.toVector.sortBy(r => (microsOf(r._3), r._2))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           val out = ordered.map { case (_, eventId, ts) =>
-            val micros = ts.getTime * 1000L
+            val micros = microsOf(ts)
             val idx =
               if (st.lastTsMicros == Long.MinValue ||
                 micros - st.lastTsMicros > gapMicros) st.sessionIdx + 1
@@ -198,31 +204,33 @@ object StreamJobs {
       }
   }
 
-  /** Streaming decontamination — the STREAM-STATIC join twin of
-    * `CorpusStats.decontaminate`: documents arrive on the stream, the
-    * benchmark gram-hash set is a static (broadcast) table, and the
-    * equijoin is stateless by construction (stream-static joins keep no
-    * watermark state — exactly why the benchmark side must be the static
-    * one). Grams are DISTINCT within each document before the join, so
-    * `n_hits` counts distinct shared grams, matching the batch operator;
-    * a document arrives atomically in one micro-batch, so the per-doc
-    * update-mode count never double-counts across batches. */
+  /** Streaming decontamination — the STATELESS twin of
+    * `CorpusStats.decontaminate`: benchmark sets are tiny by definition,
+    * so the gram-hash set is COLLECTED once at query definition and
+    * closed over as a broadcast-style model; each arriving document is
+    * scored in a pure map (distinct grams ∩ model), which keeps the
+    * query completely free of streaming state — no join state, no
+    * aggregation state store, no watermark bookkeeping. (A stream-side
+    * groupBy(doc_id) would be a watermark-less streaming aggregation
+    * whose per-doc state lives forever.) `n_hits` counts distinct shared
+    * grams, matching the batch operator; a document arrives atomically
+    * in one micro-batch, so one output row per doc. */
   def streamingDecontaminate(docs: Dataset[(Long, String)],
       benchGrams: DataFrame, n: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs.flatMap { case (id, text) =>
+    val model: Set[String] = benchGrams
+      .collect().map(_.getString(0)).toSet
+    docs.map { case (id, text) =>
       val ws = if (text == null) Array.empty[String]
         else text.split(' ').filter(_.nonEmpty)
-      ws.sliding(n).filter(_.length == n).map { g =>
+      val hits = ws.sliding(n).filter(_.length == n).map { g =>
         val d = java.security.MessageDigest.getInstance("MD5")
           .digest(g.mkString(" ")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         d.map(b => f"${b & 0xff}%02x").mkString
-      }.toSet.toSeq.map((h: String) => (id, h))
-    }.toDF("doc_id", "gh")
-    grams.join(broadcast(benchGrams), Seq("gh"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
+      }.toSet.count(model.contains)
+      (id, hits.toLong)
+    }.toDF("doc_id", "n_hits")
   }
 }

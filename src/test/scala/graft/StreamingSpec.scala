@@ -132,16 +132,19 @@ class StreamingSpec extends AnyFunSuite {
         "transform(sequence(1, size(ws) - 7), i -> md5(array_join(slice(ws, i, 8), ' ')))"))
         .as("gh")).distinct()
     val stream = MemoryStream[(Long, String)]
+    // stateless map → plain append mode, no state store at all
     val q = StreamJobs.streamingDecontaminate(stream.toDS(), benchGrams)
       .writeStream.format("memory").queryName("decon_stream")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       stream.addData(docRows.take(2))
       q.processAllAvailable()
       stream.addData(docRows.drop(2))
       q.processAllAvailable()
-      val got = spark.table("decon_stream").collect()
+      val all = spark.table("decon_stream").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(all.keySet == Set(1L, 2L, 3L)) // every doc scored, 0-hit incl.
+      val got = all.filter(_._2 > 0L)
       // batch reference over the same union
       val batch = graft.ops.CorpusStats.decontaminate(
           docRows.toDF("doc_id", "text"), "doc_id", "text", bench, "text")
