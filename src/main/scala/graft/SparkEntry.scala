@@ -27,18 +27,23 @@ object SparkEntry {
   val verifyN = 600
 
   // one extraction pass per session, shared by all pipeline queries.
-  // Weak keys: a stopped/discarded session's cached frame must not pin
-  // the session (and its persisted blocks) in a long-lived driver.
-  private val cache = new java.util.WeakHashMap[SparkSession, DataFrame]()
+  // Weak keys + SOFT values: a DataFrame strongly references its own
+  // SparkSession, so a plain value would pin its key forever (the
+  // WeakHashMap javadoc's value→key caveat) — the soft wrapper breaks
+  // the pin (cleared under memory pressure, entry then collectable)
+  // while keeping the cache effective between queries.
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.lang.ref.SoftReference[DataFrame]]()
 
   private def extracted(spark: SparkSession): DataFrame = cache.synchronized {
-    val got = cache.get(spark)
+    val ref = cache.get(spark)
+    val got = if (ref != null) ref.get else null
     if (got != null) got
     else {
       val df = Jobs.extract(Jobs.syntheticPages(spark, verifyN), 32).toDF()
         .withColumn("host", expr("split_part(url, '/', 3)"))
       df.persist()
-      cache.put(spark, df)
+      cache.put(spark, new java.lang.ref.SoftReference(df))
       df
     }
   }
@@ -299,7 +304,9 @@ object SparkEntry {
         expr("cast(length(text) - length(replace(text, ' ', '')) as bigint)")
           .as("n_spaces"),
         // average word length quantized to millis — order-independent ints
-        expr("cast(floor(1000.0 * (length(text) - (length(text) - length(replace(text, ' ', '')))) / greatest(size(filter(split(text, ' '), x -> x != '')), 1)) as bigint)")
+        // non-space chars = length(replace(text, ' ', '')) — identical
+        // arithmetic, same simplification mirrored in the oracle
+        expr("cast(floor(1000.0 * length(replace(text, ' ', '')) / greatest(size(filter(split(text, ' '), x -> x != '')), 1)) as bigint)")
           .as("avg_wordlen_milli"))
         .orderBy("doc_id")),
     "docstats_fingerprint" -> ((s, dir) =>
@@ -722,7 +729,7 @@ ORDER BY doc_a, doc_b""",
     "docstats_tokens" ->
       s"SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens, $tokensBpeSql AS tokens_bpe, CAST(length(text) AS BIGINT) AS n_chars FROM ${D(sf)} ORDER BY doc_id",
     "docstats_wordlen" ->
-      s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, CAST(floor(1000.0 * (length(text) - (length(text) - length(replace(text, ' ', '')))) / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)) AS BIGINT) AS avg_wordlen_milli FROM ${D(sf)} ORDER BY doc_id",
+      s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, CAST(floor(1000.0 * length(replace(text, ' ', '')) / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)) AS BIGINT) AS avg_wordlen_milli FROM ${D(sf)} ORDER BY doc_id",
     "docstats_fingerprint" ->
       s"SELECT doc_id, md5(text) AS fp FROM ${D(sf)} ORDER BY doc_id",
     "text_repetition" -> s"""

@@ -21,13 +21,22 @@ object Sniffer {
 
   val maxGunzipBytes: Int = 64 << 20 // bounded decompress (per-row budget)
 
-  def sniff(raw: Array[Byte]): Sniffed = {
+  def sniff(raw: Array[Byte]): Sniffed = sniff(raw, 0)
+
+  private def sniff(raw: Array[Byte], gzipDepth: Int): Sniffed = {
     if (raw == null || raw.isEmpty)
       return Sniffed("unknown", "binary", Array.emptyByteArray, None)
     if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+      // depth cap: a nested-gzip bomb (each small layer inflating the
+      // next) would otherwise do maxGunzipBytes of work per layer for
+      // unbounded layers on ONE row — same discipline as the xobject
+      // recursion cap
+      if (gzipDepth >= 3)
+        return Sniffed("gzip", "binary", Array.emptyByteArray,
+          Some("gzip_nested"))
       gunzip(raw) match {
         case Right(inner) =>
-          val s = sniff(inner)
+          val s = sniff(inner, gzipDepth + 1)
           Sniffed("gzip+" + s.format, s.charset, s.bytes, s.error)
         case Left(err) =>
           Sniffed("gzip", "binary", Array.emptyByteArray, Some(err))
@@ -52,7 +61,11 @@ object Sniffer {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(raw))
-      val out = new java.io.ByteArrayOutputStream(math.min(raw.length * 4, 1 << 20))
+      // Long-side min: raw.length * 4 wraps negative past ~537 MB and a
+      // negative initial size throws IllegalArgumentException (escaping
+      // the IOException catch and mislabeling the outcome)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(raw.length.toLong * 4L, 1L << 20).toInt)
       val buf = new Array[Byte](8192)
       var k = in.read(buf)
       while (k >= 0 && out.size() <= maxGunzipBytes) {
@@ -143,7 +156,19 @@ object Sniffer {
   def declaredCharset(raw: Array[Byte]): Option[Charset] = {
     val head = new String(raw, 0, math.min(raw.length, 1024),
       StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
-    val i = head.indexOf("charset=")
+    // honor charset= only inside a <meta …> tag: body prose or a URL
+    // containing "charset=" in the first 1 KiB must not hijack decoding
+    var i = -1
+    var m = head.indexOf("<meta")
+    while (i < 0 && m >= 0) {
+      val tagEnd = head.indexOf('>', m) match {
+        case -1 => head.length
+        case e => e
+      }
+      val c = head.indexOf("charset=", m)
+      if (c >= 0 && c < tagEnd) i = c
+      else m = head.indexOf("<meta", m + 5)
+    }
     if (i < 0) return None
     var j = i + 8
     // skip quotes
@@ -539,7 +564,10 @@ object Extractor {
             s.format match {
               case f if f.endsWith("pdf") =>
                 PdfEngine.extractSniffed(row, s, effCfg)
-              case "unknown" =>
+              case f if f.endsWith("unknown") =>
+                // endsWith like the pdf arm: "gzip+unknown" (gzip wrapping
+                // an empty payload) must take the same Null/SkippedEmpty
+                // route as a bare empty payload
                 ExtractResult(row.url, row.warc_ts, "", Vector.empty,
                   Outcome.SkippedEmpty, EngineTags.Null, s.format, s.charset,
                   0, 0, truncated = false,
@@ -552,7 +580,10 @@ object Extractor {
       // Per-row failure containment: a bad document yields a typed outcome,
       // never a task death (reference: src/ocrmypdf/_exec/tesseract.py:
       // 341-353 timeout → skip marker; 228-237 benign-error downgrades).
-      case e: Throwable =>
+      // NonFatal ONLY: OutOfMemoryError must not leave the executor
+      // limping on a corrupt heap, and a task kill's InterruptedException
+      // must actually stop the partition loop.
+      case scala.util.control.NonFatal(e) =>
         ExtractResult(row.url, row.warc_ts, "", Vector.empty,
           Outcome.error(e.getClass.getSimpleName), EngineTags.Html,
           "unknown", "binary", 0, 0, truncated = false)

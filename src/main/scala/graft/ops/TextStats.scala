@@ -59,7 +59,21 @@ object TextStats {
     scripts.find { case (_, c) => c * 10 >= letters * 3 } match {
       case Some((code, _)) => code
       case None =>
-        val words = text.toLowerCase(java.util.Locale.ROOT)
+        // bound the split to the prefix holding the first 500 letter runs
+        // (cut at a non-letter boundary, so tokens are identical to
+        // splitting the whole text and taking 500) — lowercasing and
+        // regex-splitting a multi-MB document for 500 words would blow
+        // the per-row budget the codepoint scan above deliberately caps
+        var runs = 0; var idx = 0; var inWord = false
+        while (idx < text.length && runs < 500) {
+          val cp = text.codePointAt(idx)
+          val isL = Character.isLetter(cp)
+          if (isL && !inWord) inWord = true
+          else if (!isL && inWord) { inWord = false; runs += 1 }
+          idx += Character.charCount(cp)
+        }
+        val words = text.substring(0, idx)
+          .toLowerCase(java.util.Locale.ROOT)
           .split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(500).toSeq
         val votes = stopwords.view.mapValues(sw => words.count(sw.contains))
           .toSeq.filter(_._2 >= 2)

@@ -196,6 +196,53 @@ class KernelSpec extends AnyFunSuite {
     assert(r.outcome == "error:gzip_truncated")
   }
 
+  test("sniffer: charset= outside a meta tag never hijacks decoding") {
+    // 'charset=' in a URL or prose before (or without) the real meta tag
+    // must not override the page charset (reviewed)
+    val url = """<html><body><a href="/p?charset=gbk">x</a><p>café utf ok</p></body></html>"""
+      .getBytes(StandardCharsets.UTF_8)
+    assert(Sniffer.decodeHtml(url)._1 == "utf-8")
+    assert(Sniffer.decodeHtml(url)._2.contains("café"))
+    val prose = "<html><body><p>use charset=gbk they said — café</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+    assert(Sniffer.decodeHtml(prose)._1 == "utf-8")
+    // and the real meta declaration still wins when present
+    val both = ("""<html><head><meta charset="windows-1252"></head>""" +
+      """<body><a href="?charset=gbk">café</a></body></html>""")
+      .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    assert(Sniffer.decodeHtml(both)._1 == "windows-1252")
+  }
+
+  test("sniffer: nested gzip is depth-capped; gzip+empty takes the Null route") {
+    // 5-deep nested gzip: the bomb-guard stops at depth 3 with a typed
+    // error instead of doing unbounded decompression work on one row
+    var payload = "<html><body><p>the quick brown fox</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    (0 until 5).foreach(_ => payload = gz(payload))
+    val r = Extractor.extract(PageRow("u", new java.sql.Timestamp(0),
+      payload, null, null))
+    assert(r.outcome == "error:gzip_nested", r.outcome)
+    // depth ≤ cap still extracts
+    var ok = ("<html><body><p>the quick brown fox jumps over the lazy " +
+      "dog again and again while the cat watches from the warm windowsill" +
+      "</p></body></html>").getBytes(StandardCharsets.UTF_8)
+    (0 until 2).foreach(_ => ok = gz(ok))
+    assert(Extractor.extract(PageRow("u2", new java.sql.Timestamp(0),
+      ok, null, null)).outcome == "ok")
+    // gzip-wrapped EMPTY payload routes like a bare empty payload:
+    // Null engine + skipped:empty, not the HTML engine
+    val empty = Extractor.extract(PageRow("u3", new java.sql.Timestamp(0),
+      gz(Array.emptyByteArray), null, null))
+    assert(empty.outcome == "skipped:empty" &&
+      empty.engine == graft.model.EngineTags.Null &&
+      empty.format == "gzip+unknown")
+  }
+
   // -- faults: never throw ---------------------------------------------
 
   test("kernel: pathological inputs yield outcome rows, never exceptions") {
