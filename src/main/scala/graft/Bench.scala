@@ -19,6 +19,9 @@ object Bench {
     else 1000L
 
   def main(args: Array[String]): Unit = {
+    // the f"%.3f" interpolations are default-locale dependent: a
+    // comma-decimal locale would emit invalid JSON the driver can't parse
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -397,8 +397,8 @@ object Dedup {
         when(col("ge").isNull, expr("substring(text, cast(gs as int), 2147483647)"))
           .otherwise(expr("substring(text, cast(gs as int), cast(ge - gs + 1 as int))"))
           .as("piece"))
-      .withColumn("ord", lpad(col("gs").cast("string"), 12, "0"))
-    val cleaned = OrderedMerge.concatOrdered(pieces, "doc_id", "ord",
+    // concatOrdered sorts on the native numeric gs (no lpad gymnastics)
+    val cleaned = OrderedMerge.concatOrdered(pieces, "doc_id", "gs",
         "piece", "", mergedName = "clean")
       .select(col("doc_id").cast("long").as("doc_id"), col("clean"))
     val removed = runs.groupBy("doc_id")

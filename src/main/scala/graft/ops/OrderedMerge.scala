@@ -23,18 +23,20 @@ object OrderedMerge {
 
   /** Returns (key, n_docs BIGINT, merged STRING): values of `valueCol`
     * concatenated in `orderCol` order within each `keyCol` group,
-    * separated by `sep`. */
+    * separated by `sep`. The sort runs on the order column's NATIVE type
+    * (casting first would merge numeric orders lexicographically —
+    * 1,10,11,2,… — with no error); only the key/value are stringified,
+    * after the sort. */
   def concatOrdered(df: DataFrame, keyCol: String, orderCol: String,
       valueCol: String, sep: String,
       nName: String = "n_docs", mergedName: String = "merged"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sorted: Dataset[(String, String, String)] = df
-      .select(col(keyCol).cast("string"), col(orderCol).cast("string"),
-        col(valueCol).cast("string"))
-      .as[(String, String, String)]
+    val sorted: Dataset[(String, String)] = df
       .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(orderCol))
+      .select(col(keyCol).cast("string"), col(valueCol).cast("string"))
+      .as[(String, String)]
     sorted.mapPartitions { it =>
       val buf = it.buffered
       new Iterator[(String, Long, String)] {
@@ -44,7 +46,7 @@ object OrderedMerge {
           var n = 0L
           val sb = new StringBuilder
           while (buf.hasNext && buf.head._1 == k) {
-            val v = buf.next()._3
+            val v = buf.next()._2
             if (n > 0L) sb.append(sep)
             sb.append(v)
             n += 1L

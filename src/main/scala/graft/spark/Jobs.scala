@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *  - The kernel is a NARROW map: no shuffle is required for extraction
   *    itself. The single repartition exists to (a) decouple task count
   *    from input file layout and (b) break up skewed hosts (70% of rows
-  *    can share one host in CC crawls); its key is a salted url hash, so
-  *    it is uniform by construction.
+  *    can share one host in CC crawls); its key is the URL hash — urls
+  *    are unique, so the key is uniform by construction and host skew
+  *    never enters it (no salting step is needed or present).
   *  - All per-row stages are fused in ONE mapPartitions (reference analog:
   *    src/ocrmypdf/_pipelines/_common.py:446-476 runs preview→rasterize→
   *    preprocess→ocr back-to-back per page inside one task). Never one
@@ -59,9 +60,11 @@ object Jobs {
     }
   }
 
-  /** Deterministic salt: pmod(xxhash64(url, salt), k). Used to split
-    * skewed hosts across k sub-keys (north rule). */
-  def saltedKey(k: Int) = pmod(xxhash64(col("url"), lit("salt")), lit(k))
+  /** The url-hash bucket/partition key — THE single definition: metrics,
+    * the bucketed writer, and the table layout must agree on bucket
+    * membership, so they all call this. */
+  def bucketCol(buckets: Int) =
+    pmod(xxhash64(col("url")), lit(buckets)).cast("int")
 
   /** The extraction pipeline: narrow fused kernel first, THEN the salted
     * url-hash repartition on the *output*.
@@ -147,13 +150,20 @@ object Jobs {
       seed: Long = SyntheticCorpus.defaultSeed,
       parallelism: Int = 0): Dataset[PageRow] = {
     import spark.implicits._
+    require(n <= Int.MaxValue,
+      s"page-spec positions are Int-domain; got n=$n") // loud, not a silent
+    // wrong subset from a truncated cast
     val ivs = Ranges.intervals(spec, n.toInt)
     val p = if (parallelism > 0) parallelism
       else spark.sparkContext.defaultParallelism
-    // generate only in-range indices (1-based spec → 0-based row index)
-    val idx = ivs.map { case (lo, hi) => (lo - 1).toLong to (hi - 1).toLong }
-    spark.sparkContext.parallelize(idx.flatten, math.max(1, p))
-      .toDS().mapPartitions(it => it.map(i => SyntheticCorpus.row(i, seed)))
+    // generate only in-range indices (1-based spec → 0-based row index),
+    // DISTRIBUTED per interval: a driver-side flatten of "1-end" over a
+    // large n would materialize every index on the driver
+    ivs.map { case (lo, hi) =>
+      spark.range((lo - 1).toLong, hi.toLong, 1, math.max(1, p))
+    }.reduceOption(_ union _)
+      .getOrElse(spark.range(0))
+      .mapPartitions(it => it.map(i => SyntheticCorpus.row(i, seed)))
   }
 
   /** Per-bucket metrics table (FIXTURES.md `metrics` schema): the
@@ -163,8 +173,7 @@ object Jobs {
   def metrics(extracted: Dataset[ExtractResult], buckets: Int,
       attempt: Int): DataFrame = {
     extracted.toDF()
-      .withColumn("url_hash_bucket",
-        pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .withColumn("url_hash_bucket", bucketCol(buckets))
       .groupBy(col("url_hash_bucket"))
       .agg(
         count(lit(1)).as("docs"),
@@ -203,9 +212,16 @@ object CheckpointedWriter {
   def dataDir(out: String) = s"$out/data"
   def metricsDir(out: String) = s"$out/metrics"
 
+  /** The out path's OWN filesystem — FileSystem.get(conf) resolves the
+    * default FS and throws "Wrong FS" for any other scheme (s3a/hdfs
+    * output with a file:// default — the warehouse swap-in scenario). */
+  private def fsFor(out: String,
+      spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def committedBuckets(spark: SparkSession, out: String): Set[Int] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(out, spark)
     val p = new org.apache.hadoop.fs.Path(commitDir(out))
     if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).map(_.getPath.getName).flatMap(n =>
@@ -219,22 +235,20 @@ object CheckpointedWriter {
   def run(extracted: Dataset[ExtractResult], out: String, buckets: Int,
       failAfterBuckets: Int = -1): Int = {
     val spark = extracted.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(out, spark)
     val done = committedBuckets(spark, out)
     val todo = (0 until buckets).filterNot(done.contains)
     if (todo.isEmpty) return 0
     val withBucket = extracted.toDF()
-      .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .withColumn("bucket", Jobs.bucketCol(buckets))
       .withColumn("spans", to_json(col("spans"))) // stable scalar encoding
-    // one write job for all pending buckets, laid out by bucket dir.
-    // persist() is the single-execution barrier: the parquet write
-    // materializes the kernel output once and the metrics aggregation
-    // below reads the cache instead of re-running the whole extraction
-    // (at warehouse scale the cache is the staged bucket files themselves).
+    // one write job for all pending buckets, laid out by bucket dir; the
+    // metrics aggregation below reads the STAGED BUCKET FILES back (the
+    // durable artifact that exists at that point) — no persist(): an
+    // executor lost after the write must not re-run the whole kernel
+    // just to count docs/bytes for a tiny aggregate
     val pending = withBucket.filter(col("bucket").isin(todo: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       // clear partial dirs from a previous crashed attempt
       todo.foreach { b =>
         val d = new org.apache.hadoop.fs.Path(s"${dataDir(out)}/bucket=$b")
@@ -259,7 +273,8 @@ object CheckpointedWriter {
       // resume replaces the rows of exactly the buckets it re-did, so
       // readers see one authoritative (latest-attempt) row per bucket —
       // no duplicate-counting across crashed attempts.
-      pending
+      spark.read.parquet(dataDir(out))
+        .filter(col("bucket").isin(todo: _*))
         .groupBy(col("bucket").as("url_hash_bucket"))
         .agg(count(lit(1)).as("docs"),
           sum(length(col("text"))).as("bytes"),
@@ -273,16 +288,13 @@ object CheckpointedWriter {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("url_hash_bucket")
         .parquet(metricsDir(out))
-    } finally pending.unpersist()
+    }
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitDir(out)))
     var committed = 0
     todo.foreach { b =>
       if (failAfterBuckets >= 0 && committed >= failAfterBuckets)
         throw new RuntimeException(s"injected failure after $committed commits")
-      val d = new org.apache.hadoop.fs.Path(s"${dataDir(out)}/bucket=$b")
-      if (fs.exists(d)) { // bucket may be legitimately empty: mark anyway
-        ()
-      }
+      // bucket may be legitimately empty — mark unconditionally
       fs.create(new org.apache.hadoop.fs.Path(s"${commitDir(out)}/$b"), true)
         .close()
       committed += 1

@@ -37,6 +37,7 @@ object ScalingBench {
   val nDocs = 400000L
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // stable %.3f output
     val outFile = args.headOption.getOrElse("BENCH/scaling_run.md")
     val spark = SparkSession.builder()
       .master("local[32]")
