@@ -97,8 +97,11 @@ object Blocks {
         val p = nd.parent
         val isBlock = blockTags.contains(nd.tag)
         blockAnc(i) = if (isBlock) i else if (p >= 0) blockAnc(p) else -1
-        linkAnc(i) =
-          (if (isBlock) false else (p >= 0 && linkAnc(p))) || nd.tag == "a"
+        // link ancestry follows the PARENT CHAIN unconditionally: HTML5
+        // allows block content inside <a> (card grids of <a><h3>…<p>…),
+        // and resetting at block elements let those navigation teasers
+        // evade the link-density gate with linkChars = 0
+        linkAnc(i) = (p >= 0 && linkAnc(p)) || nd.tag == "a"
         chromeAnc(i) = (p >= 0 && chromeAnc(p)) || chromeTags.contains(nd.tag)
       }
       i += 1
@@ -131,7 +134,8 @@ object Blocks {
     // vector — one allocation (the block text) instead of one per word.
     def flushWord(): Unit = {
       if (pending.length > 0) {
-        if (btext.length() > 0) {
+        // no space after a preserved <pre> newline — it IS the separator
+        if (btext.length() > 0 && btext.charAt(btext.length - 1) != '\n') {
           val prevCp = btext.codePointBefore(btext.length())
           val nextCp = pending.codePointAt(0)
           if (!(isCjk(prevCp) && isCjk(nextCp))) btext.append(' ')
@@ -186,7 +190,14 @@ object Blocks {
         val t = nfkc(nd.text)
         var j = 0
         while (j < t.length) {
-          if (Character.isWhitespace(t.charAt(j))) { flushWord(); j += 1 }
+          if (Character.isWhitespace(t.charAt(j))) {
+            // <pre>: line structure is content (code blocks) — newlines
+            // survive as literal separators instead of collapsing into
+            // the single-space word join
+            if (isPre && t.charAt(j) == '\n') { flushWord(); btext.append('\n') }
+            else flushWord()
+            j += 1
+          }
           else {
             // bulk run: append the whole non-whitespace stretch in one
             // call (the segmentation hot loop — pages are mostly words)

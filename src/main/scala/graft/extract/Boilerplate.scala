@@ -34,7 +34,11 @@ object Boilerplate {
     * plausibly hold their text): a "word" longer than any natural-language
     * word, or a long block that is mostly non-letters, is machine junk. */
   def implausible(b: Block): Boolean = {
-    if (b.maxWordLen > maxWordLen) return true
+    // unsegmented scripts (CJK/Thai) have no whitespace: a normal Chinese
+    // paragraph is ONE "word" of hundreds of chars — the long-word gate
+    // targets minified-JS/base64 junk, so it is waived when the block is
+    // CJK-dominant (≥ a third of its chars)
+    if (b.maxWordLen > maxWordLen && b.cjk * 3 < b.chars) return true
     if (b.chars > 80 && b.letters.toDouble / b.chars < minAlphaRatio)
       return true
     false
@@ -64,11 +68,14 @@ object Boilerplate {
     if (n == 0) return Vector.empty
     val cls = blocks.map(contextFree).toArray
 
-    // Heading promotion: a heading is GOOD iff one of the next 2 non-heading
-    // blocks is GOOD (pre-fusion), else BAD.
+    // Heading promotion: an UNDECIDED heading is GOOD iff one of the next
+    // 2 non-heading blocks is GOOD (pre-fusion), else BAD. Headings the
+    // context-free pass already rejected (chrome ancestry, link density,
+    // implausibility) stay Bad — promotion must not resurrect a site-name
+    // logo link in a <header>.
     var i = 0
     while (i < n) {
-      if (blocks(i).kind == "heading") {
+      if (blocks(i).kind == "heading" && cls(i) == Short) {
         var j = i + 1
         var seen = 0
         var good = false

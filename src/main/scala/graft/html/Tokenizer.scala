@@ -126,7 +126,14 @@ object Tokenizer {
         // Raw-text mode: consume until the matching "</name" (case-insensitive)
         if (!end && !selfClosing && rawTextTags.contains(name)) {
           val close = "</" + name
+          // WHATWG: the close-tag name must be followed by whitespace,
+          // '/', or '>' — "</styles>" inside <style> does NOT terminate
+          // it (matching the bare prefix leaked raw CSS/JS as text)
           var j = indexOfIgnoreCase(input, close, i)
+          while (j >= 0 && j + close.length < n && {
+            val after = input.charAt(j + close.length)
+            !(after == '>' || after == '/' || Character.isWhitespace(after))
+          }) j = indexOfIgnoreCase(input, close, j + 1)
           if (j < 0) j = n
           val raw = input.substring(i, j)
           if (raw.nonEmpty) {
@@ -171,14 +178,24 @@ object Tokenizer {
             else i = bogusComment(i + 2) // "</!" "</ " etc: bogus comment
           } else if (c1 == '!') {
             if (input.startsWith("<!--", i)) {
-              // comment; tolerate unterminated (runs to EOF) and "--!>"
-              var j = input.indexOf("-->", i + 4)
-              var endLen = 3
-              val jAlt = input.indexOf("--!>", i + 4)
-              if (jAlt >= 0 && (j < 0 || jAlt < j)) { j = jAlt; endLen = 4 }
-              flushText()
-              if (j < 0) { out += CommentTok(input.substring(i + 4)); i = n }
-              else { out += CommentTok(input.substring(i + 4, j)); i = j + endLen }
+              // abrupt close (WHATWG abrupt-closing-of-empty-comment):
+              // "<!-->" and "<!--->" end the comment at that '>' — the
+              // generic search below starts past it and would swallow
+              // the whole rest of the document as comment text
+              if (input.startsWith("<!-->", i)) {
+                flushText(); out += CommentTok(""); i = i + 5
+              } else if (input.startsWith("<!--->", i)) {
+                flushText(); out += CommentTok(""); i = i + 6
+              } else {
+                // comment; tolerate unterminated (runs to EOF) and "--!>"
+                var j = input.indexOf("-->", i + 4)
+                var endLen = 3
+                val jAlt = input.indexOf("--!>", i + 4)
+                if (jAlt >= 0 && (j < 0 || jAlt < j)) { j = jAlt; endLen = 4 }
+                flushText()
+                if (j < 0) { out += CommentTok(input.substring(i + 4)); i = n }
+                else { out += CommentTok(input.substring(i + 4, j)); i = j + endLen }
+              }
             } else if (regionMatchesIgnoreCase(input, i + 2, "doctype")) {
               val j = input.indexOf('>', i)
               flushText()

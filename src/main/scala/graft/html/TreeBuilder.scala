@@ -26,10 +26,7 @@ final class Dom(
     val nodes: ArrayBuffer[DomNode],
     val truncated: Boolean, // a bounded-resource guard fired
     val title: String // <title> text, NFKC'd + whitespace-collapsed later
-) {
-  def children(id: Int): Iterator[DomNode] =
-    nodes.iterator.filter(_.parent == id)
-}
+)
 
 /** Open-element-stack tree builder with specified repair rules.
   *
@@ -99,9 +96,19 @@ object TreeBuilder {
       hidden
     }
 
+    // start tags suppressed by the depth/node caps never push — their
+    // matching end tags must not popTo (and unwind) a same-named REAL
+    // ancestor, so suppressions are counted per tag and end tags drain
+    // the counter first
+    val suppressed = scala.collection.mutable.HashMap.empty[String, Int]
+
     def addElement(name: String, attrs: List[(String, String)],
         push: Boolean): Unit = {
-      if (nodes.length >= maxNodes) { truncated = true; return }
+      if (nodes.length >= maxNodes) {
+        truncated = true
+        if (push) suppressed(name) = suppressed.getOrElse(name, 0) + 1
+        return
+      }
       val parent = curParent
       val key = (parent, name)
       val idx = sibCount.getOrElse(key, 0) + 1
@@ -112,6 +119,7 @@ object TreeBuilder {
       if (push) {
         if (curDepth >= maxDepth) {
           truncated = true // flatten: do not push, children attach here
+          suppressed(name) = suppressed.getOrElse(name, 0) + 1
         } else {
           stack = id :: stack
           stackTags = name :: stackTags
@@ -154,17 +162,32 @@ object TreeBuilder {
       }
     }
 
+    var titleDone = false
+    var skippedTitle = false
     tokens.foreach {
       case StartTag(name, attrs, selfClosing) =>
-        if (name == "title") inTitle = true
+        // only the FIRST non-self-closing <title> is the page title: a
+        // self-closing <title/> never gets an EndTag (inTitle would stick
+        // and swallow the whole body), and later <title>s (e.g. inline
+        // <svg><title> accessibility labels) must not concatenate
+        if (name == "title" && !selfClosing) {
+          if (!titleDone) inTitle = true
+          else skippedTitle = true // svg/odd later titles: content dropped
+        }
         impliedEndTags(name)
         val void = voidTags.contains(name) || selfClosing
         addElement(name, attrs, push = !void)
       case EndTag(name) =>
-        if (name == "title") inTitle = false
-        if (!voidTags.contains(name)) popTo(name) // unmatched → ignored
+        if (name == "title") {
+          if (inTitle) { inTitle = false; titleDone = true }
+          skippedTitle = false
+        }
+        val sup = suppressed.getOrElse(name, 0)
+        if (sup > 0) suppressed(name) = sup - 1 // cap-suppressed pair
+        else if (!voidTags.contains(name)) popTo(name) // unmatched → ignored
       case TextRun(t) =>
-        if (inTitle) title.append(t)
+        if (skippedTitle) () // non-first title label: not content
+        else if (inTitle) title.append(t)
         else if (nodes.length < maxNodes) {
           val parent = curParent
           val vis = curVisible

@@ -196,6 +196,85 @@ class KernelSpec extends AnyFunSuite {
     assert(r.outcome == "error:gzip_truncated")
   }
 
+  test("kernel edge fixes: CJK blocks, headings, titles, comments, raw-text") {
+    // CJK paragraph: one unsegmented 250-char "word" is normal prose,
+    // not the minified-JS garbage the long-word gate targets
+    val cjkPara = "数据处理管道提取文档内容分析" * 20 // 280 CJK chars, no spaces
+    val cjkHtml = s"<html><body><p>$cjkPara</p></body></html>"
+    assert(extractText(cjkHtml).contains("数据处理管道"), "CJK paragraph dropped")
+    // chrome-rejected heading is NOT resurrected by promotion
+    val logo = "<html><body><header><h1><a href=\"/\">SiteName</a></h1></header>" +
+      "<p>a long good article paragraph with plenty of ordinary words " +
+      "to clear the good threshold easily here</p></body></html>"
+    val logoText = extractText(logo)
+    assert(!logoText.contains("SiteName"), s"logo heading leaked: $logoText")
+    assert(logoText.contains("long good article"))
+    // self-closing <title/> must not swallow the body
+    val selfTitle = "<html><head><title/></head><body><p>hello body words " +
+      "enough to keep this block in the extracted output text</p></body></html>"
+    assert(extractText(selfTitle).contains("hello body"), "title/ swallowed body")
+    // a later <svg><title> must not concatenate into the page title
+    val svg = "<html><head><title>Page</title></head><body>" +
+      "<svg><title>Menu icon</title></svg><p>main body content words " +
+      "enough to keep this paragraph</p></body></html>"
+    val dom = TreeBuilder.build(Tokenizer.tokenize(svg))
+    assert(dom.title == "Page", s"title corrupted: '${dom.title}'")
+    assert(!extractText(svg).contains("Menu icon"))
+    // abrupt comment close: <!--> is an EMPTY comment, not
+    // swallow-to-EOF
+    val abrupt = "<html><body><!--><p>content after the abrupt comment " +
+      "close with enough words to be kept</p></body></html>"
+    assert(extractText(abrupt).contains("content after"), "<!--> ate the doc")
+    // raw-text close needs a name boundary: </styles> does not close
+    // <style>
+    val styles = "<html><body><style>.a{x}</styles>.b{y}</style>" +
+      "<p>visible words after the style block with enough length to " +
+      "be kept here</p></body></html>"
+    val stText = extractText(styles)
+    assert(!stText.contains(".b{y}"), s"style leaked: $stText")
+    assert(stText.contains("visible words"))
+  }
+
+  test("kernel edge fixes: anchor cards, depth-cap pairs, pre newlines") {
+    // block content inside <a>: the whole card is link text → link
+    // density gate drops it
+    val card = "<html><body><a href=\"/x\"><h3>Title</h3><p>teaser words " +
+      "for the card that are long enough to pass length</p></a>" +
+      "<p>real article body paragraph with plenty of ordinary words " +
+      "to clear the threshold</p></body></html>"
+    val cardText = extractText(card)
+    assert(!cardText.contains("teaser words"), s"card leaked: $cardText")
+    assert(cardText.contains("real article body"))
+    // depth-capped sibling pairs must not unwind real ancestors: the
+    // visible paragraph stays attached under body, not at the root
+    val deep = new StringBuilder("<html><body>")
+    (0 until 140).foreach(_ => deep.append("<div>"))
+    (0 until 50).foreach(_ => deep.append("<div>x</div>"))
+    (0 until 140).foreach(_ => deep.append("</div>"))
+    deep.append("<p>tail paragraph with enough words to be kept in the " +
+      "output easily</p></body></html>")
+    val deepDom = TreeBuilder.build(Tokenizer.tokenize(deep.toString))
+    assert(deepDom.truncated)
+    // the tail paragraph's ancestry must still include body
+    val pNode = deepDom.nodes.find(_.tag == "p")
+    assert(pNode.nonEmpty)
+    var anc = pNode.get.parent
+    var sawBody = false
+    while (anc >= 0) {
+      if (deepDom.nodes(anc).tag == "body") sawBody = true
+      anc = deepDom.nodes(anc).parent
+    }
+    assert(sawBody, "depth-cap end tags unwound the stack past body")
+    // <pre> keeps line structure
+    val pre = "<html><body><pre>def f():\n    return 1</pre>" +
+      "<p>prose paragraph with enough ordinary words to keep the block " +
+      "in the output</p></body></html>"
+    val preText = extractText(pre)
+    assert(preText.contains("def f():\nreturn 1") ||
+      preText.contains("def f():\n return 1"),
+      s"pre newline collapsed: ${preText.take(80)}")
+  }
+
   test("sniffer: charset= outside a meta tag never hijacks decoding") {
     // 'charset=' in a URL or prose before (or without) the real meta tag
     // must not override the page charset (reviewed)
