@@ -15,7 +15,9 @@ import scala.collection.mutable.ArrayBuffer
   */
 object ContentStream {
 
-  final case class PageText(lines: Vector[String], truncated: Boolean)
+  final case class PageText(lines: Vector[String], truncated: Boolean,
+      deepNesting: Boolean = false) // soft-limit flag: >32 q-depth seen,
+      // suspicious nesting but no data lost (hard stop = truncated)
 
   val softStackLimit = 32
   val hardStackLimit = 128
@@ -39,6 +41,7 @@ object ContentStream {
       depth: Int = 0): PageText = {
     val lx = new PdfLexer(content)
     var truncated = false
+    var deepNesting = false // soft-limit flag (no data loss yet)
 
     var gsDepth = 0
     // graphics state saved/restored by q/Q: the text render mode (Tr) AND
@@ -85,6 +88,10 @@ object ContentStream {
             case "q" =>
               if (gsDepth < hardStackLimit) {
                 gsDepth += 1; gsStack += ((renderMode, font))
+                // the reference's soft-limit discipline: depth past 32 is
+                // suspicious nesting — flagged (truncated=false would hide
+                // it), processing continues to the hard stop
+                if (gsDepth > softStackLimit) deepNesting = true
               } else truncated = true // past hard limit: ignore, flag
             case "Q" =>
               if (gsDepth > 0) {
@@ -173,6 +180,6 @@ object ContentStream {
       tok = lx.next()
     }
     newline()
-    PageText(lines.result(), truncated)
+    PageText(lines.result(), truncated, deepNesting)
   }
 }

@@ -78,14 +78,40 @@ object Glyphs {
   }
 
   lazy val macRoman: Array[String] = {
-    // ASCII identity; high range approximated by the most common glyphs.
+    // ASCII identity; high range is the FULL 128-entry MacRoman table
+    // (verified against the mac_roman codec — a 127-char approximation
+    // shifted every glyph from 0xF0 on and dropped 0xFF; 0xCA is NBSP,
+    // 0xF0 the Apple-logo private-use char).
     val a = new Array[String](256)
     var i = 0x20
     while (i <= 0x7e) { a(i) = i.toChar.toString; i += 1 }
-    val hi = "ÄÅÇÉÑÖÜáàâäãåçéèêëíìîïñóòôöõúùûü†°¢£§•¶ß®©™´¨≠ÆØ∞±≤≥¥µ∂∑∏π∫ªºΩæø¿¡¬√ƒ≈∆«»… ÀÃÕŒœ–—“”‘’÷◊ÿŸ⁄€‹›ﬁﬂ‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ"
+    val hi = "ÄÅÇÉÑÖÜáàâäãåçéèêëíìîïñóòôöõúùûü†°¢£§•¶ß®©™´¨≠ÆØ∞±≤≥¥µ∂∑∏π∫ªºΩæø¿¡¬√ƒ≈∆«»… ÀÃÕŒœ–—“”‘’÷◊ÿŸ⁄€‹›ﬁﬂ‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ"
     i = 0
     while (i < hi.length && i < 128) { a(0x80 + i) = hi.charAt(i).toString; i += 1 }
     a
+  }
+
+  /** Algorithmic AGL names (Adobe Glyph List spec §agl-specification):
+    * `uniXXXX` (4 hex digits, BMP) and `uXXXX[XX]` (4-6 hex digits) map
+    * DIRECTLY to the code point — a specified mapping, not a guess; TeX
+    * and subsetters emit these for every non-ASCII glyph. Unknown names
+    * still fall through to null → U+FFFD. */
+  def algorithmicGlyph(nm: String): String = {
+    def decode(hex: String): String =
+      try {
+        val cp = Integer.parseInt(hex, 16)
+        if (Character.isValidCodePoint(cp) &&
+          !(cp >= 0xd800 && cp <= 0xdfff)) // surrogates are not glyphs
+          new String(Character.toChars(cp))
+        else null
+      } catch { case _: Exception => null }
+    if (nm.length == 7 && nm.startsWith("uni") &&
+      nm.drop(3).forall(c => Character.digit(c, 16) >= 0))
+      decode(nm.drop(3))
+    else if (nm.length >= 5 && nm.length <= 7 && nm.startsWith("u") &&
+      nm.drop(1).forall(c => Character.digit(c, 16) >= 0))
+      decode(nm.drop(1))
+    else null
   }
 
   /** Adobe Glyph List subset covering the names produced by common western
@@ -142,7 +168,6 @@ object Glyphs {
     val lx = new PdfLexer(data)
     val m = HashMap.empty[Int, String]
     var codeBytes = 1
-    var lastStrs = List.empty[Cos] // operand window
     def hexToInt(b: Array[Byte]): Int = {
       var v = 0
       b.foreach(x => v = (v << 8) | (x & 0xff))
@@ -223,7 +248,6 @@ object Glyphs {
           }
         case _ => ()
       }
-      lastStrs = Nil
       tok = lx.next()
     }
     (codeBytes, m.toMap)
@@ -309,7 +333,7 @@ object Glyphs {
                     case CosNum(d) => code = d.toInt
                     case CosName(nm) =>
                       if (code >= 0 && code < 256) {
-                        arr(code) = agl.getOrElse(nm, null)
+                        arr(code) = agl.getOrElse(nm, algorithmicGlyph(nm))
                         code += 1
                       }
                     case _ => ()

@@ -254,7 +254,10 @@ object PdfDoc {
           case _ => -1 // ref or missing: scan for endstream
         }
         val end =
-          if (len >= 0 && p + len <= n) p + len
+          // Long-side compare: a corrupt multi-GB /Length saturates toInt
+          // and p + len wraps negative, silently emptying the stream where
+          // the endstream fallback would recover it
+          if (len >= 0 && p.toLong + len.toLong <= n) p + len
           else indexOf(data, "endstream", p) match {
             case -1 => n
             case e => // trim trailing EOL
@@ -264,6 +267,9 @@ object PdfDoc {
               q
           }
         val raw = java.util.Arrays.copyOfRange(data, p, math.max(end, p))
+        lx.pos = math.max(end, p) // payload consumed: forward scans must
+        // not re-tokenize binary bytes (spurious "N G obj" inside a
+        // compressed payload could overwrite a REAL object)
         CosStream(dict, raw)
       case _ =>
         lx.pos = save
@@ -305,6 +311,7 @@ object PdfDoc {
           val lx = new PdfLexer(data, i + 3)
           objects(hdr) = readBody(lx, data)
           count += 1
+          i = math.max(i, lx.pos - 1) // skip consumed stream payloads
         }
       }
       i += 1
@@ -327,7 +334,9 @@ object PdfDoc {
       lx.parseValue() match {
         case d: CosDict =>
           if (d.get("Encrypt").isDefined) encrypted = true
-          if (rootRef.isEmpty) rootRef = d.get("Root")
+          // LAST trailer wins: incremental updates append their trailer
+          // (and possibly a rebuilt catalog) at the END of the file
+          d.get("Root").foreach(r => rootRef = Some(r))
         case _ => ()
       }
       t = indexOf(data, "trailer", t + 7)
@@ -373,16 +382,20 @@ object PdfDoc {
     val notes = List.newBuilder[String]
     val offsets = new HashMap[Int, Int] // objnum → byte offset (newest wins)
     val packed = new HashMap[Int, Int] // objnum → container ObjStm objnum
+    val freed = new scala.collection.mutable.HashSet[Int] // type-0 shadow
     var trailers = Vector.empty[CosDict]
     var xrefStreamOffs = Vector.empty[Int]
 
     def record(num: Int, tpe: Int, f2: Long, f3: Long): Unit = {
       if (num >= 0 && num < maxObjects &&
-        !offsets.contains(num) && !packed.contains(num)) {
+        !offsets.contains(num) && !packed.contains(num) &&
+        !freed.contains(num)) {
         tpe match {
           case 1 if f2 >= 0 && f2 < n => offsets(num) = f2.toInt
           case 2 => packed(num) = f2.toInt
-          case _ => () // type 0 = free
+          case _ => freed += num // type 0 = free: the newest revision
+          // DELETED this object — older sections' live entries must not
+          // resurrect it (spec shadowing)
         }
       }
     }
@@ -503,7 +516,8 @@ object PdfDoc {
       }
     }
     // expand only the ObjStms that type-2 entries reference
-    expandObjStms(objects, notes, packed.values.toSet)
+    expandObjStms(objects, notes, packed.values.toSet,
+      member = (num, stm) => packed.get(num).contains(stm))
     // packed objects the ObjStm expansion failed to produce ⇒ corrupt
     if (packed.keysIterator.exists(num => !objects.contains(num))) return None
 
@@ -522,7 +536,12 @@ object PdfDoc {
     * (objects already present win — direct/newer always beats packed). */
   private def expandObjStms(objects: HashMap[Int, Cos],
       notes: scala.collection.mutable.Builder[String, List[String]],
-      stmNums: Set[Int]): Unit = {
+      stmNums: Set[Int],
+      // which (objnum, containerNum) pairs may be lifted: the xref fast
+      // path restricts to the container the xref assigns (stale members
+      // of older live containers must not shadow newer copies); the
+      // xref-free full scan accepts all members
+      member: (Int, Int) => Boolean = (_, _) => true): Unit = {
     val resolveEarly: Cos => Cos = {
       case CosRef(num, _) => objects.getOrElse(num, CosNull)
       case other => other
@@ -552,8 +571,8 @@ object PdfDoc {
               k += 1
             }
             pairs.result().foreach { case (num, off) =>
-              if (!objects.contains(num) && first + off >= 0 &&
-                first + off < data.length) {
+              if (!objects.contains(num) && member(num, stmNum) &&
+                first + off >= 0 && first + off < data.length) {
                 val olx = new PdfLexer(data, first + off)
                 objects(num) = olx.parseValue()
               }
@@ -585,17 +604,19 @@ object PdfDoc {
       }
     }
 
-    // walk page tree
+    // walk page tree. The visited set is GLOBAL across the whole walk:
+    // a path-local set would re-visit a kid once per duplicate reference
+    // (duplicated text, and k^depth walk blowup on adversarial trees
+    // whose every node repeats its child k times).
     val pages = Vector.newBuilder[PdfPage]
-    def walk(node: Cos, inherited: Option[CosDict], depth: Int,
-        visited: Set[Int]): Unit = {
+    val walked = scala.collection.mutable.HashSet.empty[Int]
+    def walk(node: Cos, inherited: Option[CosDict], depth: Int): Unit = {
       if (depth > maxPageTreeDepth) { notes += "pagetree:depth_cap"; return }
       val (id, resolved) = node match {
         case CosRef(num, _) => (num, resolve(node))
         case other => (-1, other)
       }
-      if (id >= 0 && visited.contains(id)) { notes += "pagetree:cycle"; return }
-      val vis = if (id >= 0) visited + id else visited
+      if (id >= 0 && !walked.add(id)) { notes += "pagetree:cycle"; return }
       resolved match {
         case d: CosDict =>
           val res = d.get("Resources").map(resolve(_)).collect {
@@ -606,7 +627,7 @@ object PdfDoc {
             case _ =>
               d.get("Kids").map(resolve(_)) match {
                 case Some(CosArr(kids)) =>
-                  kids.foreach(k => walk(k, res, depth + 1, vis))
+                  kids.foreach(k => walk(k, res, depth + 1))
                 case _ =>
                   if (d.get("Contents").isDefined) pages += PdfPage(d, res)
               }
@@ -614,7 +635,7 @@ object PdfDoc {
         case _ => ()
       }
     }
-    catalog.flatMap(_.get("Pages")).foreach(walk(_, None, 0, Set.empty))
+    catalog.flatMap(_.get("Pages")).foreach(walk(_, None, 0))
     val pageVec = pages.result()
     val finalPages =
       if (pageVec.nonEmpty) pageVec
@@ -867,7 +888,11 @@ object PdfDoc {
             out.write(entry, 0, entry.length)
             if (prev != null && dict.length < 4096) dict += (prev :+ entry(0))
             prev = entry
-            if (dict.length + earlyChange - 1 >= (1 << codeBits) && codeBits < 12)
+            // width bump when the NEXT added entry would need more bits
+            // (EarlyChange=1 bumps one code early, per the PDF spec); the
+            // former `- 1` bumped one entry LATE and garbled every stream
+            // crossing the 9→10-bit boundary (reviewed, verified)
+            if (dict.length + earlyChange >= (1 << codeBits) && codeBits < 12)
               codeBits += 1
           }
         }

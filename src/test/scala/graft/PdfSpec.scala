@@ -253,6 +253,66 @@ endcmap"""
     assert(PdfDoc.lzwDecode(lzw, 1).toSeq == data.toSeq)
   }
 
+  test("lzw: code-width bump crosses the 9-to-10-bit boundary correctly") {
+    // spec-correct EarlyChange=1 encoder: emit 256, then literal codes
+    // for 600 DISTINCT two-byte-ish sequences so the dictionary passes
+    // 511 entries and the decoder must widen to 10 bits at the right
+    // code — the former off-by-one garbled everything past the boundary
+    val data = Array.tabulate[Byte](1200)(i => ((i * 37) % 251).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    var buf = 0L; var nbits = 0
+    var codeBits = 9
+    var dictSize = 258
+    def put(code: Int): Unit = {
+      buf = (buf << codeBits) | code; nbits += codeBits
+      while (nbits >= 8) { out.write(((buf >> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+    }
+    put(256)
+    // naive encoder: every input byte as a literal code, growing the dict
+    // exactly as the spec decoder does (first code adds nothing; each
+    // subsequent adds one entry)
+    var first = true
+    data.foreach { b =>
+      put(b & 0xff)
+      if (!first) {
+        dictSize += 1
+        if (dictSize + 1 >= (1 << codeBits) && codeBits < 12) codeBits += 1
+      }
+      first = false
+    }
+    put(257)
+    if (nbits > 0) out.write(((buf << (8 - nbits)) & 0xff).toInt)
+    val decoded = PdfDoc.lzwDecode(out.toByteArray, 1)
+    assert(decoded.toSeq == data.toSeq,
+      s"LZW boundary drift at ${decoded.toSeq.zip(data.toSeq).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("glyphs: full MacRoman table and algorithmic uniXXXX names") {
+    import graft.pdf.Glyphs
+    // 0xF1..0xFF were shifted one glyph before the table fix
+    assert(Glyphs.macRoman(0xf1) == "Ò")
+    assert(Glyphs.macRoman(0xf2) == "Ú")
+    assert(Glyphs.macRoman(0xff) == "ˇ")
+    assert(Glyphs.macRoman(0xca) == "\u00a0") // NBSP, not plain space
+    // algorithmic AGL names map directly to code points
+    assert(Glyphs.algorithmicGlyph("uni00E9") == "é")
+    assert(Glyphs.algorithmicGlyph("u00E9") == "é")
+    assert(Glyphs.algorithmicGlyph("u1F600") == new String(Character.toChars(0x1f600)))
+    assert(Glyphs.algorithmicGlyph("uniD800") == null) // surrogate
+    assert(Glyphs.algorithmicGlyph("unicode") == null) // not hex
+    assert(Glyphs.algorithmicGlyph("eacute") == null) // named, not algorithmic
+  }
+
+  test("parser: duplicate kids in the page tree emit the page once") {
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R 3 0 R] /Count 2 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes(ISO_8859_1)
+    val doc = PdfDoc.parse(pdf)
+    assert(doc.pages.length == 1, s"duplicate kid visited twice: ${doc.pages.length}")
+  }
+
   test("engine: doc-level policy matrix (tagged / acroform / signature)") {
     import graft.model.{ExtractConfig, ProcessingMode => M}
     val rng = () => new SyntheticCorpus.Rng(3)
