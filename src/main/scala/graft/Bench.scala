@@ -56,7 +56,10 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
 
-    val (tExtract, nExtract) = timeTrials(2, 3) {
+    // 5 trials for the two queries with the widest historical trial
+    // spread (extract, dedup_substrings*): the median is then a
+    // contention-robust headline next to the best
+    val (tExtract, nExtract) = timeTrials(2, 5) {
       Jobs.extract(Jobs.syntheticPages(spark, nDocs), cpus.toInt * 2)
         .filter(col("outcome").isNotNull).count()
     }
@@ -90,10 +93,10 @@ object Bench {
     results("dedup_passages") = timeTrials(1, 3) {
       CorpusStats.passageDedup(docs, "doc_id", "text").count()
     }._1
-    results("dedup_substrings") = timeTrials(1, 3) {
+    results("dedup_substrings") = timeTrials(1, 5) {
       Dedup.substringRuns(docs, "doc_id", "text").count()
     }._1
-    results("dedup_substrings_rolling") = timeTrials(1, 3) {
+    results("dedup_substrings_rolling") = timeTrials(1, 5) {
       Dedup.substringRunsRolling(docs, "doc_id", "text").count()
     }._1
     results("decontaminate") = timeTrials(1, 3) {
@@ -149,16 +152,54 @@ object Bench {
       Similarity.ivfTopKKmeans(clustered, cq, "vec_id", "embedding", 10))
       .intersect(cBrute).size.toDouble / cBrute.size
 
+    // Recall sweep: the recorded accuracy contract behind the default
+    // (nprobe, centroids) choice — both quantizers × both embedding
+    // shapes, nprobe ∈ {4,8,16} × centroids ∈ {16,64}. Uniform
+    // embeddings bound recall at ≈ probed fraction for ANY coarse
+    // quantizer (no cluster structure to exploit), so the defaults are
+    // judged as ≥0.9 clustered / ≥0.8 uniform.
+    val sweep = for {
+      cCount <- Seq(16, 64)
+      nprobe <- Seq(4, 8, 16) if nprobe <= cCount
+    } yield {
+      def rec(corpus: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame,
+          truth: Set[(Long, Long)], kmeans: Boolean): Double = {
+        val t = if (kmeans)
+          Similarity.ivfTopKKmeans(corpus, q, "vec_id", "embedding", 10,
+            centroids = cCount, nprobe = nprobe)
+        else Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 10,
+          centroids = cCount, nprobe = nprobe)
+        topSet(t).intersect(truth).size.toDouble / truth.size
+      }
+      (cCount, nprobe,
+        rec(emb, qdf, bruteSet, kmeans = false),
+        rec(emb, qdf, bruteSet, kmeans = true),
+        rec(clustered, cq, cBrute, kmeans = false),
+        rec(clustered, cq, cBrute, kmeans = true))
+    }
+    val sweepJson = sweep.map { case (c, np, ui, uk, ci, ck) =>
+      f"""{"centroids":$c,"nprobe":$np,"uniform_ivf":$ui%.3f,"uniform_kmeans":$uk%.3f,"clustered_ivf":$ci%.3f,"clustered_kmeans":$ck%.3f}"""
+    }.mkString("[", ",", "]")
+
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val best = results.map { case (k, ts) => (k, ts.min) }
+    val med = results.map { case (k, ts) => (k, median(ts)) }
     val total = best.values.sum
     val docsPerSec = extractedDocs / best("extract")
+    val docsPerSecMed = extractedDocs / med("extract")
     val qs = best.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val qsMed = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val trialsJson = results.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":$qs,"trials":$trialsJson,"recall_at_10":{"ivf":$recallIvf%.3f,"ivf_kmeans":$recallKmeans%.3f},"recall_at_10_clustered":{"ivf":$cIvf%.3f,"ivf_kmeans":$cKmeans%.3f},"sf":"$sfDir"}"""
+      f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"value_median":$docsPerSecMed%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":$qs,"queries_median":$qsMed,"trials":$trialsJson,"recall_at_10":{"ivf":$recallIvf%.3f,"ivf_kmeans":$recallKmeans%.3f},"recall_at_10_clustered":{"ivf":$cIvf%.3f,"ivf_kmeans":$cKmeans%.3f},"recall_sweep":$sweepJson,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copy, free of sbt log prefixes (the stdout line is
     // buried in [info] noise when run through sbt): the driver/judge can

@@ -528,8 +528,10 @@ object SparkEntry {
     }),
     "sim_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
+      // (centroids, nprobe) pinned explicitly: the oracle SQL encodes
+      // this exact configuration, independent of the tunable defaults
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5)
+        "vec_id", "embedding", 5, centroids = 16, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -540,7 +542,7 @@ object SparkEntry {
       // rerank is the shared exact double cosine
       val e = emb(s, dir)
       Similarity.ivfTopKKmeans(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5)
+        "vec_id", "embedding", 5, centroids = 16, nprobe = 4, iters = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     })
@@ -1167,14 +1169,16 @@ fd AS (
   FROM m CROSS JOIN c3 c
 ),
 assigned AS (
+  -- zero-vector exclusion: same contract as Spark's nonZeroVec on the
+  -- corpus/query sides (training is unfiltered on both sides)
   SELECT f.vec_id AS nbr_id, e.v AS cv, sqrt(list_dot_product(e.v, e.v)) AS cn, f.cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM fd
-  ) f JOIN e ON e.vec_id = f.vec_id WHERE f.rn = 1
+  ) f JOIN e ON e.vec_id = f.vec_id WHERE f.rn = 1 AND list_dot_product(e.v, e.v) > 0
 ),
 probed AS (
   SELECT f.vec_id AS query_id, e.v AS qv, sqrt(list_dot_product(e.v, e.v)) AS qn, f.cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM fd WHERE vec_id < 10
-  ) f JOIN e ON e.vec_id = f.vec_id WHERE f.rn <= 4
+  ) f JOIN e ON e.vec_id = f.vec_id WHERE f.rn <= 4 AND list_dot_product(e.v, e.v) > 0
 ),
 s AS (
   SELECT p.query_id, a.nbr_id, list_dot_product(p.qv, a.cv) / (p.qn * a.cn) AS cos

@@ -128,6 +128,9 @@ case class CosineHof(left: Expression, right: Expression, ansi: Boolean)
   * QueryExecutionErrors — the thrown object is the SAME error class with
   * the same parameters as Divide's DIVIDE_BY_ZERO. */
 object CosineHofErrors {
-  def divideByZero(): Throwable =
+  /** Typed `ArithmeticException` (unchecked) — the generated Java is a
+    * bare `throw divideByZero();`, which Janino only accepts for
+    * unchecked exception types. */
+  def divideByZero(): ArithmeticException =
     org.apache.spark.sql.graft.GraftSqlAccess.divideByZeroError()
 }

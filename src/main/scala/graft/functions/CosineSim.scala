@@ -126,6 +126,10 @@ object GraftFunctions {
     reg1("rolling_hash", exprs =>
       RollingHash(exprs(0), GraftFunctions.litInt(exprs(1)),
         GraftFunctions.litInt(exprs(2)).toLong))
+    reg1("rolling_hash2", exprs =>
+      RollingHash2(exprs(0), GraftFunctions.litInt(exprs(1)),
+        GraftFunctions.litInt(exprs(2)).toLong,
+        GraftFunctions.litInt(exprs(3)).toLong))
     // optimizer integration on a plain (extension-less) session: rewrite
     // builtin HOF cosine trees into the fused native kernel; idempotent
     val extra = spark.experimental.extraOptimizations

@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         RollingHash(exprs(0), GraftFunctions.litInt(exprs(1)),
           GraftFunctions.litInt(exprs(2)).toLong)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash2"),
+      info(classOf[RollingHash2], "rolling_hash2"), // fused dual-base windows
+      (exprs: Seq[Expression]) =>
+        RollingHash2(exprs(0), GraftFunctions.litInt(exprs(1)),
+          GraftFunctions.litInt(exprs(2)).toLong,
+          GraftFunctions.litInt(exprs(3)).toLong)))
     // builtin-HOF-cosine → fused native kernel (semantics-preserving;
     // see NativeCosineRule scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.NativeCosineRule)

@@ -338,10 +338,15 @@ object Dedup {
   }
 
   /** As `substringRuns`, but gram hashing is the native O(n) Karp-Rabin
-    * `rolling_hash` expression (graft.functions.RollingHash) — ONE pass
-    * per base instead of an md5 over every L-char window (40× less hash
-    * work at L=40). Two independent bases give a 122-bit key; the same
-    * run output as the md5 form up to negligible collision mass, so the
+    * `rolling_hash2` expression (graft.functions.RollingHash2) — ONE
+    * fused pass over the codepoints instead of an md5 over every L-char
+    * window (40× less hash work at L=40). The two independent 61-bit
+    * bases are packed per window into one 16-byte binary key — the same
+    * key shape as the md5 form's `unhex(md5(...))`, ONE array
+    * materialization and ONE posexplode (the earlier two-call +
+    * `arrays_zip` form paid three O(n) array materializations per doc
+    * and benched slower than the md5 path it exists to beat). Same run
+    * output as the md5 form up to negligible collision mass, so the
     * md5-based SQL oracle doubles as a cross-strategy check. */
   def substringRunsRolling(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40): DataFrame = {
@@ -350,13 +355,10 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= minLen)
       .select(col("doc_id"),
-        expr(s"rolling_hash(text, $minLen, 131)").as("h1s"),
-        expr(s"rolling_hash(text, $minLen, 137)").as("h2s"))
-      .select(col("doc_id"), posexplode(expr("arrays_zip(h1s, h2s)")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        col("col.h1s").as("h1"), col("col.h2s").as("h2"))
+        posexplode(expr(s"rolling_hash2(text, $minLen, 131, 137)")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    substringRunsFromGrams(grams, Seq("h1", "h2"), minLen)
+    substringRunsFromGrams(grams, Seq("h"), minLen)
   }
 
   /** Substring-dedup APPLY: cut every duplicated run (ALL copies) out of

@@ -165,20 +165,28 @@ object Similarity {
           element_at(array_sort(transform(centsLit, c =>
             struct(d2Micro(col("vm"), c.getField("_2")).as("d2"),
               c.getField("_1").as("cent_id")))), 1).getField("cent_id"))
-        val sums = assigned
+        // the truncating integer mean (Spark `div` ≡ DuckDB `//` ≡ Scala
+        // Long `/`, all toward zero — verified) folds INSIDE the agg, and
+        // the second groupBy packs each cell's dims into one sorted
+        // array: the driver pulls C rows of dim longs, not C·dim rows
+        // (at dim 1-4k the flat form is a multi-hundred-MB driver pull)
+        val means = assigned
           .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
-          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .agg(expr("sum(x) div count(1)").as("m"))
+          .groupBy("cell")
+          // collect_list order is nondeterministic; the struct sort on
+          // the unique pos restores it exactly
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("pm"))
           .collect()
-        val byCell = sums.groupBy(_.getLong(0))
+          .map(r => (r.getLong(0),
+            r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))))
+          .toMap
         cents = cents.map { case (cid, old) =>
-          byCell.get(cid) match {
-            case Some(rows) =>
-              // Scala Long `/` truncates toward zero — same as Spark div
-              // and DuckDB // (verified), so the oracle reproduces it
-              (cid, rows.sortBy(_.getInt(1)).map(r =>
-                r.getLong(2) / r.getLong(3)).toSeq)
-            case None => (cid, old)
+          means.get(cid) match {
+            case Some(mean) => (cid, mean)
+            case None => (cid, old) // empty cell keeps its centroid
           }
         }
       }
@@ -240,9 +248,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Driver-side model fit: deterministic centroid pick (cosine_sim
     // computes norms inside its fused loop, so the model carries only
-    // (id, vector))
+    // (id, vector)). The centroid pick shares the operator-wide
+    // zero-vector exclusion — a zero vector has no cosine direction, so
+    // it can anchor no cell, and the oracle's centroid CTE applies the
+    // same filter (one exclusion contract on both sides).
     val centRows: Seq[(Long, Seq[Float])] = corpus
       .select(col(idCol).cast("long"), col(vecCol))
+      .filter(nonZeroVec(col(vecCol)))
       .orderBy(col(idCol).asc).limit(centroids)
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1)))

@@ -82,7 +82,8 @@ object NativeCosineRule extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       // The Divide's evalMode is part of the semantics being preserved:
       // ANSI (Spark 4 default) throws DIVIDE_BY_ZERO on a zero double
-      // denominator, LEGACY yields IEEE NaN/Inf — CosineHof replicates
+      // denominator, LEGACY yields NULL (DivModLike returns null for a
+      // zero divisor, even for doubles) — CosineHof replicates
       // whichever applies. TRY (try_divide → null) is left unrewritten.
       // the third Divide field is a NumericEvalContext (Spark 4.1), whose
       // evalMode member carries ANSI/LEGACY/TRY

@@ -228,6 +228,32 @@ object CheckpointedWriter {
       scala.util.Try(n.toInt).toOption).toSet
   }
 
+  /** Claim the next attempt number for `out`, atomically: EXCLUSIVE
+    * create (`overwrite = false`) of `_attempts/<n>` is the one
+    * filesystem primitive that is atomic on both HDFS and the local FS
+    * (a rename onto an existing path silently REPLACES it on POSIX
+    * local, so rename is not a safe claim there). Two racing drivers
+    * both listing n attempts race to create n+1; the loser's create
+    * throws and it retries at n+2 — distinct attempt numbers, always. */
+  def claimAttempt(fs: org.apache.hadoop.fs.FileSystem, out: String): Int = {
+    val m = new org.apache.hadoop.fs.Path(s"$out/_attempts")
+    fs.mkdirs(m)
+    // Hadoop's RawLocalFileSystem implements overwrite=false as a
+    // non-atomic exists-check-then-create; java.io.File.createNewFile is
+    // O_CREAT|O_EXCL — use it when the claim dir is on the local FS so
+    // the exclusivity guarantee holds there too
+    val local = "file" == fs.getUri.getScheme
+    def tryClaim(p: org.apache.hadoop.fs.Path): Boolean =
+      if (local) new java.io.File(p.toUri.getPath).createNewFile()
+      else
+        try { fs.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    var n = fs.listStatus(m).length + 1
+    while (!tryClaim(new org.apache.hadoop.fs.Path(m, n.toString)))
+      n += 1 // lost the race; next slot
+    n
+  }
+
   /** Write `extracted` for all not-yet-committed buckets. Returns the
     * number of buckets written this run. `failAfterBuckets` injects a
     * crash for the resume test (reference analog: fault-injection plugins,
@@ -259,21 +285,17 @@ object CheckpointedWriter {
       val wallMs = (System.nanoTime() - t0) / 1000000L
       // per-bucket lineage metrics (FIXTURES.md `metrics` schema), written
       // BEFORE the commit markers so a marker implies metrics exist; attempt
-      // number = how many runs have touched this output. The attempt claim
-      // (list + create) is not atomic — single-driver by design; concurrent
-      // writers to one output dir would need a rename-based claim.
-      val attempt = {
-        val m = new org.apache.hadoop.fs.Path(s"$out/_attempts")
-        fs.mkdirs(m)
-        val n = fs.listStatus(m).length + 1
-        fs.create(new org.apache.hadoop.fs.Path(m, n.toString), true).close()
-        n
-      }
+      // number = how many runs have touched this output.
+      val attempt = claimAttempt(fs, out)
       // metrics are partitioned by bucket and dynamically OVERWRITTEN: a
       // resume replaces the rows of exactly the buckets it re-did, so
       // readers see one authoritative (latest-attempt) row per bucket —
-      // no duplicate-counting across crashed attempts.
-      spark.read.parquet(dataDir(out))
+      // no duplicate-counting across crashed attempts. The read-back
+      // carries the writer's schema explicitly: a zero-row pending set on
+      // a fresh output dir leaves dataDir with only _SUCCESS, and
+      // schema INFERENCE over that throws — the explicit schema makes the
+      // empty extraction a (correct) empty metrics write instead.
+      spark.read.schema(withBucket.schema).parquet(dataDir(out))
         .filter(col("bucket").isin(todo: _*))
         .groupBy(col("bucket").as("url_hash_bucket"))
         .agg(count(lit(1)).as("docs"),

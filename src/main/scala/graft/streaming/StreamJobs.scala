@@ -38,6 +38,10 @@ object StreamJobs {
   def fileExtractQuery(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery = {
     import spark.implicits._
+    // operator-supplied paths are validated before the query starts
+    // (symlinked watch root, watch loops, `..` traversal) — the analog
+    // of the reference's watched-folder security checks
+    StreamSecurity.validateWatchDirs(inDir, outDir, checkpointDir)
     val pages = spark.readStream
       .schema(pageSchema)
       .option("maxFilesPerTrigger", "16")

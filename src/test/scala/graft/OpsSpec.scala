@@ -324,6 +324,30 @@ class OpsSpec extends AnyFunSuite {
       .numElements() == 0)
   }
 
+  test("rolling hash2: fused dual-base pass is the packed twin of compute") {
+    import graft.functions.RollingHashImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    def bePack(h1: Long, h2: Long): Seq[Byte] =
+      (java.nio.ByteBuffer.allocate(16).putLong(h1).putLong(h2).array()).toSeq
+    val samples = Seq(
+      "hello world this is a rolling hash test string",
+      "数据处理管道提取文档内容分析系统网络页面文本",
+      "emoji 😀 astral codepoints 🚀 mix",
+      "aaaaaaaaaaaaaaaaaaaa")
+    for (s <- samples; l <- Seq(3, 8)) {
+      val u = UTF8String.fromString(s)
+      val h1 = RollingHashImpl.compute(u, l, 131L).toLongArray()
+      val h2 = RollingHashImpl.compute(u, l, 137L).toLongArray()
+      val fused = RollingHashImpl.compute2(u, l, 131L, 137L)
+      assert(fused.numElements() == h1.length)
+      for (i <- h1.indices)
+        assert(fused.getBinary(i).toSeq == bePack(h1(i), h2(i)),
+          s"pack drift at $i on '$s' l=$l")
+    }
+    assert(RollingHashImpl.compute2(UTF8String.fromString("ab"), 3, 131L, 137L)
+      .numElements() == 0)
+  }
+
   test("dedup substrings rolling: same runs as the md5 formulation") {
     import spark.implicits._
     val shared = "0123456789" * 6
@@ -858,6 +882,37 @@ class OpsSpec extends AnyFunSuite {
       centroids = 4, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(ivf == brute)
+  }
+
+  test("CosineHof codegen compiles in both ANSI and legacy modes") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val b = BoundReference(1, ArrayType(FloatType), nullable = true)
+    def row(x: Array[Float], y: Array[Float]) = new GenericInternalRow(
+      Array[Any](ArrayData.toArrayData(x), ArrayData.toArrayData(y)))
+    // GenerateUnsafeProjection has NO interpreted fallback: a Janino
+    // rejection of the generated code (e.g. a `throw` whose static type
+    // is a checked Throwable) surfaces HERE as an exception, where a
+    // whole-stage-codegen plan would silently downgrade the entire
+    // stage to interpreted execution. This is the regression net for
+    // the ANSI divide-by-zero throw path.
+    val ansi = GenerateUnsafeProjection.generate(
+      Seq(graft.functions.CosineHof(a, b, ansi = true)))
+    assert(ansi(row(Array(3f, 0f), Array(3f, 0f))).getDouble(0) == 1.0)
+    // the generated throw must be the SAME unchecked ANSI error Divide
+    // raises — intercept[ArithmeticException] pins the static type
+    val e = intercept[ArithmeticException] {
+      ansi(row(Array(0f, 0f), Array(1f, 1f)))
+    }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
+    val legacy = GenerateUnsafeProjection.generate(
+      Seq(graft.functions.CosineHof(a, b, ansi = false)))
+    assert(legacy(row(Array(0f, 0f), Array(1f, 1f))).isNullAt(0))
+    assert(legacy(row(Array(1f, 2f), Array(1f))).isNullAt(0))
   }
 
   test("similarity: native cosine_sim expression is bit-identical to HOF") {

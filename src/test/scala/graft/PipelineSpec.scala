@@ -119,6 +119,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(CheckpointedWriter.readBack(spark, out).count() == 100)
   }
 
+  test("attempt claim: racing drivers get distinct attempt numbers") {
+    val out = java.nio.file.Files.createTempDirectory("graft_claim").toString
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // all claimants start from the same listing (worst-case race): the
+    // exclusive-create claim must still hand out distinct numbers
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val claims = (0 until 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await()
+            CheckpointedWriter.claimAttempt(fs, out)
+          }
+        })
+      }
+      gate.countDown()
+      val got = claims.map(_.get()).sorted
+      assert(got == (1 to 8), s"claim collision or gap: $got")
+    } finally pool.shutdown()
+    // a later single claimant continues the sequence
+    assert(CheckpointedWriter.claimAttempt(fs, out) == 9)
+  }
+
+  test("empty extraction: zero-row pending set commits cleanly") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val none = Jobs.extractNarrow(
+      Jobs.syntheticPages(spark, 10).filter(_ => false))
+    // fresh output dir + zero rows: the data write leaves only _SUCCESS;
+    // the metrics read-back must not choke on schema inference over it
+    assert(CheckpointedWriter.run(none, out, buckets = 4) == 4)
+    assert(CheckpointedWriter.committedBuckets(spark, out).size == 4)
+    // idempotent rerun: everything is committed
+    assert(CheckpointedWriter.run(none, out, buckets = 4) == 0)
+  }
+
+  test("output layout: bucket dirs + ZSTD codec as written") {
+    val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val extracted = Jobs.extract(Jobs.syntheticPages(spark, 60), 4).toDF()
+      .withColumn("spans", to_json(col("spans")))
+    new graft.spark.ParquetTableIO(out).writeExtracted(
+      extracted, "extracted", buckets = 4)
+    val root = new java.io.File(s"$out/extracted")
+    val bucketDirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(bucketDirs.toSet == (0 until 4).map(b => s"bucket=$b").toSet,
+      s"bucket layout drift: ${bucketDirs.toSeq}")
+    // parquet encodes the codec in the part-file suffix — pin ZSTD (the
+    // text-heavy output's storage contract) for every data file
+    val parts = bucketDirs.flatMap(d =>
+      new java.io.File(root, d).listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet")))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".zstd.parquet")),
+      s"non-ZSTD part files: ${parts.filterNot(_.endsWith(".zstd.parquet")).toSeq}")
+    // read-back round-trips every row
+    assert(spark.read.parquet(s"$out/extracted").count() == 60)
+  }
+
   test("metrics: per-bucket counts reconcile with the extracted table") {
     val extracted = Jobs.extract(Jobs.syntheticPages(spark, 100), 8)
     val m = Jobs.metrics(extracted, buckets = 4, attempt = 1)

@@ -200,4 +200,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == 50) // batch 1 not reprocessed after restart
     assert(out.select("url").distinct().count() == 50)
   }
+
+  test("streaming security: adversarial watch-dir configurations rejected") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamSecurity.validateWatchDirs
+    val base = Files.createTempDirectory("graft_sec").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    def rejected(inD: String, outD: String, ckD: String): String =
+      intercept[IllegalArgumentException] {
+        validateWatchDirs(inD, outD, ckD)
+      }.getMessage
+    // watch loop: output (or checkpoint) inside the watched input dir —
+    // every committed micro-batch file would be re-ingested
+    assert(rejected(in, s"$in/out", s"$base/ck").contains("re-ingested"))
+    assert(rejected(in, s"$base/out", s"$in/ck").contains("re-ingested"))
+    // `..` traversal must not defeat the containment check
+    assert(rejected(in, s"$base/x/../in/out", s"$base/ck")
+      .contains("re-ingested"))
+    // bidirectional: input inside the output dir is also comingling
+    assert(rejected(s"$base/in", base, s"$base/ck").contains("comingle"))
+    // symlinked watch root redirects every read outside the tree
+    val elsewhere = Files.createTempDirectory("graft_sec_target")
+    val link = Paths.get(s"$base/link_in")
+    Files.createSymbolicLink(link, elsewhere)
+    assert(rejected(link.toString, s"$base/out", s"$base/ck")
+      .toLowerCase.contains("symlink"))
+    // missing input dir
+    assert(rejected(s"$base/absent", s"$base/out", s"$base/ck")
+      .contains("does not exist"))
+    // a clean configuration (not-yet-existing out/ck) validates fine
+    validateWatchDirs(in, s"$base/out", s"$base/ck")
+    // remote-scheme URIs pass through (no local symlink semantics)
+    validateWatchDirs("s3a://bucket/in", "s3a://bucket/out",
+      "s3a://bucket/ck")
+  }
 }
