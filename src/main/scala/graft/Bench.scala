@@ -159,8 +159,8 @@ object Bench {
     // quantizer (no cluster structure to exploit), so the defaults are
     // judged as ≥0.9 clustered / ≥0.8 uniform.
     val sweep = for {
-      cCount <- Seq(16, 64)
-      nprobe <- Seq(4, 8, 16) if nprobe <= cCount
+      cCount <- Seq(16, 32, 64)
+      nprobe <- Seq(4, 8, 16, 32) if nprobe <= cCount
     } yield {
       def rec(corpus: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame,
           truth: Set[(Long, Long)], kmeans: Boolean): Double = {

@@ -182,6 +182,20 @@ object SparkEntry {
     "text_langid" -> ((s, _) =>
       extracted(s).select(col("url"), langIdUdf(col("text")).as("pred_lang"))
         .orderBy("url")),
+    "text_langid_profile" -> ((s, _) => {
+      // trigram-profile language ID (Cavnar-Trenkle rank profiles) over
+      // the 32-language held-out fixture; the DuckDB oracle recomputes
+      // the whole train/rank/out-of-place/argmin pipeline from the same
+      // VALUES literals via a per-gram × per-language cross formulation
+      // (cross-strategy check of the arithmetic-completion shortcut)
+      val profiles = graft.ops.LangId.trainProfiles(
+        graft.ops.LangId.trainDf(s), "lang", "text")
+      val test = graft.ops.LangId.testDf(s)
+      graft.ops.LangId.classify(test, "sample_id", "text", profiles)
+        .join(test.select("sample_id", "true_lang"), Seq("sample_id"))
+        .select("sample_id", "true_lang", "pred_lang", "dist")
+        .orderBy("sample_id")
+    }),
     "text_quality" -> ((s, _) =>
       extracted(s).select(col("url"), qualityUdf(col("text")).as("quality"))
         .orderBy("url")),
@@ -639,6 +653,47 @@ c$i AS (
       s"SELECT url, text, outcome FROM $G WHERE CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 1 AND 40 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 101 AND 130 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 590 AND 600 ORDER BY url",
     "text_langid" ->
       s"SELECT url, pred_lang FROM $G ORDER BY url",
+    "text_langid_profile" -> {
+      val k = graft.ops.LangId.topK
+      s"""
+WITH train(lang, t) AS (VALUES
+  ${graft.ops.LangId.trainValuesSql}),
+test(sample_id, true_lang, t) AS (VALUES
+  ${graft.ops.LangId.testValuesSql}),
+pg AS (
+  SELECT lang, unnest(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS gram
+  FROM train WHERE length(t) >= 3
+),
+pc AS (SELECT lang, gram, count(*) AS n FROM pg GROUP BY lang, gram),
+prof AS (
+  SELECT lang, gram, prank FROM (
+    SELECT lang, gram, row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS prank FROM pc
+  ) WHERE prank <= $k
+),
+dg AS (
+  SELECT sample_id, unnest(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS gram
+  FROM test WHERE length(t) >= 3
+),
+dc AS (SELECT sample_id, gram, count(*) AS n FROM dg GROUP BY sample_id, gram),
+dr AS (
+  SELECT sample_id, gram, drank FROM (
+    SELECT sample_id, gram, row_number() OVER (PARTITION BY sample_id ORDER BY n DESC, gram ASC) AS drank FROM dc
+  ) WHERE drank <= $k
+),
+langs AS (SELECT DISTINCT lang FROM train),
+d AS (
+  SELECT dr.sample_id, l.lang,
+    CAST(sum(CASE WHEN p.prank IS NULL THEN $k ELSE abs(dr.drank - p.prank) END) AS BIGINT) AS dist
+  FROM dr CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = dr.gram
+  GROUP BY dr.sample_id, l.lang
+),
+pred AS (
+  SELECT sample_id, min({'dist': dist, 'lang': lang}) AS m FROM d GROUP BY sample_id
+)
+SELECT t.sample_id, t.true_lang, pred.m.lang AS pred_lang, pred.m.dist AS dist
+FROM test t JOIN pred USING (sample_id) ORDER BY sample_id"""
+    },
     "text_quality" ->
       s"SELECT url, quality FROM $G ORDER BY url",
     "text_tokens" ->

@@ -201,7 +201,7 @@ object Similarity {
     * (narrow assignment, broadcast probes, partial top-k) — only the
     * model fit changed, as promised there. */
   def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroids: Int = 16, nprobe: Int = 4,
+      vecCol: String, k: Int, centroids: Int = 64, nprobe: Int = 32,
       iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
@@ -243,8 +243,16 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Default (centroids, nprobe) for both IVF variants come from the
+    * recorded recall sweep (BENCH bench_r04_dev.json `recall_sweep`,
+    * sf0.1 / 100k vectors): ivfTopK (64, 16) → recall@10 0.828 uniform
+    * / 0.999 clustered; ivfTopKKmeans (64, 32) → 0.889 / 1.000 — the
+    * smallest probed fractions meeting ≥0.8 uniform and ≥0.9 clustered.
+    * Uniform embeddings bound recall near the probed fraction for ANY
+    * coarse quantizer, so they are the adversarial floor; clustered
+    * data is what IVF exists for. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, centroids: Int = 64, nprobe: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Driver-side model fit: deterministic centroid pick (cosine_sim
     // computes norms inside its fused loop, so the model carries only

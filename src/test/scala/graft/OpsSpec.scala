@@ -17,6 +17,36 @@ class OpsSpec extends AnyFunSuite {
     assert(TextStats.langId("") == "und")
   }
 
+  test("langid profile: trigram rank profiles classify 32 held-out languages") {
+    import graft.ops.LangId
+    val profiles = LangId.trainProfiles(LangId.trainDf(spark), "lang", "text")
+    // exactly topK-capped profile per language, ranks contiguous from 1
+    val sizes = profiles.groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("prank").as("lo"), max("prank").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(sizes.length == 32)
+    sizes.foreach { case (l, n, lo, hi) =>
+      assert(lo == 1 && hi == n && n <= LangId.topK, s"profile shape off for $l")
+    }
+    val test = LangId.testDf(spark)
+    val out = LangId.classify(test, "sample_id", "text", profiles)
+      .join(test.select("sample_id", "true_lang"), Seq("sample_id"))
+      .select("sample_id", "true_lang", "pred_lang").collect()
+    assert(out.length == 64) // 32 languages × 2 held-out sentences
+    val wrong = out.filter(r => r.getString(1) != r.getString(2))
+      .map(r => (r.getString(0), r.getString(2)))
+    // the linguistic claim, not just the plumbing: every held-out
+    // sentence resolves to its own language — including the close pairs
+    // (dan/nor, ces/slk, rus/ukr/bul, spa/por/ita)
+    assert(wrong.isEmpty, s"misclassified: ${wrong.toSeq}")
+    // no-evidence rows (shorter than one trigram) classify as und
+    import spark.implicits._
+    val tiny = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val u = LangId.classify(tiny, "doc_id", "text", profiles)
+      .collect().map(r => r.getString(1)).toSet
+    assert(u == Set("und"))
+  }
+
   test("quality + tokens: reference-style dictionary hit ratio") {
     assert(TextStats.dictHitRatio("data pipeline spark") == 1.0)
     assert(TextStats.dictHitRatio("zzzqqq xxxyyy") == 0.0)
