@@ -83,9 +83,12 @@ object Bench {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 100),
         "vec_id", "embedding", 10).count()
     }._1
+    // (centroids, nprobe) pinned to (16, 4) — the configuration every
+    // prior round's artifact timed — so the series stays comparable
+    // across default changes; the sweep below covers the other configs
     results("sim_topk_ivf") = timeTrials(2, 3) {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 100),
-        "vec_id", "embedding", 10).count()
+        "vec_id", "embedding", 10, centroids = 16, nprobe = 4).count()
     }._1
     results("dedup_embed_cosine") = timeTrials(1, 3) {
       Dedup.embeddingCosineLsh(emb, "vec_id", "embedding").count()
@@ -117,6 +120,8 @@ object Bench {
     def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("query_id").cast("long"), col("nbr_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall_at_10 measures the LIBRARY DEFAULTS (whatever ships);
+    // per-configuration continuity across rounds lives in recall_sweep
     val qdf = emb.filter(col("vec_id") < 100)
     val bruteSet = topSet(
       Similarity.bruteForceTopK(emb, qdf, "vec_id", "embedding", 10))
@@ -154,7 +159,8 @@ object Bench {
 
     // Recall sweep: the recorded accuracy contract behind the default
     // (nprobe, centroids) choice — both quantizers × both embedding
-    // shapes, nprobe ∈ {4,8,16} × centroids ∈ {16,64}. Uniform
+    // shapes, nprobe ∈ {4,8,16,32} × centroids ∈ {16,32,64} (np ≤ c,
+    // 11 configurations × 4 ANN jobs each). Uniform
     // embeddings bound recall at ≈ probed fraction for ANY coarse
     // quantizer (no cluster structure to exploit), so the defaults are
     // judged as ≥0.9 clustered / ≥0.8 uniform.

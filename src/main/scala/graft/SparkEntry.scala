@@ -691,8 +691,12 @@ d AS (
 pred AS (
   SELECT sample_id, min({'dist': dist, 'lang': lang}) AS m FROM d GROUP BY sample_id
 )
-SELECT t.sample_id, t.true_lang, pred.m.lang AS pred_lang, pred.m.dist AS dist
-FROM test t JOIN pred USING (sample_id) ORDER BY sample_id"""
+-- LEFT join + coalesce mirrors classify's no-evidence fallback: a test
+-- row shorter than one trigram has no pred row and classifies as 'und'
+SELECT t.sample_id, t.true_lang,
+  coalesce(pred.m.lang, 'und') AS pred_lang,
+  coalesce(pred.m.dist, 0) AS dist
+FROM test t LEFT JOIN pred USING (sample_id) ORDER BY sample_id"""
     },
     "text_quality" ->
       s"SELECT url, quality FROM $G ORDER BY url",

@@ -322,7 +322,12 @@ object LangId {
     val wDoc = Window.partitionBy("sid").orderBy(col("n").desc, col("gram").asc)
     // dr feeds BOTH the per-doc gram count and the profile join: persist
     // is the barrier that stops Catalyst re-inlining the trigram explode
-    // into each consumer (the corpus-scan subtree would run twice)
+    // into each consumer (the corpus-scan subtree would run twice). The
+    // barrier must outlive the returned LAZY DataFrame, so it cannot be
+    // unpersisted here — same contract as the substring-dedup gram
+    // tables: MEMORY_AND_DISK degrades by LRU eviction, and a session
+    // classifying many corpora should spark.catalog.clearCache()
+    // between them
     val dr = docs
       .select(col(idCol).as("sid"), explode(triExpr(textCol)).as("gram"))
       .groupBy("sid", "gram").agg(count(lit(1)).as("n"))

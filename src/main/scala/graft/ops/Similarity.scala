@@ -201,7 +201,7 @@ object Similarity {
     * (narrow assignment, broadcast probes, partial top-k) — only the
     * model fit changed, as promised there. */
   def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroids: Int = 64, nprobe: Int = 32,
+      vecCol: String, k: Int, centroids: Int = 32, nprobe: Int = 16,
       iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
@@ -246,11 +246,13 @@ object Similarity {
   /** Default (centroids, nprobe) for both IVF variants come from the
     * recorded recall sweep (BENCH bench_r04_dev.json `recall_sweep`,
     * sf0.1 / 100k vectors): ivfTopK (64, 16) → recall@10 0.828 uniform
-    * / 0.999 clustered; ivfTopKKmeans (64, 32) → 0.889 / 1.000 — the
-    * smallest probed fractions meeting ≥0.8 uniform and ≥0.9 clustered.
-    * Uniform embeddings bound recall near the probed fraction for ANY
-    * coarse quantizer, so they are the adversarial floor; clustered
-    * data is what IVF exists for. */
+    * / 0.999 clustered (probes 1/4 of cells); ivfTopKKmeans (32, 16) →
+    * 0.841 / 1.000 — the cheapest configurations meeting ≥0.8 uniform
+    * and ≥0.9 clustered (for kmeans, (64, 32) ties the probed fraction
+    * at 1/2 but doubles the per-row assignment cost for no gain under
+    * the rule). Uniform embeddings bound recall near the probed
+    * fraction for ANY coarse quantizer, so they are the adversarial
+    * floor; clustered data is what IVF exists for. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int = 64, nprobe: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)

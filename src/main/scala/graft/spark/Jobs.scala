@@ -247,7 +247,15 @@ object CheckpointedWriter {
       if (local) new java.io.File(p.toUri.getPath).createNewFile()
       else
         try { fs.create(p, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        catch {
+          // ONLY an existing marker means a lost race (some FS impls
+          // signal it as a plain IOException, so discriminate by
+          // existence); any other create failure — quota, permissions,
+          // connectivity — must surface, or the claim loop would retry
+          // forever against a broken filesystem
+          case e: java.io.IOException =>
+            if (fs.exists(p)) false else throw e
+        }
     var n = fs.listStatus(m).length + 1
     while (!tryClaim(new org.apache.hadoop.fs.Path(m, n.toString)))
       n += 1 // lost the race; next slot

@@ -32,11 +32,23 @@ object StreamSecurity {
 
   /** Local-filesystem path of `p` if it is file-scheme-like, else None
     * (URI schemes such as s3a:// or hdfs:// are remote-warehouse
-    * territory with no symlink semantics to validate here). */
+    * territory with no symlink semantics to validate here). A scheme is
+    * detected Hadoop-Path-style — `scheme:` followed by anything, since
+    * `hdfs:/x` (single slash) is a legal Hadoop spelling — but a
+    * Windows-style drive letter (`C:\...`) or a schemeless path stays
+    * local. */
   private def localPath(p: String): Option[Path] = {
-    if (p.startsWith("file:")) Some(Paths.get(java.net.URI.create(p)))
-    else if (p.contains("://")) None
-    else Some(Paths.get(p))
+    val scheme = "^([A-Za-z][A-Za-z0-9+.\\-]+):".r.findFirstMatchIn(p)
+      .map(_.group(1))
+    scheme match {
+      case Some("file") =>
+        // accept file:/x, file:///x (URI forms) and a bare file:x
+        val rest = p.stripPrefix("file:")
+        if (rest.startsWith("//")) Some(Paths.get(java.net.URI.create(p)))
+        else Some(Paths.get(rest))
+      case Some(_) => None // remote scheme (hdfs:, s3a:, ...) — skip
+      case None => Some(Paths.get(p))
+    }
   }
 
   /** Absolute, `..`-free form for containment comparisons. */
@@ -74,10 +86,12 @@ object StreamSecurity {
       s"watched input path is not a directory (symlink roots are " +
         s"rejected — a symlinked watch root redirects reads outside " +
         s"the intended tree): $inDir")
+    // containment below runs on the RESOLVED root: a symlinked ANCESTOR
+    // (macOS /tmp -> /private/tmp, systemd /var/run -> ../run) is a
+    // conventional layout and allowed — only a symlink AS the watch
+    // root is rejected (the NOFOLLOW directory check above), because
+    // that is the redirect an attacker who owns the watch dir can plant
     val inReal = inAbs.toRealPath()
-    require(inReal == inAbs,
-      s"watched input dir resolves through a symlink " +
-        s"($inAbs -> $inReal): refusing to watch a redirected tree")
     for ((label, dir) <- Seq("output" -> outDir, "checkpoint" -> checkpointDir);
          p <- localPath(dir)) {
       val r = realish(p)

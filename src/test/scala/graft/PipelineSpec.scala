@@ -178,6 +178,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/extracted").count() == 60)
   }
 
+  test("compact: bin-packs small part files, never regresses, recovers") {
+    import graft.spark.Compact
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = s"$out/extracted"
+    val df = Jobs.extract(Jobs.syntheticPages(spark, 120), 8).toDF()
+      .withColumn("spans", to_json(col("spans")))
+      .withColumn("bucket",
+        pmod(xxhash64(col("url")), lit(2)).cast("int"))
+      .repartition(10) // fragment: ~10 part files per bucket
+    df.write.partitionBy("bucket").option("compression", "zstd").parquet(dir)
+    val fingerprint = spark.read.parquet(dir)
+      .agg(expr("bit_xor(xxhash64(url, text, outcome))")).collect()(0).getLong(0)
+    def files(b: Int) = new java.io.File(s"$dir/bucket=$b").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files(0).length > 1 && files(1).length > 1)
+    val stats = Compact.compactTable(spark, dir, targetBytes = 512L << 20)
+    assert(stats.map(_.action).toSet == Set("compacted"))
+    stats.foreach(s => assert(s.filesAfter < s.filesBefore))
+    // packed to the single target-size file, still ZSTD, rows unchanged
+    (0 to 1).foreach { b =>
+      val f = files(b)
+      assert(f.length == 1 && f.forall(_.endsWith(".zstd.parquet")))
+    }
+    assert(spark.read.parquet(dir)
+      .agg(expr("bit_xor(xxhash64(url, text, outcome))")).collect()(0)
+      .getLong(0) == fingerprint, "compaction changed the data")
+    // idempotent: a second pass has nothing to reclaim
+    assert(Compact.compactTable(spark, dir, targetBytes = 512L << 20)
+      .map(_.action).toSet == Set("skipped"))
+    // crash between the two swap renames: live dir gone, .trash present —
+    // the next compact run restores it before planning
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/bucket=0"),
+      new org.apache.hadoop.fs.Path(s"$dir/bucket=0.trash")))
+    Compact.compactTable(spark, dir, targetBytes = 512L << 20)
+    assert(spark.read.parquet(dir)
+      .agg(expr("bit_xor(xxhash64(url, text, outcome))")).collect()(0)
+      .getLong(0) == fingerprint, "crash recovery lost rows")
+  }
+
   test("metrics: per-bucket counts reconcile with the extracted table") {
     val extracted = Jobs.extract(Jobs.syntheticPages(spark, 100), 8)
     val m = Jobs.metrics(extracted, buckets = 4, attempt = 1)
