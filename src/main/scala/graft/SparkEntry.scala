@@ -182,6 +182,14 @@ object SparkEntry {
     "text_langid" -> ((s, _) =>
       extracted(s).select(col("url"), langIdUdf(col("text")).as("pred_lang"))
         .orderBy("url")),
+    "url_dedup" -> ((s, _) =>
+      // URL canonicalization + url-keyed exact dedup over the
+      // adversarial in-code fixture (casing/ports/fragments/param
+      // order/tracking params/trailing slashes); the oracle replays the
+      // identical normalization algebra in DuckDB spellings
+      graft.ops.Urls.urlDedup(graft.ops.Urls.fixtureDf(s), "url")
+        .withColumn("group_n", col("group_n").cast("long"))
+        .orderBy("url")),
     "text_langid_profile" -> ((s, _) => {
       // trigram-profile language ID (Cavnar-Trenkle rank profiles) over
       // the 32-language held-out fixture; the DuckDB oracle recomputes
@@ -653,6 +661,32 @@ c$i AS (
       s"SELECT url, text, outcome FROM $G WHERE CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 1 AND 40 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 101 AND 130 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 590 AND 600 ORDER BY url",
     "text_langid" ->
       s"SELECT url, pred_lang FROM $G ORDER BY url",
+    "url_dedup" -> s"""
+WITH raw(url) AS (VALUES
+  ${graft.ops.Urls.fixtureValuesSql}),
+s1 AS (SELECT url, split_part(url, '#', 1) AS nf FROM raw),
+s2 AS (SELECT url, nf, split_part(nf, '?', 1) AS base FROM s1),
+s3 AS (SELECT url, nf, base, split_part(base, '://', 2) AS rest,
+       lower(split_part(base, '://', 1)) AS scheme FROM s2),
+s4 AS (SELECT *, split_part(rest, '/', 1) AS auth,
+       CASE WHEN instr(rest, '/') > 0 THEN substr(rest, instr(rest, '/')) ELSE '/' END AS path,
+       CASE WHEN instr(nf, '?') > 0 THEN substr(nf, length(base) + 2) ELSE '' END AS q FROM s3),
+s5 AS (SELECT *, lower(split_part(auth, ':', 1)) AS host, split_part(auth, ':', 2) AS port FROM s4),
+s6 AS (SELECT *,
+       CASE WHEN port = '' THEN ''
+            WHEN scheme = 'http' AND port = '80' THEN ''
+            WHEN scheme = 'https' AND port = '443' THEN ''
+            ELSE ':' || port END AS portpart,
+       CASE WHEN path != '/' AND path LIKE '%/' THEN substr(path, 1, length(path) - 1) ELSE path END AS path2,
+       -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+       -- array_join([]) is '' — the empty-query rows must not null out
+       coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+         x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&'), '') AS qs FROM s5),
+c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
+        CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon FROM s6),
+g AS (SELECT canon, CAST(count(*) AS BIGINT) AS group_n, min(url) AS keep_url FROM c GROUP BY canon)
+SELECT c.url, c.canon, g.keep_url, g.group_n
+FROM c JOIN g USING (canon) ORDER BY url""",
     "text_langid_profile" -> {
       val k = graft.ops.LangId.topK
       s"""

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the web-pipeline normalization step that makes
+  * url-keyed dedup/joins meaningful at crawl scale (the reference keys
+  * everything on filesystem paths and normalizes them via Path.resolve /
+  * samefile checks, e.g. `_watcher_security.py` `_norm`; a CC-style
+  * corpus keys everything on URLs, where the same page commonly appears
+  * under casing/port/fragment/param-order/tracking variants).
+  *
+  * Rules (all expressible identically in Spark SQL builtins and DuckDB —
+  * the oracle replays the same algebra from the same fixture):
+  *  - scheme and host lowercase;
+  *  - default ports stripped (http:80, https:443), others kept;
+  *  - fragment dropped;
+  *  - query parameters: empties and `utm_*` tracking params dropped,
+  *    the rest sorted bytewise, rejoined with '&' ('?' dropped when
+  *    nothing is left);
+  *  - trailing path slash dropped except on the root path; an absent
+  *    path becomes '/'.
+  *
+  * Everything is a narrow per-row projection of builtin string/array
+  * functions — codegen'd, zero shuffle, no UDF. `urlDedup` is then the
+  * standard two-phase hash agg on the canonical key.
+  */
+object Urls {
+
+  /** Canonical-URL column for `urlCol` — pure builtin string/array
+    * algebra (split_part / instr / substr / filter / array_sort), each
+    * step with an exact DuckDB spelling the oracle replays
+    * (string_split / list_filter / list_sort / array_to_string). */
+  def canon(urlCol: String): Column = {
+    val u = col(urlCol)
+    val nf = split_part(u, lit("#"), lit(1)) // fragment dropped
+    val base = split_part(nf, lit("?"), lit(1))
+    val rest = split_part(base, lit("://"), lit(2))
+    val scheme = lower(split_part(base, lit("://"), lit(1)))
+    val auth = split_part(rest, lit("/"), lit(1))
+    val slash = instr(rest, "/")
+    // substr start-past-end yields '' and oversized len clamps, in both
+    // engines — the path/query extraction leans on that
+    val path = when(slash > 0, rest.substr(slash, length(rest)))
+      .otherwise(lit("/"))
+    val q = when(instr(nf, "?") > 0,
+      nf.substr(length(base) + lit(2), length(nf))).otherwise(lit(""))
+    val host = lower(split_part(auth, lit(":"), lit(1)))
+    val port = split_part(auth, lit(":"), lit(2))
+    val portPart = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path2 = when(path =!= "/" && path.endsWith("/"),
+      path.substr(lit(1), length(path) - 1)).otherwise(path)
+    // empty SEGMENTS and utm_* tracking params dropped; an empty-valued
+    // param ('b=') is a real param and stays
+    val qs = array_join(array_sort(filter(split(q, "&"),
+      x => x =!= "" && x.substr(lit(1), lit(4)) =!= "utm_")), "&")
+    val qPart = when(qs === "", lit("")).otherwise(concat(lit("?"), qs))
+    concat(scheme, lit("://"), host, portPart, path2, qPart)
+  }
+
+  /** URL-keyed exact dedup on the canonical form: one row per input,
+    * with its canonical url, the group's keeper (lowest raw url) and the
+    * group size — the same keep-first contract as `Dedup.exact`, on the
+    * canonical key. Two-phase hash agg; only (canon, url) pairs move. */
+  def urlDedup(docs: DataFrame, urlCol: String): DataFrame = {
+    val withCanon = docs.select(col(urlCol).as("url"),
+      canon(urlCol).as("canon"))
+    val groups = withCanon.groupBy("canon")
+      .agg(count(lit(1)).as("group_n"), min(col("url")).as("keep_url"))
+    withCanon.join(groups, Seq("canon"))
+      .select(col("url"), col("canon"), col("keep_url"), col("group_n"))
+  }
+
+  /** Adversarial canonicalization fixture: casing, default and explicit
+    * ports, fragments, unsorted and tracking query params, trailing
+    * slashes, empty params — including groups that collapse to one
+    * canonical url only after full normalization. */
+  val fixture: Seq[String] = Seq(
+    "HTTPS://Example.COM:443/a/b?b=2&a=1&utm_source=news#frag",
+    "https://example.com/a/b/?a=1&b=2",
+    "https://example.com/a/b?a=1&b=2&utm_medium=email",
+    "http://EXAMPLE.com:80/",
+    "http://example.com/",
+    "http://example.com",
+    "http://example.com:8080/x",
+    "http://example.com:8080/x/",
+    "https://Example.com/x?z=9&y=8&x=7",
+    "https://example.com/x?x=7&y=8&z=9#top",
+    "HTTP://WWW.Example.ORG/path/To/Page?",
+    "http://www.example.org/path/To/Page",
+    "https://example.net/search?q=spark+engine&lang=en",
+    "https://example.net/search?lang=en&q=spark+engine",
+    "https://host01.example.com/article/p42",
+    "https://host01.example.com:443/article/p42#section-3",
+    "http://example.com/a?utm_source=x&utm_campaign=y",
+    "http://example.com/a",
+    "https://example.com/b?a=1&a=1&b=",
+    "https://example.com/b?b=&a=1&a=1",
+    "http://example.com/Path/Case/Sensitive",
+    "http://example.com/path/case/sensitive")
+
+  def fixtureDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fixture.toDF("url")
+  }
+
+  def fixtureValuesSql: String =
+    fixture.map(u => s"('${u.replace("'", "''")}')").mkString(",\n  ")
+}

@@ -47,6 +47,35 @@ class OpsSpec extends AnyFunSuite {
     assert(u == Set("und"))
   }
 
+  test("url canonicalization: casing, ports, fragments, params, slashes") {
+    import graft.ops.Urls
+    import spark.implicits._
+    def canonOf(u: String): String =
+      Seq(u).toDF("url").select(Urls.canon("url")).collect()(0).getString(0)
+    assert(canonOf("HTTPS://Example.COM:443/a/b?b=2&a=1&utm_source=news#frag")
+      == "https://example.com/a/b?a=1&b=2")
+    assert(canonOf("https://example.com/a/b/?a=1&b=2")
+      == "https://example.com/a/b?a=1&b=2")
+    assert(canonOf("http://EXAMPLE.com:80/") == "http://example.com/")
+    assert(canonOf("http://example.com") == "http://example.com/")
+    assert(canonOf("http://example.com:8080/x") == "http://example.com:8080/x")
+    assert(canonOf("HTTP://WWW.Example.ORG/path/To/Page?")
+      == "http://www.example.org/path/To/Page") // path case is PRESERVED
+    assert(canonOf("https://example.com/b?b=&a=1&a=1")
+      == "https://example.com/b?a=1&a=1&b=") // empty-VALUED param stays
+    // the fixture collapses to the expected dedup groups
+    val groups = Urls.urlDedup(Urls.fixtureDf(spark), "url")
+      .select("canon", "group_n").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(groups("https://example.com/a/b?a=1&b=2") == 3L)
+    assert(groups("http://example.com/") == 3L)
+    assert(groups("http://example.com/a") == 2L)
+    assert(groups("http://example.com:8080/x") == 2L)
+    // case-sensitive paths do NOT collapse
+    assert(groups.contains("http://example.com/Path/Case/Sensitive") &&
+      groups.contains("http://example.com/path/case/sensitive"))
+  }
+
   test("quality + tokens: reference-style dictionary hit ratio") {
     assert(TextStats.dictHitRatio("data pipeline spark") == 1.0)
     assert(TextStats.dictHitRatio("zzzqqq xxxyyy") == 0.0)
