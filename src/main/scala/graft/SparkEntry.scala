@@ -438,7 +438,7 @@ object SparkEntry {
       // reproducible across engines and runs (no RNG)
       docs(s, dir)
         .filter(expr(
-          """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)
+          """cast(conv(substring(md5(concat('strat:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)
              < (case when lang = 'en' then 500 else 200 end) * 4294967296L div 1000"""))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
@@ -990,12 +990,12 @@ WITH w AS (
   FROM w
 )
 SELECT doc_id, CAST(weight_milli AS BIGINT) AS weight_milli,
-  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < (weight_milli * 4294967296) // 1000 AS kept
+  ('0x' || substring(md5('weight:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < (weight_milli * 4294967296) // 1000 AS kept
 FROM q ORDER BY doc_id""",
     "sample_quota" -> s"""
 WITH r AS (
   SELECT doc_id, lang,
-    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+    row_number() OVER (PARTITION BY lang ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
     count(*) OVER (PARTITION BY lang) AS n
   FROM ${D(sf)}
 )
@@ -1142,7 +1142,7 @@ ORDER BY doc_id, frame_idx""",
     "join_anti" ->
       s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE doc_id % 17 <> 0 ORDER BY doc_id",
     "sample_stratified" ->
-      s"SELECT doc_id, lang FROM ${D(sf)} WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < (CASE WHEN lang = 'en' THEN 500 ELSE 200 END) * 4294967296 // 1000 ORDER BY doc_id",
+      s"SELECT doc_id, lang FROM ${D(sf)} WHERE ('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < (CASE WHEN lang = 'en' THEN 500 ELSE 200 END) * 4294967296 // 1000 ORDER BY doc_id",
     "join_semi" ->
       s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE doc_id IN (SELECT min(doc_id) FROM ${D(sf)} GROUP BY text) ORDER BY doc_id",
     "agg_rollup" ->

@@ -23,15 +23,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += 1
+        // a failure BEFORE the overwrite kicks in leaves the previous
+        // run's parquet for this query intact on a reused outDir — the
+        // compare would then green-light STALE results. Delete the dir
+        // so the failure is visible as a missing output, and keep going
+        // so one broken query doesn't hide the rest of the run.
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+        System.err.println(s"[verify] $name failed: $e")
+        e.printStackTrace()
       }
     }
+    if (failed > 0)
+      System.err.println(s"[verify] $failed quer${
+        if (failed == 1) "y" else "ies"} FAILED (outputs removed)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -92,15 +92,44 @@ object CorpusStats {
     * fill a window are NOT passages (see tailExpr). */
   private def passages(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
+    passageUnits(docs, idCol, textCol, w).filter(!col("is_tail"))
+      .select("doc_id", "pos", "p", "h")
+
+  /** ONE tokenize+explode pass emitting every passage unit of a doc:
+    * ceil(n/w) units — the full `w`-word windows plus (when n % w != 0)
+    * the sub-window tail as the last unit, flagged `is_tail`. The tail
+    * is not a dedup unit (both consumers treat it specially), but
+    * emitting it here means the clean transform never re-scans and
+    * re-tokenizes the corpus a second time just to recover tails. */
+  private def passageUnits(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""case when size(ws) >= $w
-              then transform(sequence(0, size(ws) div $w - 1),
-                             i -> array_join(slice(ws, i * $w + 1, $w), ' '))
-              else cast(array() as array<string>) end""")))
+      .select(col("doc_id"), size(col("ws")).as("n"),
+        posexplode(expr(
+          // the `size(ws) >= 1` guard matters: sequence(0, -1) is the
+          // DESCENDING [0, -1], not empty
+          s"""case when size(ws) >= 1
+                then transform(sequence(0, (size(ws) + $w - 1) div $w - 1),
+                               i -> array_join(slice(ws, i * $w + 1, $w), ' '))
+                else cast(array() as array<string>) end""")))
       .select(col("doc_id"), col("pos"), col("col").as("p"),
-        md5(col("col").cast("binary")).as("h"))
+        md5(col("col").cast("binary")).as("h"),
+        (col("n") % w =!= 0 && col("pos") === expr(s"n div $w"))
+          .as("is_tail"))
+
+  /** The corpus-wide keep-first decision shared by [[passageDedup]] and
+    * [[passageDedupClean]] — ONE definition so the stats and the
+    * transform can never silently disagree: per hash, the occurrence
+    * count and the first occurrence (lowest (doc_id, pos) struct min —
+    * exact at any document size, no key packing). */
+  private def passageGroups(pass: DataFrame): DataFrame =
+    pass.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+
+  private def isFirstOccurrence: org.apache.spark.sql.Column =
+    col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")
 
   /** Corpus-wide passage dedup stats (CCNet-style, public: Wenzek et al.
     * 2020 §3.1 dedups by paragraph hash across the whole crawl). The unit
@@ -130,17 +159,12 @@ object CorpusStats {
       // warehouse scale this is a materialized passage-hash table (write
       // once, aggregate and join against it).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grp = pass.groupBy("h").agg(
-      count(lit(1)).as("cnt"),
-      min(struct(col("doc_id"), col("pos"))).as("first"))
-    val isFirst = col("doc_id") === col("first.doc_id") &&
-      col("pos") === col("first.pos")
-    pass.join(grp, Seq("h"))
+    pass.join(passageGroups(pass), Seq("h"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_passages"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
-        sum(when(col("cnt") > 1 && !isFirst, 1L).otherwise(0L))
+        sum(when(col("cnt") > 1 && !isFirstOccurrence, 1L).otherwise(0L))
           .as("n_removed"))
   }
 
@@ -164,31 +188,23 @@ object CorpusStats {
   def passageDedupClean(docs: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 4): DataFrame = {
     val w = windowWords
-    val pass = passages(docs, idCol, textCol, w)
+    // ONE scan: full windows AND the sub-window tail come out of the
+    // same explode (passageUnits) — no second tokenize pass for tails
+    val allUnits = passageUnits(docs, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grp = pass.groupBy("h").agg(
-      count(lit(1)).as("cnt"),
-      min(struct(col("doc_id"), col("pos"))).as("first"))
-    val kept = pass.join(grp, Seq("h"))
-      .filter(col("cnt") === 1 ||
-        (col("doc_id") === col("first.doc_id") &&
-          col("pos") === col("first.pos")))
+    val pass = allUnits.filter(!col("is_tail"))
+    val kept = pass.join(passageGroups(pass), Seq("h"))
+      .filter(col("cnt") === 1 || isFirstOccurrence)
       .select("doc_id", "pos", "p")
-    // the sub-window tail, positioned after the last full passage —
-    // always kept (it is not a dedup unit)
-    val tails = docs
-      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
-      .select(col("doc_id"),
-        expr(s"size(ws) div $w").as("pos"),
-        expr(s"array_join(slice(ws, (size(ws) div $w) * $w + 1, $w), ' ')")
-          .as("p"))
-      .filter(length(col("p")) > 0)
+    // the tail is always kept (it is not a dedup unit), positioned after
+    // the last full passage by construction
+    val tails = allUnits.filter(col("is_tail")).select("doc_id", "pos", "p")
     val units = kept.unionAll(tails)
       .withColumn("pos_pad", lpad(col("pos").cast("string"), 9, "0"))
+    // concatOrdered preserves the id column's native type — no numeric
+    // round-trip, so opaque string ids flow through unharmed
     OrderedMerge.concatOrdered(units, "doc_id", "pos_pad", "p", " ",
         nName = "n_kept", mergedName = "clean_text")
-      .select(col("doc_id").cast("long").as("doc_id"), col("n_kept"),
-        col("clean_text"))
   }
 
   /** C4-style document quality filter: compose the signal family into one
@@ -346,9 +362,14 @@ object CorpusStats {
       case (acc, (k, v)) => when(col(groupCol) === lit(k), lit(milli(v)))
         .otherwise(acc)
     }
+    // operator-distinct salt: every sampler in this file draws its coin
+    // from md5('<op>:' || id), so composing samplers (quota then
+    // weighted, etc.) selects independently instead of re-selecting the
+    // same md5(id)-lowest rows with fully correlated outcomes
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5(concat(lit("quota:"), col(idCol).cast("string"))),
+        col(idCol))
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     docs
       .select(col(idCol).as("doc_id"), col(groupCol))
@@ -443,8 +464,9 @@ object CorpusStats {
     docs
       .withColumn("weight_milli", weightMilli.cast("long"))
       .select(col(idCol).as("doc_id"), col("weight_milli"),
-        // integer div (Spark `div` ≡ DuckDB `//`), never float `/`
-        (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as bigint)")
+        // integer div (Spark `div` ≡ DuckDB `//`), never float `/`;
+        // 'weight:' salt → independent of the other samplers' coins
+        (expr(s"cast(conv(substring(md5(concat('weight:', cast($idCol as string))), 1, 8), 16, 10) as bigint)")
           < expr("(weight_milli * 4294967296L) div 1000")).as("kept"))
 
   /** PII redaction [public technique: the standard pre-training scrub —

@@ -47,6 +47,11 @@ object Dedup {
     * quadratic blowup — the skew guard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, maxBucket: Int = 50): DataFrame = {
+    // k < bands would band zero-length slices (every doc hashes md5('')
+    // into every bucket → the skew cap silently drops EVERYTHING);
+    // k % bands != 0 would silently exclude the tail minhashes
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"minhashLsh needs k divisible by bands, got k=$k bands=$bands")
     val rows = k / bands
     // default config takes the native fused expression
     // (graft.functions.MinhashSigs — same md5 minima, no per-shingle
@@ -93,9 +98,16 @@ object Dedup {
     * exposed standalone for small candidate sets and for the oracle. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+    // persist sits at the FORK: sh feeds both the per-doc sizes and the
+    // bucketed join input — without the barrier here the scan + shingle
+    // explode + array_distinct subtree runs twice (the file-wide
+    // signature-table convention)
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(shinglesExpr(textCol))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // bucketed is consumed twice by the self-join — its own barrier
+    // keeps the window pass single-shot
     val bucketed = sh.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("sh"))))
@@ -176,8 +188,12 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so the threshold
+      // commutes with distinct — filter FIRST so the dedup exchange
+      // carries only surviving pairs (at maxHamming=3 most candidates
+      // are above threshold and would otherwise shuffle just to drop)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup via random-hyperplane (sign) LSH
@@ -201,6 +217,19 @@ object Dedup {
   def embeddingCosineLsh(emb: DataFrame, idCol: String, vecCol: String,
       dims: Int = 64, minCosine: Double = 0.35, planes: Int = 64,
       bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    require(bands >= 1 && planes >= bands && planes % bands == 0,
+      s"embeddingCosineLsh needs planes divisible by bands, " +
+        s"got planes=$planes bands=$bands")
+    // a dims mismatch would zip_with-null every projection and send ALL
+    // vectors to sign-bit 0 in every plane — the operator would silently
+    // return garbage (or nothing, once the skew cap trips). One bounded
+    // probe row validates the contract up front.
+    emb.select(size(col(vecCol)).as("n")).limit(1).collect()
+      .headOption.filterNot(_.isNullAt(0)).foreach { r =>
+        require(r.getInt(0) == dims,
+          s"embeddingCosineLsh dims=$dims but '$vecCol' vectors have " +
+            s"${r.getInt(0)} elements — pass dims explicitly")
+      }
     val bandBits = planes / bands
     val planeMat: Seq[Seq[Double]] = (0 until planes).map { p =>
       (0 until dims).map { d =>
@@ -237,11 +266,11 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("rawcos", expr("cosine_sim(va, vb)"))
-      .select(col("doc_a"), col("doc_b"), round(col("rawcos"), 6).as("cos"),
-        col("rawcos"))
-      .distinct()
+      // cosine is a pure function of the pair — threshold before the
+      // distinct exchange (same commute argument as simhash)
       .filter(col("rawcos") >= minCosine)
-      .select(col("doc_a"), col("doc_b"), col("cos"))
+      .select(col("doc_a"), col("doc_b"), round(col("rawcos"), 6).as("cos"))
+      .distinct()
   }
 
   /** Near-dup cluster resolution: connected components over candidate
@@ -272,7 +301,8 @@ object Dedup {
       .select(col("id"), col("id").as("label"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    try {
+      while (changed > 0 && iter < maxIters) {
       // propagate: take the minimum over neighbour labels
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("nid"), col("label"))
@@ -296,10 +326,16 @@ object Dedup {
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")
       iter += 1
+      }
+      require(changed == 0,
+        s"resolveClusters did not converge within $maxIters rounds")
+    } finally {
+      // the labels result is localCheckpoint-materialized, so the edge
+      // cache can drop on EVERY exit path — including the
+      // non-convergence throw (a caught failure must not pin the cache
+      // for the session's lifetime)
+      edges.unpersist(); ()
     }
-    require(changed == 0,
-      s"resolveClusters did not converge within $maxIters rounds")
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_keep_id"))
   }
 
@@ -377,11 +413,12 @@ object Dedup {
     * buffer) → left join back. Only docs WITH runs pay the join. */
   def substringRunsClean(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40): DataFrame = {
-    val d = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("text"))
+    // the id stays in its NATIVE type end-to-end (concatOrdered
+    // preserves it): no long round-trip, so opaque string ids work
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val runs = substringRunsRolling(docs, idCol, textCol, minLen)
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("run_start"), col("run_end"), col("run_len"))
+      .select(col("doc_id"), col("run_start"), col("run_end"),
+        col("run_len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("run_start")
@@ -402,7 +439,7 @@ object Dedup {
     // concatOrdered sorts on the native numeric gs (no lpad gymnastics)
     val cleaned = OrderedMerge.concatOrdered(pieces, "doc_id", "gs",
         "piece", "", mergedName = "clean")
-      .select(col("doc_id").cast("long").as("doc_id"), col("clean"))
+      .select(col("doc_id"), col("clean"))
     val removed = runs.groupBy("doc_id")
       .agg(sum(col("run_len")).as("removed_chars"))
     d.join(cleaned, Seq("doc_id"), "left")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Skew-safe ordered concatenation per group — merge_sidecars semantics
@@ -25,35 +25,45 @@ object OrderedMerge {
     * concatenated in `orderCol` order within each `keyCol` group,
     * separated by `sep`. The sort runs on the order column's NATIVE type
     * (casting first would merge numeric orders lexicographically —
-    * 1,10,11,2,… — with no error); only the key/value are stringified,
-    * after the sort. */
+    * 1,10,11,2,… — with no error), and the KEY keeps its native type
+    * too: callers with string/long/any atomic id columns get the same
+    * type back, so no numeric round-trip narrows the id contract
+    * (an ANSI cast on a non-numeric id would abort the job). Key must be
+    * an atomic type (equality by value); the value is stringified. */
   def concatOrdered(df: DataFrame, keyCol: String, orderCol: String,
       valueCol: String, sep: String,
       nName: String = "n_docs", mergedName: String = "merged"): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val sorted: Dataset[(String, String)] = df
+    val sorted = df
       .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(orderCol))
-      .select(col(keyCol).cast("string"), col(valueCol).cast("string"))
-      .as[(String, String)]
-    sorted.mapPartitions { it =>
+      .select(col(keyCol), col(valueCol).cast("string"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema.fields(0).copy(name = keyCol),
+      org.apache.spark.sql.types.StructField(nName,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(mergedName,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    // .rdd preserves the per-partition sort; the streaming pass holds ONE
+    // output string at a time (the whole point vs collect_list)
+    val rows = sorted.rdd.mapPartitions { it =>
       val buf = it.buffered
-      new Iterator[(String, Long, String)] {
+      new Iterator[org.apache.spark.sql.Row] {
         def hasNext: Boolean = buf.hasNext
-        def next(): (String, Long, String) = {
-          val k = buf.head._1
+        def next(): org.apache.spark.sql.Row = {
+          val k = buf.head.get(0)
           var n = 0L
           val sb = new StringBuilder
-          while (buf.hasNext && buf.head._1 == k) {
-            val v = buf.next()._2
+          while (buf.hasNext && buf.head.get(0) == k) {
+            val v = buf.next().getString(1)
             if (n > 0L) sb.append(sep)
             sb.append(v)
             n += 1L
           }
-          (k, n, sb.toString)
+          org.apache.spark.sql.Row(k, n, sb.toString)
         }
       }
-    }.toDF(keyCol, nName, mergedName)
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 }

@@ -47,6 +47,22 @@ object Similarity {
   private def nonZeroVec(v: Column): Column =
     exists(v, x => x =!= lit(0.0f))
 
+  /** The shared deterministic top-k tail of every ANN operator: rank by
+    * (cos DESC, nbr_id ASC) per query, keep k, round for the oracle.
+    * ONE definition so the ordering/rounding contract cannot silently
+    * diverge between the brute/native/IVF variants (they all share
+    * oracle SQL shapes). WindowGroupLimit partially evaluates the rank
+    * per partition before the query_id exchange. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide). Deterministic ordering:
     * (cos DESC, neighbor id ASC). */
@@ -68,13 +84,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cos",
         dotC(col("qv"), col("cv")) / (normC(col("qv")) * normC(col("cv"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"),
-        round(col("cos"), 6).as("cos"))
+    topK(scored, k)
   }
 
   /** As bruteForceTopK, but scoring through the native codegen'd
@@ -93,13 +103,7 @@ object Similarity {
       .filter(nonZeroVec(col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cos", expr("cosine_sim(qv, cv)"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"),
-        round(col("cos"), 6).as("cos"))
+    topK(scored, k)
   }
 
   /** IVF-flat ANN: centroids = the `centroids` lowest-id corpus vectors
@@ -234,13 +238,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", expr("cosine_sim(qv, cv)"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"),
-        round(col("cos"), 6).as("cos"))
+    topK(scored, k)
   }
 
   /** Default (centroids, nprobe) for both IVF variants come from the
@@ -299,12 +297,6 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", expr("cosine_sim(qv, cv)"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"),
-        round(col("cos"), 6).as("cos"))
+    topK(scored, k)
   }
 }

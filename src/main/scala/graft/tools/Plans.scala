@@ -25,7 +25,8 @@ object Plans {
       "sketch_quantiles", "sim_topk_ivf_kmeans", "dedup_substrings",
       "extract_modes", "corpus_decontaminate", "sample_quota",
       "text_redact", "dedup_substrings_rolling", "dedup_substrings_clean",
-      "trigram_quality", "sample_weighted", "media_resize", "media_frames").foreach { q =>
+      "trigram_quality", "sample_weighted", "media_resize", "media_frames",
+      "text_langid_profile", "url_dedup").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -318,6 +318,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
   }
 
+  test("samplers: distinct salts make composed selections independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // quota 0.5 then weighted 0.5 over the survivors: with independent
+    // coins ~25% remain; with a SHARED md5(id) coin the same rows would
+    // be re-selected and ~50% would remain (the correlation bug)
+    val df = (0 until 4000).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    val q = CorpusStats.quotaSample(df, "doc_id", "lang",
+        Map("en" -> 0.5), defaultFrac = 0.5)
+      .filter(col("kept")).select("doc_id")
+    val n = CorpusStats.weightedSample(q, "doc_id", lit(500L))
+      .filter(col("kept")).count()
+    assert(n > 4000 * 0.19 && n < 4000 * 0.31,
+      s"composed rate ${n / 4000.0} — samplers are drawing the same coin")
+  }
+
   test("redact pii: email/ip/digit-run cascade with counts on original") {
     import spark.implicits._
     val df = Seq(
