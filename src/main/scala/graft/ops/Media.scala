@@ -48,11 +48,21 @@ object Media {
     // GIF87a/89a: logical screen w/h as LE u16 at 6/8 (GIF89a spec §18)
     if ((ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")) && b.length >= 10)
       return Some(MediaMeta(id, u16le(b, 6), u16le(b, 8), 1L, "img"))
-    // BMP: "BM" + BITMAPINFOHEADER w/h as LE i32 at 18/22 (height may be
-    // negative = top-down; report magnitude)
+    // BMP: "BM" + DIB header, dispatched on the header-size field at 14
+    // (Windows BMP spec): 12 = legacy BITMAPCOREHEADER with u16 w/h at
+    // 18/20; 40+ = BITMAPINFOHEADER family with i32 w/h at 18/22 (height
+    // may be negative = top-down; report magnitude). Unknown header
+    // sizes fall through to None — guessing the layout would return
+    // confidently wrong dimensions instead of the documented degrade.
     if (ascii(b, 0, "BM") && b.length >= 26) {
-      val w = u32le(b, 18).toInt; val h = u32le(b, 22).toInt
-      return Some(MediaMeta(id, math.abs(w.toLong), math.abs(h.toLong), 1L, "img"))
+      val dibSize = u32le(b, 14)
+      if (dibSize == 12L)
+        return Some(MediaMeta(id, u16le(b, 18), u16le(b, 20), 1L, "img"))
+      if (dibSize >= 40L) {
+        val w = u32le(b, 18).toInt; val h = u32le(b, 22).toInt
+        return Some(MediaMeta(id, math.abs(w.toLong), math.abs(h.toLong), 1L, "img"))
+      }
+      return None
     }
     // WAV: RIFF....WAVE; walk chunks for fmt (channels @+2 LE u16,
     // sample rate @+4 LE u32) and data (frame estimate = size/blockAlign)

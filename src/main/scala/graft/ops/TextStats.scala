@@ -147,8 +147,11 @@ object TextStats {
     s.codePointCount(0, s.length).toLong
   }
 
-  /** 64-bit rolling document fingerprint (polynomial rolling hash over
-    * codepoints, base 1000003 — deterministic, locale-free). */
+  /** 64-bit rolling document fingerprint: polynomial rolling hash over
+    * UTF-16 CODE UNITS (surrogate halves hash separately for non-BMP
+    * text — any reimplementation must iterate charAt, not codepoints, or
+    * fingerprints diverge on emoji), base 1000003 — deterministic,
+    * locale-free. */
   def fingerprint(text: String): Long = {
     if (text == null) return 0L
     var h = 1469598103934665603L // FNV offset

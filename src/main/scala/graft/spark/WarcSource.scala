@@ -46,8 +46,15 @@ object WarcSource {
       sb.append("WARC-Type: response").append(CRLF)
       sb.append("WARC-Target-URI: ").append(headerSafe(r.url)).append(CRLF)
       sb.append("WARC-Date: ").append(
-        java.time.Instant.ofEpochMilli(
-          if (r.warc_ts == null) 0L else r.warc_ts.getTime).toString)
+        // full Timestamp precision: getTime truncates to millis, but
+        // parquet/Spark timestamps carry MICROS — round-tripping through
+        // ofEpochMilli would silently change warc_ts on re-ingest and
+        // break (url, warc_ts)-keyed byte parity. getNanos carries the
+        // complete fractional second.
+        (if (r.warc_ts == null) java.time.Instant.EPOCH
+         else java.time.Instant.ofEpochSecond(
+           Math.floorDiv(r.warc_ts.getTime, 1000L), r.warc_ts.getNanos.toLong))
+          .toString)
         .append(CRLF)
       if (r.lang != null)
         sb.append("WARC-Graft-Lang: ").append(headerSafe(r.lang)).append(CRLF)
@@ -117,7 +124,11 @@ object WarcSource {
               val colon = line.indexOf(':')
               if (colon <= 0) ok = false
               else {
-                val name = line.substring(0, colon).trim.toLowerCase
+                // Locale.ROOT: a Turkish-locale JVM lowercases 'I' to
+                // dotless 'ı', so 'WARC-Target-URI'.toLowerCase would
+                // never match and every record would silently skip
+                val name = line.substring(0, colon).trim
+                  .toLowerCase(java.util.Locale.ROOT)
                 val value = line.substring(colon + 1).trim
                 name match {
                   case "warc-type" => warcType = value

@@ -84,9 +84,12 @@ object StreamJobs {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     extracted
       .map { r =>
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        (d.map(b => f"${b & 0xff}%02x").mkString, r.url)
+        // null-text guard: the kernel never emits null, but a parquet
+        // replay can (nullable column) — one poison row must not wedge
+        // the query across checkpoint restarts. Folds to the empty-text
+        // hash, same as the batch twin's behavior on ''.
+        val t = if (r.text == null) "" else r.text
+        (md5hex(java.security.MessageDigest.getInstance("MD5"), t), r.url)
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState[DedupState, DedupUpdate](
@@ -131,12 +134,12 @@ object StreamJobs {
       .flatMap { case (id, text) =>
         val ws = if (text == null) Array.empty[String]
           else text.split(' ').filter(_.nonEmpty)
+        // ONE digest per document, reset per gram — not one
+        // MessageDigest.getInstance per passage
+        val md = java.security.MessageDigest.getInstance("MD5")
         ws.grouped(w).zipWithIndex.collect {
           case (g, i) if g.length == w =>
-            val d = java.security.MessageDigest.getInstance("MD5")
-              .digest(g.mkString(" ")
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            (d.map(b => f"${b & 0xff}%02x").mkString, id, i)
+            (md5hex(md, g.mkString(" ")), id, i)
         }
       }
       .groupByKey(_._1)
@@ -228,13 +231,30 @@ object StreamJobs {
     docs.map { case (id, text) =>
       val ws = if (text == null) Array.empty[String]
         else text.split(' ').filter(_.nonEmpty)
+      // the hottest loop in this file (one hash per stride-1 n-gram):
+      // ONE digest per document and the Formatter-free hex helper
+      val md = java.security.MessageDigest.getInstance("MD5")
       val hits = ws.sliding(n).filter(_.length == n).map { g =>
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(g.mkString(" ")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        d.map(b => f"${b & 0xff}%02x").mkString
+        md5hex(md, g.mkString(" "))
       }.toSet.count(model.contains)
       (id, hits.toLong)
     }.toDF("doc_id", "n_hits")
+  }
+
+  /** Fast md5-hex shared by the streaming kernels: caller-supplied
+    * digest (reset here, one instance per document), Character.forDigit
+    * instead of a Formatter per byte. Output is byte-identical to Spark
+    * SQL's `md5()` hex, which the batch twins' oracles rely on. */
+  private def md5hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
   }
 }

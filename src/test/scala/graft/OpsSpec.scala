@@ -855,11 +855,22 @@ class OpsSpec extends AnyFunSuite {
     val gif = "GIF89a".getBytes ++ bytes(0x40, 0x01, 0xc8, 0x00, 0, 0, 0)
     assert(Media.parseHeader(2L, gif).contains(
       Media.MediaMeta(2L, 320L, 200L, 1L, "img")))
-    // BMP with negative (top-down) height -50 → magnitude
-    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+    // BMP (BITMAPINFOHEADER, dib size 40 at offset 14) with negative
+    // (top-down) height -50 → magnitude
+    val bmp = "BM".getBytes ++ new Array[Byte](12) ++ bytes(40, 0, 0, 0) ++
       bytes(100, 0, 0, 0) ++ bytes(0xce, 0xff, 0xff, 0xff) ++ new Array[Byte](4)
     assert(Media.parseHeader(3L, bmp).contains(
       Media.MediaMeta(3L, 100L, 50L, 1L, "img")))
+    // legacy BITMAPCOREHEADER (dib size 12): u16 w/h at 18/20 — the
+    // layout the INFOHEADER parse would read confidently wrong
+    val bmpCore = "BM".getBytes ++ new Array[Byte](12) ++ bytes(12, 0, 0, 0) ++
+      bytes(100, 0) ++ bytes(200, 0) ++ bytes(1, 0, 24, 0) ++ new Array[Byte](4)
+    assert(Media.parseHeader(8L, bmpCore).contains(
+      Media.MediaMeta(8L, 100L, 200L, 1L, "img")))
+    // unknown dib header size → None (degrade, never guess the layout)
+    val bmpBad = "BM".getBytes ++ new Array[Byte](12) ++ bytes(7, 0, 0, 0) ++
+      new Array[Byte](12)
+    assert(Media.parseHeader(9L, bmpBad).isEmpty)
     // JPEG: SOI, APP0 (skipped by length), SOF0 320×240
     val jpg = bytes(0xff, 0xd8, 0xff, 0xe0, 0, 4, 0, 0,
       0xff, 0xc0, 0, 17, 8, 0, 0xf0, 1, 0x40) ++ new Array[Byte](10)
