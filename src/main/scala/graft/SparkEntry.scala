@@ -27,23 +27,35 @@ object SparkEntry {
   val verifyN = 600
 
   // one extraction pass per session, shared by all pipeline queries.
-  // Weak keys + SOFT values: a DataFrame strongly references its own
-  // SparkSession, so a plain value would pin its key forever (the
-  // WeakHashMap javadoc's value→key caveat) — the soft wrapper breaks
-  // the pin (cleared under memory pressure, entry then collectable)
-  // while keeping the cache effective between queries.
-  private val cache = new java.util.WeakHashMap[
-    SparkSession, java.lang.ref.SoftReference[DataFrame]]()
+  // STRONG values with explicit LRU unpersist, NOT soft/weak wrappers:
+  // a cleared SoftReference would orphan the persisted copy inside
+  // Spark's CacheManager (which holds the InMemoryRelation strongly,
+  // and closure-bearing extraction plans never compare semanticEquals-
+  // equal, so re-persisting after a clear would stack a SECOND full
+  // cached corpus, unpersistable forever). Only a strong handle can
+  // call unpersist() on eviction. Cost: each cached entry pins its
+  // SparkSession (value→key), bounded by the LRU cap — sessions here
+  // are one-per-JVM or short-lived test sessions, so ≤4 pins is noise
+  // against an orphaned corpus copy per memory-pressure event.
+  private val cacheCap = 4
+  private val cache =
+    new java.util.LinkedHashMap[SparkSession, DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, DataFrame]): Boolean =
+        if (size > cacheCap) {
+          try { e.getValue.unpersist(); () } catch { case _: Throwable => () }
+          true
+        } else false
+    }
 
   private def extracted(spark: SparkSession): DataFrame = cache.synchronized {
-    val ref = cache.get(spark)
-    val got = if (ref != null) ref.get else null
+    val got = cache.get(spark)
     if (got != null) got
     else {
       val df = Jobs.extract(Jobs.syntheticPages(spark, verifyN), 32).toDF()
         .withColumn("host", expr("split_part(url, '/', 3)"))
       df.persist()
-      cache.put(spark, new java.lang.ref.SoftReference(df))
+      cache.put(spark, df)
       df
     }
   }
@@ -574,7 +586,12 @@ object SparkEntry {
   private val GS = s"read_parquet('$goldenSpans')"
   private def D(dir: String) = s"read_parquet('$dir/documents.parquet')"
   private def E(dir: String) = s"read_parquet('$dir/embeddings.parquet')"
-  private val sf = "/root/testdata/sf0.01"
+  /** The sf dir the oracle SQL reads. The driver contract fixes
+    * `oracleSql`'s signature (no dir parameter), so the dir rides on a
+    * system property that `graft.Verify` sets from its own sfDir
+    * argument — a Verify run on sf0.1 must not compare Spark-on-sf0.1
+    * against DuckDB-on-sf0.01. Read per call (oracleSql is a def). */
+  private def sf = sys.props.getOrElse("graft.oracle.sf", "/root/testdata/sf0.01")
 
   /** Lloyd k-means replay for the sim_topk_ivf_kmeans oracle: the same
     * hash-seeded init + `iters` assign/update rounds as

@@ -14,6 +14,10 @@ object Verify {
           "usage: graft.Verify <sfDir> <outDir> [query1,query2,...]")
         sys.exit(2)
     }
+    // the oracle SQL must read the SAME sf dir the Spark queries run on
+    // (oracleSql's driver-fixed signature takes no dir — it rides on
+    // this property; set before anything evaluates the SQL strings)
+    sys.props("graft.oracle.sf") = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -54,15 +54,22 @@ object Compact {
     else fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
-  /** Restore a bucket whose previous compaction crashed between the two
-    * swap renames (live dir missing, .trash present). */
+  /** Repair the two crash windows of a bucket swap, given the live dir:
+    *  - crash BETWEEN the renames → live missing, `.trash` holds the
+    *    only copy: restore it;
+    *  - crash AFTER publish → live (new) AND `.trash` (old copy) both
+    *    present: the trash dir matches Spark's partition-discovery
+    *    pattern, so readers would double-count every bucket row until
+    *    it is deleted — delete it. */
   private def recoverBucket(fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path): Unit = {
     val trash = new org.apache.hadoop.fs.Path(
       live.getParent, live.getName + ".trash")
-    if (!fs.exists(live) && fs.exists(trash)) {
-      require(fs.rename(trash, live),
-        s"failed to restore $live from interrupted compaction")
+    if (fs.exists(trash)) {
+      if (!fs.exists(live))
+        require(fs.rename(trash, live),
+          s"failed to restore $live from interrupted compaction")
+      else fs.delete(trash, true)
     }
   }
 
@@ -75,14 +82,29 @@ object Compact {
     val fs = fsFor(tableDir, spark)
     val root = new org.apache.hadoop.fs.Path(tableDir)
     if (!fs.exists(root)) return Seq.empty
+    // recovery sweep FIRST: a bucket stranded as `bucket=K.trash` with
+    // no live dir would otherwise never be listed below (the `.trash`
+    // suffix breaks the toInt parse) and its data would stay lost
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")
+        && s.getPath.getName.endsWith(".trash"))
+      .foreach { t =>
+        recoverBucket(fs, new org.apache.hadoop.fs.Path(
+          root, t.getPath.getName.stripSuffix(".trash")))
+      }
     val buckets = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .sortBy(_.getPath.getName)
-    buckets.flatMap { b =>
+    val stats = buckets.flatMap { b =>
       val name = b.getPath.getName.stripPrefix("bucket=")
       scala.util.Try(name.toInt).toOption.map(
         compactBucket(spark, tableDir, _, targetBytes))
     }
+    // the session's FileStatusCache may still hold the pre-compaction
+    // listing (deleted trash dirs, replaced part files) — invalidate so
+    // the next read of this table lists the real layout
+    spark.catalog.refreshByPath(tableDir)
+    stats
   }
 
   def compactBucket(spark: SparkSession, tableDir: String, bucket: Int,

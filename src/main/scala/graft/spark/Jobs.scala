@@ -80,14 +80,19 @@ object Jobs {
     * first via `rebalanceInput`. */
   def extract(pages: Dataset[PageRow], partitions: Int,
       cfg: ExtractConfig = ExtractConfig()): Dataset[ExtractResult] = {
-    extractNarrow(pages, cfg)
-      .repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+    // repartition directly on the unique url: HashPartitioning murmurs
+    // the expression value, so pre-bucketing with pmod(xxhash64, n)
+    // would be DOUBLE hashing — n coarse key classes rehashed into n
+    // partitions leaves ~1/e of tasks empty and piles 2-3 classes on
+    // others (balls-in-bins), the opposite of the uniform layout this
+    // shuffle exists for. Unique urls → murmur3 spread is uniform.
+    extractNarrow(pages, cfg).repartition(partitions, col("url"))
   }
 
   /** Pre-kernel rebalance for skewed input layouts: shuffles the raw rows
-    * on the salted url hash before extraction. */
+    * on the (unique, hence uniform) url key before extraction. */
   def rebalanceInput(pages: Dataset[PageRow], partitions: Int): Dataset[PageRow] =
-    pages.repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+    pages.repartition(partitions, col("url"))
 
   /** Extraction without the explicit repartition — used when the upstream
     * layout is already balanced (e.g. bucketed Iceberg scan). Narrow, no
@@ -166,12 +171,15 @@ object Jobs {
       .mapPartitions(it => it.map(i => SyntheticCorpus.row(i, seed)))
   }
 
-  /** Per-bucket metrics table (FIXTURES.md `metrics` schema): the
-    * observability half of the reference's post-run verification
-    * (reference: src/ocrmypdf/_validation.py:282-337
-    * `report_output_file_size`; quality.py:12-44 hit-ratio metric). */
+  /** Per-bucket metrics table — the FIXTURES.md `metrics` schema (incl.
+    * wall_ms, so this table unions cleanly with CheckpointedWriter's)
+    * plus the observe-side extension columns skips/truncations
+    * (documented there): the observability half of the reference's
+    * post-run verification (reference: src/ocrmypdf/_validation.py:
+    * 282-337 `report_output_file_size`; quality.py:12-44 hit-ratio
+    * metric). */
   def metrics(extracted: Dataset[ExtractResult], buckets: Int,
-      attempt: Int): DataFrame = {
+      attempt: Int, wallMs: Long = 0L): DataFrame = {
     extracted.toDF()
       .withColumn("url_hash_bucket", bucketCol(buckets))
       .groupBy(col("url_hash_bucket"))
@@ -184,6 +192,7 @@ object Jobs {
           .as("skips"),
         sum(when(col("truncated"), 1L).otherwise(0L)).as("truncations"))
       .withColumn("partition_id", col("url_hash_bucket"))
+      .withColumn("wall_ms", lit(wallMs))
       .withColumn("attempt", lit(attempt))
       .withColumn("committed_ts", current_timestamp())
   }

@@ -201,6 +201,9 @@ class PipelineSpec extends AnyFunSuite {
       val f = files(b)
       assert(f.length == 1 && f.forall(_.endsWith(".zstd.parquet")))
     }
+    // count + fingerprint: bit_xor alone is blind to EVEN duplication
+    // (paired hashes cancel), so the row count is load-bearing here
+    assert(spark.read.parquet(dir).count() == 120)
     assert(spark.read.parquet(dir)
       .agg(expr("bit_xor(xxhash64(url, text, outcome))")).collect()(0)
       .getLong(0) == fingerprint, "compaction changed the data")
@@ -208,15 +211,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(Compact.compactTable(spark, dir, targetBytes = 512L << 20)
       .map(_.action).toSet == Set("skipped"))
     // crash between the two swap renames: live dir gone, .trash present —
-    // the next compact run restores it before planning
+    // the next compact run must RESTORE it (not skip the unparseable
+    // `bucket=0.trash` name), and partition discovery must again see a
+    // proper int bucket (reading through the .trash name would keep the
+    // fingerprint green while the bucket stays stranded)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/bucket=0"),
-      new org.apache.hadoop.fs.Path(s"$dir/bucket=0.trash")))
+    val b0 = new org.apache.hadoop.fs.Path(s"$dir/bucket=0")
+    val b0t = new org.apache.hadoop.fs.Path(s"$dir/bucket=0.trash")
+    assert(fs.rename(b0, b0t))
     Compact.compactTable(spark, dir, targetBytes = 512L << 20)
+    assert(fs.exists(b0) && !fs.exists(b0t),
+      "interrupted swap not restored: bucket=0 stranded under .trash")
     assert(spark.read.parquet(dir)
       .agg(expr("bit_xor(xxhash64(url, text, outcome))")).collect()(0)
       .getLong(0) == fingerprint, "crash recovery lost rows")
+    // crash AFTER publish: live (new) and .trash (old copy) both present
+    // — readers would double-count bucket rows via partition discovery
+    // until the sweep deletes the stale trash
+    val b1 = new org.apache.hadoop.fs.Path(s"$dir/bucket=1")
+    val b1t = new org.apache.hadoop.fs.Path(s"$dir/bucket=1.trash")
+    org.apache.hadoop.fs.FileUtil.copy(fs, b1, fs, b1t, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(dir).count() > 120) // duplicates visible
+    Compact.compactTable(spark, dir, targetBytes = 512L << 20)
+    assert(!fs.exists(b1t), "stale post-publish trash not cleaned")
+    assert(spark.read.parquet(dir).count() == 120)
+    assert(spark.read.parquet(dir)
+      .agg(expr("bit_xor(xxhash64(url, text, outcome))")).collect()(0)
+      .getLong(0) == fingerprint, "post-publish cleanup changed data")
   }
 
   test("metrics: per-bucket counts reconcile with the extracted table") {
