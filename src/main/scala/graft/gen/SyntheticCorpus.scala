@@ -102,8 +102,16 @@ object SyntheticCorpus {
 
   def hostOf(i: Long, seed: Long): String = {
     val h = mix(seed, i * 31 + 7)
+    // manual zero-pad, NOT f"%02d": String.format substitutes digits per
+    // the JVM default FORMAT locale, so corpus bytes (and the frozen
+    // goldens keyed on them) would differ on native-digit locales —
+    // breaking the byte-identical-on-any-executor determinism contract
     if ((h & 0x7fffffffL) % 10 < 7) "big.example.com"
-    else f"host${(h >>> 8) % 97}%02d.example.com"
+    else {
+      val n = (h >>> 8) % 97
+      val pad = if (n < 10) "0" else ""
+      s"host$pad$n.example.com"
+    }
   }
 
   private def mix(seed: Long, x: Long): Long = {
@@ -391,7 +399,7 @@ $sections
     w(s"5 0 obj << /Length ${outer.length} /Filter /FlateDecode >> stream\n")
     wb(outer)
     w("\nendstream endobj\n")
-    w(s"6 0 obj << /Type /XObject /Subtype /Form /BBox [0 0 200 40] /Resources << /Font << /F1 4 0 R >> >> /Length ${inner.length} /Filter /FlateDecode >> stream\n".replace("/Length", "/Length"))
+    w(s"6 0 obj << /Type /XObject /Subtype /Form /BBox [0 0 200 40] /Resources << /Font << /F1 4 0 R >> >> /Length ${inner.length} /Filter /FlateDecode >> stream\n")
     wb(inner)
     w("\nendstream endobj\n")
     w("trailer << /Root 1 0 R >>\n%%EOF\n")

@@ -23,20 +23,32 @@ object MetricsSink {
       rejects: Long, truncations: Long, chars: Long)
 
   private val lastMetrics = TrieMap.empty[String, Observed]
-  private val installed = TrieMap.empty[SparkSession, Boolean]
+  // weak keys: a strong session-keyed map would pin every stopped
+  // session (and its registered listener) for the JVM's lifetime in
+  // install/stop cycles
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def observed(ds: Dataset[ExtractResult],
       name: String = "graft_extract"): Dataset[ExtractResult] =
+    // EVERY sum is null-guarded, not just chars: over a zero-row
+    // observed dataset sum() is null, and the listener's getAs[Long]
+    // would NPE inside the listener bus — silently dropping the metrics
+    // instead of reporting the honest all-zero row
     ds.observe(name,
       count(lit(1)).as("docs"),
-      sum(when(col("outcome").startsWith("error"), 1L).otherwise(0L)).as("failures"),
-      sum(when(col("outcome").startsWith("skipped"), 1L).otherwise(0L)).as("skips"),
-      sum(when(col("outcome").startsWith("rejected"), 1L).otherwise(0L)).as("rejects"),
-      sum(when(col("truncated"), 1L).otherwise(0L)).as("truncations"),
+      coalesce(sum(when(col("outcome").startsWith("error"), 1L)
+        .otherwise(0L)), lit(0L)).as("failures"),
+      coalesce(sum(when(col("outcome").startsWith("skipped"), 1L)
+        .otherwise(0L)), lit(0L)).as("skips"),
+      coalesce(sum(when(col("outcome").startsWith("rejected"), 1L)
+        .otherwise(0L)), lit(0L)).as("rejects"),
+      coalesce(sum(when(col("truncated"), 1L).otherwise(0L)), lit(0L))
+        .as("truncations"),
       coalesce(sum(length(col("text"))), lit(0L)).as("chars"))
 
   def install(spark: SparkSession): Unit =
-    installed.getOrElseUpdate(spark, {
+    if (installed.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit = {
@@ -52,8 +64,7 @@ object MetricsSink {
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
-      true
-    })
+    }
 
   def last(name: String = "graft_extract"): Option[Observed] =
     lastMetrics.get(name)

@@ -75,11 +75,11 @@ object GoldenGen {
           md5hex(r.text))
       }
     }
-    rows.toDF().coalesce(1).sort("url").write.mode("overwrite")
+    rows.toDF().sort("url").coalesce(1).write.mode("overwrite")
       .parquet(s"$goldenDir/extracted")
-    spans.toDF().coalesce(1).sort("url", "idx").write.mode("overwrite")
+    spans.toDF().sort("url", "idx").coalesce(1).write.mode("overwrite")
       .parquet(s"$goldenDir/spans")
-    modes.toDF().coalesce(1).sort("mode", "url").write.mode("overwrite")
+    modes.toDF().sort("mode", "url").coalesce(1).write.mode("overwrite")
       .parquet(s"$goldenDir/modes")
     println(s"[golden] wrote ${rows.length} rows, ${spans.length} spans, ${modes.length} mode rows")
     val byOutcome = rows.groupBy(_.outcome).view.mapValues(_.size).toMap

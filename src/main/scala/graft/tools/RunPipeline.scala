@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
+    // stable %.1f decimal separators: the one-line JSON result is
+    // machine-parsed, and a comma-decimal locale would corrupt it
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
     val out = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft_run").toString

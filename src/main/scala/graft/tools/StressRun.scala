@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   */
 object StressRun {
   def main(args: Array[String]): Unit = {
+    // stable %.1f decimal separator for the parsed [stress] result line
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val n = if (args.nonEmpty) args(0).toLong else 2000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
