@@ -109,6 +109,7 @@ object Blocks {
 
     val out = new ArrayBuffer[Block]
     var curAnc = -2
+    var preStart = false
     val btext = new java.lang.StringBuilder // joined block text, built inline
     var nWords = 0
     var linkChars = 0
@@ -185,10 +186,19 @@ object Blocks {
           curKind = kindOf(ancTag)
           curPath = if (anc >= 0) pathOf(anc) else "/"
           isPre = ancTag == "pre"
+          preStart = isPre
         }
         val link = p >= 0 && linkAnc(p)
         val t = nfkc(nd.text)
         var j = 0
+        if (preStart) {
+          // WHATWG: the newline immediately after a <pre> start tag is
+          // dropped by rendering — emitting it would start the block
+          // with a spurious '\n' (a three-newline separator after the
+          // '\n\n' block joiner)
+          preStart = false
+          if (t.nonEmpty && t.charAt(0) == '\n') j = 1
+        }
         while (j < t.length) {
           if (Character.isWhitespace(t.charAt(j))) {
             // <pre>: line structure is content (code blocks) — newlines
@@ -213,12 +223,38 @@ object Blocks {
         // inside a hidden subtree renders nothing and must not split the
         // visible word spanning the hidden span
         flushWord()
+      } else if (nd.visible && boundaryTags.contains(nd.tag)) {
+        // a visible RENDERED-BOX element between texts is a word
+        // boundary even when it carries no text of its own (`End<hr>
+        // Next`, `foo<p></p>bar`, adjacent minified <li>s): browsers
+        // render the texts on separate lines/boxes, so the words must
+        // not merge. Hidden boxes render nothing — same rule as br.
+        flushWord()
+      } else if (widgetTags.contains(nd.tag) &&
+          (nd.parent < 0 || nodes(nd.parent).visible)) {
+        // replaced/widget elements (textarea, select, iframe, svg …)
+        // are tree-INVISIBLE (their internals are not document text)
+        // but still RENDER a box — `foo<textarea>…</textarea>bar` shows
+        // two separated words. Gate on the PARENT's visibility: inside
+        // display:none the widget renders nothing and must not split.
+        flushWord()
       }
       i += 1
     }
     flushBlock()
     out.toVector
   }
+
+  /** Rendered-box boundary tags for the word-flush rule in the segment
+    * walk: every block-level tag plus the list/table item tags that
+    * render boxes without defining block-segmentation boundaries. */
+  private val boundaryTags: Set[String] =
+    graft.html.TreeBuilder.closesP ++ Set("li", "dd", "dt", "td", "th",
+      "tr", "caption", "thead", "tbody", "tfoot")
+
+  /** Self-invisible elements that nevertheless render a BOX. */
+  private val widgetTags: Set[String] =
+    Set("textarea", "select", "iframe", "object", "svg", "math")
 
   /** First strong CJK membership test for the word-join rule
     * (reference: src/ocrmypdf/fpdf_renderer/renderer.py:813-849

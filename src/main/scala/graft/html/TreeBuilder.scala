@@ -62,7 +62,8 @@ object TreeBuilder {
     * (reference: src/ocrmypdf/_pipeline.py:678-725). */
   val invisibleTags: Set[String] = Set("script", "style", "template",
     "noscript", "head", "iframe", "object", "svg", "math", "select",
-    "datalist")
+    "datalist", "textarea") // textarea: form-WIDGET content (wiki edit
+    // pages carry whole article sources there), not document text
 
   def build(tokens: ArrayBuffer[HtmlToken]): Dom = {
     val nodes = new ArrayBuffer[DomNode](tokens.length)
@@ -87,7 +88,10 @@ object TreeBuilder {
         if (k == "hidden") hidden = true
         else if (k == "aria-hidden" && v == "true") hidden = true
         else if (k == "style") {
-          val s = v.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
+          // strip ALL whitespace, not just spaces: templated styles
+          // write `display:\n\tnone` across lines
+          val s = v.toLowerCase(java.util.Locale.ROOT)
+            .filterNot(_.isWhitespace)
           if (s.contains("display:none") || s.contains("visibility:hidden"))
             hidden = true
         }
@@ -137,27 +141,44 @@ object TreeBuilder {
       true
     }
 
+    // Close the nearest open `target` unless a scope barrier sits above
+    // it on the stack — the WHATWG shape: an open p/li/td/... closes on
+    // the next sibling-starter even when INLINE formatting elements
+    // (font, b, span…) are still open above it. Head-only matching would
+    // let legacy unclosed-markup pages (`<p><font>…<p><font>…`) nest 2
+    // deep per paragraph until the depth cap flattens the document.
+    def closeIfOpen(target: String, barriers: Set[String]): Unit = {
+      val idx = stackTags.indexOf(target)
+      if (idx >= 0 && !stackTags.take(idx).exists(barriers.contains))
+        popTo(target)
+    }
+    // button-scope-ish barriers for p (table cells/caption/template and
+    // embedded content end the search)
+    val pBarriers = Set("table", "td", "th", "caption", "template",
+      "object", "svg", "math")
+    val cellBarriers = Set("table")
+    def nearestOf(a: String, b: String): Option[String] = {
+      val ia = stackTags.indexOf(a); val ib = stackTags.indexOf(b)
+      if (ia < 0 && ib < 0) None
+      else if (ib < 0 || (ia >= 0 && ia < ib)) Some(a)
+      else Some(b)
+    }
+
     def impliedEndTags(name: String): Unit = {
       name match {
         case t if closesP.contains(t) =>
-          if (stackTags.headOption.contains("p")) popTo("p")
+          closeIfOpen("p", pBarriers)
         case "li" =>
-          // close an open li unless a list container intervenes
-          val idx = stackTags.indexOf("li")
-          if (idx >= 0 && !stackTags.take(idx).exists(t => t == "ul" || t == "ol"))
-            popTo("li")
+          closeIfOpen("li", Set("ul", "ol"))
         case "dd" | "dt" =>
-          if (stackTags.headOption.exists(t => t == "dd" || t == "dt"))
-            popTo(stackTags.head)
+          nearestOf("dd", "dt").foreach(closeIfOpen(_, Set("dl")))
         case "tr" =>
-          Seq("td", "th", "tr").foreach { t =>
-            if (stackTags.headOption.contains(t)) popTo(t)
-          }
+          nearestOf("td", "th").foreach(closeIfOpen(_, cellBarriers))
+          closeIfOpen("tr", cellBarriers)
         case "td" | "th" =>
-          if (stackTags.headOption.exists(t => t == "td" || t == "th"))
-            popTo(stackTags.head)
+          nearestOf("td", "th").foreach(closeIfOpen(_, cellBarriers))
         case "option" =>
-          if (stackTags.headOption.contains("option")) popTo("option")
+          closeIfOpen("option", Set("select", "datalist"))
         case _ => ()
       }
     }
@@ -171,11 +192,23 @@ object TreeBuilder {
         // and swallow the whole body), and later <title>s (e.g. inline
         // <svg><title> accessibility labels) must not concatenate
         if (name == "title" && !selfClosing) {
-          if (!titleDone) inTitle = true
+          // an inline <svg><title> is an accessibility label, never the
+          // page title — even when it is the FIRST title on the page
+          val inForeign =
+            stackTags.exists(t => t == "svg" || t == "math")
+          if (!titleDone && !inForeign) inTitle = true
           else skippedTitle = true // svg/odd later titles: content dropped
         }
         impliedEndTags(name)
-        val void = voidTags.contains(name) || selfClosing
+        // WHATWG ignores the self-closing flag on NON-void HTML elements
+        // (`<div/>` stays open — honoring it would let a later </div>
+        // pop a real ancestor and leak hidden content); the flag IS
+        // honored in foreign content (svg/math), where `<path/>` etc.
+        // are genuinely empty and would otherwise pile onto the stack
+        // until the depth cap flags the whole document truncated
+        val foreign = name == "svg" || name == "math" ||
+          stackTags.exists(t => t == "svg" || t == "math")
+        val void = voidTags.contains(name) || (selfClosing && foreign)
         addElement(name, attrs, push = !void)
       case EndTag(name) =>
         if (name == "title") {
@@ -184,6 +217,10 @@ object TreeBuilder {
         }
         val sup = suppressed.getOrElse(name, 0)
         if (sup > 0) suppressed(name) = sup - 1 // cap-suppressed pair
+        else if (name == "br")
+          // WHATWG: an end tag </br> acts as a <br> START tag (legacy
+          // markup) — dropping it would merge the words it separates
+          addElement("br", Nil, push = false)
         else if (!voidTags.contains(name)) popTo(name) // unmatched → ignored
       case TextRun(t) =>
         if (skippedTitle) () // non-first title label: not content

@@ -498,4 +498,92 @@ class KernelSpec extends AnyFunSuite {
           s"classifier kept too little for ${p.url}")
       }
   }
+
+  // -- eighth-review fidelity fixes ------------------------------------
+
+  test("boundaries: empty box elements, </br>, widgets flush words") {
+    val filler = " plus plenty of additional filler words so the block " +
+      "clears the forty character good threshold easily"
+    val t1 = extractText("<html><body><div>End of intro<hr>Next section" +
+      s"$filler</div></body></html>")
+    assert(!t1.contains("introNext") && t1.contains("intro"), t1)
+    val t2 = extractText(s"<html><body><div>foo<p></p>bar$filler" +
+      "</div></body></html>")
+    assert(!t2.contains("foobar"), t2)
+    val t3 = extractText("<html><body><ul><li>alphaword</li>" +
+      s"<li>betaword</li><li>extra$filler</li></ul></body></html>")
+    assert(!t3.contains("alphawordbetaword"), t3)
+    // WHATWG: </br> acts as a <br> start tag
+    val t4 = extractText(s"<html><body><div>foo</br>bar$filler" +
+      "</div></body></html>")
+    assert(!t4.contains("foobar"), t4)
+    // a widget box separates words even though its content is dropped
+    val t5 = extractText("<html><body><div>foo<textarea>draftsource" +
+      s"</textarea>bar$filler</div></body></html>")
+    assert(!t5.contains("draftsource") && !t5.contains("foobar"), t5)
+  }
+
+  test("textarea: form-widget content is not page text") {
+    val t = extractText("<html><body><p>real article content with many " +
+      "interesting words</p><textarea>wikitext article draft source " +
+      "lives here</textarea></body></html>")
+    assert(!t.contains("wikitext"), t)
+  }
+
+  test("self-closing flag: ignored for HTML elements, honored in svg") {
+    // <div/> must NOT act as void — if it did, the first </div> would
+    // close the hidden OUTER div and everything between the two </div>s
+    // ('stillhidden') would leak out as visible text
+    val t = extractText("<html><body><div style=\"display:none\">secret" +
+      "<div/>leakme</div>stillhidden</div><p>after words carry the " +
+      "visible content of this page well past the forty character " +
+      "threshold</p></body></html>")
+    assert(!t.contains("secret") && !t.contains("leakme") &&
+      !t.contains("stillhidden") && t.contains("after"), t)
+    // foreign content: hundreds of self-closed <path/>s must not pile
+    // onto the stack and trip the depth cap
+    val svg = "<svg>" + "<path/>" * 300 + "</svg>"
+    val r = Extractor.extract(row(s"<html><body>$svg<p>icon sprite page " +
+      "content with several words and clearly enough characters to " +
+      "classify as good</p></body></html>"))
+    assert(!r.truncated && r.text.contains("sprite"), r.text)
+  }
+
+  test("svg title is never the page title") {
+    val r = Extractor.extract(row("<html><body><svg><title>Close icon" +
+      "</title></svg><p>body content paragraph with words</p>" +
+      "</body></html>"))
+    assert(!r.text.contains("Close icon"), r.text)
+  }
+
+  test("implied end tags fire through open inline formatting elements") {
+    // legacy unclosed markup: each <p><font> pair must not nest — the
+    // open p closes through the font (button-scope search, not
+    // head-only), keeping depth flat and the document untruncated
+    val legacy = (1 to 80).map(i =>
+      s"<p><font size=2>paragraph number $i carries enough prose " +
+        "characters to classify as good content").mkString
+    val r = Extractor.extract(row(s"<html><body>$legacy</body></html>"))
+    assert(!r.truncated, "depth cap tripped on flat legacy markup")
+    assert(r.text.contains("paragraph number 80"), r.text.takeRight(120))
+    // table rows through open inline elements
+    val t = extractText("<html><body><table><tr><td>cellone<b>bold" +
+      "<tr><td>celltwo content words here and plenty more filler " +
+      "words to clear the keep threshold</table></body></html>")
+    assert(!t.contains("boldcelltwo"), t)
+  }
+
+  test("pre: the newline after the start tag is dropped") {
+    val t = extractText("<html><body><p>intro paragraph has words</p>" +
+      "<pre>\ncode line one\ncode line two</pre></body></html>")
+    assert(!t.contains("\n\n\n"), t.replace("\n", "\\n"))
+    assert(t.contains("code line one\ncode line two"), t)
+  }
+
+  test("hidden style detection survives embedded whitespace") {
+    val t = extractText("<html><body><div style=\"display:\n\tnone\">" +
+      "boilerhidden</div><p>kept paragraph with content words well " +
+      "past the forty character good threshold</p></body></html>")
+    assert(!t.contains("boilerhidden") && t.contains("kept"), t)
+  }
 }
