@@ -683,12 +683,22 @@ WITH raw(url) AS (VALUES
   ${graft.ops.Urls.fixtureValuesSql}),
 s1 AS (SELECT url, split_part(url, '#', 1) AS nf FROM raw),
 s2 AS (SELECT url, nf, split_part(nf, '?', 1) AS base FROM s1),
-s3 AS (SELECT url, nf, base, split_part(base, '://', 2) AS rest,
-       lower(split_part(base, '://', 1)) AS scheme FROM s2),
+-- scheme split at the FIRST '://' only (split_part(..,2) returns the
+-- second FIELD and truncated path-embedded '://'); userinfo dropped at
+-- the LAST '@'; '[...]'-bracketed IPv6 hosts keep their ']:'-port
+s3 AS (SELECT url, nf, base,
+       CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest,
+       CASE WHEN instr(base, '://') > 0 THEN lower(substr(base, 1, instr(base, '://') - 1)) ELSE lower(base) END AS scheme FROM s2),
 s4 AS (SELECT *, split_part(rest, '/', 1) AS auth,
        CASE WHEN instr(rest, '/') > 0 THEN substr(rest, instr(rest, '/')) ELSE '/' END AS path,
        CASE WHEN instr(nf, '?') > 0 THEN substr(nf, length(base) + 2) ELSE '' END AS q FROM s3),
-s5 AS (SELECT *, lower(split_part(auth, ':', 1)) AS host, split_part(auth, ':', 2) AS port FROM s4),
+s4b AS (SELECT *, list_extract(string_split(auth, '@'), -1) AS hostport FROM s4),
+s5 AS (SELECT *,
+       CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+            ELSE lower(split_part(hostport, ':', 1)) END AS host,
+       CASE WHEN hostport LIKE '[%' THEN
+              (CASE WHEN substr(hostport, instr(hostport, ']') + 1, 1) = ':' THEN substr(hostport, instr(hostport, ']') + 2) ELSE '' END)
+            ELSE split_part(hostport, ':', 2) END AS port FROM s4b),
 s6 AS (SELECT *,
        CASE WHEN port = '' THEN ''
             WHEN scheme = 'http' AND port = '80' THEN ''

@@ -109,7 +109,6 @@ object Blocks {
 
     val out = new ArrayBuffer[Block]
     var curAnc = -2
-    var preStart = false
     val btext = new java.lang.StringBuilder // joined block text, built inline
     var nWords = 0
     var linkChars = 0
@@ -186,19 +185,18 @@ object Blocks {
           curKind = kindOf(ancTag)
           curPath = if (anc >= 0) pathOf(anc) else "/"
           isPre = ancTag == "pre"
-          preStart = isPre
         }
         val link = p >= 0 && linkAnc(p)
         val t = nfkc(nd.text)
         var j = 0
-        if (preStart) {
-          // WHATWG: the newline immediately after a <pre> start tag is
-          // dropped by rendering — emitting it would start the block
-          // with a spurious '\n' (a three-newline separator after the
-          // '\n\n' block joiner)
-          preStart = false
-          if (t.nonEmpty && t.charAt(0) == '\n') j = 1
-        }
+        // WHATWG: only the newline IMMEDIATELY after the <pre> start tag
+        // is dropped by parsing — i.e. the text node must be the pre's
+        // FIRST child (index curAnc+1 in the pre-order node array).
+        // '<pre><span>\ncode</span></pre>' keeps its newline, and a
+        // re-entered pre block (text after a nested block element) never
+        // strips again.
+        if (isPre && i == curAnc + 1 && t.nonEmpty && t.charAt(0) == '\n')
+          j = 1
         while (j < t.length) {
           if (Character.isWhitespace(t.charAt(j))) {
             // <pre>: line structure is content (code blocks) — newlines

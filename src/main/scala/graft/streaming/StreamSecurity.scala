@@ -30,13 +30,22 @@ import java.nio.file.{Files, LinkOption, Path, Paths}
   */
 object StreamSecurity {
 
-  /** Local-filesystem path of `p` if it is file-scheme-like, else None
-    * (URI schemes such as s3a:// or hdfs:// are remote-warehouse
-    * territory with no symlink semantics to validate here). A scheme is
-    * detected Hadoop-Path-style — `scheme:` followed by anything, since
-    * `hdfs:/x` (single slash) is a legal Hadoop spelling — but a
-    * Windows-style drive letter (`C:\...`) or a schemeless path stays
-    * local. */
+  /** Filesystem schemes with no local symlink semantics to validate —
+    * the KNOWN remote-warehouse set, not "anything with a colon": a
+    * local relative path whose first segment contains a colon (e.g.
+    * `data:incoming`) must NOT silently bypass the symlink/watch-loop
+    * checks this module exists for. */
+  private val remoteSchemes = Set(
+    "hdfs", "webhdfs", "viewfs", "har", "o3fs", "ofs",
+    "s3", "s3a", "s3n", "gs", "oss", "cos", "cosn",
+    "abfs", "abfss", "wasb", "wasbs", "adl", "alluxio")
+
+  /** Local-filesystem path of `p` unless it carries a known remote
+    * scheme (s3a://, hdfs:/ ...). A scheme is detected Hadoop-Path-style
+    * — `scheme:` followed by anything, since `hdfs:/x` (single slash) is
+    * a legal Hadoop spelling — but only the closed remote set above is
+    * skipped; `file:` forms and everything else (including colon-bearing
+    * local names) are validated as local paths. */
   private def localPath(p: String): Option[Path] = {
     val scheme = "^([A-Za-z][A-Za-z0-9+.\\-]+):".r.findFirstMatchIn(p)
       .map(_.group(1))
@@ -46,8 +55,9 @@ object StreamSecurity {
         val rest = p.stripPrefix("file:")
         if (rest.startsWith("//")) Some(Paths.get(java.net.URI.create(p)))
         else Some(Paths.get(rest))
-      case Some(_) => None // remote scheme (hdfs:, s3a:, ...) — skip
-      case None => Some(Paths.get(p))
+      case Some(s) if remoteSchemes.contains(s.toLowerCase(java.util.Locale.ROOT)) =>
+        None // remote warehouse scheme — no symlink semantics here
+      case _ => Some(Paths.get(p))
     }
   }
 

@@ -580,6 +580,16 @@ class KernelSpec extends AnyFunSuite {
     assert(t.contains("code line one\ncode line two"), t)
   }
 
+  test("pre: newline kept when NOT directly after the start tag") {
+    // WHATWG drops only the newline immediately after the <pre> start
+    // tag; here the first text node is inside a <span>, so its leading
+    // newline is real content (the pre renders a leading blank line)
+    val t = extractText("<html><body><p>intro paragraph has words</p>" +
+      "<pre><span>\ncode line one</span>\ncode line two</pre></body></html>")
+    assert(t.contains("\n\n\ncode line one"), t.replace("\n", "\\n"))
+    assert(t.contains("code line one\ncode line two"), t)
+  }
+
   test("hidden style detection survives embedded whitespace") {
     val t = extractText("<html><body><div style=\"display:\n\tnone\">" +
       "boilerhidden</div><p>kept paragraph with content words well " +

@@ -233,5 +233,15 @@ class StreamingSpec extends AnyFunSuite {
     // remote-scheme URIs pass through (no local symlink semantics)
     validateWatchDirs("s3a://bucket/in", "s3a://bucket/out",
       "s3a://bucket/ck")
+    // a colon-bearing LOCAL name ('data:absent_in') is not a remote
+    // scheme — it must be validated as a local path, not silently
+    // skipped (here: it fails the exists check instead of bypassing all
+    // symlink/watch-loop validation)
+    assert(rejected("data:absent_in", s"$base/out", s"$base/ck")
+      .contains("does not exist"))
+    // ...and an absolute colon-bearing output dir inside the watched
+    // root is still caught as a watch loop
+    assert(rejected(in, s"$in/data:out", s"$base/ck")
+      .contains("re-ingested"))
   }
 }
