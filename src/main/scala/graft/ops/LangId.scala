@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: the profile table is the model — ≤ langs·topK rows,
   * broadcast. The corpus side is a narrow trigram explode feeding two
   * compact-key shuffles (per-doc gram counts, then a per-doc top-K
-  * window — bounded partitions). The unmatched-language mass is NOT
-  * computed by crossing every gram with every language: matched pairs
-  * come from the broadcast profile join alone, and the absent languages'
-  * distance is reconstructed arithmetically as topK·(grams kept), one
-  * row per (doc, lang). Text never moves through a join.
+  * window — bounded partitions). No per-doc × language grid exists at
+  * all: matched pairs come from the broadcast profile join alone, and
+  * because every matched gram strictly lowers a language's out-of-place
+  * distance below the all-unmatched topK·g, the argmin over ALL
+  * languages equals the argmin over the matched rows — absent languages
+  * are never materialized. Text never moves through a join.
   *
   * Training data: [[seed]] — a deterministic in-code multilingual
   * fixture (32 languages × 6 sentences; 4 train + 2 held-out test per
@@ -336,24 +337,36 @@ object LangId {
       .select("sid", "gram", "drank")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gCount = dr.groupBy("sid").agg(count(lit(1)).as("g"))
-    // matched mass from the broadcast profile join; each absent
-    // language's distance is reconstructed as topK·g below — no
-    // per-gram × per-language cross product ever materializes
+    // matched mass from the broadcast profile join. No per-doc × language
+    // grid is ever materialized: dist(lang) = topK·g − bonus(lang) with
+    // bonus = topK·mcnt − mdist, and bonus ≥ 1 for every matched gram
+    // (|drank − prank| ≤ topK − 1), so a language absent from `matched`
+    // (bonus 0, dist topK·g) can never beat a matched one — the argmin
+    // over all languages equals the argmin over the matched rows alone.
+    // topK·g is a per-doc constant, so ordering by (mdist − topK·mcnt,
+    // lang) reproduces the (dist, lang) tie-break exactly.
     val matched = dr.join(broadcast(profiles), Seq("gram"))
       .groupBy("sid", "lang")
       .agg(sum(abs(col("drank") - col("prank"))).as("mdist"),
         count(lit(1)).as("mcnt"))
-    val langs = profiles.select("lang").distinct()
-    val full = gCount.crossJoin(broadcast(langs))
-      .join(matched, Seq("sid", "lang"), "left")
-      .select(col("sid"), col("lang"),
-        (coalesce(col("mdist"), lit(0L)) +
-          lit(topK.toLong) * (col("g") - coalesce(col("mcnt"), lit(0L))))
+    val best = matched
+      .select(col("sid"),
+        (col("mdist") - lit(topK.toLong) * col("mcnt")).as("negbonus"),
+        col("lang"))
+      .groupBy("sid")
+      .agg(min(struct(col("negbonus"), col("lang"))).as("m"))
+      .select(col("sid"), col("m.lang").as("match_lang"),
+        col("m.negbonus").as("negbonus"))
+    // a doc whose grams match NO profile ties all languages at topK·g;
+    // the (dist, lang) argmin then degenerates to the alphabetically
+    // first language — a one-value model pull, same as the collected
+    // centroid models in Similarity
+    val fallbackLang = profiles.agg(min(col("lang"))).head.getString(0)
+    val pred = gCount.join(best, Seq("sid"), "left")
+      .select(col("sid"),
+        coalesce(col("match_lang"), lit(fallbackLang)).as("pred_lang"),
+        (lit(topK.toLong) * col("g") + coalesce(col("negbonus"), lit(0L)))
           .as("dist"))
-    val pred = full.groupBy("sid")
-      .agg(min(struct(col("dist"), col("lang"))).as("m"))
-      .select(col("sid"), col("m.lang").as("pred_lang"),
-        col("m.dist").as("dist"))
     docs.select(col(idCol).as("sid"))
       .join(pred, Seq("sid"), "left")
       .select(col("sid").as(idCol),

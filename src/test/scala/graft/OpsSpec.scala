@@ -45,6 +45,21 @@ class OpsSpec extends AnyFunSuite {
     val u = LangId.classify(tiny, "doc_id", "text", profiles)
       .collect().map(r => r.getString(1)).toSet
     assert(u == Set("und"))
+    // scale shape: no doc × language grid — the physical plan must carry
+    // no cartesian/nested-loop join (the argmin runs over matched rows
+    // only; absent languages are reconstructed arithmetically)
+    val plan = LangId.classify(test, "sample_id", "text", profiles)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // a doc with grams but zero profile matches falls back to the
+    // alphabetically first language at full distance (the grid argmin's
+    // degenerate all-tied case), not 'und'
+    // '@#$%&' → 3 distinct grams, none in any profile → dist = 3·topK
+    val nomatch = Seq((1L, "@#$%&")).toDF("doc_id", "text")
+    val nm = LangId.classify(nomatch, "doc_id", "text", profiles).collect()(0)
+    assert(nm.getString(1) == "ara" && nm.getLong(2) == 3L * LangId.topK,
+      nm.toString)
   }
 
   test("url canonicalization: casing, ports, fragments, params, slashes") {
