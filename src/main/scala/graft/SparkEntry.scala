@@ -204,7 +204,7 @@ object SparkEntry {
         .orderBy("url")),
     "text_langid_profile" -> ((s, _) => {
       // trigram-profile language ID (Cavnar-Trenkle rank profiles) over
-      // the 32-language held-out fixture; the DuckDB oracle recomputes
+      // the 75-language held-out fixture; the DuckDB oracle recomputes
       // the whole train/rank/out-of-place/argmin pipeline from the same
       // VALUES literals via a per-gram × per-language cross formulation
       // (cross-strategy check of the arithmetic-completion shortcut)
@@ -302,6 +302,15 @@ object SparkEntry {
       // removal semantics); rows without runs pass through unchanged
       Dedup.substringRunsClean(docs(s, dir), "doc_id", "text", minLen = 40)
         .orderBy("doc_id")),
+    "dedup_substrings_keep_first" -> ((s, dir) =>
+      // keep-one-copy variant (Lee et al. keep-first): the lowest
+      // (doc_id, pos) occurrence per duplicated gram family keeps its
+      // copy — only later copies emit removable runs. Spark hashes with
+      // the native rolling_hash2; the oracle replays md5 grams, so
+      // equal runs is also a cross-strategy equality check
+      Dedup.substringRunsKeepFirst(docs(s, dir), "doc_id", "text",
+          minLen = 40)
+        .orderBy("doc_id", "run_start")),
     "dedup_substrings_rolling" -> ((s, dir) =>
       // scale path: native O(n) Karp-Rabin rolling_hash (two 61-bit
       // bases) instead of md5 per window; oracled against the SAME
@@ -1056,6 +1065,32 @@ WITH p AS (
   SELECT h FROM g GROUP BY h HAVING count(*) > 1
 ), dp AS (
   SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+      THEN 1 ELSE 0 END AS newrun
+  FROM dp
+), runs AS (
+  SELECT doc_id, pos,
+    sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
+  CAST(max(pos) + 39 AS BIGINT) AS run_end,
+  CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
+FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
+    "dedup_substrings_keep_first" -> s"""
+WITH p AS (
+  SELECT doc_id, unnest(range(1, length(text) - 38)) AS pos, text
+  FROM ${D(sf)} WHERE length(text) >= 40
+), g AS (
+  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h FROM p
+), fam AS (
+  SELECT h, min({'doc_id': doc_id, 'pos': pos}) AS own
+  FROM g GROUP BY h HAVING count(*) > 1
+), dp AS (
+  SELECT g.doc_id, g.pos FROM g JOIN fam USING (h)
+  WHERE NOT (g.doc_id = fam.own.doc_id AND g.pos = fam.own.pos)
 ), isl AS (
   SELECT doc_id, pos,
     CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40

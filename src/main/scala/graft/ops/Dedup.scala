@@ -397,6 +397,45 @@ object Dedup {
     substringRunsFromGrams(grams, Seq("h"), minLen)
   }
 
+  /** Keep-first variant of exact substring dedup [Lee et al. 2021's
+    * keep-one-occurrence option]: per duplicated gram family the OWNER
+    * occurrence — the lexicographically lowest (doc_id, pos) — retains
+    * its copy; only non-owner occurrences become removable runs. For a
+    * full run duplicated across documents every gram family's owner
+    * lies in the same earliest copy, so that copy emits no run at all
+    * (it is kept verbatim) while every later copy emits the full run;
+    * within one document the first occurrence is kept. Ownership is
+    * resolved at gram granularity — partially-overlapping families cut
+    * exactly the characters covered by some non-owner duplicated gram,
+    * the removable-span twin of `substringRuns`' definition.
+    *
+    * 100 TB shape: identical to `substringRunsRolling` plus one extra
+    * column on the existing gram-count shuffle — the owner is a
+    * `min(struct(doc_id, pos))` carried by the same aggregation that
+    * counts the family, so no extra shuffle, no global coordination
+    * step, and text still never moves. */
+  def substringRunsKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id"),
+        posexplode(expr(s"rolling_hash2(text, $minLen, 131, 137)")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fam = grams.groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("own"))
+      .filter(col("n") > 1)
+      .select(col("h"), col("own"))
+    val dupPos = grams.join(fam, Seq("h"))
+      .filter(col("doc_id") =!= col("own.doc_id") ||
+        col("pos") =!= col("own.pos"))
+      .select("doc_id", "pos")
+    runsFromDupPositions(dupPos, minLen)
+  }
+
   /** Substring-dedup APPLY: cut every duplicated run (ALL copies) out of
     * every document — the drop-all-occurrences variant of Lee et al.
     * 2021 (keeping exactly one copy would need global owner coordination
@@ -466,6 +505,13 @@ object Dedup {
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .select(keyCols.map(col): _*)
     val dupPos = grams.join(dupHashes, keyCols).select("doc_id", "pos")
+    runsFromDupPositions(dupPos, minLen)
+  }
+
+  /** Islands tail shared by the drop-all and keep-first formulations:
+    * surviving duplicated positions → maximal runs per doc. */
+  private def runsFromDupPositions(dupPos: DataFrame,
+      minLen: Int): DataFrame = {
     // gaps-and-islands per doc: grams at p1 < p2 overlap/touch iff
     // p2 ≤ p1 + minLen, else a new run starts
     val wOrd = org.apache.spark.sql.expressions.Window

@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   * are never materialized. Text never moves through a join.
   *
   * Training data: [[seed]] — a deterministic in-code multilingual
-  * fixture (32 languages × 6 sentences; 4 train + 2 held-out test per
-  * language), the sandbox stand-in for profiles trained on a labeled
-  * corpus slice. `trainProfiles(docs, labelCol, textCol)` fits the same
-  * model from any labeled table.
+  * fixture (75 languages × 6 sentences; 4 train + 2 held-out test per
+  * language — the breadth analog of the reference's ~100 per-language
+  * model inventory in `languages.py`), the sandbox stand-in for
+  * profiles trained on a labeled corpus slice.
+  * `trainProfiles(docs, labelCol, textCol)` fits the same model from
+  * any labeled table.
   */
 object LangId {
 
@@ -47,6 +49,20 @@ object LangId {
     * BMP-only (Spark substring and DuckDB substr both count codepoints,
     * but surrogate-pair handling is the one place they could drift). */
   val seed: Seq[(String, Seq[String])] = Seq(
+    "afr" -> Seq(
+      "die stelsel lees elke dokument en onttrek die hoofteks",
+      "ons verwerk die data elke dag in die pyplyn",
+      "die enjin skryf die resultate na die tabel",
+      "n goeie filter hou die inhoud en verwyder die geraas",
+      "die pyplyn onttrek die hoofteks uit elke dokument",
+      "ons skryf die resultate elke dag na die tabel"),
+    "amh" -> Seq(
+      "ስርዓቱ እያንዳንዱን ሰነድ ያነባል እና ዋናውን ጽሑፍ ያወጣል",
+      "መረጃውን በየቀኑ በቧንቧ መስመር እናካሂዳለን",
+      "ሞተሩ ውጤቶቹን በሰንጠረዡ ውስጥ ይጽፋል",
+      "ጥሩ ማጣሪያ ይዘቱን ይይዛል እና ጫጫታውን ያስወግዳል",
+      "ቧንቧ መስመሩ ከእያንዳንዱ ሰነድ ጽሑፉን ያወጣል",
+      "ውጤቶቹን በሰንጠረዡ ውስጥ እንጽፋለን"),
     "ara" -> Seq(
       "يقرأ النظام كل وثيقة ويستخرج النص الرئيسي",
       "نعالج البيانات كل يوم في خط الأنابيب",
@@ -54,6 +70,27 @@ object LangId {
       "المرشح الجيد يحفظ المحتوى ويزيل الضوضاء",
       "يستخرج خط الأنابيب النص من كل وثيقة",
       "نكتب النتائج في الجدول"),
+    "aze" -> Seq(
+      "sistem hər sənədi oxuyur və əsas mətni çıxarır",
+      "biz məlumatları hər gün boru xəttində emal edirik",
+      "mühərrik nəticələri cədvələ yazır",
+      "yaxşı filtr məzmunu saxlayır və səs küyünü aradan qaldırır",
+      "boru xətti hər sənəddən mətni çıxarır",
+      "biz nəticələri cədvələ yazırıq"),
+    "bel" -> Seq(
+      "сістэма чытае кожны дакумент і вымае асноўны тэкст",
+      "мы апрацоўваем дадзеныя кожны дзень у канвееры",
+      "рухавік запісвае вынікі ў табліцу",
+      "добры фільтр захоўвае змесціва і прыбірае шум",
+      "канвеер вымае тэкст з кожнага дакумента",
+      "мы запісваем вынікі ў табліцу"),
+    "ben" -> Seq(
+      "সিস্টেম প্রতিটি নথি পড়ে এবং প্রধান পাঠ্য বের করে",
+      "আমরা প্রতিদিন পাইপলাইনে ডেটা প্রক্রিয়া করি",
+      "ইঞ্জিন ফলাফল টেবিলে লেখে",
+      "ভাল ফিল্টার বিষয়বস্তু রাখে এবং শব্দ সরিয়ে দেয়",
+      "পাইপলাইন প্রতিটি নথি থেকে পাঠ্য বের করে",
+      "আমরা ফলাফল টেবিলে লিখি"),
     "bul" -> Seq(
       "системата чете всеки документ и извлича основния текст",
       "обработваме данните всеки ден в тръбопровода",
@@ -61,6 +98,13 @@ object LangId {
       "добър филтър запазва съдържанието и премахва шума",
       "тръбопроводът извлича текста от всеки документ",
       "записваме резултатите в таблицата"),
+    "cat" -> Seq(
+      "el sistema llegeix cada document i extreu el text principal",
+      "processem les dades cada dia al conducte",
+      "el motor escriu els resultats a la taula",
+      "un bon filtre guarda el contingut i elimina el soroll",
+      "el conducte extreu el text de cada document",
+      "escrivim els resultats a la taula cada dia"),
     "ces" -> Seq(
       "systém čte každý dokument a vytahuje hlavní text",
       "zpracováváme data každý den v potrubí",
@@ -68,6 +112,13 @@ object LangId {
       "dobrý filtr zachovává obsah a odstraňuje šum",
       "potrubí vytahuje text z každého dokumentu",
       "čteme a zapisujeme výsledky do tabulky každý den"),
+    "cym" -> Seq(
+      "mae'r system yn darllen pob dogfen ac yn echdynnu'r prif destun",
+      "rydym yn prosesu'r data bob dydd yn y biblinell",
+      "mae'r peiriant yn ysgrifennu'r canlyniadau i'r tabl",
+      "mae hidlydd da yn cadw'r cynnwys ac yn dileu'r sŵn",
+      "mae'r biblinell yn echdynnu'r testun o bob dogfen",
+      "rydym yn ysgrifennu'r canlyniadau i'r tabl bob dydd"),
     "dan" -> Seq(
       "systemet læser hvert dokument og udtrækker hovedteksten",
       "vi behandler data hver dag i rørledningen",
@@ -96,6 +147,13 @@ object LangId {
       "a good filter keeps the content and drops the noise",
       "the pipeline extracts text from every document",
       "we write the results to the data table"),
+    "epo" -> Seq(
+      "la sistemo legas ĉiun dokumenton kaj eltiras la ĉefan tekston",
+      "ni prilaboras la datumojn ĉiutage en la dukto",
+      "la motoro skribas la rezultojn en la tabelon",
+      "bona filtrilo konservas la enhavon kaj forigas la bruon",
+      "la dukto eltiras la tekston el ĉiu dokumento",
+      "ni skribas la rezultojn en la tabelon ĉiutage"),
     "est" -> Seq(
       "süsteem loeb iga dokumendi ja võtab välja põhiteksti",
       "töötleme andmeid iga päev torustikus",
@@ -103,6 +161,13 @@ object LangId {
       "hea filter hoiab sisu ja eemaldab müra",
       "torustik võtab teksti välja igast dokumendist",
       "kirjutame tulemused iga päev tabelisse"),
+    "eus" -> Seq(
+      "sistemak dokumentu bakoitza irakurtzen du eta testu nagusia ateratzen du",
+      "datuak egunero prozesatzen ditugu hodian",
+      "motorrak emaitzak taulan idazten ditu",
+      "iragazki on batek edukia gordetzen du eta zarata kentzen du",
+      "hodiak testua ateratzen du dokumentu bakoitzetik",
+      "emaitzak taulan idazten ditugu egunero"),
     "fas" -> Seq(
       "سیستم هر سند را می خواند و متن اصلی را استخراج می کند",
       "ما داده ها را هر روز در خط لوله پردازش می کنیم",
@@ -124,6 +189,34 @@ object LangId {
       "un bon filtre garde le contenu et supprime le bruit",
       "le pipeline extrait le texte de chaque document",
       "nous écrivons les résultats dans la table"),
+    "gle" -> Seq(
+      "léann an córas gach doiciméad agus baineann sé an príomhthéacs amach",
+      "próiseálaimid na sonraí gach lá sa phíblíne",
+      "scríobhann an t-inneall na torthaí sa tábla",
+      "coinníonn scagaire maith an t-ábhar agus baineann sé an torann",
+      "baineann an phíblíne an téacs as gach doiciméad",
+      "scríobhaimid na torthaí sa tábla gach lá"),
+    "glg" -> Seq(
+      "o sistema le cada documento e saca o texto principal",
+      "procesamos os datos cada xornada na canalización",
+      "o motor escribe os resultados na táboa",
+      "un bo filtro garda o contido e elimina o ruído",
+      "a canalización saca o texto de cada documento",
+      "escribimos os resultados na táboa cada xornada"),
+    "guj" -> Seq(
+      "સિસ્ટમ દરેક દસ્તાવેજ વાંચે છે અને મુખ્ય લખાણ કાઢે છે",
+      "અમે દરરોજ પાઇપલાઇનમાં ડેટા પ્રક્રિયા કરીએ છીએ",
+      "એન્જિન પરિણામો કોષ્ટકમાં લખે છે",
+      "સારું ફિલ્ટર સામગ્રી રાખે છે અને ઘોંઘાટ દૂર કરે છે",
+      "પાઇપલાઇન દરેક દસ્તાવેજમાંથી લખાણ કાઢે છે",
+      "અમે પરિણામો કોષ્ટકમાં લખીએ છીએ"),
+    "hat" -> Seq(
+      "sistèm nan li chak dokiman epi li retire tèks prensipal la",
+      "nou trete done yo chak jou nan kanal la",
+      "motè a ekri rezilta yo nan tablo a",
+      "yon bon filtè kenbe kontni an epi retire bri a",
+      "kanal la retire tèks la nan chak dokiman",
+      "nou ekri rezilta yo nan tablo a chak jou"),
     "heb" -> Seq(
       "המערכת קוראת כל מסמך ומחלצת את הטקסט הראשי",
       "אנחנו מעבדים את הנתונים כל יום בצינור",
@@ -138,6 +231,13 @@ object LangId {
       "अच्छा फ़िल्टर सामग्री रखता है और शोर हटाता है",
       "पाइपलाइन हर दस्तावेज़ से पाठ निकालती है",
       "हम परिणाम तालिका में लिखते हैं"),
+    "hrv" -> Seq(
+      "sustav čita svaki dokument i izvlači glavni tekst",
+      "podatke obrađujemo svaki dan u cjevovodu",
+      "motor zapisuje rezultate u tablicu",
+      "dobar filtar čuva sadržaj i uklanja buku",
+      "cjevovod izvlači tekst iz svakog dokumenta",
+      "rezultate zapisujemo u tablicu svaki dan"),
     "hun" -> Seq(
       "a rendszer minden dokumentumot elolvas és kinyeri a fő szöveget",
       "minden nap feldolgozzuk az adatokat a csővezetékben",
@@ -145,6 +245,13 @@ object LangId {
       "egy jó szűrő megtartja a tartalmat és eltávolítja a zajt",
       "a csővezeték kinyeri a szöveget minden dokumentumból",
       "az eredményeket minden nap a táblába írjuk"),
+    "hye" -> Seq(
+      "համակարգը կարդում է յուրաքանչյուր փաստաթուղթ և հանում է հիմնական տեքստը",
+      "մենք ամեն օր մշակում ենք տվյալները խողովակաշարում",
+      "շարժիչը գրում է արդյունքները աղյուսակում",
+      "լավ զտիչը պահում է բովանդակությունը և հեռացնում է աղմուկը",
+      "խողովակաշարը հանում է տեքստը յուրաքանչյուր փաստաթղթից",
+      "մենք գրում ենք արդյունքները աղյուսակում"),
     "ind" -> Seq(
       "sistem membaca setiap dokumen dan mengekstrak teks utama",
       "kami memproses data setiap hari dalam saluran pipa",
@@ -152,6 +259,13 @@ object LangId {
       "filter yang baik menyimpan konten dan menghapus derau",
       "saluran pipa mengekstrak teks dari setiap dokumen",
       "kami menulis hasil ke dalam tabel setiap hari"),
+    "isl" -> Seq(
+      "kerfið les hvert skjal og dregur út meginmálið",
+      "við vinnum gögnin á hverjum degi í leiðslunni",
+      "vélin skrifar niðurstöðurnar í töfluna",
+      "góð sía heldur innihaldinu og fjarlægir suðið",
+      "leiðslan dregur textann út úr hverju skjali",
+      "við skrifum niðurstöðurnar í töfluna á hverjum degi"),
     "ita" -> Seq(
       "il sistema legge ogni documento ed estrae il testo principale",
       "elaboriamo i dati ogni giorno nella pipeline",
@@ -166,6 +280,34 @@ object LangId {
       "良いフィルタは内容を保持し雑音を取り除く",
       "パイプラインはすべての文書からテキストを抽出する",
       "私たちは結果をテーブルに書き込む"),
+    "kan" -> Seq(
+      "ವ್ಯವಸ್ಥೆ ಪ್ರತಿ ದಾಖಲೆಯನ್ನು ಓದುತ್ತದೆ ಮತ್ತು ಮುಖ್ಯ ಪಠ್ಯವನ್ನು ಹೊರತೆಗೆಯುತ್ತದೆ",
+      "ನಾವು ಪ್ರತಿದಿನ ಕೊಳವೆಯಲ್ಲಿ ದತ್ತಾಂಶವನ್ನು ಸಂಸ್ಕರಿಸುತ್ತೇವೆ",
+      "ಯಂತ್ರವು ಫಲಿತಾಂಶಗಳನ್ನು ಕೋಷ್ಟಕದಲ್ಲಿ ಬರೆಯುತ್ತದೆ",
+      "ಒಳ್ಳೆಯ ಸೋಸುಗವು ವಿಷಯವನ್ನು ಇಡುತ್ತದೆ ಮತ್ತು ಗದ್ದಲವನ್ನು ತೆಗೆಯುತ್ತದೆ",
+      "ಕೊಳವೆಯು ಪ್ರತಿ ದಾಖಲೆಯಿಂದ ಪಠ್ಯವನ್ನು ಹೊರತೆಗೆಯುತ್ತದೆ",
+      "ನಾವು ಫಲಿತಾಂಶಗಳನ್ನು ಕೋಷ್ಟಕದಲ್ಲಿ ಬರೆಯುತ್ತೇವೆ"),
+    "kat" -> Seq(
+      "სისტემა კითხულობს ყველა დოკუმენტს და იღებს მთავარ ტექსტს",
+      "ჩვენ ყოველდღე ვამუშავებთ მონაცემებს მილსადენში",
+      "ძრავა წერს შედეგებს ცხრილში",
+      "კარგი ფილტრი ინახავს შინაარსს და აშორებს ხმაურს",
+      "მილსადენი იღებს ტექსტს ყველა დოკუმენტიდან",
+      "ჩვენ ვწერთ შედეგებს ცხრილში"),
+    "kaz" -> Seq(
+      "жүйе әрбір құжатты оқиды және негізгі мәтінді шығарады",
+      "біз деректерді күн сайын құбырда өңдейміз",
+      "қозғалтқыш нәтижелерді кестеге жазады",
+      "жақсы сүзгі мазмұнды сақтайды және шуды жояды",
+      "құбыр әрбір құжаттан мәтінді шығарады",
+      "біз нәтижелерді кестеге жазамыз"),
+    "khm" -> Seq(
+      "ប្រព័ន្ធអានឯកសារនីមួយៗ ហើយទាញយកអត្ថបទសំខាន់",
+      "យើងដំណើរការទិន្នន័យជារៀងរាល់ថ្ងៃនៅក្នុងបំពង់",
+      "ម៉ាស៊ីនសរសេរលទ្ធផលទៅក្នុងតារាង",
+      "តម្រងល្អរក្សាមាតិកា ហើយដកសំឡេងរំខានចេញ",
+      "បំពង់ទាញយកអត្ថបទពីឯកសារនីមួយៗ",
+      "យើងសរសេរលទ្ធផលទៅក្នុងតារាង"),
     "kor" -> Seq(
       "시스템은 모든 문서를 읽고 주요 텍스트를 추출한다",
       "우리는 매일 파이프라인에서 데이터를 처리한다",
@@ -173,6 +315,83 @@ object LangId {
       "좋은 필터는 내용을 유지하고 소음을 제거한다",
       "파이프라인은 모든 문서에서 텍스트를 추출한다",
       "우리는 결과를 테이블에 기록한다"),
+    "lao" -> Seq(
+      "ລະບົບອ່ານທຸກເອກະສານ ແລະ ດຶງເອົາຂໍ້ຄວາມຫຼັກ",
+      "ພວກເຮົາປະມວນຜົນຂໍ້ມູນທຸກວັນໃນທໍ່ສົ່ງ",
+      "ເຄື່ອງຈັກຂຽນຜົນໄດ້ຮັບລົງໃນຕາຕະລາງ",
+      "ຕົວກອງທີ່ດີຮັກສາເນື້ອຫາ ແລະ ລຶບສຽງລົບກວນ",
+      "ທໍ່ສົ່ງດຶງເອົາຂໍ້ຄວາມຈາກທຸກເອກະສານ",
+      "ພວກເຮົາຂຽນຜົນໄດ້ຮັບລົງໃນຕາຕະລາງ"),
+    "lat" -> Seq(
+      "systema omne documentum legit et textum principalem extrahit",
+      "data cotidie in ductu tractamus",
+      "machina eventus in tabulam scribit",
+      "colum bonum materiam servat et strepitum removet",
+      "ductus textum ex omni documento extrahit",
+      "eventus in tabulam cotidie scribimus"),
+    "lav" -> Seq(
+      "sistēma lasa katru dokumentu un izvelk galveno tekstu",
+      "mēs apstrādājam datus katru dienu cauruļvadā",
+      "dzinējs ieraksta rezultātus tabulā",
+      "labs filtrs saglabā saturu un noņem troksni",
+      "cauruļvads izvelk tekstu no katra dokumenta",
+      "mēs ierakstām rezultātus tabulā katru dienu"),
+    "lit" -> Seq(
+      "sistema skaito kiekvieną dokumentą ir ištraukia pagrindinį tekstą",
+      "mes kasdien apdorojame duomenis vamzdyne",
+      "variklis įrašo rezultatus į lentelę",
+      "geras filtras išsaugo turinį ir pašalina triukšmą",
+      "vamzdynas ištraukia tekstą iš kiekvieno dokumento",
+      "mes įrašome rezultatus į lentelę kasdien"),
+    "mal" -> Seq(
+      "സിസ്റ്റം എല്ലാ രേഖകളും വായിക്കുകയും പ്രധാന വാചകം പുറത്തെടുക്കുകയും ചെയ്യുന്നു",
+      "ഞങ്ങൾ എല്ലാ ദിവസവും കുഴലിൽ ഡാറ്റ സംസ്കരിക്കുന്നു",
+      "യന്ത്രം ഫലങ്ങൾ പട്ടികയിൽ എഴുതുന്നു",
+      "നല്ല അരിപ്പ ഉള്ളടക്കം സൂക്ഷിക്കുകയും ശബ്ദം നീക്കുകയും ചെയ്യുന്നു",
+      "കുഴൽ എല്ലാ രേഖകളിൽ നിന്നും വാചകം പുറത്തെടുക്കുന്നു",
+      "ഞങ്ങൾ ഫലങ്ങൾ പട്ടികയിൽ എഴുതുന്നു"),
+    "mar" -> Seq(
+      "प्रणाली प्रत्येक दस्तऐवज वाचते आणि मुख्य मजकूर काढते",
+      "आम्ही दररोज पाइपलाइनमध्ये डेटावर प्रक्रिया करतो",
+      "इंजिन निकाल तक्त्यात लिहिते",
+      "चांगली गाळणी आशय ठेवते आणि गोंगाट काढून टाकते",
+      "पाइपलाइन प्रत्येक दस्तऐवजातून मजकूर काढते",
+      "आम्ही निकाल तक्त्यात लिहितो"),
+    "mkd" -> Seq(
+      "системот чита секој документ и го вади главниот текст",
+      "ние ги обработуваме податоците секој ден во цевководот",
+      "моторот ги запишува резултатите во табелата",
+      "добар филтер ја чува содржината и ја отстранува бучавата",
+      "цевководот го вади текстот од секој документ",
+      "ние ги запишуваме резултатите во табелата"),
+    "mlt" -> Seq(
+      "is-sistema taqra kull dokument u tislet it-test ewlieni",
+      "aħna nipproċessaw id-data kuljum fil-pajp",
+      "il-magna tikteb ir-riżultati fit-tabella",
+      "filtru tajjeb iżomm il-kontenut u jneħħi l-ħsejjes",
+      "il-pajp jislet it-test minn kull dokument",
+      "aħna niktbu ir-riżultati fit-tabella kuljum"),
+    "mon" -> Seq(
+      "систем баримт бүрийг уншиж үндсэн текстийг гаргаж авдаг",
+      "бид өдөр бүр дамжуулах хоолойд өгөгдлийг боловсруулдаг",
+      "хөдөлгүүр үр дүнг хүснэгтэд бичдэг",
+      "сайн шүүлтүүр агуулгыг хадгалж шуугианыг арилгадаг",
+      "дамжуулах хоолой баримт бүрээс текстийг гаргаж авдаг",
+      "бид үр дүнг хүснэгтэд бичдэг"),
+    "mya" -> Seq(
+      "စနစ်သည် စာရွက်စာတမ်းတိုင်းကို ဖတ်ပြီး အဓိက စာသားကို ထုတ်ယူသည်",
+      "ကျွန်ုပ်တို့သည် နေ့တိုင်း ပိုက်လိုင်းတွင် ဒေတာကို လုပ်ဆောင်သည်",
+      "အင်ဂျင်သည် ရလဒ်များကို ဇယားတွင် ရေးသည်",
+      "ကောင်းသော စစ်ထုတ်ကိရိယာသည် အကြောင်းအရာကို ထိန်းသိမ်းပြီး ဆူညံသံကို ဖယ်ရှားသည်",
+      "ပိုက်လိုင်းသည် စာရွက်စာတမ်းတိုင်းမှ စာသားကို ထုတ်ယူသည်",
+      "ကျွန်ုပ်တို့သည် ရလဒ်များကို ဇယားတွင် ရေးကြသည်"),
+    "nep" -> Seq(
+      "प्रणालीले हरेक कागजात पढ्छ र मुख्य पाठ निकाल्छ",
+      "हामी हरेक दिन पाइपलाइनमा डाटा प्रशोधन गर्छौं",
+      "इन्जिनले नतिजाहरू तालिकामा लेख्छ",
+      "राम्रो फिल्टरले सामग्री राख्छ र हल्ला हटाउँछ",
+      "पाइपलाइनले हरेक कागजातबाट पाठ निकाल्छ",
+      "हामी नतिजाहरू तालिकामा लेख्छौं"),
     "nld" -> Seq(
       "het systeem leest elk document en haalt de hoofdtekst eruit",
       "wij verwerken de gegevens elke dag in de pijplijn",
@@ -187,6 +406,13 @@ object LangId {
       "et godt filter beholder innholdet og fjerner støyen",
       "rørledningen trekker ut hovedteksten fra hvert dokument",
       "motoren trekker ut teksten og skriver resultatene til tabellen"),
+    "pan" -> Seq(
+      "ਸਿਸਟਮ ਹਰ ਦਸਤਾਵੇਜ਼ ਪੜ੍ਹਦਾ ਹੈ ਅਤੇ ਮੁੱਖ ਲਿਖਤ ਕੱਢਦਾ ਹੈ",
+      "ਅਸੀਂ ਹਰ ਰੋਜ਼ ਪਾਈਪਲਾਈਨ ਵਿੱਚ ਡਾਟਾ ਪ੍ਰਕਿਰਿਆ ਕਰਦੇ ਹਾਂ",
+      "ਇੰਜਣ ਨਤੀਜੇ ਸਾਰਣੀ ਵਿੱਚ ਲਿਖਦਾ ਹੈ",
+      "ਚੰਗਾ ਫਿਲਟਰ ਸਮੱਗਰੀ ਰੱਖਦਾ ਹੈ ਅਤੇ ਰੌਲਾ ਹਟਾਉਂਦਾ ਹੈ",
+      "ਪਾਈਪਲਾਈਨ ਹਰ ਦਸਤਾਵੇਜ਼ ਤੋਂ ਲਿਖਤ ਕੱਢਦੀ ਹੈ",
+      "ਅਸੀਂ ਨਤੀਜੇ ਸਾਰਣੀ ਵਿੱਚ ਲਿਖਦੇ ਹਾਂ"),
     "pol" -> Seq(
       "system czyta każdy dokument i wydobywa główny tekst",
       "przetwarzamy dane codziennie w potoku",
@@ -215,6 +441,13 @@ object LangId {
       "хороший фильтр сохраняет содержимое и убирает шум",
       "конвейер извлекает текст из каждого документа",
       "мы записываем результаты в таблицу"),
+    "sin" -> Seq(
+      "පද්ධතිය සෑම ලේඛනයක්ම කියවයි සහ මුල් පාඨය ගනී",
+      "අපි සෑම දිනකම නළය තුළ දත්ත සකසමු",
+      "එන්ජිම ලකුණු වගුවේ ලියයි",
+      "හොඳ පෙරහනක් අන්තර්ගතය තබා ගනී සහ ශබ්දය ඉවත් කරයි",
+      "නළය සෑම ලේඛනයකින්ම පාඨය ගනී",
+      "අපි ලකුණු වගුවේ ලියමු"),
     "slk" -> Seq(
       "systém číta každý dokument a vyťahuje hlavný text",
       "spracovávame údaje každý deň v potrubí",
@@ -222,6 +455,13 @@ object LangId {
       "dobrý filter zachováva obsah a odstraňuje šum",
       "potrubie vyťahuje hlavný text a spracovávame údaje z každého dokumentu",
       "čítame a zapisujeme výsledky do tabuľky každý deň"),
+    "slv" -> Seq(
+      "sistem prebere vsak dokument in izvleče glavno besedilo",
+      "podatke obdelujemo vsak dan v cevovodu",
+      "motor zapiše rezultate v tabelo",
+      "dober filter ohrani vsebino in odstrani hrup",
+      "cevovod izvleče besedilo iz vsakega dokumenta",
+      "rezultate zapišemo v tabelo vsak dan"),
     "spa" -> Seq(
       "el sistema lee cada documento y extrae el texto principal",
       "procesamos los datos cada día en la tubería",
@@ -229,6 +469,27 @@ object LangId {
       "un buen filtro guarda el contenido y elimina el ruido",
       "la tubería extrae el texto de cada documento",
       "escribimos los resultados en la tabla cada día"),
+    "sqi" -> Seq(
+      "sistemi lexon çdo dokument dhe nxjerr tekstin kryesor",
+      "ne i përpunojmë të dhënat çdo ditë në tubacion",
+      "motori i shkruan rezultatet në tabelë",
+      "një filtër i mirë e ruan përmbajtjen dhe e heq zhurmën",
+      "tubacioni e nxjerr tekstin nga çdo dokument",
+      "ne i shkruajmë rezultatet në tabelë çdo ditë"),
+    "srp" -> Seq(
+      "систем чита сваки документ и извлачи главни текст",
+      "податке обрађујемо сваког дана у цевоводу",
+      "мотор записује резултате у табелу",
+      "добар филтер чува садржај и уклања буку",
+      "цевовод извлачи текст из сваког документа",
+      "резултате записујемо у табелу сваког дана"),
+    "swa" -> Seq(
+      "mfumo unasoma kila hati na kutoa maandishi makuu",
+      "tunachakata data kila siku katika bomba",
+      "injini inaandika matokeo kwenye jedwali",
+      "kichujio kizuri kinahifadhi maudhui na kuondoa kelele",
+      "bomba hutoa maandishi kutoka kila hati",
+      "tunaandika matokeo kwenye jedwali kila siku"),
     "swe" -> Seq(
       "systemet läser varje dokument och extraherar huvudtexten",
       "vi behandlar data varje dag i pipelinen",
@@ -236,6 +497,27 @@ object LangId {
       "ett bra filter behåller innehållet och tar bort bruset",
       "pipelinen extraherar texten från varje dokument",
       "vi skriver resultaten till tabellen varje dag"),
+    "tam" -> Seq(
+      "அமைப்பு ஒவ்வொரு ஆவணத்தையும் படித்து முக்கிய உரையை எடுக்கிறது",
+      "நாங்கள் தினமும் குழாயில் தரவை செயலாக்குகிறோம்",
+      "இயந்திரம் முடிவுகளை அட்டவணையில் எழுதுகிறது",
+      "நல்ல வடிகட்டி உள்ளடக்கத்தை வைத்து சத்தத்தை நீக்குகிறது",
+      "குழாய் ஒவ்வொரு ஆவணத்திலிருந்தும் உரையை எடுக்கிறது",
+      "நாங்கள் முடிவுகளை அட்டவணையில் எழுதுகிறோம்"),
+    "tel" -> Seq(
+      "వ్యవస్థ ప్రతి పత్రాన్ని చదివి ముఖ్య పాఠాన్ని తీస్తుంది",
+      "మేము ప్రతిరోజూ గొట్టంలో డేటాను ప్రాసెస్ చేస్తాము",
+      "యంత్రం ఫలితాలను పట్టికలో రాస్తుంది",
+      "మంచి వడపోత విషయాన్ని ఉంచి శబ్దాన్ని తొలగిస్తుంది",
+      "గొట్టం ప్రతి పత్రం నుండి పాఠాన్ని తీస్తుంది",
+      "మేము ఫలితాలను పట్టికలో రాస్తాము"),
+    "tgl" -> Seq(
+      "binabasa ng sistema ang bawat dokumento at kinukuha ang pangunahing teksto",
+      "pinoproseso namin ang datos araw araw sa tubo",
+      "isinusulat ng makina ang mga resulta sa talahanayan",
+      "iniingatan ng mabuting salaan ang nilalaman at inaalis ang ingay",
+      "kinukuha ng tubo ang teksto mula sa bawat dokumento",
+      "isinusulat namin ang mga resulta sa talahanayan araw araw"),
     "tha" -> Seq(
       "ระบบอ่านเอกสารทุกฉบับและดึงข้อความหลักออกมา",
       "เราประมวลผลข้อมูลทุกวันในท่อส่ง",
@@ -257,6 +539,20 @@ object LangId {
       "хороший фільтр зберігає вміст і прибирає шум",
       "конвеєр витягує текст з кожного документа",
       "ми записуємо результати в таблицю щодня"),
+    "urd" -> Seq(
+      "نظام ہر دستاویز پڑھتا ہے اور مرکزی متن نکالتا ہے",
+      "ہم ہر روز پائپ لائن میں ڈیٹا پر کام کرتے ہیں",
+      "انجن نتائج جدول میں لکھتا ہے",
+      "اچھا فلٹر مواد رکھتا ہے اور شور ہٹاتا ہے",
+      "پائپ لائن ہر دستاویز سے متن نکالتی ہے",
+      "ہم نتائج جدول میں لکھتے ہیں"),
+    "uzb" -> Seq(
+      "tizim har bir hujjatni o'qiydi va asosiy matnni ajratib oladi",
+      "biz ma'lumotlarni har kuni quvurda qayta ishlaymiz",
+      "dvigatel natijalarni jadvalga yozadi",
+      "yaxshi filtr mazmunni saqlaydi va shovqinni olib tashlaydi",
+      "quvur har bir hujjatdan matnni ajratib oladi",
+      "biz natijalarni jadvalga yozamiz"),
     "vie" -> Seq(
       "hệ thống đọc mọi tài liệu và trích xuất văn bản chính",
       "chúng tôi xử lý dữ liệu mỗi ngày trong đường ống",
@@ -264,6 +560,13 @@ object LangId {
       "bộ lọc tốt giữ nội dung và loại bỏ tiếng ồn",
       "đường ống trích xuất văn bản từ mọi tài liệu",
       "chúng tôi ghi kết quả vào bảng mỗi ngày"),
+    "yid" -> Seq(
+      "די סיסטעם לייענט יעדן דאקומענט און ציט ארויס דעם הויפט טעקסט",
+      "מיר באארבעטן די דאטן יעדן טאג אין דער רער",
+      "דער מאטאר שרייבט די רעזולטאטן אין דער טאבעלע",
+      "א גוטער פילטער האלט דעם אינהאלט און נעמט אוועק דעם ליארעם",
+      "די רער ציט ארויס דעם טעקסט פון יעדן דאקומענט",
+      "מיר שרייבן די רעזולטאטן אין דער טאבעלע"),
     "zho" -> Seq(
       "系统读取每个文档并提取主要文本",
       "我们每天在管道中处理数据",

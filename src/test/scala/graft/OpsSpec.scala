@@ -17,14 +17,15 @@ class OpsSpec extends AnyFunSuite {
     assert(TextStats.langId("") == "und")
   }
 
-  test("langid profile: trigram rank profiles classify 32 held-out languages") {
+  test("langid profile: trigram rank profiles classify 75 held-out languages") {
     import graft.ops.LangId
+    val nLangs = LangId.seed.length
     val profiles = LangId.trainProfiles(LangId.trainDf(spark), "lang", "text")
     // exactly topK-capped profile per language, ranks contiguous from 1
     val sizes = profiles.groupBy("lang")
       .agg(count(lit(1)).as("n"), min("prank").as("lo"), max("prank").as("hi"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
-    assert(sizes.length == 32)
+    assert(sizes.length == nLangs)
     sizes.foreach { case (l, n, lo, hi) =>
       assert(lo == 1 && hi == n && n <= LangId.topK, s"profile shape off for $l")
     }
@@ -32,12 +33,13 @@ class OpsSpec extends AnyFunSuite {
     val out = LangId.classify(test, "sample_id", "text", profiles)
       .join(test.select("sample_id", "true_lang"), Seq("sample_id"))
       .select("sample_id", "true_lang", "pred_lang").collect()
-    assert(out.length == 64) // 32 languages × 2 held-out sentences
+    assert(out.length == 2 * nLangs) // 2 held-out sentences per language
     val wrong = out.filter(r => r.getString(1) != r.getString(2))
       .map(r => (r.getString(0), r.getString(2)))
     // the linguistic claim, not just the plumbing: every held-out
     // sentence resolves to its own language — including the close pairs
-    // (dan/nor, ces/slk, rus/ukr/bul, spa/por/ita)
+    // (dan/nor, ces/slk, rus/ukr/bul/bel/mkd/srp, spa/por/ita/cat/glg,
+    // hin/mar/nep, nld/afr, hrv/slv, tur/aze, ara/fas/urd, heb/yid)
     assert(wrong.isEmpty, s"misclassified: ${wrong.toSeq}")
     // no-evidence rows (shorter than one trigram) classify as und
     import spark.implicits._
@@ -58,7 +60,8 @@ class OpsSpec extends AnyFunSuite {
     // '@#$%&' → 3 distinct grams, none in any profile → dist = 3·topK
     val nomatch = Seq((1L, "@#$%&")).toDF("doc_id", "text")
     val nm = LangId.classify(nomatch, "doc_id", "text", profiles).collect()(0)
-    assert(nm.getString(1) == "ara" && nm.getLong(2) == 3L * LangId.topK,
+    val firstLang = LangId.seed.map(_._1).min
+    assert(nm.getString(1) == firstLang && nm.getLong(2) == 3L * LangId.topK,
       nm.toString)
   }
 
@@ -467,6 +470,58 @@ class OpsSpec extends AnyFunSuite {
       r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
     assert(rows(Dedup.substringRunsRolling(df, "doc_id", "text", 40)) ==
       rows(Dedup.substringRuns(df, "doc_id", "text", 40)))
+  }
+
+  test("dedup substrings keep-first: owner copy kept, later copies run") {
+    import spark.implicits._
+    // 60 chars, all distinct — APERIODIC on purpose: a periodic block
+    // (e.g. "0123456789"*6) carries duplicated 40-grams WITHIN each
+    // copy, so even the owner doc would emit runs for its later
+    // periodic offsets (correct keep-first behavior, wrong fixture for
+    // pinning cross-doc ownership)
+    val shared =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ01234567"
+    val d1 = "AAAA unique prefix oneX" + shared + "Yunique suffix alpha zzz"
+    val d2 = "BB other start twoP" + shared + "Qdifferent ending beta qqq"
+    val d3 = "completely disjoint text with no forty-char overlap at all " +
+      "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ!"
+    // doc 4: the SAME 60-char block twice within one doc (flanked by
+    // distinct chars) — the first occurrence is the owner, the second
+    // must emit a run
+    val d4 = "M" + shared + "N middle filler text here W" + shared + "V"
+    val d5 = "CC third copy lateR" + shared + "Sclosing remark gamma vvv"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+    val runs = Dedup.substringRunsKeepFirst(df, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s2 = d2.indexOf(shared) + 1
+    val s4b = d4.lastIndexOf(shared) + 1
+    val s5 = d5.indexOf(shared) + 1
+    // doc 1 owns every gram family (lowest doc_id): kept verbatim, no
+    // run; docs 2 and 5 lose their whole copy; doc 4's SECOND in-doc
+    // occurrence runs while its first survives as... doc 1 is still the
+    // owner of those families, so BOTH d4 occurrences run
+    val s4a = d4.indexOf(shared) + 1
+    assert(runs == Set(
+      (2L, s2.toLong, (s2 + 59).toLong),
+      (4L, s4a.toLong, (s4a + 59).toLong),
+      (4L, s4b.toLong, (s4b + 59).toLong),
+      (5L, s5.toLong, (s5 + 59).toLong)), runs.toString)
+    // drop doc 1: ownership moves to the next-lowest doc_id (doc 2),
+    // which now keeps its copy while docs 4 (both) and 5 run
+    val runs2 = Dedup.substringRunsKeepFirst(
+        df.filter($"doc_id" =!= 1L), "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(runs2 == Set(
+      (4L, s4a.toLong, (s4a + 59).toLong),
+      (4L, s4b.toLong, (s4b + 59).toLong),
+      (5L, s5.toLong, (s5 + 59).toLong)), runs2.toString)
+    // doc 4 alone: the in-doc FIRST occurrence is the owner — only the
+    // second occurrence runs (keep-first within a single document)
+    val runs3 = Dedup.substringRunsKeepFirst(
+        df.filter($"doc_id" === 4L), "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(runs3 == Set((4L, s4b.toLong, (s4b + 59).toLong)), runs3.toString)
   }
 
   test("dedup substrings clean: duplicated runs cut, gaps stitched exactly") {
