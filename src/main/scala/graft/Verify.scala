@@ -50,9 +50,24 @@ object Verify {
         e.printStackTrace()
       }
     }
+    // Output-conformance stage (the verapdf-validation analog): assert
+    // the structural invariants of the extraction output table — closed
+    // outcome vocabulary, lang/dir enums, span bounds/ordering, NFKC
+    // idempotence. Runs on full sweeps only (query-subset runs are dev
+    // iteration loops).
+    if (only.isEmpty) {
+      val out = graft.spark.Jobs.extract(
+        graft.spark.Jobs.syntheticPages(spark, SparkEntry.verifyN), 32).toDF()
+      val (rows, nBad, sample) = graft.spark.OutputValidator.audit(out)
+      println(s"[verify] output invariants: $nBad violations over $rows rows")
+      if (nBad > 0) {
+        failed += 1
+        sample.foreach(s => System.err.println(s"[verify] INVARIANT $s"))
+      }
+    }
     if (failed > 0)
-      System.err.println(s"[verify] $failed quer${
-        if (failed == 1) "y" else "ies"} FAILED (outputs removed)")
+      System.err.println(s"[verify] $failed stage${
+        if (failed == 1) "" else "s"} FAILED (outputs removed)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -208,7 +208,7 @@ object Dedup {
     * matrix; the projection is the same sequential double fold as the
     * cosine math (bit-identical across engines).
     *
-    * 100 TB shape: the plane matrix is a tiny literal (model) folded in a
+    * 100 TB shape: the plane matrix is a broadcast model applied in a
     * narrow projection — zero-shuffle signatures; the banded self-join
     * shuffles (band, id, vec) rows. bandBits = planes/bands bounds bucket
     * count at 2^bandBits per band: GROW `planes` with corpus size (256
@@ -231,19 +231,46 @@ object Dedup {
             s"${r.getInt(0)} elements — pass dims explicitly")
       }
     val bandBits = planes / bands
-    val planeMat: Seq[Seq[Double]] = (0 until planes).map { p =>
-      (0 until dims).map { d =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    // plane matrix as a BROADCAST variable, not a typedLit: at the
+    // documented scale path (planes 256 × dims up to 4k) a literal is a
+    // multi-MB expression tree serialized into every task's plan — the
+    // broadcast ships once per executor and the plan carries only the
+    // closure reference. Flat row-major Array[Double] for a tight
+    // per-row loop.
+    val planeFlat = new Array[Double](planes * dims)
+    for (p <- 0 until planes; d <- 0 until dims) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      planeFlat(p * dims + d) = if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+    val bcPlanes = emb.sparkSession.sparkContext.broadcast(planeFlat)
+    val (nP, nD) = (planes, dims)
+    // bit p = sign of the SEQUENTIAL left-fold sum over d of c_pd·v_d —
+    // the exact fold order of the previous literal form
+    // aggregate(zip_with(cs, v, c·x), 0.0, +), so signatures (and the
+    // DuckDB oracle replaying the same algebra) are bit-identical. A
+    // null vector or null element yields all-zero bits, matching
+    // when(null >= 0).otherwise(0); NaN sums likewise sign to 0.
+    val bitsUdf = udf { (v: Seq[java.lang.Double]) =>
+      if (v == null || v.exists(_ == null)) Seq.fill(nP)(0)
+      else {
+        val m = bcPlanes.value
+        val out = new Array[Int](nP)
+        var p = 0
+        while (p < nP) {
+          var acc = 0.0
+          val off = p * nD
+          var d = 0
+          while (d < nD) { acc += m(off + d) * v(d); d += 1 }
+          out(p) = if (acc >= 0) 1 else 0
+          p += 1
+        }
+        out.toSeq
       }
     }
-    val planesLit = typedLit(planeMat)
     val sig = emb
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bits", transform(planesLit, cs =>
-        when(aggregate(zip_with(cs, col("v"), (c, x) => c * x.cast("double")),
-          lit(0.0), (acc, t) => acc + t) >= 0, 1).otherwise(0)))
+      .withColumn("bits", bitsUdf(col("v").cast("array<double>")))
     val banded = sig.select(col("id"), col("v"), col("bits"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), k -> aggregate(sequence(0, ${bandBits - 1}), 0, (acc, j) -> acc + element_at(bits, k*$bandBits + j + 1) * shiftleft(1, j)))")))

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
 trait TableIO {
   def readPages(spark: SparkSession, table: String): DataFrame
   def writeExtracted(df: DataFrame, table: String, buckets: Int): Unit
+
+  /** Dynamic-partition overwrite — Iceberg's `overwritePartitions()`
+    * semantics: ONLY the buckets present in `df` are replaced; rows in
+    * untouched buckets survive. The idempotent-reprocess primitive: a
+    * re-run of one corpus slice replaces exactly its own buckets. */
+  def overwriteExtracted(df: DataFrame, table: String, buckets: Int): Unit
   def writeMetrics(df: DataFrame, table: String): Unit
 }
 
@@ -26,14 +32,29 @@ final class ParquetTableIO(root: String) extends TableIO {
     spark.read.parquet(path(table))
 
   def writeExtracted(df: DataFrame, table: String, buckets: Int): Unit =
-    df.withColumn("bucket",
-        pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
-      .repartition(col("bucket"))
+    bucketed(df, buckets)
       .write
       .partitionBy("bucket")
       .option("compression", "zstd")
       .mode("append")
       .parquet(path(table))
+
+  def overwriteExtracted(df: DataFrame, table: String, buckets: Int): Unit =
+    bucketed(df, buckets)
+      .write
+      .partitionBy("bucket")
+      .option("compression", "zstd")
+      // dynamic mode scopes the overwrite to the partitions present in
+      // df (static mode would truncate the whole table) — the parquet
+      // spelling of Iceberg's overwritePartitions()
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path(table))
+
+  private def bucketed(df: DataFrame, buckets: Int): DataFrame =
+    df.withColumn("bucket",
+        pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .repartition(col("bucket"))
 
   def writeMetrics(df: DataFrame, table: String): Unit =
     df.write.option("compression", "zstd").mode("append").parquet(path(table))

@@ -745,6 +745,21 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(0)._1 == 1L && pairs(0)._2 == 2L && pairs(0)._3 > 0.99)
   }
 
+  test("dedup embed-cosine: plane matrix broadcast, not a plan literal") {
+    import spark.implicits._
+    // at planes=256 × dims=64 a typedLit matrix would serialize 16k
+    // doubles (~hundreds of KB rendered) into the analyzed plan; the
+    // broadcast form must keep the plan compact and literal-free
+    val df = Seq((1L, Array.tabulate(64)(d => math.sin(d * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Dedup.embeddingCosineLsh(df, "vec_id", "embedding",
+        planes = 256, bands = 16)
+      .queryExecution.analyzed.toString
+    assert(plan.length < 50000, s"plan blew up: ${plan.length} chars")
+    assert(!plan.contains("1.0, -1.0") && !plan.contains("-1.0, 1.0"),
+      "plane literal leaked into the plan")
+  }
+
   test("dedup clusters: connected components resolve to per-component min id") {
     import spark.implicits._
     // a 5-chain (tests multi-round propagation), a pair, and a triangle

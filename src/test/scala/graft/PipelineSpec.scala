@@ -43,6 +43,117 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  /** TableIO conformance suite — pins the trait semantics any
+    * implementation (incl. the eventual Iceberg swap-in) must satisfy:
+    * append accumulates, read-back preserves written values plus the
+    * bucket partition column, dynamic overwrite replaces ONLY the
+    * buckets present in the new frame, metrics append. Generic over the
+    * trait so an IcebergTableIO runs the identical assertions. */
+  private def tableIOContract(io: graft.spark.TableIO, root: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val buckets = 4
+    def bucketOf(url: String): Int =
+      Seq(url).toDF("url")
+        .select(pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+        .head.getInt(0)
+    // urls spanning ≥2 buckets, discovered against the same hash the
+    // writer uses (never assume the hash→bucket map)
+    val urls = (0 until 32).map(i => s"https://h$i.example.com/p$i")
+    val byBucket = urls.groupBy(bucketOf)
+    assert(byBucket.size >= 2, s"fixture degenerate: $byBucket")
+    val (bA, bB) = { val ks = byBucket.keys.toSeq.sorted; (ks(0), ks(1)) }
+    val gen1 = (byBucket(bA).take(2) ++ byBucket(bB).take(2))
+      .map(u => (u, s"text-of-$u")).toDF("url", "text")
+
+    // 1. write + read-back: values round-trip; schema = written columns
+    //    plus the bucket partition column
+    io.writeExtracted(gen1, "t_contract", buckets)
+    val r1 = io.readPages(spark, "t_contract")
+    assert(r1.columns.toSet == Set("url", "text", "bucket"))
+    assert(r1.select("url", "text").collect().map(r =>
+        (r.getString(0), r.getString(1))).toSet ==
+      gen1.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    // bucket column agrees with the writer's hash
+    r1.select("url", "bucket").collect().foreach { r =>
+      assert(r.getInt(1) == bucketOf(r.getString(0)), r.toString)
+    }
+
+    // 2. append accumulates (no clobber)
+    val gen2 = byBucket(bA).slice(2, 3).map(u => (u, s"text-of-$u"))
+      .toDF("url", "text")
+    io.writeExtracted(gen2, "t_contract", buckets)
+    assert(io.readPages(spark, "t_contract").count() == 5)
+
+    // 3. dynamic overwrite: bucket bA fully replaced by the new frame;
+    //    bucket bB untouched
+    val gen3 = byBucket(bA).take(1).map(u => (u, "REWRITTEN"))
+      .toDF("url", "text")
+    io.overwriteExtracted(gen3, "t_contract", buckets)
+    val r3 = io.readPages(spark, "t_contract")
+      .select("url", "text", "bucket").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val inA = r3.filter(_._3 == bA)
+    assert(inA.length == 1 && inA(0)._2 == "REWRITTEN", inA.mkString(","))
+    assert(r3.count(_._3 == bB) == 2, r3.mkString(","))
+
+    // 4. metrics sink: append semantics, schema preserved
+    io.writeMetrics(Seq((1L, "ok")).toDF("n", "k"), "t_metrics")
+    io.writeMetrics(Seq((2L, "ok")).toDF("n", "k"), "t_metrics")
+    val m = spark.read.parquet(s"$root/t_metrics")
+    assert(m.columns.toSet == Set("n", "k") && m.count() == 2)
+  }
+
+  test("TableIO contract: parquet impl satisfies the seam semantics") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tableio").toString
+    try tableIOContract(new graft.spark.ParquetTableIO(root), root)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("output validator: real output conforms; seeded corruptions fire") {
+    import spark.implicits._
+    import graft.spark.OutputValidator
+    import graft.model.Span
+    val out = Jobs.extract(Jobs.syntheticPages(spark, 200), 16).toDF()
+    // the live pipeline output must be invariant-clean
+    assert(OutputValidator.violations(out).count() == 0)
+    // seeded corruption: each row violates exactly one named invariant
+    val bad = Seq(
+      // outcome outside the closed vocabulary
+      ("u1", "ok text", Seq.empty[Span], "oops:wat", "und", "ltr"),
+      // dir outside {ltr, rtl}
+      ("u2", "ok text", Seq.empty[Span], "ok", "und", "auto"),
+      // lang not a 2-3-letter lowercase code
+      ("u3", "ok text", Seq.empty[Span], "ok", "English", "ltr"),
+      // span end past the UTF-16 length (astral char: len16=2, cp len=1
+      // — an end of 3 is out of bounds in UTF-16 units)
+      ("u4", "ab", Seq(Span(0, 5, "p", "/p")), "ok", "und", "ltr"),
+      // overlapping spans
+      ("u5", "abcdefgh", Seq(Span(0, 5, "p", "/p"), Span(3, 8, "p", "/p")),
+        "ok", "und", "ltr"),
+      // NFKC-unstable text (U+FB01 LATIN SMALL LIGATURE FI → "fi")
+      ("u6", "ﬁle", Seq.empty[Span], "ok", "und", "ltr"))
+      .toDF("url", "text", "spans", "outcome", "lang", "dir")
+    val got = OutputValidator.violations(bad).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("u1", "outcome_vocab"), ("u2", "dir_enum"), ("u3", "lang_enum"),
+      ("u4", "span_bounds"), ("u5", "span_order"),
+      ("u6", "nfkc_idempotent")), got.toString)
+    // UTF-16 bound is the right yardstick: an astral-bearing text of 1
+    // codepoint but 2 UTF-16 units accepts end=2 (in bounds) — length()
+    // semantics would wrongly flag it
+    val astral = Seq(("u7", "😀", Seq(Span(0, 2, "p", "/p")),
+      "ok", "und", "ltr")).toDF("url", "text", "spans", "outcome", "lang", "dir")
+    assert(OutputValidator.violations(astral).count() == 0)
+  }
+
   test("determinism: different partition counts produce identical tables") {
     val a = Jobs.extract(Jobs.syntheticPages(spark, 120, parallelism = 2), 3)
       .collect().sortBy(_.url).map(r => (r.url, r.text, r.outcome)).toSeq

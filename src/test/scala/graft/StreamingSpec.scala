@@ -201,6 +201,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("url").distinct().count() == 50)
   }
 
+  test("streaming: stateful passage-dedup state survives checkpoint restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_state").toString
+    def startQ(in: String, out: String, ck: String) =
+      StreamJobs.streamingPassageDedup(
+          spark.readStream.schema("_1 LONG, _2 STRING").parquet(in)
+            .as[(Long, String)], windowWords = 4)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+    val b1 = Seq((5L, "p q r s a b c d"), (2L, "x x x x p q r s"))
+    val b2 = Seq((9L, "p q r s"), (7L, "a b c d a b c d"))
+    def feed(in: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(in)
+
+    // killed-and-restarted run: q1 stops (the "kill") between batches;
+    // q2 resumes from the same checkpoint dir
+    val inA = s"$base/in_a"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inA))
+    feed(inA, b1)
+    val q1 = startQ(inA, s"$base/out_a", s"$base/ck_a")
+    q1.processAllAvailable(); q1.stop()
+    feed(inA, b2)
+    val q2 = startQ(inA, s"$base/out_a", s"$base/ck_a")
+    q2.processAllAvailable(); q2.stop()
+
+    // uninterrupted twin: same two micro-batches, one query lifetime
+    val inB = s"$base/in_b"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inB))
+    feed(inB, b1)
+    val qU = startQ(inB, s"$base/out_b", s"$base/ck_b")
+    qU.processAllAvailable()
+    feed(inB, b2)
+    qU.processAllAvailable(); qU.stop()
+
+    def rows(out: String) = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    val restarted = rows(s"$base/out_a")
+    assert(restarted == rows(s"$base/out_b"),
+      "restarted output diverged from the uninterrupted run")
+    // state carried over the restart: doc 9's batch-2 sighting of
+    // "p q r s" bumps the PRE-KILL owner (doc 2, pos 1) to dups=2 — a
+    // lost state store would re-own it to (9, 0) with dups=0
+    assert(restarted.exists(r => r._2 == 2L && r._3 == 1 && r._4 == 2L),
+      restarted.toString)
+    assert(!restarted.exists(_._2 == 9L), restarted.toString)
+  }
+
   test("streaming security: adversarial watch-dir configurations rejected") {
     import java.nio.file.{Files, Paths}
     import graft.streaming.StreamSecurity.validateWatchDirs
