@@ -1,30 +1,42 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
 import graft.spark.Jobs
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scaling-efficiency evidence for the north rule: the same extraction
-  * job, same input, at two parallelism levels (N=8 vs 4N=32 concurrent
-  * single-core tasks — the sandbox stand-in for N vs 4N executors).
+  * job, same input, at two parallelism levels (N=8 vs 4N=32 task slots
+  * — the sandbox stand-in for N vs 4N executors).
   *
-  * Protocol (designed for a noisy, SMT-confounded shared host):
-  *  - one JVM, one local[32] SparkSession (scheduler can run 32 tasks);
-  *  - parallelism level = number of partitions of the job (8 partitions ⇒
-  *    exactly 8 concurrent tasks ⇒ "8 executors"), which keeps JIT state,
-  *    GC config and memory layout identical across levels — the only
-  *    variable is task parallelism, as on a real cluster resize;
+  * Protocol (r5, slot-based — designed for a noisy, SMT-confounded
+  * shared host):
+  *  - a parallelism level is a number of task SLOTS, not a partition
+  *    count: local[32] with `spark.task.cpus=4` schedules exactly 8
+  *    concurrent tasks; `spark.task.cpus=1` schedules 32. The job keeps
+  *    128 partitions at BOTH levels, so each slot drains many task
+  *    waves — exactly how an executor drains a real job. (The previous
+  *    concurrency=partitions emulation ran ONE wave per level, so any
+  *    straggler idled the whole pool and the measured "scaling gap" was
+  *    dominated by tail artifacts — profiled in
+  *    BENCH/profile_scaling_r05.md: single-wave 0.46–0.57 raw vs
+  *    multi-wave 0.76 raw in the same windows.)
+  *  - one JVM for the whole run (JIT state shared); each pass gets a
+  *    fresh SparkContext because `spark.task.cpus` is fixed at context
+  *    creation — context start/stop is ~1 s in local mode and carries
+  *    no executor JVM churn;
   *  - 2 full warm passes (C2 convergence), then 5 complete trials; each
-  *    trial runs spin-loop calibration AND the 8-task AND 32-task jobs
+  *    trial runs spin-loop calibration AND the 8-slot AND 32-slot jobs
   *    back-to-back, so every trial carries its own same-window hardware
-  *    ceiling (8→32 tasks on this box speed up only ~3× for ANY pure-CPU
-  *    job: SMT-paired cores + single-core turbo inflate the 8-task runs;
-  *    a real N→4N executor resize adds whole nodes and has no such
-  *    confound);
-  *  - CONTRACT: median calibrated efficiency (raw pair efficiency ÷ that
-  *    trial's same-window hardware ceiling) ≥ 0.8 — median, not best-of,
-  *    so one lucky window can't carry the headline; raw values are all
-  *    tabulated alongside;
+  *    ceiling (8→32 threads on this box speed up only ~3× for ANY
+  *    pure-CPU job: SMT-paired cores + single-core turbo inflate the
+  *    8-thread runs; a real N→4N executor resize adds whole nodes and
+  *    has no such confound);
+  *  - CONTRACT: median calibrated efficiency (raw pair efficiency ÷
+  *    that trial's same-window hardware ceiling) ≥ 0.8 — median, not
+  *    best-of, so one lucky window can't carry the headline; raw values
+  *    are all tabulated alongside;
   *  - determinism check: order-independent content checksum must match
   *    across every pass at both levels.
   *
@@ -35,23 +47,34 @@ import org.apache.spark.sql.functions._
 object ScalingBench {
 
   val nDocs = 400000L
+  val jobPartitions = 128
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // stable %.3f output
     val outFile = args.headOption.getOrElse("BENCH/scaling_run.md")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-scaling")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    def pass(parallelism: Int): (Double, Long, Long) = {
+    def withCtx[T](taskCpus: Int)(f: SparkSession => T): T = {
+      val s = SparkSession.builder()
+        .master("local[32]")
+        .appName(s"graft-scaling-slots$taskCpus")
+        .config("spark.task.cpus", taskCpus.toString)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try f(s)
+      finally {
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+
+    def jobPass(s: SparkSession): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       val out = Jobs.extractNarrow(
-        Jobs.syntheticPages(spark, nDocs, parallelism = parallelism))
+        Jobs.syntheticPages(s, nDocs, parallelism = jobPartitions))
       val row = out.toDF()
         .select(xxhash64(col("url"), col("text"), col("outcome"),
           col("engine"), col("format"), col("charset")).as("h"))
@@ -59,25 +82,32 @@ object ScalingBench {
       ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1))
     }
 
-    // Pure-CPU calibration with the same task framework: fixed total work
-    // split across p tasks; the 8→32 wall-time ratio is what this box's
+    // Pure-CPU calibration on bare JVM threads (context-free): fixed
+    // total work split evenly; the 8→32 wall ratio is what this box's
     // SMT cores can give ANY cpu-bound job.
-    def spinPass(p: Int): Double = {
-      val perTask = 6_000_000_000L / p
+    def spinPass(threads: Int): Double = {
+      val perThread = 6_000_000_000L / threads
       val t0 = System.nanoTime()
-      spark.range(0, p, 1, p).rdd.map { _ =>
-        var x = 0x9E3779B97F4A7C15L; var i = 0L
-        while (i < perTask) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-        x
-      }.count()
+      val ts = (0 until threads).map { _ =>
+        val t = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L; var i = 0L
+          while (i < perThread) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+          }
+          if (x == 42L) println("") // sink so the loop can't be elided
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+
     spinPass(32); spinPass(8) // warm the spin path
-    pass(32); pass(32) // C2 warm: ~2 full passes to converge
+    withCtx(1) { s => jobPass(s); jobPass(s); () } // C2 warm: 2 full passes
 
     // Each TRIAL carries its own calibration: spin8/spin32 then job8/job32
-    // in one window. Cross-window pairing would compare an 8-task run from
-    // a calm minute against a 32-task run from a busy one.
+    // in one window. Cross-window pairing would compare an 8-slot run from
+    // a calm minute against a 32-slot run from a busy one.
     final case class Trial(hw: Double, r8: (Double, Long, Long),
         r32: (Double, Long, Long)) {
       def raw: Double = ((nDocs / r32._1) / (nDocs / r8._1)) / 4.0
@@ -86,8 +116,8 @@ object ScalingBench {
     }
     val trials = (1 to 5).map { i =>
       val hw = spinPass(8) / spinPass(32)
-      val r8 = pass(8)
-      val r32 = pass(32)
+      val r8 = withCtx(4)(jobPass)
+      val r32 = withCtx(1)(jobPass)
       val t = Trial(hw, r8, r32)
       println(f"[scaling] trial $i: hw ${t.hw}%.2f× (ceiling ${t.ceiling}%.2f), " +
         f"8→${r8._1}%6.2f s, 32→${r32._1}%6.2f s, raw ${t.raw}%.3f, " +
@@ -110,15 +140,17 @@ object ScalingBench {
     }.mkString("\n|")
 
     val md =
-      f"""# Scaling run (ScalingBench)
+      f"""# Scaling run (ScalingBench, slot protocol)
          |
-         |Same extraction job, same $nDocs-doc input, 8 vs 32 concurrent
-         |single-core tasks (the sandbox stand-in for N vs 4N executors).
-         |Each trial carries its own same-window spin-loop hardware
-         |calibration; the CONTRACT is median calibrated efficiency ≥ 0.8
-         |(see ScalingBench.scala for the full protocol).
+         |Same extraction job, same $nDocs-doc input, 8 vs 32 task SLOTS
+         |(spark.task.cpus 4 vs 1 on local[32]; $jobPartitions partitions at
+         |both levels, so each slot drains many task waves — the executor
+         |emulation; see BENCH/profile_scaling_r05.md for why single-wave
+         |concurrency=partitions understates scaling). Each trial carries
+         |its own same-window spin-loop hardware calibration; the CONTRACT
+         |is median calibrated efficiency ≥ 0.8 (see ScalingBench.scala).
          |
-         || trial | hw 8→32 | ceiling | 8-task s | 32-task s | tp8 | tp32 | raw eff | calibrated |
+         || trial | hw 8→32 | ceiling | 8-slot s | 32-slot s | tp8 | tp32 | raw eff | calibrated |
          ||---|---|---|---|---|---|---|---|---|
          |$trialTable
          |
@@ -134,6 +166,5 @@ object ScalingBench {
     java.nio.file.Files.writeString(p, md)
     println(md)
     println(f"""{"median_raw":$medRaw%.3f,"median_calibrated":$medCal%.3f,"best_raw":${best.raw}%.3f,"identical":$identical}""")
-    spark.stop()
   }
 }
