@@ -420,6 +420,17 @@ object SparkEntry {
             col("text").cast("binary").as("payload")), headerParse = false),
         maxFrames = 4)
         .orderBy("doc_id", "frame_idx")),
+    "media_optimize" -> ((s, dir) =>
+      // transcode-optimize analog (reference optimize.py): real deflate
+      // candidate ladder + accept-only-if-smaller gate over the binary
+      // payloads. Deflate output is not SQL-expressible, so this query
+      // has NO oracleSql entry — the driver records a rows-only check;
+      // the gate/guard semantics are pinned by OpsSpec units
+      graft.ops.MediaOptimize.optimize(
+        docs(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+        .orderBy("media_id")),
     "media_meta" -> ((s, dir) =>
       // headerParse=false: this query verifies the binary-column PLUMBING
       // against a SQL oracle, which can only express the stub arithmetic;

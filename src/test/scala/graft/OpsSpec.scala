@@ -745,6 +745,50 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(0)._1 == 1L && pairs(0)._2 == 2L && pairs(0)._3 > 0.99)
   }
 
+  test("media optimize: deflate ladder + accept-only-if-smaller gate") {
+    import spark.implicits._
+    import graft.ops.MediaOptimize
+    // compressible: long repetitive text deflates well → accepted
+    val compressible = ("the pipeline extracts text from every document " * 200)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // incompressible: md5 chain (high-entropy) EXPANDS under deflate →
+    // the gate must keep the original (never regress)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rnd = {
+      var h = Array[Byte](1)
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]
+      while (out.length < 256) { h = md.digest(h); out ++= h }
+      out.toArray
+    }
+    val df = Seq(
+      (1L, compressible),
+      (2L, rnd), // 256 high-entropy bytes
+      (3L, "tiny".getBytes("UTF-8")), // below minBytes
+      (4L, Array.fill(200)('x'.toByte))) // compressible run
+      .toDF("doc_id", "payload")
+    val out = MediaOptimize.optimize(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4),
+          r.getLong(5)))).toMap
+    val (o1, b1, c1, a1, s1) = out(1L)
+    assert(a1 && b1 < o1 && s1 == o1 - b1 && c1.startsWith("deflate"), out(1L).toString)
+    val (o2, b2, c2, a2, s2) = out(2L)
+    assert(!a2 && b2 == o2 && c2 == "keep:not_smaller" && s2 == 0L, out(2L).toString)
+    assert(out(3L)._3 == "keep:too_small" && !out(3L)._4)
+    assert(out(4L)._4 && out(4L)._2 < out(4L)._1)
+    // size guard: maxBytes bound skips codec work entirely
+    val big = MediaOptimize.optimize(df.filter($"doc_id" === 1L),
+        "doc_id", "payload", maxBytes = 100)
+      .collect()(0)
+    assert(big.getString(3) == "keep:too_large" && !big.getBoolean(4))
+    // deterministic across partition layouts (pure per-row map)
+    val a = MediaOptimize.optimize(df.repartition(7), "doc_id", "payload")
+      .collect().map(_.toString).sorted.toSeq
+    val b = MediaOptimize.optimize(df.repartition(1), "doc_id", "payload")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("dedup embed-cosine: plane matrix broadcast, not a plan literal") {
     import spark.implicits._
     // at planes=256 × dims=64 a typedLit matrix would serialize 16k
