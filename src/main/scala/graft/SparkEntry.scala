@@ -302,6 +302,13 @@ object SparkEntry {
       // removal semantics); rows without runs pass through unchanged
       Dedup.substringRunsClean(docs(s, dir), "doc_id", "text", minLen = 40)
         .orderBy("doc_id")),
+    "dedup_substrings_keep_first_clean" -> ((s, dir) =>
+      // keep-first APPLY: non-owner duplicated runs cut, the owner copy
+      // kept verbatim — exactly one copy of every duplicated substring
+      // survives corpus-wide
+      Dedup.substringRunsCleanKeepFirst(docs(s, dir), "doc_id", "text",
+          minLen = 40)
+        .orderBy("doc_id")),
     "dedup_substrings_keep_first" -> ((s, dir) =>
       // keep-one-copy variant (Lee et al. keep-first): the lowest
       // (doc_id, pos) occurrence per duplicated gram family keeps its
@@ -1090,6 +1097,54 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
   CAST(max(pos) + 39 AS BIGINT) AS run_end,
   CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
 FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
+    "dedup_substrings_keep_first_clean" -> s"""
+WITH p AS (
+  SELECT doc_id, unnest(range(1, length(text) - 38)) AS pos, text
+  FROM ${D(sf)} WHERE length(text) >= 40
+), g AS (
+  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h FROM p
+), fam AS (
+  SELECT h, min({'doc_id': doc_id, 'pos': pos}) AS own
+  FROM g GROUP BY h HAVING count(*) > 1
+), dp AS (
+  SELECT g.doc_id, g.pos FROM g JOIN fam USING (h)
+  WHERE NOT (g.doc_id = fam.own.doc_id AND g.pos = fam.own.pos)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+      THEN 1 ELSE 0 END AS newrun
+  FROM dp
+), rn AS (
+  SELECT doc_id, pos,
+    sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM isl
+), rr AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
+    CAST(max(pos) + 39 AS BIGINT) AS run_end,
+    CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
+  FROM rn GROUP BY doc_id, run_id
+), gp AS (
+  SELECT doc_id,
+    coalesce(lag(run_end) OVER (PARTITION BY doc_id ORDER BY run_start), 0) + 1 AS gs,
+    run_start - 1 AS ge
+  FROM rr
+), tl AS (
+  SELECT doc_id, max(run_end) + 1 AS gs, CAST(NULL AS BIGINT) AS ge FROM rr GROUP BY doc_id
+), pc AS (
+  SELECT u.doc_id, u.gs,
+    CASE WHEN u.ge IS NULL THEN substr(d.text, CAST(u.gs AS INT))
+         ELSE substr(d.text, CAST(u.gs AS INT), CAST(u.ge - u.gs + 1 AS INT)) END AS piece
+  FROM (SELECT * FROM gp UNION ALL SELECT * FROM tl) u
+  JOIN ${D(sf)} d USING (doc_id)
+), cl AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS clean FROM pc GROUP BY doc_id
+), rm AS (
+  SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS removed_chars FROM rr GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(rm.removed_chars, 0) AS removed_chars,
+  md5(coalesce(cl.clean, d.text)) AS clean_md5
+FROM ${D(sf)} d LEFT JOIN cl USING (doc_id) LEFT JOIN rm USING (doc_id)
+ORDER BY d.doc_id""",
     "dedup_substrings_keep_first" -> s"""
 WITH p AS (
   SELECT doc_id, unnest(range(1, length(text) - 38)) AS pos, text

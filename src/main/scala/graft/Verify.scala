@@ -56,13 +56,23 @@ object Verify {
     // idempotence. Runs on full sweeps only (query-subset runs are dev
     // iteration loops).
     if (only.isEmpty) {
-      val out = graft.spark.Jobs.extract(
-        graft.spark.Jobs.syntheticPages(spark, SparkEntry.verifyN), 32).toDF()
-      val (rows, nBad, sample) = graft.spark.OutputValidator.audit(out)
-      println(s"[verify] output invariants: $nBad violations over $rows rows")
-      if (nBad > 0) {
+      // fault-isolated like the per-query loop: a validator crash must
+      // not abort Verify before oracle_sql.json is written (that would
+      // zero EVERY query's compare, the exact blast radius the
+      // per-query try/catch exists to prevent)
+      try {
+        val out = graft.spark.Jobs.extract(
+          graft.spark.Jobs.syntheticPages(spark, SparkEntry.verifyN), 32).toDF()
+        val (rows, nBad, sample) = graft.spark.OutputValidator.audit(out)
+        println(s"[verify] output invariants: $nBad violations over $rows rows")
+        if (nBad > 0) {
+          failed += 1
+          sample.foreach(s => System.err.println(s"[verify] INVARIANT $s"))
+        }
+      } catch { case e: Throwable =>
         failed += 1
-        sample.foreach(s => System.err.println(s"[verify] INVARIANT $s"))
+        System.err.println(s"[verify] invariant stage failed: $e")
+        e.printStackTrace()
       }
     }
     if (failed > 0)

@@ -189,14 +189,10 @@ object Blocks {
         val link = p >= 0 && linkAnc(p)
         val t = nfkc(nd.text)
         var j = 0
-        // WHATWG: only the newline IMMEDIATELY after the <pre> start tag
-        // is dropped by parsing — i.e. the text node must be the pre's
-        // FIRST child (index curAnc+1 in the pre-order node array).
-        // '<pre><span>\ncode</span></pre>' keeps its newline, and a
-        // re-entered pre block (text after a nested block element) never
-        // strips again.
-        if (isPre && i == curAnc + 1 && t.nonEmpty && t.charAt(0) == '\n')
-          j = 1
+        // the WHATWG post-<pre> newline strip happens at TREE
+        // CONSTRUCTION (TreeBuilder's preNL token rule) — token-level,
+        // so an intervening comment token correctly cancels it; nothing
+        // to do here
         while (j < t.length) {
           if (Character.isWhitespace(t.charAt(j))) {
             // <pre>: line structure is content (code blocks) — newlines

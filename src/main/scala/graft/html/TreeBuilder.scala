@@ -185,8 +185,15 @@ object TreeBuilder {
 
     var titleDone = false
     var skippedTitle = false
+    // WHATWG pre rule, at its spec location (tree construction): "if the
+    // NEXT TOKEN after a <pre> start tag is a U+000A character token,
+    // ignore it". Token-level, so ANY intervening token — including a
+    // comment, which builds no node — cancels the strip; the previous
+    // node-index formulation in Blocks could not see dropped comments
+    var preNL = false
     tokens.foreach {
       case StartTag(name, attrs, selfClosing) =>
+        preNL = false
         // only the FIRST non-self-closing <title> is the page title: a
         // self-closing <title/> never gets an EndTag (inTitle would stick
         // and swallow the whole body), and later <title>s (e.g. inline
@@ -210,7 +217,9 @@ object TreeBuilder {
           stackTags.exists(t => t == "svg" || t == "math")
         val void = voidTags.contains(name) || (selfClosing && foreign)
         addElement(name, attrs, push = !void)
+        if (name == "pre" && !void) preNL = true
       case EndTag(name) =>
+        preNL = false
         if (name == "title") {
           if (inTitle) { inTitle = false; titleDone = true }
           skippedTitle = false
@@ -222,7 +231,13 @@ object TreeBuilder {
           // markup) — dropping it would merge the words it separates
           addElement("br", Nil, push = false)
         else if (!voidTags.contains(name)) popTo(name) // unmatched → ignored
-      case TextRun(t) =>
+      case TextRun(raw) =>
+        // the pre-rule strip may leave an EMPTY text node — still added,
+        // so node counts (n_nodes metric, goldens) match the previous
+        // segmentation-side strip exactly
+        val t = if (preNL && raw.nonEmpty && raw.charAt(0) == '\n')
+          raw.substring(1) else raw
+        preNL = false
         if (skippedTitle) () // non-first title label: not content
         else if (inTitle) title.append(t)
         else if (nodes.length < maxNodes) {
@@ -231,8 +246,8 @@ object TreeBuilder {
           val id = nodes.length
           nodes += new DomNode(id, parent, curDepth, "#text", Nil, t, vis, 0)
         } else truncated = true
-      case _: CommentTok => ()
-      case _: DoctypeTok => ()
+      case _: CommentTok => preNL = false
+      case _: DoctypeTok => preNL = false
     }
     new Dom(nodes, truncated, title.toString)
   }

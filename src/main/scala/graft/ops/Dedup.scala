@@ -248,11 +248,15 @@ object Dedup {
     // bit p = sign of the SEQUENTIAL left-fold sum over d of c_pd·v_d —
     // the exact fold order of the previous literal form
     // aggregate(zip_with(cs, v, c·x), 0.0, +), so signatures (and the
-    // DuckDB oracle replaying the same algebra) are bit-identical. A
-    // null vector or null element yields all-zero bits, matching
-    // when(null >= 0).otherwise(0); NaN sums likewise sign to 0.
+    // DuckDB oracle replaying the same algebra) are bit-identical. The
+    // degenerate cases match that form too: a null vector, null element,
+    // or ragged length (zip_with null-pads, nulling the sum) yields
+    // all-zero bits via when(null >= 0).otherwise(0); a NaN sum signs to
+    // 1 (Spark SQL orders NaN above every value, so NaN >= 0 is TRUE —
+    // unlike Scala's primitive NaN >= 0).
     val bitsUdf = udf { (v: Seq[java.lang.Double]) =>
-      if (v == null || v.exists(_ == null)) Seq.fill(nP)(0)
+      if (v == null || v.length != nD || v.exists(_ == null))
+        Seq.fill(nP)(0)
       else {
         val m = bcPlanes.value
         val out = new Array[Int](nP)
@@ -262,7 +266,7 @@ object Dedup {
           val off = p * nD
           var d = 0
           while (d < nD) { acc += m(off + d) * v(d); d += 1 }
-          out(p) = if (acc >= 0) 1 else 0
+          out(p) = if (acc >= 0 || acc.isNaN) 1 else 0
           p += 1
         }
         out.toSeq
@@ -478,11 +482,25 @@ object Dedup {
     * doc text → skew-safe ordered concat (OrderedMerge, no per-doc
     * buffer) → left join back. Only docs WITH runs pay the join. */
   def substringRunsClean(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 40): DataFrame = {
+      minLen: Int = 40): DataFrame =
+    cleanFromRuns(docs, idCol, textCol,
+      substringRunsRolling(docs, idCol, textCol, minLen))
+
+  /** Keep-first APPLY: cut only NON-OWNER duplicated runs — the owner
+    * copy (lowest (doc_id, pos) per gram family) survives verbatim, so
+    * exactly one copy of every duplicated substring remains in the
+    * corpus. Same gap-stitching dataflow as [[substringRunsClean]]. */
+  def substringRunsCleanKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 40): DataFrame =
+    cleanFromRuns(docs, idCol, textCol,
+      substringRunsKeepFirst(docs, idCol, textCol, minLen))
+
+  private def cleanFromRuns(docs: DataFrame, idCol: String, textCol: String,
+      runsIn: DataFrame): DataFrame = {
     // the id stays in its NATIVE type end-to-end (concatOrdered
     // preserves it): no long round-trip, so opaque string ids work
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val runs = substringRunsRolling(docs, idCol, textCol, minLen)
+    val runs = runsIn
       .select(col("doc_id"), col("run_start"), col("run_end"),
         col("run_len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -662,12 +662,17 @@ object LangId {
         col("m.negbonus").as("negbonus"))
     // a doc whose grams match NO profile ties all languages at topK·g;
     // the (dist, lang) argmin then degenerates to the alphabetically
-    // first language — a one-value model pull, same as the collected
-    // centroid models in Similarity
-    val fallbackLang = profiles.agg(min(col("lang"))).head.getString(0)
-    val pred = gCount.join(best, Seq("sid"), "left")
+    // first language. Resolved LAZILY in-plan as a broadcast of the
+    // ONE-row min-lang aggregate (a constant-key equi-join folds to the
+    // same nested-loop broadcast under constant propagation, so the
+    // cross join is written honestly) — classify stays pure plan
+    // construction, no driver-side action re-running the profile
+    // lineage per call, and the row multiplier is exactly 1
+    val fb = profiles.agg(min(col("lang")).as("fb_lang"))
+    val pred = gCount.crossJoin(broadcast(fb))
+      .join(best, Seq("sid"), "left")
       .select(col("sid"),
-        coalesce(col("match_lang"), lit(fallbackLang)).as("pred_lang"),
+        coalesce(col("match_lang"), col("fb_lang")).as("pred_lang"),
         (lit(topK.toLong) * col("g") + coalesce(col("negbonus"), lit(0L)))
           .as("dist"))
     docs.select(col(idCol).as("sid"))

@@ -58,7 +58,7 @@ object MediaOptimize {
           while (!d.finished()) total += d.deflate(buf).toLong
           total
         }
-        it.map { case (id, p) =>
+        val mapped = it.map { case (id, p) =>
           val n = if (p == null) 0L else p.length.toLong
           if (n < minBytes) OptResult(id, n, n, "keep:too_small",
             accepted = false, 0L)
@@ -77,6 +77,18 @@ object MediaOptimize {
               OptResult(id, n, n, "keep:not_smaller",
                 accepted = false, 0L)
           }
+        }
+        // release the native zlib buffers when the partition drains —
+        // waiting on the GC cleaner would accumulate off-heap memory on
+        // a long-lived executor processing many partitions
+        var ended = false
+        new Iterator[OptResult] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && !ended) { ended = true; d6.end(); d9.end() }
+            h
+          }
+          def next(): OptResult = mapped.next()
         }
       }.toDF()
   }

@@ -59,6 +59,20 @@ object OutputValidator {
     // offsets where Spark's length() would count codepoints
     val u16len = expr("octet_length(encode(text, 'UTF-16BE')) div 2")
     val checks: Seq[(String, Column, Column)] = Seq(
+      // every nullable-by-corruption column checked explicitly: a NULL
+      // would otherwise null out the predicate and when(null, ...) would
+      // silently take the no-violation branch — a null-corrupted table
+      // must NOT audit as conformant
+      ("not_null",
+        col("url").isNull || col("text").isNull || col("spans").isNull ||
+          col("outcome").isNull || col("lang").isNull || col("dir").isNull,
+        concat_ws(",",
+          when(col("url").isNull, lit("url")),
+          when(col("text").isNull, lit("text")),
+          when(col("spans").isNull, lit("spans")),
+          when(col("outcome").isNull, lit("outcome")),
+          when(col("lang").isNull, lit("lang")),
+          when(col("dir").isNull, lit("dir")))),
       ("outcome_vocab",
         !regexp_like(col("outcome"), lit(outcomePattern)),
         col("outcome")),
@@ -90,17 +104,21 @@ object OutputValidator {
   }
 
   /** Audit summary: (rows checked, violation rows collected — capped).
-    * The cap bounds the driver pull; the count is exact. */
+    * The cap bounds the driver pull; the count is exact. `out` is
+    * persisted for the audit's two actions (row count + violation scan)
+    * — without the barrier an expensive upstream (the full extraction
+    * in Verify's sweep) would run twice. */
   def audit(out: DataFrame, cap: Int = 20): (Long, Long, Seq[String]) = {
-    val rows = out.count()
-    val v = violations(out)
+    val o = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = violations(o)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val rows = o.count()
       val n = v.count()
       val sample = v.orderBy("url", "invariant").limit(cap).collect()
         .map(r => s"${r.getString(1)} url=${r.getString(0)} " +
           s"detail=${r.getString(2)}").toSeq
       (rows, n, sample)
-    } finally { v.unpersist(); () }
+    } finally { v.unpersist(); o.unpersist(); () }
   }
 }

@@ -110,6 +110,17 @@ object ProfileScaling {
         .select(xxhash64(col("url"), col("text"), col("outcome")).as("h"))
         .agg(expr("bit_xor(h)"), count(lit(1))).collect()
       val wall = (System.nanoTime() - t0) / 1e9
+      // TaskEnd events arrive on the ASYNC listener bus — wait until the
+      // expected task count (parallelism map tasks + 1 agg task) lands,
+      // or stragglers would be missed here and swallowed by the next
+      // pass's resetAcc (misattributing work between levels)
+      val expected = parallelism + 1
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (nTasks.sum() < expected && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      if (nTasks.sum() < expected)
+        println(s"[profile-scaling] WARN: only ${nTasks.sum()} of " +
+          s"$expected task-end events arrived before timeout")
       val (gcC1, gcT1) = gcBean()
       Pass(wall, nTasks.sum(), runTime.sum() / 1e3, cpuTime.sum() / 1e9,
         gcTime.sum() / 1e3, deserTime.sum() / 1e3, serTime.sum() / 1e3,

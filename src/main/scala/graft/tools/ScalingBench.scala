@@ -1,7 +1,5 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicLong
-
 import graft.spark.Jobs
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -27,16 +25,21 @@ import org.apache.spark.sql.functions._
   *    creation — context start/stop is ~1 s in local mode and carries
   *    no executor JVM churn;
   *  - 2 full warm passes (C2 convergence), then 5 complete trials; each
-  *    trial runs spin-loop calibration AND the 8-slot AND 32-slot jobs
-  *    back-to-back, so every trial carries its own same-window hardware
-  *    ceiling (8→32 threads on this box speed up only ~3× for ANY
-  *    pure-CPU job: SMT-paired cores + single-core turbo inflate the
-  *    8-thread runs; a real N→4N executor resize adds whole nodes and
-  *    has no such confound);
+  *    trial runs the CONTROL and the 8-slot and 32-slot jobs
+  *    back-to-back, so every trial carries its own same-window ceiling.
+  *    The control is the IDENTICAL computation (Extractor.extract over
+  *    the same synthetic rows) on bare JVM threads with work-stealing —
+  *    no Spark, perfect balance. Its 8→32 ratio is what this host's
+  *    SMT-paired cores + turbo give THIS workload (~2.6×; an ALU-only
+  *    spin loop is the WRONG yardstick here — register-only xorshift
+  *    dual-issues across SMT pairs at ~3.6× while the memory/branch-
+  *    bound kernel gets ~2.6×, measured in
+  *    BENCH/profile_scaling_r05.md — a real N→4N executor resize adds
+  *    whole nodes and has no SMT confound at all);
   *  - CONTRACT: median calibrated efficiency (raw pair efficiency ÷
-  *    that trial's same-window hardware ceiling) ≥ 0.8 — median, not
-  *    best-of, so one lucky window can't carry the headline; raw values
-  *    are all tabulated alongside;
+  *    that trial's same-window workload-matched ceiling) ≥ 0.8 —
+  *    median, not best-of, so one lucky window can't carry the
+  *    headline; raw values are all tabulated alongside;
   *  - determinism check: order-independent content checksum must match
   *    across every pass at both levels.
   *
@@ -82,19 +85,21 @@ object ScalingBench {
       ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1))
     }
 
-    // Pure-CPU calibration on bare JVM threads (context-free): fixed
-    // total work split evenly; the 8→32 wall ratio is what this box's
-    // SMT cores can give ANY cpu-bound job.
-    def spinPass(threads: Int): Double = {
-      val perThread = 6_000_000_000L / threads
+    // Workload-matched control: the SAME extraction over the SAME rows
+    // on bare JVM threads with fine-grained work-stealing — no Spark,
+    // perfect balance. Its 8→32 ratio is the ceiling THIS computation
+    // can scale on this host (SMT pairing + turbo), the denominator of
+    // the calibrated metric.
+    def controlPass(threads: Int): Double = {
+      val next = new java.util.concurrent.atomic.AtomicLong(0)
       val t0 = System.nanoTime()
       val ts = (0 until threads).map { _ =>
         val t = new Thread(() => {
-          var x = 0x9E3779B97F4A7C15L; var i = 0L
-          while (i < perThread) {
-            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+          var i = next.getAndIncrement()
+          while (i < nDocs) {
+            graft.engine.Extractor.extract(graft.gen.SyntheticCorpus.row(i))
+            i = next.getAndIncrement()
           }
-          if (x == 42L) println("") // sink so the loop can't be elided
         })
         t.start(); t
       }
@@ -102,12 +107,12 @@ object ScalingBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    spinPass(32); spinPass(8) // warm the spin path
+    controlPass(32) // warm the kernel path
     withCtx(1) { s => jobPass(s); jobPass(s); () } // C2 warm: 2 full passes
 
-    // Each TRIAL carries its own calibration: spin8/spin32 then job8/job32
-    // in one window. Cross-window pairing would compare an 8-slot run from
-    // a calm minute against a 32-slot run from a busy one.
+    // Each TRIAL carries its own calibration: control8/control32 then
+    // job8/job32 in one window. Cross-window pairing would compare an
+    // 8-slot run from a calm minute against a 32-slot run from a busy one.
     final case class Trial(hw: Double, r8: (Double, Long, Long),
         r32: (Double, Long, Long)) {
       def raw: Double = ((nDocs / r32._1) / (nDocs / r8._1)) / 4.0
@@ -115,7 +120,7 @@ object ScalingBench {
       def calibrated: Double = raw / ceiling
     }
     val trials = (1 to 5).map { i =>
-      val hw = spinPass(8) / spinPass(32)
+      val hw = controlPass(8) / controlPass(32)
       val r8 = withCtx(4)(jobPass)
       val r32 = withCtx(1)(jobPass)
       val t = Trial(hw, r8, r32)
@@ -147,10 +152,13 @@ object ScalingBench {
          |both levels, so each slot drains many task waves — the executor
          |emulation; see BENCH/profile_scaling_r05.md for why single-wave
          |concurrency=partitions understates scaling). Each trial carries
-         |its own same-window spin-loop hardware calibration; the CONTRACT
-         |is median calibrated efficiency ≥ 0.8 (see ScalingBench.scala).
+         |its own same-window WORKLOAD-MATCHED control: the identical
+         |extraction on bare JVM threads (no Spark, perfect work-stealing
+         |balance) — its 8→32 ratio is the ceiling this host offers this
+         |computation. The CONTRACT is median calibrated efficiency
+         |(raw ÷ ceiling) ≥ 0.8 (see ScalingBench.scala).
          |
-         || trial | hw 8→32 | ceiling | 8-slot s | 32-slot s | tp8 | tp32 | raw eff | calibrated |
+         || trial | control 8→32 | ceiling | 8-slot s | 32-slot s | tp8 | tp32 | raw eff | calibrated |
          ||---|---|---|---|---|---|---|---|---|
          |$trialTable
          |

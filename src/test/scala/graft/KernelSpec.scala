@@ -590,6 +590,17 @@ class KernelSpec extends AnyFunSuite {
     assert(t.contains("code line one\ncode line two"), t)
   }
 
+  test("pre: newline kept when a comment token intervenes") {
+    // WHATWG's rule is TOKEN-level: only a U+000A character token
+    // IMMEDIATELY following the <pre> start tag is ignored. A comment
+    // token in between builds no node but still cancels the strip —
+    // browsers render the leading blank line
+    val t = extractText("<html><body><p>intro paragraph has words</p>" +
+      "<pre><!--lang=py-->\ncode line one\ncode line two</pre>" +
+      "</body></html>")
+    assert(t.contains("\n\n\ncode line one"), t.replace("\n", "\\n"))
+  }
+
   test("hidden style detection survives embedded whitespace") {
     val t = extractText("<html><body><div style=\"display:\n\tnone\">" +
       "boilerhidden</div><p>kept paragraph with content words well " +

@@ -47,13 +47,19 @@ class OpsSpec extends AnyFunSuite {
     val u = LangId.classify(tiny, "doc_id", "text", profiles)
       .collect().map(r => r.getString(1)).toSet
     assert(u == Set("und"))
-    // scale shape: no doc × language grid — the physical plan must carry
-    // no cartesian/nested-loop join (the argmin runs over matched rows
-    // only; absent languages are reconstructed arithmetically)
+    // scale shape: no doc × language grid — the argmin runs over matched
+    // rows only; absent languages are reconstructed arithmetically. The
+    // ONLY nested-loop broadcast allowed is the 1-row min-lang fallback
+    // aggregate (row multiplier exactly 1); the ×N langs grid would show
+    // up as a second one (or a cartesian)
     val plan = LangId.classify(test, "sample_id", "text", profiles)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins:\n${plan.take(2000)}")
+    // and the fallback join multiplies rows by exactly 1
+    assert(LangId.classify(test, "sample_id", "text", profiles).count() ==
+      test.count())
     // a doc with grams but zero profile matches falls back to the
     // alphabetically first language at full distance (the grid argmin's
     // degenerate all-tied case), not 'und'
@@ -542,6 +548,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == ((60L, md5hex(d1.replace(shared, "")))))
     assert(out(2L) == ((60L, md5hex(d2.replace(shared, "")))))
     // no duplicated run → text unchanged, zero removed
+    assert(out(3L) == ((0L, md5hex(d3))))
+  }
+
+  test("dedup substrings keep-first clean: owner text intact, copies cut") {
+    import spark.implicits._
+    val shared =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ01234567"
+    val d1 = "AAAA unique prefix oneX" + shared + "Yunique suffix alpha zzz"
+    val d2 = "BB other start twoP" + shared + "Qdifferent ending beta qqq"
+    val d3 = "completely disjoint text with no forty-char overlap at all " +
+      "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ!"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val out = Dedup.substringRunsCleanKeepFirst(df, "doc_id", "text",
+        minLen = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // owner doc 1 keeps its copy VERBATIM (drop-all would cut it too);
+    // doc 2's copy is removed; doc 3 untouched
+    assert(out(1L) == ((0L, md5hex(d1))))
+    assert(out(2L) == ((60L, md5hex(d2.replace(shared, "")))))
     assert(out(3L) == ((0L, md5hex(d3))))
   }
 

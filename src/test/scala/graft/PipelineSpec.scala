@@ -138,14 +138,17 @@ class PipelineSpec extends AnyFunSuite {
       ("u5", "abcdefgh", Seq(Span(0, 5, "p", "/p"), Span(3, 8, "p", "/p")),
         "ok", "und", "ltr"),
       // NFKC-unstable text (U+FB01 LATIN SMALL LIGATURE FI → "fi")
-      ("u6", "ﬁle", Seq.empty[Span], "ok", "und", "ltr"))
+      ("u6", "ﬁle", Seq.empty[Span], "ok", "und", "ltr"),
+      // NULL corruption: a null column must NOT audit as conformant
+      // (regexp_like(NULL) is NULL → when() would silently pass)
+      ("u8", "ok text", Seq.empty[Span], null, "und", "ltr"))
       .toDF("url", "text", "spans", "outcome", "lang", "dir")
     val got = OutputValidator.violations(bad).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(
       ("u1", "outcome_vocab"), ("u2", "dir_enum"), ("u3", "lang_enum"),
       ("u4", "span_bounds"), ("u5", "span_order"),
-      ("u6", "nfkc_idempotent")), got.toString)
+      ("u6", "nfkc_idempotent"), ("u8", "not_null")), got.toString)
     // UTF-16 bound is the right yardstick: an astral-bearing text of 1
     // codepoint but 2 UTF-16 units accepts end=2 (in bounds) — length()
     // semantics would wrongly flag it
