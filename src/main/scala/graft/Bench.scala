@@ -135,6 +135,9 @@ object Bench {
     results("dedup_substrings_rolling") = timeTrials(1, 5) {
       Dedup.substringRunsRolling(docs, "doc_id", "text").count()
     }._1
+    results("dedup_substrings_keep_first") = timeTrials(1, 3) {
+      Dedup.substringRunsKeepFirst(docs, "doc_id", "text").count()
+    }._1
     results("decontaminate") = timeTrials(1, 3) {
       CorpusStats.decontaminate(docs, "doc_id", "text",
         docs.filter(pmod(col("doc_id"), lit(13)) === 7), "text").count()

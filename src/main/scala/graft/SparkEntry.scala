@@ -394,6 +394,13 @@ object SparkEntry {
           col("exact_distinct"))
         .orderBy("lang")
     }),
+    "sketch_countmin" -> ((s, dir) =>
+      // Count-Min heavy hitters (Cormode-Muthukrishnan 2005): fixed
+      // depth×width counter state regardless of corpus size; estimates
+      // are min-over-rows against the broadcast table; exact counts ride
+      // along as the test-scale admissibility exhibit (est ≥ exact)
+      graft.ops.CountMin.heavyHitters(docs(s, dir), "text", k = 20)
+        .orderBy(col("est").desc, col("token").asc)),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -933,6 +940,26 @@ FROM kept GROUP BY 1 ORDER BY doc_id""",
     "vocab_topk" -> s"""
 WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})
 SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
+    "sketch_countmin" -> s"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)}
+), dp AS (
+  SELECT token, d,
+    ('0x' || substring(md5('cms:' || d || ':' || token), 1, 8))::BIGINT % 2048 AS pos
+  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS d) ds
+), cms AS (
+  SELECT d, pos, CAST(count(*) AS BIGINT) AS c FROM dp GROUP BY d, pos
+), pp AS (
+  SELECT DISTINCT token, d, pos FROM dp
+), est AS (
+  SELECT pp.token, CAST(min(coalesce(cms.c, 0)) AS BIGINT) AS est
+  FROM pp LEFT JOIN cms USING (d, pos) GROUP BY pp.token
+), ex AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact FROM t GROUP BY token
+)
+SELECT est.token, est.est, ex.exact
+FROM est JOIN ex USING (token)
+ORDER BY est DESC, token ASC LIMIT 20""",
     "sketch_kmv" -> s"""
 WITH m AS (
   SELECT lang, list_sort(list_distinct(list(md5(text))))[1:32] AS minima,

@@ -773,6 +773,31 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(0)._1 == 1L && pairs(0)._2 == 2L && pairs(0)._3 > 0.99)
   }
 
+  test("count-min sketch: admissible estimates, heavy hitter surfaces") {
+    import spark.implicits._
+    import graft.ops.CountMin
+    // skewed vocabulary: "alpha" dominates, tail words are rare
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta gamma"),
+      (2L, "alpha alpha delta beta"),
+      (3L, "alpha epsilon zeta eta theta"),
+      (4L, "alpha alpha alpha alpha")).toDF("doc_id", "text")
+    val hh = CountMin.heavyHitters(docs, "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // CM property: the estimate NEVER undercounts
+    hh.foreach { case (t, est, exact) =>
+      assert(est >= exact, s"$t: est $est < exact $exact")
+    }
+    // the dominant token tops the list with a (collision-free at this
+    // width) exact estimate
+    assert(hh.head._1 == "alpha" && hh.head._2 == 10L && hh.head._3 == 10L,
+      hh.head.toString)
+    // deterministic across partition layouts
+    val again = CountMin.heavyHitters(docs.repartition(5), "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.toSeq == again.toSeq)
+  }
+
   test("media optimize: deflate ladder + accept-only-if-smaller gate") {
     import spark.implicits._
     import graft.ops.MediaOptimize
