@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Spark lifecycle of the extraction pipeline (SURVEY.md §3.1 "Spark shape
-  * of the same lifecycle"): read → triage/validate → salted repartition →
+  * of the same lifecycle"): read → triage/validate → url-hash repartition (unique key, no salt needed) →
   * one fused mapPartitions kernel stage → ordered deterministic output →
   * metrics + idempotent commit.
   *
@@ -66,8 +66,10 @@ object Jobs {
   def bucketCol(buckets: Int) =
     pmod(xxhash64(col("url")), lit(buckets)).cast("int")
 
-  /** The extraction pipeline: narrow fused kernel first, THEN the salted
-    * url-hash repartition on the *output*.
+  /** The extraction pipeline: narrow fused kernel first, THEN the
+    * url-hash repartition on the *output* (the key is the unique url —
+    * uniform under murmur3, so no salting step exists or is needed;
+    * see the comment in `extract`).
     *
     * Ordering rationale (100 TB): the kernel is a narrow map — input
     * splits already balance it, so shuffling raw `html` bytes before

@@ -14,8 +14,14 @@ import scala.collection.concurrent.TrieMap
   * quality.py metrics).
   *
   * Usage: `MetricsSink.install(spark)`, wrap the extraction Dataset with
-  * `MetricsSink.observed(ds)`, run any action, then read
-  * `MetricsSink.last("graft_extract")`.
+  * `MetricsSink.observed(ds)`, capture `v = MetricsSink.version(name)`
+  * BEFORE the action, run the action, then read
+  * `MetricsSink.awaitLast(name, v)`. The await is load-bearing:
+  * QueryExecutionListener callbacks are delivered on the ASYNC listener
+  * bus, so a bare `last()` right after the action races the delivery
+  * (None, or a PREVIOUS query's row). Rows are keyed by observation
+  * name — concurrent queries observing the same name clobber each
+  * other's slot; give concurrent pipelines distinct names.
   */
 object MetricsSink {
 
@@ -23,6 +29,7 @@ object MetricsSink {
       rejects: Long, truncations: Long, chars: Long)
 
   private val lastMetrics = TrieMap.empty[String, Observed]
+  private val versions = TrieMap.empty[String, Long]
   // weak keys: a strong session-keyed map would pin every stopped
   // session (and its registered listener) for the JVM's lifetime in
   // install/stop cycles
@@ -58,6 +65,9 @@ object MetricsSink {
                 row.getAs[Long]("docs"), row.getAs[Long]("failures"),
                 row.getAs[Long]("skips"), row.getAs[Long]("rejects"),
                 row.getAs[Long]("truncations"), row.getAs[Long]("chars"))
+              // bump AFTER the row is in place: an awaitLast woken by
+              // the new version must never read the previous row
+              versions(name) = versions.getOrElse(name, 0L) + 1L
             }
           }
         }
@@ -68,4 +78,20 @@ object MetricsSink {
 
   def last(name: String = "graft_extract"): Option[Observed] =
     lastMetrics.get(name)
+
+  /** Delivery count for `name` — capture before the action, pass to
+    * [[awaitLast]] after it. */
+  def version(name: String = "graft_extract"): Long =
+    versions.getOrElse(name, 0L)
+
+  /** Blocks until the metrics row for `name` advances past
+    * `sinceVersion` or the timeout lapses, then returns the latest row
+    * (None only if nothing was ever delivered). */
+  def awaitLast(name: String = "graft_extract", sinceVersion: Long = 0L,
+      timeoutMs: Long = 10000L): Option[Observed] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (version(name) <= sinceVersion && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    last(name)
+  }
 }

@@ -54,7 +54,12 @@ final class ParquetTableIO(root: String) extends TableIO {
   private def bucketed(df: DataFrame, buckets: Int): DataFrame =
     df.withColumn("bucket",
         pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
-      .repartition(col("bucket"))
+      // RANGE partition on the bucket value — one task per bucket.
+      // repartition(col("bucket")) would re-MURMUR the B coarse values
+      // into B partitions (balls-in-bins: ~1/e of write tasks empty,
+      // others carrying 2-3 whole buckets — the double-hash skew
+      // Jobs.extract's comment documents)
+      .repartitionByRange(buckets, col("bucket"))
 
   def writeMetrics(df: DataFrame, table: String): Unit =
     df.write.option("compression", "zstd").mode("append").parquet(path(table))

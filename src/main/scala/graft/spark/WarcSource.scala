@@ -155,19 +155,28 @@ object WarcSource {
           if (ok) {
             if (contentLength < 0 || i + contentLength > bytes.length) ok = false
             else {
-              val payload = java.util.Arrays.copyOfRange(
-                bytes, i, i + contentLength.toInt)
+              // type/url check BEFORE the payload copy: real archives
+              // interleave request/metadata/warcinfo records whose
+              // payloads we skip — copying megabytes per skipped record
+              // just to discard them is pure allocation pressure in the
+              // per-file hot loop
+              val wanted = warcType == "response" && url != null &&
+                date != null
+              val start = i
               i += contentLength.toInt
               // record separator CRLF CRLF (tolerate EOF right after)
               var sep = 0
               while (sep < 4 && i < bytes.length &&
                 (bytes(i) == '\r' || bytes(i) == '\n')) { i += 1; sep += 1 }
-              if (warcType == "response" && url != null && date != null) {
+              if (wanted) {
                 val ts = try {
                   java.sql.Timestamp.from(java.time.Instant.parse(date))
                 } catch { case _: Exception => null }
-                if (ts != null)
+                if (ts != null) {
+                  val payload = java.util.Arrays.copyOfRange(
+                    bytes, start, start + contentLength.toInt)
                   pending = PageRow(url, ts, payload, prior, lang)
+                }
               }
             }
           }

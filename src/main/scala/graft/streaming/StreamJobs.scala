@@ -95,11 +95,19 @@ object StreamJobs {
       .flatMapGroupsWithState[DedupState, DedupUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (h: String, rows: Iterator[(String, String)], state: GroupState[DedupState]) =>
-          val urls = rows.map(_._2).toVector.sorted
-          val prev = state.getOption
-          val next = prev match {
-            case Some(s) => DedupState(s.keepUrl, s.dups + urls.length)
-            case None => DedupState(urls.head, (urls.length - 1).toLong)
+          // one O(n)/O(1)-memory fold for (min url, count): duplicates
+          // are the hot keys by definition — buffering-and-sorting a
+          // million-row boilerplate group (the old toVector.sorted)
+          // risked OOM on exactly the keys this operator exists to find
+          var minUrl: String = null
+          var n = 0L
+          rows.foreach { r =>
+            if (minUrl == null || r._2 < minUrl) minUrl = r._2
+            n += 1
+          }
+          val next = state.getOption match {
+            case Some(s) => DedupState(s.keepUrl, s.dups + n)
+            case None => DedupState(minUrl, n - 1)
           }
           state.update(next)
           Iterator.single(DedupUpdate(h, next.keepUrl, next.dups))
@@ -147,13 +155,21 @@ object StreamJobs {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (h: String, rows: Iterator[(String, Long, Int)],
             state: GroupState[PassageState]) =>
-          val seen = rows.toVector
-          val first = seen.minBy(r => (r._2, r._3))
+          // single O(n)/O(1)-memory fold (min (doc,pos) + count) — no
+          // per-group buffer on the hot duplicated passages
+          var minDoc = Long.MaxValue
+          var minPos = Int.MaxValue
+          var n = 0L
+          rows.foreach { r =>
+            if (r._2 < minDoc || (r._2 == minDoc && r._3 < minPos)) {
+              minDoc = r._2; minPos = r._3
+            }
+            n += 1
+          }
           val next = state.getOption match {
             case Some(s) => PassageState(s.ownerDoc, s.ownerPos,
-              s.dups + seen.length)
-            case None => PassageState(first._2, first._3,
-              (seen.length - 1).toLong)
+              s.dups + n)
+            case None => PassageState(minDoc, minPos, n - 1)
           }
           state.update(next)
           Iterator.single(PassageUpdate(h, next.ownerDoc, next.ownerPos,

@@ -47,37 +47,47 @@ object StreamSecurity {
     * skipped; `file:` forms and everything else (including colon-bearing
     * local names) are validated as local paths. */
   private def localPath(p: String): Option[Path] = {
-    val scheme = "^([A-Za-z][A-Za-z0-9+.\\-]+):".r.findFirstMatchIn(p)
-      .map(_.group(1))
+    // URI schemes are case-insensitive (FILE:/x is the same scheme as
+    // file:/x) — lowercase ONCE and use that for both branches, or an
+    // uppercase file: spelling falls through to Paths.get("FILE:/x")
+    // and is rejected as a nonexistent relative path
+    val m = "^([A-Za-z][A-Za-z0-9+.\\-]+):".r.findFirstMatchIn(p)
+    val scheme = m.map(_.group(1).toLowerCase(java.util.Locale.ROOT))
     scheme match {
       case Some("file") =>
         // accept file:/x, file:///x (URI forms) and a bare file:x
-        val rest = p.stripPrefix("file:")
-        if (rest.startsWith("//")) Some(Paths.get(java.net.URI.create(p)))
+        val rest = p.substring(m.get.group(1).length + 1)
+        if (rest.startsWith("//")) {
+          val uri = java.net.URI.create("file:" + rest)
+          require(uri.getAuthority == null || uri.getAuthority.isEmpty,
+            s"file: URI with a remote authority is not a local path: $p")
+          Some(Paths.get(uri))
+        }
         else Some(Paths.get(rest))
-      case Some(s) if remoteSchemes.contains(s.toLowerCase(java.util.Locale.ROOT)) =>
+      case Some(s) if remoteSchemes.contains(s) =>
         None // remote warehouse scheme — no symlink semantics here
       case _ => Some(Paths.get(p))
     }
   }
 
-  /** Absolute, `..`-free form for containment comparisons. */
-  private def norm(p: Path): Path = p.toAbsolutePath.normalize()
-
   /** Fully resolved form (symlinks + `..`), tolerating a non-existent
-    * tail: the deepest existing ancestor is resolved for real, the
-    * not-yet-created remainder appended verbatim — output/checkpoint
-    * dirs typically do not exist before the first start. */
+    * tail: the deepest existing ancestor is resolved for real (the OS
+    * walk resolves `..` THROUGH symlinks — a lexical normalize() first
+    * would collapse `link/../out` to the wrong directory and let a
+    * crafted spelling defeat the containment check), the not-yet-created
+    * remainder appended and only THEN normalized (no symlink can exist
+    * inside a non-existent tail, so that collapse is purely lexical). */
   private def realish(p: Path): Path = {
-    val abs = norm(p)
+    val abs = p.toAbsolutePath
     var existing = abs
     var tail = List.empty[String]
     while (existing != null && !Files.exists(existing, LinkOption.NOFOLLOW_LINKS)) {
       tail = existing.getFileName.toString :: tail
       existing = existing.getParent
     }
-    if (existing == null) abs
+    if (existing == null) abs.normalize()
     else tail.foldLeft(existing.toRealPath())((acc, seg) => acc.resolve(seg))
+      .normalize()
   }
 
   private def contains(outer: Path, inner: Path): Boolean =
@@ -89,7 +99,10 @@ object StreamSecurity {
   def validateWatchDirs(inDir: String, outDir: String,
       checkpointDir: String): Unit = {
     val in = localPath(inDir).getOrElse(return)
-    val inAbs = norm(in)
+    // absolute but NOT lexically normalized: the OS resolves any `..`
+    // through symlinks during the exists/isDirectory/toRealPath calls,
+    // where normalize() first would mislocate across a symlinked segment
+    val inAbs = in.toAbsolutePath
     require(Files.exists(inAbs, LinkOption.NOFOLLOW_LINKS),
       s"watched input dir does not exist: $inDir")
     require(Files.isDirectory(inAbs, LinkOption.NOFOLLOW_LINKS),

@@ -463,13 +463,11 @@ class PipelineSpec extends AnyFunSuite {
     graft.spark.MetricsSink.install(spark)
     val ds = graft.spark.MetricsSink.observed(
       Jobs.extract(Jobs.syntheticPages(spark, 120), 8))
+    // version captured BEFORE the action: awaitLast then provably
+    // returns THIS query's row, not a stale or missing one
+    val v0 = graft.spark.MetricsSink.version()
     val total = ds.count()
-    // listener delivery is async; spin briefly
-    var tries = 0
-    while (graft.spark.MetricsSink.last().isEmpty && tries < 50) {
-      Thread.sleep(100); tries += 1
-    }
-    val m = graft.spark.MetricsSink.last().get
+    val m = graft.spark.MetricsSink.awaitLast(sinceVersion = v0).get
     assert(m.docs == total)
     assert(m.failures + m.skips + m.rejects <= m.docs)
     assert(m.chars > 0)

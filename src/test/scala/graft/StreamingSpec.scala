@@ -292,5 +292,19 @@ class StreamingSpec extends AnyFunSuite {
     // root is still caught as a watch loop
     assert(rejected(in, s"$in/data:out", s"$base/ck")
       .contains("re-ingested"))
+    // symlink/.. traversal: 'link/../out' must resolve THROUGH the
+    // link (the OS walk), not lexically collapse to base/out — lexical
+    // normalize-first would approve a sink that really lands inside
+    // the watched input dir
+    val linkIn = Paths.get(s"$base/lk")
+    Files.createSymbolicLink(linkIn, Paths.get(s"$in/sub").toAbsolutePath)
+    Files.createDirectories(Paths.get(s"$in/sub"))
+    assert(rejected(in, s"$base/lk/../out", s"$base/ck")
+      .contains("re-ingested"))
+    // URI schemes are case-insensitive: an uppercase FILE: spelling is
+    // the same working local config, not a nonexistent relative path
+    validateWatchDirs(s"FILE:$in", s"$base/out", s"$base/ck")
+    assert(rejected(s"FILE:$in", s"FILE:$in/out", s"$base/ck")
+      .contains("re-ingested"))
   }
 }
