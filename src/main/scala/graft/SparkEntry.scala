@@ -869,10 +869,12 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 16 ORDER BY doc_a, doc_
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)))) AS sh
   FROM ${D(sf)}
-), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-bucketed AS (
+), bucketed AS (
   SELECT *, count(*) OVER (PARTITION BY sh) AS bucket_n FROM sh
 ), ok AS (SELECT * FROM bucketed WHERE bucket_n <= 100),
+-- sizes over the SAME capped universe as the intersection join: hot
+-- shingles are outside the metric entirely, never denominator-only
+sizes AS (SELECT doc_id, count(*) AS sz FROM ok GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM ok a JOIN ok b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -112,14 +111,6 @@ case class CosineHof(left: Expression, right: Expression, ansi: Boolean)
 
   override def prettyName: String = "cosine_hof"
 
-  override def eval(input: InternalRow): Any = {
-    val a = left.eval(input)
-    if (a == null) null
-    else {
-      val b = right.eval(input)
-      if (b == null) null else nullSafeEval(a, b)
-    }
-  }
 }
 
 /** Error construction for CosineHof's ANSI path (top-level object so the

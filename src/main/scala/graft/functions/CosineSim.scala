@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -81,14 +80,6 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 
-  override def eval(input: InternalRow): Any = {
-    val a = left.eval(input)
-    if (a == null) null
-    else {
-      val b = right.eval(input)
-      if (b == null) null else nullSafeEval(a, b)
-    }
-  }
 }
 
 object GraftFunctions {
@@ -107,7 +98,12 @@ object GraftFunctions {
     * (`SELECT cosine_sim(a, b)` / `expr("cosine_sim(a, b)")`).
     * Once per session; the first call overwrites any same-name temp
     * functions so graft operators always get graft semantics. */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    // synchronized, not just putIfAbsent: a bare once-guard would let a
+    // SECOND thread return early while the first is still mid-
+    // registration, and its expr("cosine_sim(...)") would then fail to
+    // resolve. The monitor also serializes the read-modify-write append
+    // to experimental.extraOptimizations below.
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     def reg1(name: String,

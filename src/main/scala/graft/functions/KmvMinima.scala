@@ -58,7 +58,12 @@ case class KmvMinima(
     new java.util.TreeSet[String]()
 
   private def md5hex(bytes: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    // thread-local digest, reset per use (MinhashSigs' idiom) — a fresh
+    // getInstance per row is a provider lookup + allocation on the
+    // map-side PARTIAL hot path
+    val md = KmvMinima.digest.get()
+    md.reset()
+    val d = md.digest(bytes)
     val sb = new java.lang.StringBuilder(32)
     d.foreach { b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
       .append(Character.forDigit(b & 0xf, 16)) }
@@ -117,4 +122,12 @@ case class KmvMinima(
     copy(inputAggBufferOffset = newOffset)
 
   override def prettyName: String = "kmv_minima"
+}
+
+object KmvMinima {
+  private[functions] val digest = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
 }

@@ -148,7 +148,13 @@ object CorpusStats {
     * (the corpus-wide boilerplate this operator exists to find) are
     * SAFE-skewed: the aggregation side collapses them map-side, and the
     * join fans the single (h, cnt, first) row back out — no bucket
-    * blowup, because we never self-join passages against each other. */
+    * blowup, because we never self-join passages against each other.
+    *
+    * Row contract: one row per document that carries ≥ 1 FULL
+    * `windowWords`-word passage; a doc shorter than one window has no
+    * passage units and emits NO row (same convention as
+    * `passageDedupClean`'s documented no-op case) — left-join the stats
+    * back if absent-means-zero semantics are needed downstream. */
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 4): DataFrame = {
     val pass = passages(docs, idCol, textCol, windowWords)

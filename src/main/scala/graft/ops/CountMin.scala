@@ -70,8 +70,12 @@ object CountMin {
     * sketch property est ≥ exact must hold on every row). */
   def heavyHitters(docs: DataFrame, textCol: String, k: Int = 20,
       depth: Int = 4, width: Int = 2048): DataFrame = {
+    // tokens is the FORK (sketch build + exact counts + probes): the
+    // persist barrier keeps the scan+split+explode subtree single-shot
+    // (the Dedup/CorpusStats signature-table convention)
     val tokens = docs.select(explode(expr(
       s"filter(split($textCol, ' '), x -> x != '')")).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cms = sketch(tokens, "token", depth, width)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = tokens.groupBy("token").agg(count(lit(1)).as("exact"))

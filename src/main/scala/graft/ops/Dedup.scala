@@ -92,27 +92,28 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for near-dup verification: candidate pairs from
-    * a shared distinct shingle, exact |∩|/|∪| over distinct shingles.
+  /** Exact n-gram Jaccard for near-dup verification: candidate pairs
+    * from a shared distinct shingle, exact |∩|/|∪| over the distinct
+    * shingles that occur in ≤ `maxBucket` docs. The cap defines the
+    * UNIVERSE, consistently for numerator and denominator: sizes are
+    * counted over the same capped shingle set the intersection joins
+    * on (counting hot boilerplate shingles in |∪| but never in |∩|
+    * would silently understate every Jaccard touching them).
     * Quadratic in bucket size — apply AFTER an LSH prefilter at scale;
     * exposed standalone for small candidate sets and for the oracle. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, maxBucket: Int = 100): DataFrame = {
-    // persist sits at the FORK: sh feeds both the per-doc sizes and the
-    // bucketed join input — without the barrier here the scan + shingle
-    // explode + array_distinct subtree runs twice (the file-wide
-    // signature-table convention)
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(shinglesExpr(textCol))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // bucketed is consumed twice by the self-join — its own barrier
-    // keeps the window pass single-shot
+    // bucketed is the FORK (sizes + both self-join sides) — the barrier
+    // keeps the scan + shingle explode + window pass single-shot (the
+    // file-wide signature-table convention)
     val bucketed = sh.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("sh"))))
       .filter(col("bucket_n") <= maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = bucketed.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = bucketed.select(col("sh"), col("id").as("doc_a"))
       .join(bucketed.select(col("sh"), col("id").as("doc_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -220,16 +221,6 @@ object Dedup {
     require(bands >= 1 && planes >= bands && planes % bands == 0,
       s"embeddingCosineLsh needs planes divisible by bands, " +
         s"got planes=$planes bands=$bands")
-    // a dims mismatch would zip_with-null every projection and send ALL
-    // vectors to sign-bit 0 in every plane — the operator would silently
-    // return garbage (or nothing, once the skew cap trips). One bounded
-    // probe row validates the contract up front.
-    emb.select(size(col(vecCol)).as("n")).limit(1).collect()
-      .headOption.filterNot(_.isNullAt(0)).foreach { r =>
-        require(r.getInt(0) == dims,
-          s"embeddingCosineLsh dims=$dims but '$vecCol' vectors have " +
-            s"${r.getInt(0)} elements — pass dims explicitly")
-      }
     val bandBits = planes / bands
     // plane matrix as a BROADCAST variable, not a typedLit: at the
     // documented scale path (planes 256 × dims up to 4k) a literal is a
@@ -248,15 +239,23 @@ object Dedup {
     // bit p = sign of the SEQUENTIAL left-fold sum over d of c_pd·v_d —
     // the exact fold order of the previous literal form
     // aggregate(zip_with(cs, v, c·x), 0.0, +), so signatures (and the
-    // DuckDB oracle replaying the same algebra) are bit-identical. The
-    // degenerate cases match that form too: a null vector, null element,
-    // or ragged length (zip_with null-pads, nulling the sum) yields
-    // all-zero bits via when(null >= 0).otherwise(0); a NaN sum signs to
-    // 1 (Spark SQL orders NaN above every value, so NaN >= 0 is TRUE —
-    // unlike Scala's primitive NaN >= 0).
+    // DuckDB oracle replaying the same algebra) are bit-identical. A
+    // null vector or null element (missing data) yields all-zero bits,
+    // matching when(null >= 0).otherwise(0); a NaN sum signs to 1
+    // (Spark SQL orders NaN above every value — unlike Scala's
+    // primitive NaN >= 0). A RAGGED length is a structural contract
+    // violation and throws LOUDLY per row: silently zero-banding a
+    // mixed-dims corpus would funnel every ragged row into the all-zero
+    // bucket (then the skew cap silently drops them) — and a driver-
+    // side one-row probe both misses ragged tails and forces an eager
+    // Spark job at plan-construction time.
     val bitsUdf = udf { (v: Seq[java.lang.Double]) =>
-      if (v == null || v.length != nD || v.exists(_ == null))
+      if (v == null || v.exists(_ == null))
         Seq.fill(nP)(0)
+      else if (v.length != nD)
+        throw new IllegalArgumentException(
+          s"embeddingCosineLsh dims=$nD but a vector has ${v.length} " +
+            "elements — pass dims explicitly")
       else {
         val m = bcPlanes.value
         val out = new Array[Int](nP)
@@ -324,6 +323,17 @@ object Dedup {
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // numeric ids only, checked at the SCHEMA level: under LEGACY
+    // (non-ANSI) mode cast("long") turns an opaque string id into NULL
+    // silently, every edge collapses to (null, null), and the result is
+    // one garbage null-keyed "cluster" with no error anywhere
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(pairs.schema.fieldIndex(c)).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"resolveClusters needs integral ids; '$c' is $dt — map opaque " +
+          "ids to longs (e.g. xxhash64) before clustering")
+    }
     val dir = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     val edges = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))

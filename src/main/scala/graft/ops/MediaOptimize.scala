@@ -78,14 +78,18 @@ object MediaOptimize {
                 accepted = false, 0L)
           }
         }
-        // release the native zlib buffers when the partition drains —
-        // waiting on the GC cleaner would accumulate off-heap memory on
-        // a long-lived executor processing many partitions
+        // release the native zlib buffers at task completion — covers
+        // BOTH the drained partition and early-terminated consumption
+        // (limit/show stop pulling mid-partition, so an on-exhaustion
+        // hook alone would still leak until GC finalization)
         var ended = false
+        def endAll(): Unit = if (!ended) { ended = true; d6.end(); d9.end() }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => endAll())
         new Iterator[OptResult] {
           def hasNext: Boolean = {
             val h = mapped.hasNext
-            if (!h && !ended) { ended = true; d6.end(); d9.end() }
+            if (!h) endAll()
             h
           }
           def next(): OptResult = mapped.next()

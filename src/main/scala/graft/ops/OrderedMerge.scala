@@ -57,7 +57,10 @@ object OrderedMerge {
           while (buf.hasNext && buf.head.get(0) == k) {
             val v = buf.next().getString(1)
             if (n > 0L) sb.append(sep)
-            sb.append(v)
+            // a NULL value appends as empty (still counted + separated):
+            // StringBuilder.append(null: String) would write the 4-char
+            // literal "null" into the merged output
+            if (v != null) sb.append(v)
             n += 1L
           }
           org.apache.spark.sql.Row(k, n, sb.toString)

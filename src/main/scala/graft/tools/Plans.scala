@@ -26,7 +26,9 @@ object Plans {
       "extract_modes", "corpus_decontaminate", "sample_quota",
       "text_redact", "dedup_substrings_rolling", "dedup_substrings_clean",
       "trigram_quality", "sample_weighted", "media_resize", "media_frames",
-      "text_langid_profile", "url_dedup").foreach { q =>
+      "text_langid_profile", "url_dedup", "dedup_substrings_keep_first",
+      "dedup_substrings_keep_first_clean", "sketch_countmin",
+      "media_optimize").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
