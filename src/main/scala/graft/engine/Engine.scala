@@ -187,8 +187,13 @@ object Sniffer {
     case "utf-8" | "utf8" => Some(StandardCharsets.UTF_8)
     case "windows-1252" | "cp1252" | "iso-8859-1" | "latin-1" | "latin1" =>
       Some(Charset.forName("windows-1252"))
-    case "utf-16" | "utf-16le" => Some(StandardCharsets.UTF_16LE)
-    case "utf-16be" => Some(StandardCharsets.UTF_16BE)
+    // WHATWG: a UTF-16 label found by the ASCII-view PRESCAN (the only
+    // caller of this map) is remapped to UTF-8 — a genuine UTF-16 page
+    // has NUL-interleaved bytes and can never match the prescan, so any
+    // page that declares utf-16 here is actually ASCII-compatible, and
+    // decoding it two-bytes-per-char would produce garbage. Real UTF-16
+    // is handled upstream by the BOM branch.
+    case "utf-16" | "utf-16le" | "utf-16be" => Some(StandardCharsets.UTF_8)
     case "us-ascii" | "ascii" => Some(StandardCharsets.US_ASCII)
     case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms932" =>
       Some(Charset.forName("windows-31j")) // WHATWG maps Shift_JIS → CP932
@@ -377,27 +382,46 @@ object PdfEngine extends ExtractionEngine {
     // reference's only join-like operation (reference:
     // src/ocrmypdf/pdfinfo/_image.py:306-333 resolves Do operators via
     // name_index), here a map-side dictionary lookup (depth-capped).
+    // the resource-map depth must EXCEED the interpreter's
+    // maxXObjectDepth (8): capping the maps shallower would silently
+    // empty the Do lookup at depth 4+ with truncated=false, making the
+    // interpreter's own depth guard (which sets the flag) unreachable.
+    // Termination/blowup safety at the deeper cap: a dict already on
+    // the CURRENT recursion path returns empty (true resource cycles),
+    // and a per-document budget bounds the total Form XObjects
+    // materialized (a crafted branching tree is b^9 otherwise); keys
+    // are built in sorted order so a tripped budget cuts
+    // deterministically.
+    val xobjPath = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[CosDict, java.lang.Boolean]())
+    var xobjBudget = 4096
     def xobjectMap(res: CosDict, depth: Int): Map[String, ContentStream.FormXObject] =
-      if (depth > 3) Map.empty
-      else res.get("XObject").map(resolve) match {
-        case Some(xd: CosDict) => xd.m.flatMap { case (k, v) =>
-          resolve(v) match {
-            case st: CosStream
-              if resolve(st.dict.get("Subtype").getOrElse(CosNull)) == CosName("Form") =>
-              PdfDoc.decodeStream(st, resolve).map { bytes =>
-                val innerRes = st.dict.get("Resources").map(resolve) match {
-                  case Some(r: CosDict) => Some(r)
-                  case _ => None
+      if (depth > ContentStream.maxXObjectDepth || !xobjPath.add(res))
+        Map.empty
+      else try {
+        res.get("XObject").map(resolve) match {
+          case Some(xd: CosDict) => xd.m.toSeq.sortBy(_._1).flatMap {
+            case (k, v) =>
+            resolve(v) match {
+              case st: CosStream
+                if resolve(st.dict.get("Subtype").getOrElse(CosNull)) ==
+                  CosName("Form") && xobjBudget > 0 =>
+                xobjBudget -= 1
+                PdfDoc.decodeStream(st, resolve).map { bytes =>
+                  val innerRes = st.dict.get("Resources").map(resolve) match {
+                    case Some(r: CosDict) => Some(r)
+                    case _ => None
+                  }
+                  k -> ContentStream.FormXObject(bytes,
+                    innerRes.map(fontMap).getOrElse(Map.empty),
+                    innerRes.map(xobjectMap(_, depth + 1)).getOrElse(Map.empty))
                 }
-                k -> ContentStream.FormXObject(bytes,
-                  innerRes.map(fontMap).getOrElse(Map.empty),
-                  innerRes.map(xobjectMap(_, depth + 1)).getOrElse(Map.empty))
-              }
-            case _ => None
-          }
+              case _ => None
+            }
+          }.toMap
+          case _ => Map.empty
         }
-        case _ => Map.empty
-      }
+      } finally { xobjPath.remove(res); () }
 
     // memoize only the page-level (depth 0) entry: the recursion-depth
     // guard inside xobjectMap must stay live for self-referential

@@ -78,9 +78,12 @@ object Ranges {
     }.map { case (lo, hi) => (math.max(1, lo), math.min(totalPages, hi)) }
       .filter { case (lo, hi) => lo <= hi }
       .toSeq.sorted
-    // merge overlapping/adjacent intervals
+    // merge overlapping/adjacent intervals — compare in LONG: with
+    // phi == Int.MaxValue (open-ended `end` at max total), phi + 1
+    // wraps negative and two overlapping end-anchored intervals would
+    // escape the merge, violating the non-overlapping contract
     raw.foldLeft(List.empty[(Int, Int)]) {
-      case ((plo, phi) :: rest, (lo, hi)) if lo <= phi + 1 =>
+      case ((plo, phi) :: rest, (lo, hi)) if lo.toLong <= phi.toLong + 1 =>
         (plo, math.max(phi, hi)) :: rest
       case (acc, iv) => iv :: acc
     }.reverse

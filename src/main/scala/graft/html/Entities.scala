@@ -55,7 +55,14 @@ object Entities {
       "sdot" -> "⋅", "lceil" -> "⌈", "rceil" -> "⌉",
       "lfloor" -> "⌊", "rfloor" -> "⌋",
       "loz" -> "◊", "spades" -> "♠", "clubs" -> "♣",
-      "hearts" -> "♥", "diams" -> "♦"
+      "hearts" -> "♥", "diams" -> "♦",
+      // the HTML 4.01 math/arrow names the first cut omitted — the
+      // table's contract is the FULL 4.01 set
+      "forall" -> "∀", "part" -> "∂", "exist" -> "∃", "empty" -> "∅",
+      "nabla" -> "∇", "isin" -> "∈", "notin" -> "∉", "ni" -> "∋",
+      "prod" -> "∏", "sum" -> "∑", "weierp" -> "℘", "real" -> "ℜ",
+      "image" -> "ℑ", "crarr" -> "↵", "lArr" -> "⇐", "uArr" -> "⇑",
+      "rArr" -> "⇒", "dArr" -> "⇓", "hArr" -> "⇔"
     )
     // Latin-1 accented letters A-y with grave/acute/circ/tilde/uml/ring/
     // cedilla — generate from the codepoint table to keep this exhaustive.
@@ -136,8 +143,13 @@ object Entities {
       if (i < n && (s.charAt(i) == 'x' || s.charAt(i) == 'X')) { hex = true; i += 1 }
       val digStart = i
       var cp = 0L
-      while (i < n && isDigitOf(s.charAt(i), hex) && i - digStart < 8) {
-        cp = cp * (if (hex) 16 else 10) + Character.digit(s.charAt(i), if (hex) 16 else 10)
+      // consume ALL digits (WHATWG) — stopping at a fixed digit budget
+      // would leak the leftover digits into the visible text; the value
+      // just saturates above the Unicode range (→ U+FFFD)
+      while (i < n && isDigitOf(s.charAt(i), hex)) {
+        if (cp <= 0x110000L)
+          cp = cp * (if (hex) 16 else 10) +
+            Character.digit(s.charAt(i), if (hex) 16 else 10)
         i += 1
       }
       if (i == digStart) return null // "&#" with no digits: literal

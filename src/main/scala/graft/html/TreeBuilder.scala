@@ -230,7 +230,14 @@ object TreeBuilder {
           // WHATWG: an end tag </br> acts as a <br> START tag (legacy
           // markup) — dropping it would merge the words it separates
           addElement("br", Nil, push = false)
-        else if (!voidTags.contains(name)) popTo(name) // unmatched → ignored
+        else if (!voidTags.contains(name)) {
+          val matched = popTo(name)
+          // WHATWG: a stray </p> with no open p inserts (and closes) an
+          // implicit p element — browsers render a block boundary there;
+          // ignoring it would glue the surrounding words together (the
+          // same defect class as the </br> rule above)
+          if (!matched && name == "p") addElement("p", Nil, push = false)
+        }
       case TextRun(raw) =>
         // the pre-rule strip may leave an EMPTY text node — still added,
         // so node counts (n_nodes metric, goldens) match the previous

@@ -44,6 +44,7 @@ object ContentStream {
     var deepNesting = false // soft-limit flag (no data loss yet)
 
     var gsDepth = 0
+    var skippedQ = 0 // q ops suppressed past hardStackLimit (pairs their Q)
     // graphics state saved/restored by q/Q: the text render mode (Tr) AND
     // the current font (Tf) are both part of the PDF graphics state
     // (PDF 32000-1 §8.4.1 lists text state among the device-independent
@@ -92,9 +93,18 @@ object ContentStream {
                 // suspicious nesting — flagged (truncated=false would hide
                 // it), processing continues to the hard stop
                 if (gsDepth > softStackLimit) deepNesting = true
-              } else truncated = true // past hard limit: ignore, flag
+              } else {
+                // past hard limit: ignore, flag — and COUNT the skip so
+                // the matching Q is also ignored (popping a real entry
+                // for a skipped push would misrestore Tr/font and could
+                // surface invisible text as visible; same pairing
+                // discipline as TreeBuilder's cap-suppressed tags)
+                skippedQ += 1
+                truncated = true
+              }
             case "Q" =>
-              if (gsDepth > 0) {
+              if (skippedQ > 0) skippedQ -= 1 // pairs a suppressed q
+              else if (gsDepth > 0) {
                 gsDepth -= 1
                 if (gsStack.nonEmpty) {
                   val (rm, f) = gsStack.last
@@ -167,6 +177,11 @@ object ContentStream {
                       fx.xobjects, depth + 1)
                     inner.lines.foreach { l => line.append(l); newline() }
                     if (inner.truncated) truncated = true
+                    // the soft-limit flag must survive the recursion too:
+                    // a form whose own q-nesting is suspicious flags the
+                    // page, or the metric under-counts exactly the docs
+                    // it exists to surface
+                    if (inner.deepNesting) deepNesting = true
                   } else truncated = true
                 }
               }

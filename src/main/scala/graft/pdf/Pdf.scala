@@ -309,9 +309,19 @@ object PdfDoc {
         val hdr = parseHeaderBack(data, i - 1)
         if (hdr >= 0) {
           val lx = new PdfLexer(data, i + 3)
-          objects(hdr) = readBody(lx, data)
+          val body = readBody(lx, data)
+          objects(hdr) = body
           count += 1
-          i = math.max(i, lx.pos - 1) // skip consumed stream payloads
+          // skip the consumed payload only for STREAM objects (their
+          // binary payloads legitimately contain fake "obj" headers); a
+          // corrupt NON-stream body (unterminated dict/string) can
+          // swallow the rest of the file — skipping with lx.pos would
+          // then hide every later object from the very recovery scan
+          // this path exists for
+          body match {
+            case _: CosStream => i = math.max(i, lx.pos - 1)
+            case _ => ()
+          }
         }
       }
       i += 1
@@ -722,8 +732,13 @@ object PdfDoc {
       columns: Int): Option[Array[Byte]] = {
     if (colors < 1 || bpc < 1 || columns < 1) return None
     val bpp = math.max(1, (colors * bpc + 7) / 8) // bytes per pixel
-    val rowBytes = (colors.toLong * bpc * columns + 7).toInt / 8
-    if (rowBytes <= 0) return None
+    // divide in LONG, range-check, then narrow: `.toInt / 8` applied the
+    // narrowing before the divide, so adversarial colors·bpc·columns
+    // near 2^32 wrapped to a small bogus rowBytes and the predictor
+    // "succeeded" on garbage instead of hitting the typed reject
+    val rowBytesL = (colors.toLong * bpc * columns + 7) / 8
+    if (rowBytesL <= 0 || rowBytesL > data.length) return None
+    val rowBytes = rowBytesL.toInt
     if (predictor == 2) {
       // TIFF horizontal differencing (8-bit components only — others are
       // not seen on COS data streams)

@@ -601,6 +601,28 @@ class KernelSpec extends AnyFunSuite {
     assert(t.contains("\n\n\ncode line one"), t.replace("\n", "\\n"))
   }
 
+  test("stray </p> inserts a block boundary (WHATWG implied p)") {
+    // '</p>' with no open p acts as '<p></p>' in browsers — a block
+    // boundary; ignoring it would glue 'before'+'after' into one word
+    val t = extractText("<html><body>lead words before</p>after the " +
+      "break more content words here to clear thresholds well enough" +
+      "</body></html>")
+    assert(!t.contains("beforeafter"), t.take(120))
+  }
+
+  test("entities: full digit consumption and HTML 4.01 math names") {
+    import graft.html.Entities
+    // over-long numeric reference: ALL digits consumed, single U+FFFD,
+    // no leftover digits leaking into the text
+    assert(Entities.decodeAt("#99999999999;x", 0) == (("�", 13)))
+    assert(Entities.decodeAt("#x110000;", 0) == (("�", 9)))
+    // HTML 4.01 math/arrow names present per the table's contract
+    assert(Entities.decodeAt("isin;", 0) == (("∈", 5)))
+    assert(Entities.decodeAt("sum;", 0) == (("∑", 4)))
+    assert(Entities.decodeAt("rArr;", 0) == (("⇒", 5)))
+    assert(Entities.decodeAt("weierp;", 0) == (("℘", 7)))
+  }
+
   test("hidden style detection survives embedded whitespace") {
     val t = extractText("<html><body><div style=\"display:\n\tnone\">" +
       "boilerhidden</div><p>kept paragraph with content words well " +

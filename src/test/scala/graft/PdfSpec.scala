@@ -40,6 +40,21 @@ class PdfSpec extends AnyFunSuite {
     assert(pt.lines == Vector("x"))
   }
 
+  test("content stream: a Q pairing a cap-suppressed q must not pop real state") {
+    // fill to the hard limit, then: q (suppressed) / Tr 3 (invisible) /
+    // Q (must pair the SUPPRESSED q, leaving Tr 3 live) — popping a real
+    // entry instead would restore Tr 0 and leak the invisible string
+    val ops = ("q " * ContentStream.hardStackLimit) +
+      "q 3 Tr BT (secret) Tj ET Q BT (visible) Tj ET"
+    val pt = ContentStream.interpret(ops.getBytes(ISO_8859_1),
+      Map("F1" -> Glyphs.default))
+    assert(pt.truncated) // the suppressed q flagged
+    // Tr 3 text never emitted; Q after it paired the suppressed q so
+    // render mode STAYS 3 for the following text too
+    assert(!pt.lines.exists(_.contains("secret")), pt.lines.toString)
+    assert(!pt.lines.exists(_.contains("visible")), pt.lines.toString)
+  }
+
   test("glyphs: CMap parse memo hits on equal content, misses on new") {
     // the MultiFontManager analog: identical ToUnicode bytes across rows
     // parse once per thread; distinct content parses fresh

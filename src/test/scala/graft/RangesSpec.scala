@@ -52,5 +52,9 @@ class RangesSpec extends AnyFunSuite {
     assert(Ranges.parse("", 5) == Set.empty)
     assert(Ranges.parse("0,3,99", 5) == Set(3)) // out-of-range clamped away
     assert(Ranges.parse("x,2,bad-4,5-2", 5) == Set(2)) // malformed skipped
+    // merge at Int.MaxValue: phi+1 wraps in Int — two end-anchored
+    // intervals must still merge (the non-overlapping contract)
+    assert(Ranges.intervals("5-end,7-end", Int.MaxValue) ==
+      Seq((5, Int.MaxValue)))
   }
 }
