@@ -30,9 +30,15 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   def corpusSizeFor(sfDir: String): Long =
-    if (sfDir.contains("sf0.1")) 100000L
+    if (sfDir.contains("sf0.001")) 1000L
     else if (sfDir.contains("sf0.01")) 10000L
-    else 1000L
+    else if (sfDir.contains("sf0.1")) 100000L
+    // fail LOUDLY on an unknown scale: silently benching 1000 docs while
+    // stamping the JSON with the requested dir would make the docs/sec
+    // series incomparable across rounds with no visible signal
+    else throw new IllegalArgumentException(
+      s"unrecognized SF dir '$sfDir' — expected a path containing " +
+        "sf0.001 / sf0.01 / sf0.1")
 
   def main(args: Array[String]): Unit = {
     // the f"%.3f" interpolations are default-locale dependent: a

@@ -169,10 +169,14 @@ object SparkEntry {
       // extracted — must match the goldens byte-identically, proving the
       // source round-trips every field the kernel consumes
       import s.implicits._
-      val blobs = (0 until 12).map { g =>
+      // decomposition derived from verifyN (the corpus size's one
+      // owner): 50-row archives, so a verifyN change cannot leave this
+      // query round-tripping a stale subset
+      val groupSize = 50
+      val blobs = (0 until verifyN / groupSize).map { g =>
         graft.spark.WarcSource.writeRecords(
-          (0 until 50).map(k =>
-            graft.gen.SyntheticCorpus.row((g * 50 + k).toLong)))
+          (0 until groupSize).map(k =>
+            graft.gen.SyntheticCorpus.row((g * groupSize + k).toLong)))
       }
       val pages = s.createDataset(blobs)
         .repartition(4) // archives parse in parallel, like binaryFile tasks
@@ -542,11 +546,15 @@ object SparkEntry {
       // shuffle carries sketches not rows — the at-scale replacement for
       // the full-row shuffle in `agg_quantiles`. Rank arithmetic matches
       // the exact form, so at ≤k rows/group the result is bit-identical
-      // and the SAME exact-rank DuckDB oracle pins it.
+      // and the SAME exact-rank DuckDB oracle pins it. k=8192 keeps every
+      // per-lang group of the sf0.001-0.1 verify corpora inside that
+      // exact regime (sf0.1's largest group is ~2k rows; k=1024 would
+      // compact it and the oracle would red a CORRECT sketch); the >k
+      // approximate regime is pinned by the OpsSpec units instead.
       graft.functions.GraftFunctions.register(s)
       docs(s, dir)
         .groupBy("lang")
-        .agg(expr("kll_quantiles(cast(n_chars as double), 1024, 0.5, 0.9, 1.0)")
+        .agg(expr("kll_quantiles(cast(n_chars as double), 8192, 0.5, 0.9, 1.0)")
           .as("qs"))
         .select(col("lang"),
           col("qs").getItem(0).cast("long").as("p50"),
@@ -673,8 +681,12 @@ c$i AS (
 
   /** MinHash-LSH candidate CTE chain, shared by the dedup_minhash_lsh and
     * dedup_clusters oracles (the latter appends a recursive
-    * connected-components walk over the same pair set). */
-  private lazy val lshCtes = s"""shingled AS (
+    * connected-components walk over the same pair set). A def, not a
+    * lazy val: the string interpolates D(sf), which reads the
+    * graft.oracle.sf property — a lazy val would freeze the FIRST sf
+    * seen for exactly these two oracles while every other oracle
+    * followed the property. */
+  private def lshCtes = s"""shingled AS (
   SELECT doc_id, list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)) AS sh
   FROM ${D(sf)}
 ), sig AS (
@@ -707,7 +719,10 @@ c$i AS (
     "extract_modes" ->
       s"SELECT url, mode, outcome, engine, n_spans, text_md5 FROM read_parquet('$goldenModes') ORDER BY mode, url",
     "pages_subset" ->
-      s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE (doc_id BETWEEN 0 AND 49) OR doc_id = 110 OR (doc_id BETWEEN 199 AND 499) ORDER BY doc_id",
+      // '200-end' stays OPEN-ENDED here too (doc_id >= 199): baking the
+      // corpus max in (BETWEEN 199 AND 499) froze the sf0.01 size into
+      // SQL and would red-out every other sf dir
+      s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE (doc_id BETWEEN 0 AND 49) OR doc_id = 110 OR doc_id >= 199 ORDER BY doc_id",
     "extract_subset" ->
       s"SELECT url, text, outcome FROM $G WHERE CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 1 AND 40 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 101 AND 130 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 590 AND 600 ORDER BY url",
     "text_langid" ->
@@ -1351,12 +1366,15 @@ FROM f ORDER BY user_id, event_id""",
     "events_range_join" -> s"""
 WITH base AS (SELECT * FROM read_parquet('$sf/events.parquet') WHERE event_type <> 'error'),
 g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
          WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 86400000000 THEN 1 ELSE 0 END AS ns
   FROM base
 ), s AS (
-  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx FROM g
+  -- (ts, event_id) tie-break, same total order as the ns window above
+  -- and the sessionize oracle: ordering by ts alone could assign a
+  -- duplicate-timestamp twin to the PREVIOUS session nondeterministically
+  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM g
 ), iv AS (
   SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, min(ts) AS s, max(ts) AS e FROM s GROUP BY 1, 2
 ), p AS (SELECT event_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'error')

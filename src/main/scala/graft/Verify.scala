@@ -40,11 +40,19 @@ object Verify {
         // compare would then green-light STALE results. Delete the dir
         // so the failure is visible as a missing output, and keep going
         // so one broken query doesn't hide the rest of the run.
-        val stale = Paths.get(s"$outDir/$name")
-        if (Files.exists(stale)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(stale).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
+        // the cleanup is best-effort IO of its own: if it throws (held
+        // file handle, odd mount), the exception must not escape this
+        // catch and kill the remaining queries + the oracle_sql.json
+        // write — the exact blast radius this block exists to prevent
+        try {
+          val stale = Paths.get(s"$outDir/$name")
+          if (Files.exists(stale)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(stale).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name stale-cleanup failed: $c")
         }
         System.err.println(s"[verify] $name failed: $e")
         e.printStackTrace()
@@ -68,6 +76,13 @@ object Verify {
         if (nBad > 0) {
           failed += 1
           sample.foreach(s => System.err.println(s"[verify] INVARIANT $s"))
+          // machine-visible sentinel: per-QUERY failures surface as
+          // missing outputs, but an invariant violation leaves all
+          // parquet + oracle_sql.json intact — without this file (and
+          // with exit code 0 preserved for the driver contract) an
+          // automated gate would green-light the run
+          Files.writeString(Paths.get(s"$outDir/INVARIANT_VIOLATIONS"),
+            s"$nBad violations over $rows rows\n" + sample.mkString("\n"))
         }
       } catch { case e: Throwable =>
         failed += 1
