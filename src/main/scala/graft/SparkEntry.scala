@@ -208,7 +208,7 @@ object SparkEntry {
         .orderBy("url")),
     "text_langid_profile" -> ((s, _) => {
       // trigram-profile language ID (Cavnar-Trenkle rank profiles) over
-      // the 75-language held-out fixture; the DuckDB oracle recomputes
+      // the 100-language held-out fixture; the DuckDB oracle recomputes
       // the whole train/rank/out-of-place/argmin pipeline from the same
       // VALUES literals via a per-gram × per-language cross formulation
       // (cross-strategy check of the arithmetic-completion shortcut)

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * are never materialized. Text never moves through a join.
   *
   * Training data: [[seed]] — a deterministic in-code multilingual
-  * fixture (75 languages × 6 sentences; 4 train + 2 held-out test per
+  * fixture (100 languages × 6 sentences; 4 train + 2 held-out test per
   * language — the breadth analog of the reference's ~100 per-language
   * model inventory in `languages.py`), the sandbox stand-in for
   * profiles trained on a labeled corpus slice.
@@ -70,6 +70,13 @@ object LangId {
       "المرشح الجيد يحفظ المحتوى ويزيل الضوضاء",
       "يستخرج خط الأنابيب النص من كل وثيقة",
       "نكتب النتائج في الجدول"),
+    "asm" -> Seq(
+      "চিস্টেমে প্ৰতিখন নথি পঢ়ে আৰু মূল পাঠ উলিয়াই আনে",
+      "আমি প্ৰতিদিনে পাইপলাইনত তথ্য প্ৰক্ৰিয়া কৰোঁ",
+      "ইঞ্জিনে ফলাফলবোৰ তালিকাত লিখে",
+      "ভাল ফিল্টাৰে বিষয়বস্তু ৰাখে আৰু কোলাহল আঁতৰায়",
+      "পাইপলাইনে প্ৰতিখন নথিৰ পৰা পাঠ উলিয়াই আনে",
+      "আমি ফলাফলবোৰ তালিকাত লিখোঁ"),
     "aze" -> Seq(
       "sistem hər sənədi oxuyur və əsas mətni çıxarır",
       "biz məlumatları hər gün boru xəttində emal edirik",
@@ -91,6 +98,20 @@ object LangId {
       "ভাল ফিল্টার বিষয়বস্তু রাখে এবং শব্দ সরিয়ে দেয়",
       "পাইপলাইন প্রতিটি নথি থেকে পাঠ্য বের করে",
       "আমরা ফলাফল টেবিলে লিখি"),
+    "bod" -> Seq(
+      "མ་ལག་གིས་ཡིག་ཆ་རེ་རེ་ཀློག་ནས་མ་ཡིག་གཙོ་བོ་འདོན་གྱི་ཡོད",
+      "ང་ཚོས་ཉིན་རེར་གཞི་གྲངས་རྣམས་རྒྱུད་ལམ་ནང་ལས་སྣོན་བྱེད་ཀྱི་ཡོད",
+      "འཕྲུལ་འཁོར་གྱིས་གྲུབ་འབྲས་རྣམས་རེའུ་མིག་ནང་འབྲི་གི་ཡོད",
+      "ཚགས་མ་བཟང་པོས་ནང་དོན་ཉར་ཞིང་སྐད་ཅོར་སེལ་གྱི་ཡོད",
+      "རྒྱུད་ལམ་གྱིས་ཡིག་ཆ་རེ་རེ་ནས་ཡི་གེ་འདོན་གྱི་ཡོད",
+      "ང་ཚོས་གྲུབ་འབྲས་རྣམས་རེའུ་མིག་ནང་འབྲི་གི་ཡོད"),
+    "bos" -> Seq(
+      "sistem čita svaki dokument i izdvaja osnovni tekst",
+      "podatke obrađujemo svakodnevno u protočnoj liniji",
+      "mašina upisuje rezultate u tabelu",
+      "dobar filter čuva sadržaj i otklanja šum",
+      "protočna linija izdvaja tekst iz svakog dokumenta",
+      "mi upisujemo rezultate u tabelu svakodnevno"),
     "bul" -> Seq(
       "системата чете всеки документ и извлича основния текст",
       "обработваме данните всеки ден в тръбопровода",
@@ -105,6 +126,13 @@ object LangId {
       "un bon filtre guarda el contingut i elimina el soroll",
       "el conducte extreu el text de cada document",
       "escrivim els resultats a la taula cada dia"),
+    "ceb" -> Seq(
+      "ang sistema nagbasa sa matag dokumento ug nagkuha sa panguna nga teksto",
+      "giproseso namo ang datos matag adlaw sa tubo",
+      "ang makina nagsulat sa mga resulta ngadto sa lamesa",
+      "ang maayong filter nagtipig sa sulod ug nagwagtang sa saba",
+      "ang tubo nagkuha sa teksto gikan sa matag dokumento",
+      "gisulat namo ang mga resulta ngadto sa lamesa"),
     "ces" -> Seq(
       "systém čte každý dokument a vytahuje hlavní text",
       "zpracováváme data každý den v potrubí",
@@ -168,6 +196,13 @@ object LangId {
       "iragazki on batek edukia gordetzen du eta zarata kentzen du",
       "hodiak testua ateratzen du dokumentu bakoitzetik",
       "emaitzak taulan idazten ditugu egunero"),
+    "fao" -> Seq(
+      "skipanin lesur hvørt skjal og tekur høvuðstekstin út",
+      "vit viðgera dáturnar hvønn dag í leiðingini",
+      "mótorurin skrivar úrslitini í talvuna",
+      "gott filtur varðveitir innihaldið og tekur burtur larmin",
+      "leiðingin tekur tekstin úr hvørjum skjali",
+      "vit skriva úrslitini í talvuna hvønn dag"),
     "fas" -> Seq(
       "سیستم هر سند را می خواند و متن اصلی را استخراج می کند",
       "ما داده ها را هر روز در خط لوله پردازش می کنیم",
@@ -189,6 +224,20 @@ object LangId {
       "un bon filtre garde le contenu et supprime le bruit",
       "le pipeline extrait le texte de chaque document",
       "nous écrivons les résultats dans la table"),
+    "fry" -> Seq(
+      "it systeem lêst elk dokumint en hellet de haadtekst derút",
+      "wy ferwurkje de gegevens alle dagen yn de piipline",
+      "de motor skriuwt de risseltaten yn de tabel",
+      "in goed filter hâldt de ynhâld fêst en hellet it lûd fuort",
+      "de piipline hellet de tekst út elk dokumint",
+      "wy skriuwe de risseltaten yn de tabel"),
+    "gla" -> Seq(
+      "tha an siostam a' leughadh gach sgrìobhainn agus a' toirt a-mach am prìomh theacsa",
+      "bidh sinn a' giullachd an dàta gach latha anns a' phìoblaidh",
+      "tha an t-einnsean a' sgrìobhadh nan toraidhean dhan chlàr",
+      "bidh sìoltachan math a' cumail na susbaint agus a' toirt air falbh am fuaim",
+      "tha a' phìoblaidh a' toirt an teacsa a-mach à gach sgrìobhainn",
+      "bidh sinn a' sgrìobhadh nan toraidhean dhan chlàr gach latha"),
     "gle" -> Seq(
       "léann an córas gach doiciméad agus baineann sé an príomhthéacs amach",
       "próiseálaimid na sonraí gach lá sa phíblíne",
@@ -217,6 +266,13 @@ object LangId {
       "yon bon filtè kenbe kontni an epi retire bri a",
       "kanal la retire tèks la nan chak dokiman",
       "nou ekri rezilta yo nan tablo a chak jou"),
+    "hau" -> Seq(
+      "tsarin yana karanta kowace takarda kuma yana fitar da babban rubutu",
+      "muna sarrafa bayanai kowace rana a cikin bututun",
+      "injin yana rubuta sakamako a cikin tebur",
+      "matata mai kyau tana adana abun ciki kuma tana cire hayaniya",
+      "bututun yana fitar da rubutu daga kowace takarda",
+      "muna rubuta sakamako a cikin tebur kowace rana"),
     "heb" -> Seq(
       "המערכת קוראת כל מסמך ומחלצת את הטקסט הראשי",
       "אנחנו מעבדים את הנתונים כל יום בצינור",
@@ -252,6 +308,13 @@ object LangId {
       "լավ զտիչը պահում է բովանդակությունը և հեռացնում է աղմուկը",
       "խողովակաշարը հանում է տեքստը յուրաքանչյուր փաստաթղթից",
       "մենք գրում ենք արդյունքները աղյուսակում"),
+    "ibo" -> Seq(
+      "usoro na agụ akwụkwọ ọ bụla ma wepụta isi ederede",
+      "anyị na edozi data kwa ụbọchị na paịpụ",
+      "igwe na ede nsonaazụ n'ime tebụl",
+      "nzacha dị mma na echekwa ọdịnaya ma wepụ mkpọtụ",
+      "paịpụ na ewepụta ederede site na akwụkwọ ọ bụla",
+      "anyị na ede nsonaazụ n'ime tebụl kwa ụbọchị"),
     "ind" -> Seq(
       "sistem membaca setiap dokumen dan mengekstrak teks utama",
       "kami memproses data setiap hari dalam saluran pipa",
@@ -273,6 +336,13 @@ object LangId {
       "un buon filtro mantiene il contenuto ed elimina il rumore",
       "la pipeline estrae il testo da ogni documento",
       "scriviamo i risultati nella tabella ogni giorno"),
+    "jav" -> Seq(
+      "sistem maca saben dokumen lan njupuk teks utama",
+      "kita ngolah data saben dina ing pipa",
+      "mesin nulis asil menyang tabel",
+      "saringan apik nyimpen isi lan mbusak gangguan",
+      "pipa njupuk teks saka saben dokumen",
+      "kita nulis asil menyang tabel saben dina"),
     "jpn" -> Seq(
       "システムはすべての文書を読み取り主要なテキストを抽出する",
       "私たちは毎日パイプラインでデータを処理する",
@@ -308,6 +378,13 @@ object LangId {
       "តម្រងល្អរក្សាមាតិកា ហើយដកសំឡេងរំខានចេញ",
       "បំពង់ទាញយកអត្ថបទពីឯកសារនីមួយៗ",
       "យើងសរសេរលទ្ធផលទៅក្នុងតារាង"),
+    "kir" -> Seq(
+      "система ар бир документти окуйт жана негизги текстти чыгарат",
+      "биз маалыматтарды күн сайын түтүктө иштетебиз",
+      "кыймылдаткыч жыйынтыктарды таблицага жазат",
+      "жакшы чыпка мазмунду сактайт жана ызы чууну жок кылат",
+      "түтүк ар бир документтен текстти чыгарат",
+      "биз жыйынтыктарды таблицага жазабыз"),
     "kor" -> Seq(
       "시스템은 모든 문서를 읽고 주요 텍스트를 추출한다",
       "우리는 매일 파이프라인에서 데이터를 처리한다",
@@ -343,6 +420,13 @@ object LangId {
       "geras filtras išsaugo turinį ir pašalina triukšmą",
       "vamzdynas ištraukia tekstą iš kiekvieno dokumento",
       "mes įrašome rezultatus į lentelę kasdien"),
+    "ltz" -> Seq(
+      "de system liest all dokument an hëlt den haapttext eraus",
+      "mir veraarbechten d'donnéeë all dag an der pipeline",
+      "de motor schreift d'resultater an d'tabell",
+      "e gudde filter hält den inhalt a läscht de kaméidi",
+      "d'pipeline hëlt den text aus all dokument eraus",
+      "mir schreiwen d'resultater an d'tabell all dag"),
     "mal" -> Seq(
       "സിസ്റ്റം എല്ലാ രേഖകളും വായിക്കുകയും പ്രധാന വാചകം പുറത്തെടുക്കുകയും ചെയ്യുന്നു",
       "ഞങ്ങൾ എല്ലാ ദിവസവും കുഴലിൽ ഡാറ്റ സംസ്കരിക്കുന്നു",
@@ -378,6 +462,20 @@ object LangId {
       "сайн шүүлтүүр агуулгыг хадгалж шуугианыг арилгадаг",
       "дамжуулах хоолой баримт бүрээс текстийг гаргаж авдаг",
       "бид үр дүнг хүснэгтэд бичдэг"),
+    "mri" -> Seq(
+      "ka pānui te pūnaha i ia tuhinga ka tango i te kupu matua",
+      "ka tukatuka mātou i ngā raraunga ia rā i roto i te paipa",
+      "ka tuhi te mīhini i ngā hua ki te ripanga",
+      "ka pupuri te tātari pai i te ihirangi ka tango i te haruru",
+      "ka tango te paipa i te kupu mai i ia tuhinga",
+      "ka tuhi mātou i ngā hua ki te ripanga ia rā"),
+    "msa" -> Seq(
+      "sistem membaca setiap dokumen dan mengeluarkan teks utama",
+      "kami memproses data setiap hari dalam saluran paip",
+      "enjin menulis keputusan ke dalam jadual",
+      "penapis yang baik menyimpan kandungan dan membuang bunyi bising",
+      "saluran paip mengeluarkan teks daripada setiap dokumen",
+      "kami menulis keputusan ke dalam jadual setiap hari"),
     "mya" -> Seq(
       "စနစ်သည် စာရွက်စာတမ်းတိုင်းကို ဖတ်ပြီး အဓိက စာသားကို ထုတ်ယူသည်",
       "ကျွန်ုပ်တို့သည် နေ့တိုင်း ပိုက်လိုင်းတွင် ဒေတာကို လုပ်ဆောင်သည်",
@@ -406,6 +504,20 @@ object LangId {
       "et godt filter beholder innholdet og fjerner støyen",
       "rørledningen trekker ut hovedteksten fra hvert dokument",
       "motoren trekker ut teksten og skriver resultatene til tabellen"),
+    "oci" -> Seq(
+      "lo sistèma legís cada document e ne tira lo tèxte principal",
+      "tractam las donadas cada jorn dins la canalizacion",
+      "lo motor escriu los resultats dins la taula",
+      "un bon filtre garda lo contengut e lèva lo bruch",
+      "la canalizacion tira lo tèxte de cada document",
+      "escrivèm los resultats dins la taula cada jorn"),
+    "ori" -> Seq(
+      "ସିଷ୍ଟମ ପ୍ରତ୍ୟେକ ଦଲିଲ ପଢ଼େ ଏବଂ ମୁଖ୍ୟ ପାଠ୍ୟ ବାହାର କରେ",
+      "ଆମେ ପ୍ରତିଦିନ ପାଇପଲାଇନରେ ତଥ୍ୟ ପ୍ରକ୍ରିୟା କରୁ",
+      "ଇଞ୍ଜିନ ଫଳାଫଳ ସାରଣୀରେ ଲେଖେ",
+      "ଭଲ ଫିଲ୍ଟର ବିଷୟବସ୍ତୁ ରଖେ ଏବଂ କୋଳାହଳ ହଟାଏ",
+      "ପାଇପଲାଇନ ପ୍ରତ୍ୟେକ ଦଲିଲରୁ ପାଠ୍ୟ ବାହାର କରେ",
+      "ଆମେ ଫଳାଫଳ ସାରଣୀରେ ଲେଖୁ"),
     "pan" -> Seq(
       "ਸਿਸਟਮ ਹਰ ਦਸਤਾਵੇਜ਼ ਪੜ੍ਹਦਾ ਹੈ ਅਤੇ ਮੁੱਖ ਲਿਖਤ ਕੱਢਦਾ ਹੈ",
       "ਅਸੀਂ ਹਰ ਰੋਜ਼ ਪਾਈਪਲਾਈਨ ਵਿੱਚ ਡਾਟਾ ਪ੍ਰਕਿਰਿਆ ਕਰਦੇ ਹਾਂ",
@@ -427,6 +539,20 @@ object LangId {
       "um bom filtro guarda o conteúdo e remove o ruído",
       "o pipeline extrai o texto de cada documento",
       "escrevemos os resultados na tabela todos os dias"),
+    "pus" -> Seq(
+      "سیسټم هره سند لولي او اصلي متن راباسي",
+      "موږ هره ورځ په پایپ لاین کې معلومات پروسس کوو",
+      "انجن پایلې په جدول کې لیکي",
+      "ښه فلټر منځپانګه ساتي او شور لرې کوي",
+      "پایپ لاین له هرې سند څخه متن راباسي",
+      "موږ پایلې هره ورځ په جدول کې لیکو"),
+    "que" -> Seq(
+      "sistemaqa sapa documentota ñawinchan hinaspa hatun qillqata hurqun",
+      "sapa punchaw willakuykunata pipelinepi llamkachiniku",
+      "makinaqa ruwasqakunata tablaman qillqan",
+      "allin suysunaqa contenidota waqaychan hinaspa chaqwata wikchun",
+      "pipelineqa sapa documentomanta qillqata hurqun",
+      "ruwasqakunata tablaman qillqaniku sapa punchaw"),
     "ron" -> Seq(
       "sistemul citește fiecare document și extrage textul principal",
       "procesăm datele în fiecare zi în conductă",
@@ -462,6 +588,13 @@ object LangId {
       "dober filter ohrani vsebino in odstrani hrup",
       "cevovod izvleče besedilo iz vsakega dokumenta",
       "rezultate zapišemo v tabelo vsak dan"),
+    "snd" -> Seq(
+      "سسٽم هر دستاويز پڙهي ٿو ۽ مکيه متن ڪڍي ٿو",
+      "اسين هر روز پائپ لائين ۾ ڊيٽا پروسيس ڪريون ٿا",
+      "انجڻ نتيجا جدول ۾ لکي ٿو",
+      "سٺو فلٽر مواد رکي ٿو ۽ گوڙ ختم ڪري ٿو",
+      "پائپ لائين هر دستاويز مان متن ڪڍي ٿي",
+      "اسين نتيجا جدول ۾ لکون ٿا"),
     "spa" -> Seq(
       "el sistema lee cada documento y extrae el texto principal",
       "procesamos los datos cada día en la tubería",
@@ -483,6 +616,13 @@ object LangId {
       "добар филтер чува садржај и уклања буку",
       "цевовод извлачи текст из сваког документа",
       "резултате записујемо у табелу сваког дана"),
+    "sun" -> Seq(
+      "sistem maca unggal dokumén jeung nyokot téks utama",
+      "urang ngokolakeun data unggal poé dina pipa",
+      "mesin nulis hasil kana tabél",
+      "saringan anu alus nyimpen eusi jeung miceun gandéng",
+      "pipa nyokot téks tina unggal dokumén",
+      "urang nulis hasil kana tabél unggal poé"),
     "swa" -> Seq(
       "mfumo unasoma kila hati na kutoa maandishi makuu",
       "tunachakata data kila siku katika bomba",
@@ -504,6 +644,13 @@ object LangId {
       "நல்ல வடிகட்டி உள்ளடக்கத்தை வைத்து சத்தத்தை நீக்குகிறது",
       "குழாய் ஒவ்வொரு ஆவணத்திலிருந்தும் உரையை எடுக்கிறது",
       "நாங்கள் முடிவுகளை அட்டவணையில் எழுதுகிறோம்"),
+    "tat" -> Seq(
+      "система һәр документны укый һәм төп текстны чыгара",
+      "без мәгълүматларны көн саен торбада эшкәртәбез",
+      "двигатель нәтиҗәләрне таблицага яза",
+      "яхшы фильтр эчтәлекне саклый һәм шауны бетерә",
+      "торба һәр документтан текстны чыгара",
+      "без нәтиҗәләрне таблицага язабыз"),
     "tel" -> Seq(
       "వ్యవస్థ ప్రతి పత్రాన్ని చదివి ముఖ్య పాఠాన్ని తీస్తుంది",
       "మేము ప్రతిరోజూ గొట్టంలో డేటాను ప్రాసెస్ చేస్తాము",
@@ -511,6 +658,13 @@ object LangId {
       "మంచి వడపోత విషయాన్ని ఉంచి శబ్దాన్ని తొలగిస్తుంది",
       "గొట్టం ప్రతి పత్రం నుండి పాఠాన్ని తీస్తుంది",
       "మేము ఫలితాలను పట్టికలో రాస్తాము"),
+    "tgk" -> Seq(
+      "система ҳар ҳуҷҷатро мехонад ва матни асосиро берун меорад",
+      "мо ҳар рӯз маълумотро дар лӯла коркард мекунем",
+      "муҳаррик натиҷаҳоро дар ҷадвал менависад",
+      "филтри хуб мундариҷаро нигоҳ медорад ва ғавғоро дур мекунад",
+      "лӯла матнро аз ҳар ҳуҷҷат берун меорад",
+      "мо натиҷаҳоро дар ҷадвал менависем"),
     "tgl" -> Seq(
       "binabasa ng sistema ang bawat dokumento at kinukuha ang pangunahing teksto",
       "pinoproseso namin ang datos araw araw sa tubo",
@@ -525,6 +679,13 @@ object LangId {
       "ตัวกรองที่ดีเก็บเนื้อหาและลบเสียงรบกวน",
       "ท่อส่งดึงข้อความจากเอกสารทุกฉบับ",
       "เราเขียนผลลัพธ์ลงในตาราง"),
+    "tir" -> Seq(
+      "እቲ ስርዓት ነፍሲ ወከፍ ሰነድ የንብብ እሞ ቀንዲ ጽሑፍ የውጽእ",
+      "ንሕና መዓልታዊ ኣብቲ መስመር ዳታ ንሰርሕ",
+      "እቲ ሞተር ንውጽኢታት ኣብቲ ሰሌዳ ይጽሕፍ",
+      "ጽቡቕ መጻረዪ ንትሕዝቶ ይሕሉ እሞ ንጫውጫው የወግድ",
+      "እቲ መስመር ካብ ነፍሲ ወከፍ ሰነድ ጽሑፍ የውጽእ",
+      "ንሕና ንውጽኢታት ኣብቲ ሰሌዳ ንጽሕፍ"),
     "tur" -> Seq(
       "sistem her belgeyi okur ve ana metni çıkarır",
       "verileri her gün boru hattında işleriz",
@@ -532,6 +693,13 @@ object LangId {
       "iyi bir filtre içeriği korur ve gürültüyü kaldırır",
       "boru hattı her belgeden metni çıkarır",
       "sonuçları her gün tabloya yazarız"),
+    "uig" -> Seq(
+      "سىستېما ھەر بىر ھۆججەتنى ئوقۇيدۇ ۋە ئاساسلىق تېكىستنى چىقىرىدۇ",
+      "بىز ھەر كۈنى تۇرۇبىدا سانلىق مەلۇماتلارنى بىر تەرەپ قىلىمىز",
+      "ماتور نەتىجىلەرنى جەدۋەلگە يازىدۇ",
+      "ياخشى سۈزگۈچ مەزمۇننى ساقلايدۇ ۋە شاۋقۇننى يوقىتىدۇ",
+      "تۇرۇبا ھەر بىر ھۆججەتتىن تېكىستنى چىقىرىدۇ",
+      "بىز نەتىجىلەرنى جەدۋەلگە يازىمىز"),
     "ukr" -> Seq(
       "система читає кожен документ і витягує основний текст",
       "ми обробляємо дані щодня в конвеєрі",
@@ -567,6 +735,13 @@ object LangId {
       "א גוטער פילטער האלט דעם אינהאלט און נעמט אוועק דעם ליארעם",
       "די רער ציט ארויס דעם טעקסט פון יעדן דאקומענט",
       "מיר שרייבן די רעזולטאטן אין דער טאבעלע"),
+    "yor" -> Seq(
+      "eto naa n ka iwe kookan o si n yo oro pataki jade",
+      "a n ṣe ilana data lojoojumo ninu opo gigun",
+      "ero naa n ko awon esi sinu tabili",
+      "ohun elo to dara n pa akoonu mo o si n yo ariwo kuro",
+      "opo gigun n yo oro jade lati inu iwe kookan",
+      "a n ko awon esi sinu tabili lojoojumo"),
     "zho" -> Seq(
       "系统读取每个文档并提取主要文本",
       "我们每天在管道中处理数据",

@@ -17,7 +17,7 @@ class OpsSpec extends AnyFunSuite {
     assert(TextStats.langId("") == "und")
   }
 
-  test("langid profile: trigram rank profiles classify 75 held-out languages") {
+  test("langid profile: trigram rank profiles classify 100 held-out languages") {
     import graft.ops.LangId
     val nLangs = LangId.seed.length
     val profiles = LangId.trainProfiles(LangId.trainDf(spark), "lang", "text")
