@@ -235,6 +235,17 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+    "corpus_decontaminate_bloom" -> ((s, dir) => {
+      // Bloom-filter decontamination: same held-out benchmark slice as
+      // corpus_decontaminate, probed through the m-bit packed filter
+      // instead of the exact broadcast gram set — the constant-size-
+      // broadcast scale path (no false negatives; unit test pins
+      // bloom_hits >= exact n_hits row-by-row)
+      val d = docs(s, dir)
+      graft.ops.Bloom.decontaminateBloom(d, "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(13)) === 7), "text")
+        .orderBy("doc_id")
+    }),
     "corpus_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: the "benchmark" is a deterministic
       // held-out slice of the corpus itself (doc_id ≡ 7 mod 13 — no
@@ -1033,6 +1044,37 @@ SELECT d.doc_id, coalesce(rm.removed_chars, 0) AS removed_chars,
   md5(coalesce(cl.clean, d.text)) AS clean_md5
 FROM ${D(sf)} d LEFT JOIN cl USING (doc_id) LEFT JOIN rm USING (doc_id)
 ORDER BY d.doc_id""",
+    "corpus_decontaminate_bloom" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), g AS (
+  SELECT doc_id, CASE WHEN len(ws) >= 8
+    THEN list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
+    ELSE [] END AS gs
+  FROM w
+), bg AS (
+  SELECT DISTINCT unnest(gs) AS gh FROM g WHERE doc_id % 13 = 7
+), ks AS (SELECT unnest(range(0, 4)) AS i),
+-- the filter as a position SET: the engine packs positions into 64-bit
+-- words and tests bits; membership semantics are identical
+bp AS (
+  SELECT DISTINCT ('0x' || substring(md5('bloom:' || i || ':' || gh), 1, 8))::BIGINT % 1048576 AS pos
+  FROM bg CROSS JOIN ks
+), dg AS (
+  SELECT DISTINCT doc_id, gh FROM (SELECT doc_id, unnest(gs) AS gh FROM g)
+), dp AS (
+  SELECT doc_id, gh,
+    ('0x' || substring(md5('bloom:' || i || ':' || gh), 1, 8))::BIGINT % 1048576 AS pos
+  FROM dg CROSS JOIN ks
+), gh_hit AS (
+  SELECT doc_id, gh, bool_and(pos IN (SELECT pos FROM bp)) AS hit
+  FROM dp GROUP BY doc_id, gh
+), hits AS (
+  SELECT doc_id, count(*) AS bloom_hits FROM gh_hit WHERE hit GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(coalesce(h.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+  coalesce(h.bloom_hits, 0) > 0 AS contaminated_bloom
+FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id""",
     "corpus_decontaminate" -> s"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}

@@ -282,6 +282,51 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("bloom decontaminate: admissible vs exact, bounded state, FPs at tiny m") {
+    import spark.implicits._
+    import graft.ops.Bloom
+    val gram8 = "one two three four five six seven eight"
+    // enough non-overlapping probe docs that a 64-bit filter MUST
+    // false-positive somewhere (every gram's 2 positions land in 64 bits
+    // that the benchmark grams have partially filled)
+    val docs = ((1L, s"prefix words here $gram8 and a tail") +:
+      (2L to 40L).map(i => (i, (0 until 12)
+        .map(j => s"tok${i}_$j unique${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, s"benchmark eval question: $gram8 answer"))
+      .toDF("doc_id", "text")
+    val exact = CorpusStats.decontaminate(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Bloom.decontaminateBloom(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom.keySet == exact.keySet)
+    // NO false negatives, ever: bloom_hits >= n_hits row-by-row
+    exact.foreach { case (id, n) =>
+      assert(bloom(id) >= n, s"doc $id: bloom ${bloom(id)} < exact $n")
+    }
+    assert(bloom(1L) >= 1L) // the truly contaminated doc is flagged
+    // at default m the clean docs stay clean (fill factor ~0)
+    assert((2L to 40L).forall(bloom(_) == 0L))
+    // state bound: the packed filter never exceeds m/64 rows
+    val benchGrams = bench.select(expr(
+      "explode(transform(sequence(1, size(filter(split(text, ' '), x -> x != '')) - 7)," +
+        " i -> md5(array_join(slice(filter(split(text, ' '), x -> x != ''), i, 8), ' '))))").as("gh"))
+    assert(Bloom.packedFilter(benchGrams, "gh", m = 1 << 20, k = 4).count() <= (1 << 20) / 64)
+    // the probabilistic half of the contract: squeeze m to 64 bits and
+    // the clean docs false-positive (still zero false negatives) —
+    // deterministic because the hashes are md5 coins
+    val tiny = Bloom.decontaminateBloom(docs, "doc_id", "text", bench, "text",
+        m = 64, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(tiny(1L))
+    assert((2L to 40L).exists(tiny(_)),
+      "expected at least one false positive at m=64 over 39 clean docs")
+    // determinism: a second run is identical
+    val bloom2 = Bloom.decontaminateBloom(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom2 == bloom)
+  }
+
   test("quota sample: exact per-group quotas, deterministic selection") {
     import spark.implicits._
     val df = (0 until 100).map(i =>
