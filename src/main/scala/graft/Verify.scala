@@ -69,6 +69,11 @@ object Verify {
       // zero EVERY query's compare, the exact blast radius the
       // per-query try/catch exists to prevent)
       try {
+        // clear any STALE sentinel first: outDir reuse is supported (the
+        // per-query catch above exists for exactly that), and a leftover
+        // INVARIANT_VIOLATIONS from a previous run would permanently
+        // red-flag clean runs (the write below only happens on failure)
+        Files.deleteIfExists(Paths.get(s"$outDir/INVARIANT_VIOLATIONS"))
         val out = graft.spark.Jobs.extract(
           graft.spark.Jobs.syntheticPages(spark, SparkEntry.verifyN), 32).toDF()
         val (rows, nBad, sample) = graft.spark.OutputValidator.audit(out)

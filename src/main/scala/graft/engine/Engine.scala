@@ -405,16 +405,26 @@ object PdfEngine extends ExtractionEngine {
             resolve(v) match {
               case st: CosStream
                 if resolve(st.dict.get("Subtype").getOrElse(CosNull)) ==
-                  CosName("Form") && xobjBudget > 0 =>
-                xobjBudget -= 1
-                PdfDoc.decodeStream(st, resolve).map { bytes =>
-                  val innerRes = st.dict.get("Resources").map(resolve) match {
-                    case Some(r: CosDict) => Some(r)
-                    case _ => None
+                  CosName("Form") =>
+                if (xobjBudget > 0) {
+                  xobjBudget -= 1
+                  PdfDoc.decodeStream(st, resolve).map { bytes =>
+                    val innerRes = st.dict.get("Resources").map(resolve) match {
+                      case Some(r: CosDict) => Some(r)
+                      case _ => None
+                    }
+                    k -> ContentStream.FormXObject(bytes,
+                      innerRes.map(fontMap).getOrElse(Map.empty),
+                      innerRes.map(xobjectMap(_, depth + 1)).getOrElse(Map.empty))
                   }
-                  k -> ContentStream.FormXObject(bytes,
-                    innerRes.map(fontMap).getOrElse(Map.empty),
-                    innerRes.map(xobjectMap(_, depth + 1)).getOrElse(Map.empty))
+                } else {
+                  // budget exhausted on a REAL Form: its Do lookup will
+                  // no-op and its text is knowingly dropped — that is a
+                  // truncation and must be visible as one (the same
+                  // silent-loss class the depth-cap comment above calls
+                  // out; quality gates key off this flag)
+                  truncated = true
+                  None
                 }
               case _ => None
             }

@@ -39,18 +39,16 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   /** Bit position i of a gram: first 8 md5 hex digits of
-    * "bloom:<i>:<gram>" mod m — DuckDB-replayable. */
+    * "bloom:<i>:<gram>" mod m — DuckDB-replayable. Gram and coin algebra
+    * live in [[TextGrams]], the shared owner with CorpusStats/CountMin:
+    * the admissibility guarantee vs the exact decontaminate requires
+    * both forms to hash the IDENTICAL grams. */
   private def posCol(gram: Column, i: Int, m: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"bloom:$i:"), gram)
-      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(m.toLong))
+    TextGrams.md5Pos(s"bloom:$i:", gram, m.toLong)
 
-  private def wordsExpr(textCol: String) =
-    expr(s"filter(split($textCol, ' '), x -> x != '')")
+  private def wordsExpr(textCol: String) = TextGrams.wordsExpr(textCol)
 
-  private def wordGramsExpr(n: Int) = expr(
-    s"case when size(ws) >= $n then transform(sequence(1, size(ws) - $n + 1)," +
-      s" i -> md5(array_join(slice(ws, i, $n), ' '))) " +
-      "else array() end")
+  private def wordGramsExpr(n: Int) = TextGrams.wordGramsExpr(n)
 
   /** The packed filter: ≤ m/64 rows of (word = pos div 64,
     * bits = OR of 1L << (pos mod 64)) over all k positions of every
@@ -83,6 +81,11 @@ object Bloom {
     val probes = docs
       .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
       .select(col("doc_id"), explode(wordGramsExpr(n)).as("gh"))
+      // dedup (doc_id, gram) BEFORE the ×k position explode and the
+      // probe join: a doc repeating a boilerplate gram r times would
+      // otherwise carry r·k join rows instead of k (the downstream
+      // groupBy would still fix the answer, but not the shuffle bill)
+      .distinct()
       .select(col("doc_id"), col("gh"), explode(array(pos: _*)).as("pos"))
       .withColumn("word", expr("pos div 64"))
       // an absent word row means no benchmark gram touched that word —
@@ -93,7 +96,7 @@ object Bloom {
           expr("shiftleft(1L, cast(pos % 64 as int))")) =!= lit(0L),
         lit(false)))
     val gramHits = probes
-      .groupBy("doc_id", "gh") // also dedups repeated grams within a doc
+      .groupBy("doc_id", "gh") // regroups the k per-position rows
       .agg(expr("bool_and(bit_set)").as("hit")) // member iff ALL k bits set
     val perDoc = gramHits.filter(col("hit"))
       .groupBy("doc_id")

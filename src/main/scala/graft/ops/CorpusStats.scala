@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
 object CorpusStats {
 
   /** Whitespace tokens, empties dropped — mirrors DuckDB
-    * list_filter(string_split(text, ' '), x -> x != ''). */
-  private def wordsExpr(textCol: String) =
-    expr(s"filter(split($textCol, ' '), x -> x != '')")
+    * list_filter(string_split(text, ' '), x -> x != ''). Shared owner:
+    * [[TextGrams]] (Bloom/CountMin must hash identical tokens). */
+  private def wordsExpr(textCol: String) = TextGrams.wordsExpr(textCol)
 
   /** Per-document repetition signals (Gopher repetition rules, public:
     * Rae et al. 2021 §A1.1 "repetition removal" — fraction of duplicate
@@ -303,13 +303,11 @@ object CorpusStats {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
-  /** Word n-gram hash list (md5 of the space-joined window, stride 1),
-    * empty when the document has fewer than n words — the guard matters:
-    * Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty. */
-  private def wordGramsExpr(n: Int) = expr(
-    s"case when size(ws) >= $n then transform(sequence(1, size(ws) - $n + 1)," +
-      s" i -> md5(array_join(slice(ws, i, $n), ' '))) " +
-      "else array() end")
+  /** Word n-gram hash list (md5 of the space-joined window, stride 1);
+    * shared owner: [[TextGrams]] — Bloom's admissibility guarantee
+    * (bloom_hits ≥ exact n_hits) requires both decontaminate forms to
+    * hash the IDENTICAL grams. */
+  private def wordGramsExpr(n: Int) = TextGrams.wordGramsExpr(n)
 
   /** Benchmark decontamination [public technique: Brown et al. 2020
     * (GPT-3) §C; Dodge et al. 2021 C4 analysis — remove training docs

@@ -31,8 +31,7 @@ import org.apache.spark.sql.functions._
 object CountMin {
 
   private def posCol(tok: Column, d: Int, width: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"cms:$d:"), tok)
-      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+    TextGrams.md5Pos(s"cms:$d:", tok, width.toLong)
 
   /** Counter table (d, pos, c) — depth·width rows max. `tokens` is one
     * token per row in `tokCol`. */

@@ -53,17 +53,25 @@ object OrderedMerge {
         def next(): org.apache.spark.sql.Row = {
           val k = buf.head.get(0)
           var n = 0L
+          var emitted = 0L
           val sb = new StringBuilder
           while (buf.hasNext && buf.head.get(0) == k) {
             val v = buf.next().getString(1)
-            if (n > 0L) sb.append(sep)
-            // a NULL value appends as empty (still counted + separated):
-            // StringBuilder.append(null: String) would write the 4-char
-            // literal "null" into the merged output
-            if (v != null) sb.append(v)
+            // SQL string_agg semantics, exactly: a NULL value is counted
+            // by count(*) but contributes NOTHING to the concatenation —
+            // no separator, no text (appending "" while still emitting a
+            // separator would diverge from the DuckDB oracle the moment
+            // a null value appears); a group of only NULLs aggregates to
+            // SQL NULL, not ""
             n += 1L
+            if (v != null) {
+              if (emitted > 0L) sb.append(sep)
+              sb.append(v)
+              emitted += 1L
+            }
           }
-          org.apache.spark.sql.Row(k, n, sb.toString)
+          org.apache.spark.sql.Row(k, n,
+            if (emitted == 0L) null else sb.toString)
         }
       }
     }

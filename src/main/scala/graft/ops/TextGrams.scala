@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-gram and hash-coin column builders. ONE owner for the
+  * SQL algebra that [[CorpusStats]], [[CountMin]] and [[Bloom]] must
+  * keep bit-identical with their DuckDB oracles: the whitespace word
+  * split, the n-word md5 gram window, and the md5-coin bit/row
+  * position. A private copy drifting in any one operator would silently
+  * un-sync the cross-operator invariants (e.g. Bloom's
+  * bloom_hits ≥ exact n_hits admissibility relies on BOTH decontaminate
+  * forms hashing the identical grams). */
+private[ops] object TextGrams {
+
+  /** Whitespace tokens of `textCol`, empties dropped. */
+  def wordsExpr(textCol: String): Column =
+    expr(s"filter(split($textCol, ' '), x -> x != '')")
+
+  /** Word n-gram hash list over a `ws` words column (md5 of the
+    * space-joined window, stride 1), empty when the document has fewer
+    * than n words — the guard matters: Spark's sequence(1, 0) is the
+    * DESCENDING [1, 0], not empty. */
+  def wordGramsExpr(n: Int): Column = expr(
+    s"case when size(ws) >= $n then transform(sequence(1, size(ws) - $n + 1)," +
+      s" i -> md5(array_join(slice(ws, i, $n), ' '))) " +
+      "else array() end")
+
+  /** md5-coin position: first 8 md5 hex digits of "<tag><value>" mod m —
+    * the samplers' coin idiom, DuckDB-replayable as
+    * ('0x' || substring(md5(...), 1, 8))::BIGINT % m. */
+  def md5Pos(tag: String, value: Column, m: Long): Column =
+    pmod(conv(substring(md5(concat(lit(tag), value)
+      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(m))
+}

@@ -282,6 +282,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("ordered merge: NULL values follow SQL string_agg exactly") {
+    import spark.implicits._
+    import graft.ops.OrderedMerge
+    val df = Seq(
+      ("h1", 1L, Option("a")), ("h1", 2L, None), ("h1", 3L, Option("b")),
+      ("h2", 1L, None), ("h2", 2L, None)) // all-NULL group
+      .toDF("host", "ord", "v")
+    val out = OrderedMerge.concatOrdered(df, "host", "ord", "v", "\f")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    // count(*) counts NULL rows; string_agg skips them (no separator),
+    // and an all-NULL group aggregates to SQL NULL — not "" or "a\f\fb"
+    assert(out("h1") == ((3L, "a\fb")))
+    assert(out("h2") == ((2L, null)))
+  }
+
   test("bloom decontaminate: admissible vs exact, bounded state, FPs at tiny m") {
     import spark.implicits._
     import graft.ops.Bloom

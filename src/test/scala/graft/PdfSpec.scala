@@ -188,6 +188,38 @@ endcmap"""
     assert(r.text.length > "before form\n".length) // inner form text present
   }
 
+  test("engine: xobject budget exhaustion sets truncated, never silent") {
+    // >4096 Form XObjects on one page: the per-document materialization
+    // budget trips while building the resource map — the overflow forms'
+    // Do lookups will no-op, which is data loss and MUST surface as
+    // truncated=true (not a silent drop with truncated=false)
+    val n = 4200
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    sb.append("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    val xrefs = (0 until n).map(i => s"/Fm$i ${6 + i} 0 R").mkString(" ")
+    sb.append("3 0 obj << /Type /Page /Parent 2 0 R /Resources " +
+      s"<< /Font << /F1 4 0 R >> /XObject << $xrefs >> >> " +
+      "/MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n")
+    sb.append("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >> endobj\n")
+    val outer = "BT /F1 12 Tf 72 720 Td (page text) Tj ET"
+    sb.append(s"5 0 obj << /Length ${outer.length} >> stream\n")
+    sb.append(outer).append("\nendstream endobj\n")
+    val inner = "BT /F1 11 Tf 10 10 Td (inner) Tj ET"
+    for (i <- 0 until n) {
+      sb.append(s"${6 + i} 0 obj << /Type /XObject /Subtype /Form " +
+        s"/BBox [0 0 10 10] /Length ${inner.length} >> stream\n")
+      sb.append(inner).append("\nendstream endobj\n")
+    }
+    sb.append("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val r = PdfEngine.extract(row(sb.toString.getBytes(ISO_8859_1)))
+    assert(r.outcome == "ok")
+    assert(r.truncated, "budget-dropped Form XObjects must flag truncated")
+    assert(r.text.contains("page text")) // page's own text still extracted
+  }
+
   test("engine: XFA AcroForm rejected with typed outcome") {
     val base = new String(SyntheticCorpus.pdf(new SyntheticCorpus.Rng(3), 0),
       ISO_8859_1)

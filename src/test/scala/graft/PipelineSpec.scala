@@ -288,6 +288,14 @@ class PipelineSpec extends AnyFunSuite {
         .filter(_.endsWith(".parquet")))
     assert(parts.nonEmpty && parts.forall(_.endsWith(".zstd.parquet")),
       s"non-ZSTD part files: ${parts.filterNot(_.endsWith(".zstd.parquet")).toSeq}")
+    // one write task per bucket (the salted exact routing): a bucket dir
+    // with 2+ part files means buckets collided in one shuffle partition
+    // (balls-in-bins regression), 0 files means an empty task wrote nothing
+    bucketDirs.foreach { d =>
+      val n = new java.io.File(root, d).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"$d has $n part files — bucket routing drifted")
+    }
     // read-back round-trips every row
     assert(spark.read.parquet(s"$out/extracted").count() == 60)
   }
