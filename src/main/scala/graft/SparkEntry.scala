@@ -416,6 +416,11 @@ object SparkEntry {
       // along as the test-scale admissibility exhibit (est ≥ exact)
       graft.ops.CountMin.heavyHitters(docs(s, dir), "text", k = 20)
         .orderBy(col("est").desc, col("token").asc)),
+    "index_postings" -> ((s, dir) =>
+      // inverted index build: exact df/tf before the posting cap, rank-
+      // only window so WindowGroupLimit pre-limits stopword rows
+      graft.ops.InvertedIndex.build(docs(s, dir), "doc_id", "text",
+        maxPostings = 10, minDf = 2).orderBy("token")),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -988,6 +993,27 @@ WITH t AS (
 SELECT est.token, est.est, ex.exact
 FROM est JOIN ex USING (token)
 ORDER BY est DESC, token ASC LIMIT 20""",
+    "index_postings" -> s"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM ${D(sf)}
+), grain AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), stats AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+    CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM grain GROUP BY 1 HAVING count(*) >= 2
+), ranked AS (
+  SELECT token, doc_id, tf,
+    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM grain
+), p AS (
+  SELECT token, string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+  FROM ranked WHERE rn <= 10 GROUP BY token
+)
+SELECT s.token, s.df, s.tf_total, s.df > 10 AS truncated, p.postings
+FROM stats s JOIN p USING (token) ORDER BY token""",
     "sketch_kmv" -> s"""
 WITH m AS (
   SELECT lang, list_sort(list_distinct(list(md5(text))))[1:32] AS minima,

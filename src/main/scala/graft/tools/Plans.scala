@@ -28,7 +28,8 @@ object Plans {
       "trigram_quality", "sample_weighted", "media_resize", "media_frames",
       "text_langid_profile", "url_dedup", "dedup_substrings_keep_first",
       "dedup_substrings_keep_first_clean", "sketch_countmin",
-      "media_optimize", "corpus_decontaminate_bloom").foreach { q =>
+      "media_optimize", "corpus_decontaminate_bloom",
+      "index_postings").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

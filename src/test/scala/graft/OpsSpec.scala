@@ -859,6 +859,38 @@ class OpsSpec extends AnyFunSuite {
     assert(hh.toSeq == again.toSeq)
   }
 
+  test("inverted index: exact df under cap, ordered postings, minDf") {
+    import spark.implicits._
+    import graft.ops.InvertedIndex
+    val docs = Seq(
+      (3L, "common common rare"),
+      (1L, "common alone"),
+      (2L, "common common common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text",
+      maxPostings = 2, minDf = 1).orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4)))
+    assert(idx.map(_._1).toSeq == Seq("alone", "common", "rare"))
+    val common = idx(1)
+    // df/tf_total stay EXACT even though the posting list is capped at 2
+    assert(common._2 == 4L && common._3 == 7L && common._4)
+    // postings: doc_id-ordered, doc_id:tf, first maxPostings doc_ids only
+    assert(common._5 == "1:1,2:3", common._5)
+    assert(idx(0) == (("alone", 1L, 1L, false, "1:1")))
+    assert(idx(2) == (("rare", 1L, 1L, false, "3:1")))
+    // minDf drops singletons entirely
+    val filtered = InvertedIndex.build(docs, "doc_id", "text",
+      maxPostings = 2, minDf = 2).select("token").as[String].collect()
+    assert(filtered.toSeq == Seq("common"))
+    // deterministic across partition layouts
+    val again = InvertedIndex.build(docs.repartition(5), "doc_id", "text",
+      maxPostings = 2, minDf = 1).orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4)))
+    assert(idx.toSeq == again.toSeq)
+  }
+
   test("media optimize: deflate ladder + accept-only-if-smaller gate") {
     import spark.implicits._
     import graft.ops.MediaOptimize
