@@ -421,6 +421,16 @@ object SparkEntry {
       // only window so WindowGroupLimit pre-limits stopword rows
       graft.ops.InvertedIndex.build(docs(s, dir), "doc_id", "text",
         maxPostings = 10, minDf = 2).orderBy("token")),
+    "search_tfidf" -> ((s, dir) =>
+      // integer-exact tf-idf ranked retrieval: broadcast query terms,
+      // narrow isin filter before any shuffle, partial top-k
+      graft.ops.Search.tfidfTopK(docs(s, dir), "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 20)),
+    "assign_ids" -> ((s, dir) =>
+      // deterministic dense ordinals: (md5-bucket, key) total order via
+      // two-phase prefix sum — never zipWithIndex/monotonically_inc_id
+      graft.ops.AssignIds.stableIds(docs(s, dir), "doc_id", buckets = 64)
+        .orderBy("doc_id")),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -1014,6 +1024,34 @@ WITH t AS (
 )
 SELECT s.token, s.df, s.tf_total, s.df > 10 AS truncated, p.postings
 FROM stats s JOIN p USING (token) ORDER BY token""",
+    "search_tfidf" -> s"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM ${D(sf)}
+), grain AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+  WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2
+), dft AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM grain GROUP BY 1
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ${D(sf)})
+SELECT g.doc_id,
+  CAST(sum(g.tf * ((nn.n * 1000) // d.df)) AS BIGINT) AS score_milli,
+  CAST(count(*) AS BIGINT) AS n_matched
+FROM grain g JOIN dft d USING (token) CROSS JOIN nn
+GROUP BY g.doc_id
+ORDER BY score_milli DESC, doc_id ASC LIMIT 20""",
+    "assign_ids" -> s"""
+WITH t AS (
+  SELECT doc_id,
+    ('0x' || substring(md5('ids:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+      AS bucket
+  FROM ${D(sf)}
+)
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY bucket, CAST(doc_id AS VARCHAR)) - 1
+    AS BIGINT) AS new_id
+FROM t ORDER BY doc_id""",
     "sketch_kmv" -> s"""
 WITH m AS (
   SELECT lang, list_sort(list_distinct(list(md5(text))))[1:32] AS minima,

@@ -891,6 +891,51 @@ class OpsSpec extends AnyFunSuite {
     assert(idx.toSeq == again.toSeq)
   }
 
+  test("search tfidf: integer-exact scoring, rarity outranks, top-k") {
+    import spark.implicits._
+    import graft.ops.Search
+    val docs = Seq(
+      (1L, "hash hash join"),
+      (2L, "hash"),
+      (3L, "vector vector vector"),
+      (4L, "other words")).toDF("doc_id", "text")
+    val hits = Search.tfidfTopK(docs, "doc_id", "text",
+      Seq("hash", "join", "vector"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // N=4; idf_milli: hash=4000/2=2000, join=4000, vector=4000
+    // doc3 = 3*4000 = 12000 beats doc1 = 2*2000+4000 = 8000; doc2 cut by k
+    assert(hits.toSeq == Seq((3L, 12000L, 1L), (1L, 8000L, 2L)), hits.toSeq)
+    // deterministic across partition layouts
+    val again = Search.tfidfTopK(docs.repartition(5), "doc_id", "text",
+      Seq("hash", "join", "vector"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == again.toSeq)
+  }
+
+  test("assign ids: dense 0-based, layout-independent, dup-key guard") {
+    import spark.implicits._
+    import graft.ops.AssignIds
+    val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val ids = AssignIds.stableIds(docs, "doc_id", buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a bijection onto 0..n-1 (contiguous, no gaps, no dups)
+    assert(ids.size == 100 && ids.values.toSeq.sorted == (0L until 100L))
+    // pure function of the key set: partition layout must not matter
+    val again = AssignIds.stableIds(docs.repartition(7), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ids == again)
+    // native key type preserved (no string-ified doc_id in the output)
+    assert(AssignIds.stableIds(docs, "doc_id", 8).schema("doc_id")
+      .dataType == org.apache.spark.sql.types.LongType)
+    // duplicate keys would be scheduling-dependent → must FAIL loudly
+    val dup = docs.union(docs.limit(1))
+    val e = intercept[Exception] {
+      AssignIds.stableIds(dup, "doc_id", 8).collect()
+    }
+    assert(e.getMessage.contains("duplicate values in key column"),
+      e.getMessage)
+  }
+
   test("media optimize: deflate ladder + accept-only-if-smaller gate") {
     import spark.implicits._
     import graft.ops.MediaOptimize
