@@ -155,6 +155,22 @@ object Bench {
       CorpusStats.chunkByWords(docs, "doc_id", "text").count()
     }._1
 
+    // r5 additions: timed for the record, but emitted only in the DETAIL
+    // line — the HEADLINE maps stay at the 14-query set so the line stays
+    // well inside the driver's ~1.1 KB tail-capture window (the r4
+    // parsed-null lesson) and the per-query series stays comparable
+    val resultsExtra = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
+    resultsExtra("index_postings") = timeTrials(1, 3) {
+      graft.ops.InvertedIndex.build(docs, "doc_id", "text").count()
+    }._1
+    resultsExtra("search_tfidf") = timeTrials(1, 3) {
+      graft.ops.Search.tfidfTopK(docs, "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 20).count()
+    }._1
+    resultsExtra("assign_ids") = timeTrials(1, 3) {
+      graft.ops.AssignIds.stableIds(docs, "doc_id").count()
+    }._1
+
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true
     // neighbors the IVF probe recovers — the accuracy axis of the
@@ -236,7 +252,7 @@ object Bench {
     }
     // calibration: normalize each trial to the run's least-contended
     // window (the minimum spin time observed anywhere in this run)
-    val spinMin = results.values.flatten.map(_._2).min
+    val spinMin = (results.values ++ resultsExtra.values).flatten.map(_._2).min
     val raw = results.map { case (k, ts) => (k, ts.map(_._1)) }
     val calib = results.map { case (k, ts) =>
       (k, ts.map { case (t, spin) => t * (spinMin / spin) })
@@ -250,19 +266,22 @@ object Bench {
     val docsPerSecMedCal = extractedDocs / medCal("extract")
     def qmap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    val trialsJson = raw.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val spinsJson = results.map { case (k, ts) =>
+    val trialsJson = (raw ++ resultsExtra.map { case (k, ts) => (k, ts.map(_._1)) })
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val spinsJson = (results ++ resultsExtra).map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"${t._2}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val extraBest = resultsExtra.map { case (k, ts) => (k, ts.map(_._1).min) }
+    val extraMed = resultsExtra.map { case (k, ts) => (k, median(ts.map(_._1))) }
 
     // HEADLINE (last stdout line, < 1 KB): what the driver must parse.
     val headline =
       f"""{"metric":"extract_docs_per_sec","value":$docsPerSec%.1f,"value_median":$docsPerSecMed%.1f,"value_median_cal":$docsPerSecMedCal%.1f,"unit":"docs/sec","total_sec":$total%.3f,"extract_docs":$extractedDocs,"cpus":$cpus,"queries":${qmap(best)},"queries_median":${qmap(med)},"sf":"$sfDir"}"""
     // DETAIL (earlier stdout line + file): everything else.
     val detail =
-      f"""{"headline":$headline,"queries_median_calibrated":${qmap(medCal)},"spin_min_sec":$spinMin%.3f,"trials":$trialsJson,"spin_trials":$spinsJson,"recall_at_10":{"ivf":$recallIvf%.3f,"ivf_kmeans":$recallKmeans%.3f},"recall_at_10_clustered":{"ivf":$cIvf%.3f,"ivf_kmeans":$cKmeans%.3f},"recall_sweep":$sweepJson}"""
+      f"""{"headline":$headline,"queries_median_calibrated":${qmap(medCal)},"queries_extra":${qmap(extraBest)},"queries_extra_median":${qmap(extraMed)},"spin_min_sec":$spinMin%.3f,"trials":$trialsJson,"spin_trials":$spinsJson,"recall_at_10":{"ivf":$recallIvf%.3f,"ivf_kmeans":$recallKmeans%.3f},"recall_at_10_clustered":{"ivf":$cIvf%.3f,"ivf_kmeans":$cKmeans%.3f},"recall_sweep":$sweepJson}"""
     // machine-readable copy, free of sbt log prefixes and tail-window
     // truncation: the judge can read this file even if stdout parsing fails
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
