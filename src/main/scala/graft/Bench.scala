@@ -252,7 +252,10 @@ object Bench {
     }
     // calibration: normalize each trial to the run's least-contended
     // window (the minimum spin time observed anywhere in this run)
-    val spinMin = (results.values ++ resultsExtra.values).flatten.map(_._2).min
+    // spinMin over the FIXED 14-query set only: widening the min's sample
+    // pool to the extra queries' spins would bias spinMin lower and
+    // silently inflate value_median_cal vs earlier rounds' methodology
+    val spinMin = results.values.flatten.map(_._2).min
     val raw = results.map { case (k, ts) => (k, ts.map(_._1)) }
     val calib = results.map { case (k, ts) =>
       (k, ts.map { case (t, spin) => t * (spinMin / spin) })

@@ -93,6 +93,13 @@ object Verify {
         failed += 1
         System.err.println(s"[verify] invariant stage failed: $e")
         e.printStackTrace()
+        // a crashed audit means the invariants were NEVER validated —
+        // that must be as machine-visible as a failed one (the stale
+        // sentinel was already cleared above, so without this write an
+        // automated gate would green-light the unvalidated run)
+        try Files.writeString(Paths.get(s"$outDir/INVARIANT_VIOLATIONS"),
+          s"invariant audit crashed before validating: $e\n")
+        catch { case _: Throwable => () }
       }
     }
     if (failed > 0)

@@ -408,7 +408,7 @@ object PdfEngine extends ExtractionEngine {
                   CosName("Form") =>
                 if (xobjBudget > 0) {
                   xobjBudget -= 1
-                  PdfDoc.decodeStream(st, resolve).map { bytes =>
+                  val decoded = PdfDoc.decodeStream(st, resolve).map { bytes =>
                     val innerRes = st.dict.get("Resources").map(resolve) match {
                       case Some(r: CosDict) => Some(r)
                       case _ => None
@@ -417,6 +417,12 @@ object PdfEngine extends ExtractionEngine {
                       innerRes.map(fontMap).getOrElse(Map.empty),
                       innerRes.map(xobjectMap(_, depth + 1)).getOrElse(Map.empty))
                   }
+                  // a Form whose stream fails to decode is dropped — its
+                  // Do no-ops and its text is lost; same silent-loss
+                  // class as the exhausted-budget branch below, so it
+                  // must raise the same flag
+                  if (decoded.isEmpty) truncated = true
+                  decoded
                 } else {
                   // budget exhausted on a REAL Form: its Do lookup will
                   // no-op and its text is knowingly dropped — that is a

@@ -34,17 +34,19 @@ object InvertedIndex {
     // persist barrier: grain feeds BOTH the stats agg and the postings
     // window — without it Catalyst re-inlines the subtree and the corpus
     // tokenizes twice (the expensive half of the job)
-    val grain = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(TextGrams.wordsExpr(textCol)).as("token"))
-      .groupBy("token", "doc_id")
-      .agg(count(lit(1)).as("tf"))
+    val grain = TextGrams.tokenGrain(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact stats BEFORE the cap — truncation must never bend df
     val stats = grain
       .groupBy("token")
       .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
       .filter(col("df") >= minDf)
+    // under a Zipf vocabulary most tokens are singletons a minDf ≥ 2
+    // discards — semi-join them away BEFORE paying the window/collect
+    // (the final inner join would drop them anyway, after the work)
+    val kept = if (minDf > 1L)
+      grain.join(stats.select("token"), Seq("token"), "left_semi")
+    else grain
     // rank-only window so WindowGroupLimit can pre-limit each partition
     // to maxPostings rows per token before the shuffle (the skew cap for
     // stopword-grade tokens); collect_list then assembles ≤ maxPostings
@@ -52,7 +54,7 @@ object InvertedIndex {
     // dependent; array_sort on (doc_id, tf) structs is total — doc_id is
     // unique within a token group)
     val w = Window.partitionBy("token").orderBy("doc_id")
-    val postings = grain
+    val postings = kept
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxPostings)
       .groupBy("token")

@@ -32,12 +32,8 @@ object Search {
       queryTerms: Seq[String], k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
-    val grain = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(TextGrams.wordsExpr(textCol)).as("token"))
-      .filter(col("token").isin(queryTerms.map(lit): _*))
-      .groupBy("token", "doc_id")
-      .agg(count(lit(1)).as("tf"))
+    val grain = TextGrams.tokenGrain(docs, idCol, textCol,
+      tokenFilter = Some(col("token").isin(queryTerms.map(lit): _*)))
       // barrier: grain feeds both the df agg and the score join — without
       // it the corpus tokenizes twice; post-filter it is tiny (matched
       // terms only)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared text-gram and hash-coin column builders. ONE owner for the
@@ -25,6 +25,21 @@ private[ops] object TextGrams {
     s"case when size(ws) >= $n then transform(sequence(1, size(ws) - $n + 1)," +
       s" i -> md5(array_join(slice(ws, i, $n), ' '))) " +
       "else array() end")
+
+  /** (token, doc_id, tf) grain — one row per distinct token per doc, by
+    * two-phase hash agg. ONE owner (same rationale as the class doc):
+    * [[InvertedIndex]] and [[Search]] must tokenize identically or index
+    * vs search semantics silently diverge. `tokenFilter` is applied
+    * between the explode and the groupBy so a broadcast-literal isin
+    * prunes rows BEFORE any shuffle. */
+  def tokenGrain(docs: DataFrame, idCol: String, textCol: String,
+      tokenFilter: Option[Column] = None): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(wordsExpr(textCol)).as("token"))
+    tokenFilter.fold(base)(base.filter)
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+  }
 
   /** md5-coin position: first 8 md5 hex digits of "<tag><value>" mod m —
     * the samplers' coin idiom, DuckDB-replayable as

@@ -220,6 +220,33 @@ endcmap"""
     assert(r.text.contains("page text")) // page's own text still extracted
   }
 
+  test("engine: undecodable Form XObject stream sets truncated") {
+    // a Form whose stream decode fails (unsupported filter) is dropped —
+    // its Do no-ops and its text is lost; same silent-loss class as
+    // budget exhaustion, must raise the same flag
+    val inner = "BT /F1 11 Tf 10 10 Td (inner) Tj ET"
+    val pdf = "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 4 0 R >> /XObject << /Fm0 6 0 R >> >> " +
+      "/MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n" +
+      "4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >> endobj\n" +
+      "5 0 obj << /Length 43 >> stream\n" +
+      "BT /F1 12 Tf 72 720 Td (page text) Tj ET\n" +
+      "endstream endobj\n" +
+      s"6 0 obj << /Type /XObject /Subtype /Form /BBox [0 0 10 10] " +
+      s"/Filter /DCTDecode /Length ${inner.length} >> stream\n" +
+      inner + "\nendstream endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF\n"
+    val r = PdfEngine.extract(row(pdf.getBytes(ISO_8859_1)))
+    assert(r.outcome == "ok")
+    assert(r.truncated, "decode-failed Form XObject must flag truncated")
+    assert(r.text.contains("page text"))
+    assert(!r.text.contains("inner")) // the form's text really is lost
+  }
+
   test("engine: XFA AcroForm rejected with typed outcome") {
     val base = new String(SyntheticCorpus.pdf(new SyntheticCorpus.Rng(3), 0),
       ISO_8859_1)
