@@ -431,6 +431,11 @@ object SparkEntry {
       // two-phase prefix sum — never zipWithIndex/monotonically_inc_id
       graft.ops.AssignIds.stableIds(docs(s, dir), "doc_id", buckets = 64)
         .orderBy("doc_id")),
+    "sim_allpairs_tokens" -> ((s, dir) =>
+      // Bayardo-style sparse all-pairs set-cosine: token-keyed candidate
+      // join under a df cap, integer-exact cos² in ppm
+      graft.ops.Similarity.allPairsSetCosine(docs(s, dir), "doc_id", "text",
+        minCos2Ppm = 640000L, dfCap = 100).orderBy("doc_a", "doc_b")),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -1052,6 +1057,32 @@ SELECT doc_id,
   CAST(row_number() OVER (ORDER BY bucket, CAST(doc_id AS VARCHAR)) - 1
     AS BIGINT) AS new_id
 FROM t ORDER BY doc_id""",
+    "sim_allpairs_tokens" -> s"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != '')))
+      AS token
+  FROM ${D(sf)}
+), capped AS (
+  SELECT id, token, CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+  FROM toks QUALIFY df <= 100
+), sizes AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS sz FROM capped GROUP BY 1
+), dots AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS BIGINT) AS dot
+  FROM (SELECT * FROM capped WHERE df >= 2) a
+  JOIN (SELECT * FROM capped WHERE df >= 2) b
+    ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_a, d.doc_b, d.dot,
+    (d.dot * d.dot * 1000000) // (sa.sz * sb.sz) AS cos2_ppm
+  FROM dots d
+  JOIN sizes sa ON sa.id = d.doc_a
+  JOIN sizes sb ON sb.id = d.doc_b
+)
+SELECT doc_a, doc_b, dot, CAST(cos2_ppm AS BIGINT) AS cos2_ppm
+FROM scored WHERE cos2_ppm >= 640000 ORDER BY doc_a, doc_b""",
     "sketch_kmv" -> s"""
 WITH m AS (
   SELECT lang, list_sort(list_distinct(list(md5(text))))[1:32] AS minima,

@@ -299,4 +299,53 @@ object Similarity {
       .withColumn("cos", expr("cosine_sim(qv, cv)"))
     topK(scored, k)
   }
+
+  /** Sparse all-pairs document similarity over word-token SETS [public
+    * technique: all-pairs similarity search with frequency-based
+    * candidate pruning, Bayardo/Ma/Srikant WWW 2007; the set-overlap
+    * cosine is the Ochiai coefficient]. Similarity is INTEGER-exact:
+    * instead of cos = |A∩B| / sqrt(|A||B|) (an irrational no oracle can
+    * hash-match), the emitted `cos2_ppm = (dot² × 10⁶) div (|A|·|B|)` is
+    * cos² in parts-per-million under truncating integer div — monotone
+    * in cos, so thresholding is equivalent, and every intermediate fits
+    * comfortably in BIGINT (dot ≤ 10³-grade set sizes).
+    *
+    * Universe convention (same as [[Dedup.ngramJaccard]]'s capped
+    * universe): tokens with df > `dfCap` are excluded from BOTH the
+    * candidate join and the set sizes — a stopword shared by half the
+    * corpus says nothing about similarity and would otherwise explode
+    * the token-keyed join quadratically (the skew cap). df = 1 tokens
+    * stay in the sizes but skip the join (they cannot form a pair).
+    *
+    * 100 TB shape: only (token, id) pairs shuffle — never text; the df
+    * window and the self-join share the token key; per-token join
+    * fan-out is ≤ dfCap² by construction; the pair aggregation carries
+    * compact (a, b, 1) rows collapsed map-side. */
+  def allPairsSetCosine(docs: DataFrame, idCol: String, textCol: String,
+      minCos2Ppm: Long = 640000L, dfCap: Int = 100): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextGrams.wordsExpr(textCol))).as("token"))
+    // capped is the FORK (sizes + both join sides) — persist barrier per
+    // the file-wide signature-table convention
+    val capped = toks.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .filter(col("df") <= dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("sz"))
+    val joinable = capped.filter(col("df") >= 2)
+    val dots = joinable.select(col("token"), col("id").as("doc_a"))
+      .join(joinable.select(col("token"), col("id").as("doc_b")), Seq("token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("dot"))
+    dots
+      .join(sizes.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .withColumn("cos2_ppm",
+        expr("(dot * dot * CAST(1000000 AS BIGINT)) div (sz_a * sz_b)"))
+      .filter(col("cos2_ppm") >= minCos2Ppm)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_ppm"))
+  }
 }

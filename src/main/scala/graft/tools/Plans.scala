@@ -29,7 +29,8 @@ object Plans {
       "text_langid_profile", "url_dedup", "dedup_substrings_keep_first",
       "dedup_substrings_keep_first_clean", "sketch_countmin",
       "media_optimize", "corpus_decontaminate_bloom",
-      "index_postings", "search_tfidf", "assign_ids").foreach { q =>
+      "index_postings", "search_tfidf", "assign_ids",
+      "sim_allpairs_tokens").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -936,6 +936,37 @@ class OpsSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("all-pairs set-cosine: integer cos2_ppm, capped universe") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // "z" appears in every doc: with dfCap=3 it falls out of the
+    // universe (sizes AND join), so it must not inflate any pair
+    val docs = Seq(
+      (1L, "a b c d z"),
+      (2L, "a b c e z"),
+      (3L, "a b c d z"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val pairs = Similarity.allPairsSetCosine(docs, "doc_id", "text",
+      minCos2Ppm = 500000L, dfCap = 3).orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // capped sizes: 4,4,4,2; dots: (1,2)=3, (1,3)=4, (2,3)=3
+    // cos2_ppm: 9e6/16=562500, 16e6/16=1000000, 562500
+    assert(pairs.toSeq == Seq((1L, 2L, 3L, 562500L),
+      (1L, 3L, 4L, 1000000L), (2L, 3L, 3L, 562500L)), pairs.toSeq)
+    // tighter threshold keeps only the identical pair
+    val strict = Similarity.allPairsSetCosine(docs, "doc_id", "text",
+      minCos2Ppm = 600000L, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSeq == Seq((1L, 3L)))
+    // deterministic across partition layouts
+    val again = Similarity.allPairsSetCosine(docs.repartition(5), "doc_id",
+      "text", minCos2Ppm = 500000L, dfCap = 3).orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(pairs.toSeq == again.toSeq)
+  }
+
   test("media optimize: deflate ladder + accept-only-if-smaller gate") {
     import spark.implicits._
     import graft.ops.MediaOptimize
