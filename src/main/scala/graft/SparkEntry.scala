@@ -173,6 +173,11 @@ object SparkEntry {
       // owner): 50-row archives, so a verifyN change cannot leave this
       // query round-tripping a stale subset
       val groupSize = 50
+      // a non-divisible verifyN would silently drop the tail docs from
+      // the WARC round-trip and red the compare with a misleading
+      // row-count mismatch — fail loudly at the real cause instead
+      require(verifyN % groupSize == 0,
+        s"verifyN=$verifyN must be a multiple of WARC groupSize=$groupSize")
       val blobs = (0 until verifyN / groupSize).map { g =>
         graft.spark.WarcSource.writeRecords(
           (0 until groupSize).map(k =>
@@ -414,8 +419,9 @@ object SparkEntry {
       // depth×width counter state regardless of corpus size; estimates
       // are min-over-rows against the broadcast table; exact counts ride
       // along as the test-scale admissibility exhibit (est ≥ exact)
-      graft.ops.CountMin.heavyHitters(docs(s, dir), "text", k = 20)
-        .orderBy(col("est").desc, col("token").asc)),
+      // heavyHitters' own terminal orderBy(est desc, token).limit(k)
+      // owns the ordering contract — no call-site re-sort
+      graft.ops.CountMin.heavyHitters(docs(s, dir), "text", k = 20)),
     "index_postings" -> ((s, dir) =>
       // inverted index build: exact df/tf before the posting cap, rank-
       // only window so WindowGroupLimit pre-limits stopword rows
@@ -755,7 +761,11 @@ c$i AS (
       // SQL and would red-out every other sf dir
       s"SELECT doc_id, n_chars FROM ${D(sf)} WHERE (doc_id BETWEEN 0 AND 49) OR doc_id = 110 OR doc_id >= 199 ORDER BY doc_id",
     "extract_subset" ->
-      s"SELECT url, text, outcome FROM $G WHERE CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 1 AND 40 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 101 AND 130 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 590 AND 600 ORDER BY url",
+      // the 590-end clause stays OPEN-ENDED (>= 590), same convention as
+      // pages_subset above: baking the corpus max in (BETWEEN 590 AND
+      // 600) would freeze verifyN into SQL and red a correct pipeline
+      // the day verifyN grows
+      s"SELECT url, text, outcome FROM $G WHERE CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 1 AND 40 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 BETWEEN 101 AND 130 OR CAST(regexp_extract(url, 'p(\\d+)$$', 1) AS BIGINT) + 1 >= 590 ORDER BY url",
     "text_langid" ->
       s"SELECT url, pred_lang FROM $G ORDER BY url",
     "url_dedup" -> s"""
@@ -1520,7 +1530,13 @@ FROM p LEFT JOIN iv ON p.user_id = iv.user_id AND p.ts BETWEEN iv.s AND iv.e
 ORDER BY p.event_id""",
     "events_asof" -> s"""
 WITH l AS (SELECT event_id AS left_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'purchase'),
-r AS (SELECT event_id AS right_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'view')
+-- ties on (user_id, ts) collapse to max(event_id) BEFORE the ASOF join:
+-- Spark's asofJoin deterministically picks the highest event_id among
+-- equal-ts views, while a native ASOF against the raw table would pick
+-- an arbitrary one of the tied rows (latent divergence if the
+-- generator ever emits duplicate-ts twins); the ASOF evaluation itself
+-- stays DuckDB-native and independent
+r AS (SELECT max(event_id) AS right_id, user_id, ts FROM read_parquet('$sf/events.parquet') WHERE event_type = 'view' GROUP BY user_id, ts)
 SELECT l.left_id, l.user_id, r.right_id,
   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
