@@ -442,6 +442,22 @@ object SparkEntry {
       // join under a df cap, integer-exact cos² in ppm
       graft.ops.Similarity.allPairsSetCosine(docs(s, dir), "doc_id", "text",
         minCos2Ppm = 640000L, dfCap = 100).orderBy("doc_a", "doc_b")),
+    "pipeline_recipe" -> ((s, dir) => {
+      // the full C4-style training-data recipe composed from the
+      // engine's own stages — quality filter → exact dedup (keep-first)
+      // → token-budget shard pack over the survivors; one query pins
+      // that the operators COMPOSE (stage order, attrition, and the
+      // packed layout all verified against one chained-CTE oracle)
+      val d = docs(s, dir)
+      val kept = CorpusStats.qualityFilter(d, "doc_id", "text")
+        .filter(col("kept")).select("doc_id")
+      val qdocs = d.join(kept, Seq("doc_id"), "left_semi")
+      val keepers = graft.ops.Dedup.exact(qdocs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val ddocs = qdocs.join(keepers, Seq("doc_id"), "left_semi")
+      CorpusStats.shardByTokenBudget(ddocs, "doc_id", "text",
+        shardTokens = 2000L, bucketSize = 50L).orderBy("doc_id")
+    }),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -1093,6 +1109,35 @@ WITH toks AS (
 )
 SELECT doc_a, doc_b, dot, CAST(cos2_ppm AS BIGINT) AS cos2_ppm
 FROM scored WHERE cos2_ppm >= 640000 ORDER BY doc_a, doc_b""",
+    "pipeline_recipe" -> s"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM ${D(sf)}
+), sig AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+    (1000 * (len(ws) - len(list_distinct(ws)))) // greatest(len(ws), 1)
+      AS dup_word_milli,
+    (1000 * len(list_filter(ws, w -> list_contains(['and','for','in','is','it','of','that','the','to','with'], lower(w))))) // greatest(len(ws), 1)
+      AS stopword_milli
+  FROM w
+), q AS (
+  SELECT w.doc_id, w.text, w.ws FROM w JOIN sig USING (doc_id)
+  WHERE NOT (sig.n_words < 10 OR sig.dup_word_milli > 300
+    OR sig.stopword_milli < 5 OR sig.stopword_milli > 600)
+), k AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), t AS (
+  SELECT q.doc_id, CAST(len(q.ws) AS BIGINT) AS n_tokens
+  FROM q JOIN k USING (doc_id)
+), c AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+  CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id""",
     "sketch_kmv" -> s"""
 WITH m AS (
   SELECT lang, list_sort(list_distinct(list(md5(text))))[1:32] AS minima,

@@ -967,6 +967,32 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == again.toSeq)
   }
 
+  test("pipeline recipe: filter -> dedup -> shard-pack compose") {
+    import spark.implicits._
+    import graft.ops.{CorpusStats, Dedup}
+    val good1 = "the quick brown fox jumps over a lazy dog of winter today"
+    val good2 = "in spring the garden grows with many bright flowers and sunshine everywhere"
+    val docs = Seq(
+      (1L, good1),
+      (2L, "too short"), // < 10 words -> quality-rejected
+      (3L, good1),       // exact duplicate of 1 -> dedup drops (keep-first)
+      (4L, good2)).toDF("doc_id", "text")
+    val kept = CorpusStats.qualityFilter(docs, "doc_id", "text")
+      .filter(col("kept")).select("doc_id")
+    val qdocs = docs.join(kept, Seq("doc_id"), "left_semi")
+    val keepers = Dedup.exact(qdocs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val ddocs = qdocs.join(keepers, Seq("doc_id"), "left_semi")
+    val packed = CorpusStats.shardByTokenBudget(ddocs, "doc_id", "text",
+      shardTokens = 10L, bucketSize = 2L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // survivors: 1 (first copy) and 4; 12 tokens each; doc 4 starts at
+    // offset 12 -> second 10-token shard
+    assert(packed.toSeq == Seq((1L, 12L, 12L, 0L), (4L, 12L, 24L, 1L)),
+      packed.toSeq)
+  }
+
   test("media optimize: deflate ladder + accept-only-if-smaller gate") {
     import spark.implicits._
     import graft.ops.MediaOptimize
