@@ -225,16 +225,32 @@ object CorpusStats {
     * the downstream writer decides what to materialize. */
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 10, maxDupMilli: Int = 300,
+      minStopMilli: Int = 5, maxStopMilli: Int = 600): DataFrame =
+    withQualityDecision(
+      docs.select(col(idCol).as("doc_id"), col(textCol)),
+      textCol, minWords, maxDupMilli, minStopMilli, maxStopMilli)
+      .select("doc_id", "n_words", "dup_word_milli", "stopword_milli",
+        "reject_reason", "kept")
+
+  /** The quality-decision algebra as an ADD-columns transform (keeps the
+    * caller's columns — the streaming twin needs the text alongside the
+    * verdict). ONE owner of the rules: [[qualityFilter]] (whose DuckDB
+    * oracle pins the algebra) and `streaming.StreamJobs.streamingRecipe`
+    * both call here — a private copy drifting in either would silently
+    * un-sync batch vs streaming verdicts. Appends n_words /
+    * dup_word_milli / stopword_milli / reject_reason / kept. */
+  def withQualityDecision(docs: DataFrame, textCol: String,
+      minWords: Int = 10, maxDupMilli: Int = 300,
       minStopMilli: Int = 5, maxStopMilli: Int = 600): DataFrame = {
     val sw = stopwordList.map(w => s"'$w'").mkString(", ")
     docs
-      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
-      .select(col("doc_id"),
-        expr("cast(size(ws) as bigint)").as("n_words"),
-        expr("(1000L * cast(size(ws) - size(array_distinct(ws)) as bigint)) div greatest(cast(size(ws) as bigint), 1L)")
-          .as("dup_word_milli"),
-        expr(s"(1000L * cast(size(filter(ws, w -> lower(w) in ($sw))) as bigint)) div greatest(cast(size(ws) as bigint), 1L)")
-          .as("stopword_milli"))
+      .withColumn("ws", wordsExpr(textCol))
+      .withColumn("n_words", expr("cast(size(ws) as bigint)"))
+      .withColumn("dup_word_milli",
+        expr("(1000L * cast(size(ws) - size(array_distinct(ws)) as bigint)) div greatest(cast(size(ws) as bigint), 1L)"))
+      .withColumn("stopword_milli",
+        expr(s"(1000L * cast(size(filter(ws, w -> lower(w) in ($sw))) as bigint)) div greatest(cast(size(ws) as bigint), 1L)"))
+      .drop("ws")
       .withColumn("reject_reason",
         when(col("n_words") < minWords, "too_few_words")
           .when(col("dup_word_milli") > maxDupMilli, "too_repetitive")

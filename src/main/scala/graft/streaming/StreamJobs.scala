@@ -257,6 +257,59 @@ object StreamJobs {
     }.toDF("doc_id", "n_hits")
   }
 
+  /** Keep-first ownership per text hash for the streaming recipe. */
+  final case class RecipeState(keepDoc: Long)
+
+  /** One typed verdict per arriving document. */
+  final case class RecipeDecision(doc_id: Long, verdict: String)
+
+  /** Streaming twin of the batch `pipeline_recipe` front half: the
+    * STATELESS quality decision (algebra owner:
+    * [[graft.ops.CorpusStats.withQualityDecision]] — batch and stream
+    * cannot drift) feeding STATEFUL keep-first exact dedup across
+    * micro-batches. Rows never drop silently: every arriving doc emits
+    * exactly one verdict — `kept`, `rejected:<reason>`, or
+    * `duplicate_of:<keeper>`. Keeper = the state's owner if the hash was
+    * seen in an earlier batch, else the lowest kept doc_id in this batch
+    * (arrival-order independent, same keep-first rule as the batch
+    * operators).
+    *
+    * The per-(hash, batch) group is buffered: unlike
+    * [[streamingExactDedup]] (one summary row per group), this operator
+    * EMITS one verdict per input row, so the output is already
+    * group-sized and the buffer does not change the asymptotics. */
+  def streamingRecipe(docs: Dataset[(Long, String)]): Dataset[RecipeDecision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions.col
+    graft.ops.CorpusStats.withQualityDecision(
+        docs.toDF("doc_id", "text"), "text")
+      .select(col("doc_id").cast("long"), col("text"), col("reject_reason"))
+      .as[(Long, String, String)]
+      .map { case (id, text, reason) =>
+        val t = if (text == null) "" else text
+        (md5hex(java.security.MessageDigest.getInstance("MD5"), t), id, reason)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RecipeState, RecipeDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[RecipeState]) =>
+          val rs = rows.toVector
+          val keptIds = rs.collect { case (_, id, null) => id }
+          val keeper: Option[Long] = state.getOption.map(_.keepDoc)
+            .orElse(keptIds.minOption)
+          if (state.getOption.isEmpty && keptIds.nonEmpty)
+            state.update(RecipeState(keptIds.min))
+          rs.iterator.map { case (_, id, reason) =>
+            if (reason != null) RecipeDecision(id, s"rejected:$reason")
+            else if (keeper.contains(id)) RecipeDecision(id, "kept")
+            else RecipeDecision(id, s"duplicate_of:${keeper.get}")
+          }
+      }
+  }
+
   /** Fast md5-hex shared by the streaming kernels: caller-supplied
     * digest (reset here, one instance per document), Character.forDigit
     * instead of a Formatter per byte. Output is byte-identical to Spark

@@ -307,4 +307,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rejected(s"FILE:$in", s"FILE:$in/out", s"$base/ck")
       .contains("re-ingested"))
   }
+
+  test("streaming: recipe twin — typed verdicts, cross-batch keep-first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "the quick brown fox jumps over a lazy dog of winter today"
+    val good2 = "in spring the garden grows with many bright flowers and sunshine everywhere"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamJobs.streamingRecipe(stream.toDS())
+      .writeStream.format("memory").queryName("recipe_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: arrival order must NOT matter — the higher id arrives
+      // first but the lower id wins keep-first within the batch
+      stream.addData(Seq((3L, good1), (1L, good1), (2L, "too short")))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate + a fresh kept doc
+      stream.addData(Seq((5L, good1), (4L, good2)))
+      q.processAllAvailable()
+      val v = spark.table("recipe_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v == Map(
+        1L -> "kept",
+        2L -> "rejected:too_few_words",
+        3L -> "duplicate_of:1",
+        4L -> "kept",
+        5L -> "duplicate_of:1"), v)
+      // batch equivalence: the streamed survivors equal the batch
+      // recipe stages' survivors over the same union
+      val docs = Seq((1L, good1), (2L, "too short"), (3L, good1),
+        (4L, good2), (5L, good1)).toDF("doc_id", "text")
+      val kept = graft.ops.CorpusStats.qualityFilter(docs, "doc_id", "text")
+        .filter(org.apache.spark.sql.functions.col("kept")).select("doc_id")
+      val keepers = graft.ops.Dedup.exact(
+          docs.join(kept, Seq("doc_id"), "left_semi"), "doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("keep_id"))
+        .as[Long].collect().toSet
+      assert(v.collect { case (id, "kept") => id }.toSet == keepers)
+    } finally q.stop()
+  }
 }
