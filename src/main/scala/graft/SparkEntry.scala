@@ -448,10 +448,16 @@ object SparkEntry {
       // → token-budget shard pack over the survivors; one query pins
       // that the operators COMPOSE (stage order, attrition, and the
       // packed layout all verified against one chained-CTE oracle)
+      // persist barriers at both forks (the file-wide convention): `d`
+      // feeds the filter AND its semi-join probe; `qdocs` feeds the
+      // md5 agg AND its semi-join probe — without them the source scan
+      // + tokenization re-runs once per fork
       val d = docs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = CorpusStats.qualityFilter(d, "doc_id", "text")
         .filter(col("kept")).select("doc_id")
       val qdocs = d.join(kept, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keepers = graft.ops.Dedup.exact(qdocs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val ddocs = qdocs.join(keepers, Seq("doc_id"), "left_semi")
@@ -1102,7 +1108,7 @@ WITH toks AS (
   GROUP BY 1, 2
 ), scored AS (
   SELECT d.doc_a, d.doc_b, d.dot,
-    (d.dot * d.dot * 1000000) // (sa.sz * sb.sz) AS cos2_ppm
+    (d.dot::HUGEINT * d.dot * 1000000) // (sa.sz::HUGEINT * sb.sz) AS cos2_ppm
   FROM dots d
   JOIN sizes sa ON sa.id = d.doc_a
   JOIN sizes sb ON sb.id = d.doc_b
@@ -1433,19 +1439,20 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
 FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
     "corpus_filter" -> s"""
 WITH w AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
 ), sig AS (
   SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
     (1000 * (len(ws) - len(list_distinct(ws)))) // greatest(len(ws), 1) AS dup_word_milli,
     (1000 * len(list_filter(ws, w -> list_contains(['and','for','in','is','it','of','that','the','to','with'], lower(w))))) // greatest(len(ws), 1) AS stopword_milli
   FROM w
 ), dec AS (
-  SELECT *, CASE
+  SELECT sig.*, CASE
+    WHEN w.text IS NULL THEN 'null_text'
     WHEN n_words < 10 THEN 'too_few_words'
     WHEN dup_word_milli > 300 THEN 'too_repetitive'
     WHEN stopword_milli < 5 THEN 'too_few_stopwords'
     WHEN stopword_milli > 600 THEN 'too_many_stopwords'
-  END AS reject_reason FROM sig
+  END AS reject_reason FROM sig JOIN w USING (doc_id)
 )
 SELECT doc_id, n_words, dup_word_milli, stopword_milli, reject_reason,
   reject_reason IS NULL AS kept

@@ -243,16 +243,24 @@ object CorpusStats {
       minWords: Int = 10, maxDupMilli: Int = 300,
       minStopMilli: Int = 5, maxStopMilli: Int = 600): DataFrame = {
     val sw = stopwordList.map(w => s"'$w'").mkString(", ")
+    // the tokenized intermediate gets a collision-proof name: a caller
+    // column named plain `ws` (the repo's usual words-column name) must
+    // survive the transform; the five OUTPUT columns do overwrite
+    val W = "__quality_ws"
     docs
-      .withColumn("ws", wordsExpr(textCol))
-      .withColumn("n_words", expr("cast(size(ws) as bigint)"))
+      .withColumn(W, wordsExpr(textCol))
+      .withColumn("n_words", expr(s"cast(size($W) as bigint)"))
       .withColumn("dup_word_milli",
-        expr("(1000L * cast(size(ws) - size(array_distinct(ws)) as bigint)) div greatest(cast(size(ws) as bigint), 1L)"))
+        expr(s"(1000L * cast(size($W) - size(array_distinct($W)) as bigint)) div greatest(cast(size($W) as bigint), 1L)"))
       .withColumn("stopword_milli",
-        expr(s"(1000L * cast(size(filter(ws, w -> lower(w) in ($sw))) as bigint)) div greatest(cast(size(ws) as bigint), 1L)"))
-      .drop("ws")
+        expr(s"(1000L * cast(size(filter($W, w -> lower(w) in ($sw))) as bigint)) div greatest(cast(size($W) as bigint), 1L)"))
+      .drop(W)
       .withColumn("reject_reason",
-        when(col("n_words") < minWords, "too_few_words")
+        // null text first: size(null)=null would skip every threshold
+        // branch and silently mark a poison row KEPT — the one verdict
+        // a quality gate must never hand a null document
+        when(col(textCol).isNull, "null_text")
+          .when(col("n_words") < minWords, "too_few_words")
           .when(col("dup_word_milli") > maxDupMilli, "too_repetitive")
           .when(col("stopword_milli") < minStopMilli, "too_few_stopwords")
           .when(col("stopword_milli") > maxStopMilli, "too_many_stopwords"))

@@ -344,7 +344,12 @@ object Similarity {
       .join(sizes.withColumnRenamed("id", "doc_b")
         .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
       .withColumn("cos2_ppm",
-        expr("(dot * dot * CAST(1000000 AS BIGINT)) div (sz_a * sz_b)"))
+        // squared in DECIMAL(38,0): dot > ~3.03e6 would wrap BIGINT
+        // (non-ANSI silently, ANSI as a job-killing error) and silently
+        // drop the MOST similar pairs; the quotient is ≤ 10⁶ so the
+        // final value always fits BIGINT. Oracle mirrors via HUGEINT.
+        expr("CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000) " +
+          "div (CAST(sz_a AS DECIMAL(38,0)) * sz_b) AS BIGINT)"))
       .filter(col("cos2_ppm") >= minCos2Ppm)
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_ppm"))
   }

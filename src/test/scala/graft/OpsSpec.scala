@@ -967,6 +967,26 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == again.toSeq)
   }
 
+  test("quality filter: null text is rejected, never kept") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    // size(null)=null skips every threshold branch — without the
+    // explicit first branch a poison null row would sail through KEPT
+    val docs = Seq((1L, null: String),
+      (2L, "the quick brown fox jumps over a lazy dog of winter today"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.qualityFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(4) == "null_text" && !out(0).getBoolean(5))
+    assert(out(1).isNullAt(4) && out(1).getBoolean(5))
+    // caller's own `ws` column survives withQualityDecision
+    val withWs = docs.withColumn("ws",
+      org.apache.spark.sql.functions.lit("mine"))
+    val through = CorpusStats.withQualityDecision(withWs, "text")
+    assert(through.columns.contains("ws"))
+    assert(through.select("ws").as[String].collect().toSet == Set("mine"))
+  }
+
   test("pipeline recipe: filter -> dedup -> shard-pack compose") {
     import spark.implicits._
     import graft.ops.{CorpusStats, Dedup}

@@ -322,8 +322,9 @@ class StreamingSpec extends AnyFunSuite {
       // first but the lower id wins keep-first within the batch
       stream.addData(Seq((3L, good1), (1L, good1), (2L, "too short")))
       q.processAllAvailable()
-      // batch 2: cross-batch duplicate + a fresh kept doc
-      stream.addData(Seq((5L, good1), (4L, good2)))
+      // batch 2: cross-batch duplicate + a fresh kept doc + a poison
+      // null-text row (must be REJECTED, never become a state keeper)
+      stream.addData(Seq((5L, good1), (4L, good2), (6L, null: String)))
       q.processAllAvailable()
       val v = spark.table("recipe_stream").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -332,7 +333,8 @@ class StreamingSpec extends AnyFunSuite {
         2L -> "rejected:too_few_words",
         3L -> "duplicate_of:1",
         4L -> "kept",
-        5L -> "duplicate_of:1"), v)
+        5L -> "duplicate_of:1",
+        6L -> "rejected:null_text"), v)
       // batch equivalence: the streamed survivors equal the batch
       // recipe stages' survivors over the same union
       val docs = Seq((1L, good1), (2L, "too short"), (3L, good1),
