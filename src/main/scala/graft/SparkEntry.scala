@@ -442,6 +442,12 @@ object SparkEntry {
       // join under a df cap, integer-exact cos² in ppm
       graft.ops.Similarity.allPairsSetCosine(docs(s, dir), "doc_id", "text",
         minCos2Ppm = 640000L, dfCap = 100).orderBy("doc_a", "doc_b")),
+    "dedup_winnow" -> ((s, dir) =>
+      // Schleimer-style winnowing: window-min gram fingerprints give the
+      // LOCAL-similarity guarantee (any shared ≥ n+w-1-word run shares
+      // a fingerprint) minhash resemblance cannot
+      graft.ops.Dedup.winnow(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
     "pipeline_recipe" -> ((s, dir) => {
       // the full C4-style training-data recipe composed from the
       // engine's own stages — quality filter → exact dedup (keep-first)
@@ -1115,6 +1121,28 @@ WITH toks AS (
 )
 SELECT doc_a, doc_b, dot, CAST(cos2_ppm AS BIGINT) AS cos2_ppm
 FROM scored WHERE cos2_ppm >= 640000 ORDER BY doc_a, doc_b""",
+    "dedup_winnow" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), g AS (
+  SELECT doc_id, CASE WHEN len(ws) >= 4
+    THEN list_transform(range(1, len(ws) - 2), i -> md5(array_to_string(ws[i:i+3], ' ')))
+    ELSE [] END AS grams
+  FROM w
+), f AS (
+  SELECT doc_id, unnest(CASE
+    WHEN len(grams) = 0 THEN []
+    WHEN len(grams) <= 4 THEN [list_min(grams)]
+    ELSE list_distinct(list_transform(range(1, len(grams) - 2),
+      i -> list_min(grams[i:i+3])))
+  END) AS fp FROM g
+), c AS (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bn FROM f
+  QUALIFY bn <= 100
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_fp
+FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""",
     "pipeline_recipe" -> s"""
 WITH w AS (
   SELECT doc_id, text,

@@ -585,4 +585,51 @@ object Dedup {
         col("run_end").cast("long").as("run_end"),
         (col("run_end") - col("run_start") + 1).cast("long").as("run_len"))
   }
+
+  /** Winnowing fingerprints + near-dup candidates [public technique:
+    * Schleimer/Wilkerson/Aiken SIGMOD 2003 "Winnowing: Local Algorithms
+    * for Document Fingerprinting"]. Per doc: word `n`-gram md5 hashes
+    * (shared algebra owner: [[TextGrams.wordGramsExpr]]), then each
+    * sliding window of `w` consecutive gram hashes contributes its
+    * MINIMUM hash (lexicographic on the hex — identical in DuckDB), and
+    * the doc's fingerprint set is the distinct selected hashes. The
+    * guarantee winnowing buys over plain MinHash: any shared run of ≥
+    * n + w - 1 words between two docs shares at least one fingerprint —
+    * LOCAL similarity detection, not just whole-doc resemblance.
+    * Candidate pairs = docs sharing ≥ `minShared` fingerprints.
+    *
+    * 100 TB shape: fingerprinting is ONE narrow higher-order-function
+    * projection (no shuffle until the compact (fp, id) explode); the
+    * fp-keyed self-join shuffles 32-char keys only, capped per fp by
+    * `maxBucket` (the boilerplate skew guard, same convention as the
+    * LSH paths); pair counting collapses map-side. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 4, minShared: Long = 2L,
+      maxBucket: Int = 100): DataFrame = {
+    require(n >= 1 && w >= 1, s"n and w must be >= 1, got n=$n w=$w")
+    val fps = docs
+      .select(col(idCol).as("id"),
+        col(textCol))
+      .withColumn("ws", TextGrams.wordsExpr(textCol))
+      .withColumn("grams", TextGrams.wordGramsExpr(n))
+      // windows of w gram hashes, min each; fewer than w grams → the
+      // whole gram list is one window (the paper's short-doc case)
+      .withColumn("fp", explode(expr(
+        s"""case when size(grams) = 0 then array()
+            when size(grams) <= $w then array(array_min(grams))
+            else array_distinct(transform(sequence(1, size(grams) - $w + 1),
+              i -> array_min(slice(grams, i, $w)))) end""")))
+      .select(col("id"), col("fp"))
+    // bucket cap on the fp key — same skew guard as the LSH joins
+    val capped = fps.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    capped.select(col("fp"), col("id").as("doc_a"))
+      .join(capped.select(col("fp"), col("id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
 }

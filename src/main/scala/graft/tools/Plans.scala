@@ -30,7 +30,8 @@ object Plans {
       "dedup_substrings_keep_first_clean", "sketch_countmin",
       "media_optimize", "corpus_decontaminate_bloom",
       "index_postings", "search_tfidf", "assign_ids",
-      "sim_allpairs_tokens", "pipeline_recipe").foreach { q =>
+      "sim_allpairs_tokens", "pipeline_recipe",
+      "dedup_winnow").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

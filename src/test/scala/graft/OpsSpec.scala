@@ -967,6 +967,35 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == again.toSeq)
   }
 
+  test("winnow: shared long run guarantees a shared fingerprint") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // the winnowing guarantee: a shared run of >= n+w-1 = 7 words must
+    // share >= 1 fingerprint; docs 1/2 share a 10-word run embedded in
+    // different surroundings; doc 3 is unrelated
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"unique lead one two $run tail one"),
+      (2L, s"other start words $run different ending entirely here"),
+      (3L, "nothing in common with the rest of these documents at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnow(docs, "doc_id", "text", minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L)
+    assert(pairs(0)._3 >= 1L) // the local-similarity guarantee
+    // identical docs share every fingerprint; threshold respected
+    val twins = Seq((1L, run + " " + run), (2L, run + " " + run))
+      .toDF("doc_id", "text")
+    val tp = Dedup.winnow(twins, "doc_id", "text", minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tp.length == 1 && tp(0)._3 >= 2L)
+    // determinism across partition layouts
+    val again = Dedup.winnow(docs.repartition(5), "doc_id", "text",
+      minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == again.toSeq)
+  }
+
   test("quality filter: null text is rejected, never kept") {
     import spark.implicits._
     import graft.ops.CorpusStats
