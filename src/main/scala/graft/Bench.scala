@@ -170,6 +170,15 @@ object Bench {
     resultsExtra("assign_ids") = timeTrials(1, 3) {
       graft.ops.AssignIds.stableIds(docs, "doc_id").count()
     }._1
+    resultsExtra("sim_allpairs_tokens") = timeTrials(1, 3) {
+      graft.ops.Similarity.allPairsSetCosine(docs, "doc_id", "text").count()
+    }._1
+    resultsExtra("dedup_winnow") = timeTrials(1, 3) {
+      graft.ops.Dedup.winnow(docs, "doc_id", "text").count()
+    }._1
+    resultsExtra("pipeline_recipe") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("pipeline_recipe")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -595,8 +595,13 @@ object Dedup {
     * the doc's fingerprint set is the distinct selected hashes. The
     * guarantee winnowing buys over plain MinHash: any shared run of ≥
     * n + w - 1 words between two docs shares at least one fingerprint —
-    * LOCAL similarity detection, not just whole-doc resemblance.
-    * Candidate pairs = docs sharing ≥ `minShared` fingerprints.
+    * LOCAL similarity detection, not just whole-doc resemblance. The
+    * guarantee is scoped to fingerprints under the `maxBucket` cap
+    * (same convention as ngramJaccard: the cap DEFINES the semantics —
+    * a passage shared by more than `maxBucket` docs is cut from
+    * candidate generation, deliberately, or the hottest boilerplate
+    * would join quadratically). Candidate pairs = docs sharing ≥
+    * `minShared` surviving fingerprints.
     *
     * 100 TB shape: fingerprinting is ONE narrow higher-order-function
     * projection (no shuffle until the compact (fp, id) explode); the
@@ -620,11 +625,14 @@ object Dedup {
             else array_distinct(transform(sequence(1, size(grams) - $w + 1),
               i -> array_min(slice(grams, i, $w)))) end""")))
       .select(col("id"), col("fp"))
-    // bucket cap on the fp key — same skew guard as the LSH joins
+    // bucket cap on the fp key — same skew guard as the LSH joins; the
+    // >= 2 floor prunes singleton fingerprints (the large majority in a
+    // real corpus) BEFORE they shuffle into both join sides, where
+    // doc_a < doc_b would discard them anyway
     val capped = fps.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp"))))
-      .filter(col("bucket_n") <= maxBucket)
+      .filter(col("bucket_n") <= maxBucket && col("bucket_n") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     capped.select(col("fp"), col("id").as("doc_a"))
       .join(capped.select(col("fp"), col("id").as("doc_b")), Seq("fp"))

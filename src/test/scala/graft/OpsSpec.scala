@@ -994,6 +994,14 @@ class OpsSpec extends AnyFunSuite {
       minShared = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == again.toSeq)
+    // skew cap: a fingerprint shared by MORE than maxBucket docs is cut
+    // from candidate generation entirely (the cap defines the semantics)
+    val hot = Seq((1L, run), (2L, run), (3L, run)).toDF("doc_id", "text")
+    assert(Dedup.winnow(hot, "doc_id", "text", minShared = 1L,
+      maxBucket = 2).count() == 0)
+    // ...and at cap 3 all three pairs surface
+    assert(Dedup.winnow(hot, "doc_id", "text", minShared = 1L,
+      maxBucket = 3).count() == 3)
   }
 
   test("quality filter: null text is rejected, never kept") {
