@@ -179,6 +179,15 @@ object Bench {
     resultsExtra("pipeline_recipe") = timeTrials(1, 3) {
       graft.SparkEntry.queries("pipeline_recipe")(spark, sfDir).count()
     }._1
+    resultsExtra("lm_bigram") = timeTrials(1, 3) {
+      graft.ops.Lm.bigramScore(docs, "doc_id", "text").count()
+    }._1
+    resultsExtra("graph_pagerank") = timeTrials(1, 3) {
+      graft.ops.Graph.textRank(docs, "text").count()
+    }._1
+    resultsExtra("text_topic") = timeTrials(1, 3) {
+      graft.ops.Topics.classify(docs, "doc_id", "text").count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

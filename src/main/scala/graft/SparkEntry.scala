@@ -448,6 +448,24 @@ object SparkEntry {
       // a fingerprint) minhash resemblance cannot
       graft.ops.Dedup.winnow(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+    "lm_bigram" -> ((s, dir) =>
+      // corpus-trained bigram-LM fluency score (CCNet-style quality
+      // signal), exact-integer hapax/mean-frequency milli ratios
+      graft.ops.Lm.bigramScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "graph_pagerank" -> ((s, dir) =>
+      // TextRank keywords: 5-iteration integer PageRank over the word-
+      // adjacency graph — the suite's one iterative-join operator
+      graft.ops.Graph.textRank(docs(s, dir), "text")),
+    "text_topic" -> ((s, dir) =>
+      // keyword-taxonomy argmax classifier, broadcast keyword table
+      graft.ops.Topics.classify(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "url_blocklist" -> ((s, _) =>
+      // wildcard-domain blocklist via host dot-suffix explode +
+      // broadcast equality join (never a LIKE cross join)
+      graft.ops.Urls.blocklistFilter(graft.ops.Urls.fixtureDf(s), "url")
+        .orderBy("url")),
     "pipeline_recipe" -> ((s, dir) => {
       // the full C4-style training-data recipe composed from the
       // engine's own stages — quality filter → exact dedup (keep-first)
@@ -1143,6 +1161,100 @@ WITH w AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_fp
 FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""",
+    "lm_bigram" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), g AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+    THEN list_transform(range(1, len(ws)), i -> md5(array_to_string(ws[i:i+1], ' ')))
+    ELSE [] END) AS gram
+  FROM w
+), grain AS (
+  SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram
+), model AS (
+  SELECT gram, CAST(sum(tf) AS BIGINT) AS cnt FROM grain GROUP BY gram
+), per AS (
+  SELECT grain.doc_id,
+    CAST(sum(tf) AS BIGINT) AS n_bigrams,
+    CAST(sum(tf * cnt) AS BIGINT) AS sum_cnt,
+    CAST(sum(CASE WHEN cnt = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
+  FROM grain JOIN model USING (gram) GROUP BY grain.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(p.sum_cnt, 0) AS BIGINT) AS sum_cnt,
+  CAST((1000 * coalesce(p.n_rare, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS rare_milli,
+  CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS mean_freq_milli
+FROM ${D(sf)} d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
+    "graph_pagerank" -> {
+      // 5 unrolled integer-PageRank iterations; `rk` not `rank` (window
+      // keyword in DuckDB); sum(BIGINT) is HUGEINT → CAST back each step
+      val steps = (1 to 5).map(i =>
+        s"r$i AS (SELECT ej.t AS token, CAST(150000 + (850 * sum((r.rk * ej.w) // ej.outw)) // 1000 AS BIGINT) AS rk" +
+          s" FROM ej JOIN r${i - 1} r ON ej.s = r.token GROUP BY ej.t)")
+        .mkString(",\n")
+      s"""
+WITH w AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), p AS (
+  SELECT unnest(CASE WHEN len(ws) >= 2
+    THEN list_transform(range(1, len(ws)), i -> {'s': ws[i], 't': ws[i+1]})
+    ELSE [] END) AS pr
+  FROM w
+), pairs AS (
+  SELECT pr.s AS s, pr.t AS t FROM p
+  WHERE length(pr.s) >= 3 AND length(pr.t) >= 3 AND pr.s != pr.t
+), und AS (
+  SELECT s, t FROM pairs UNION ALL SELECT t AS s, s AS t FROM pairs
+), e AS (
+  SELECT s, t, CAST(count(*) AS BIGINT) AS w FROM und GROUP BY s, t
+), ow AS (
+  SELECT s, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY s
+), ej AS (SELECT e.s, e.t, e.w, ow.outw FROM e JOIN ow USING (s)),
+r0 AS (SELECT DISTINCT s AS token, CAST(1000000 AS BIGINT) AS rk FROM e),
+$steps
+SELECT token, rk AS rank_micro FROM r5 ORDER BY rank_micro DESC, token LIMIT 20"""
+    },
+    "text_topic" -> s"""
+WITH kw(token, topic) AS (VALUES
+  ${graft.ops.Topics.taxonomyValuesSql}),
+t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)}
+), grain AS (
+  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+), sc AS (
+  SELECT doc_id, topic, CAST(sum(tf) AS BIGINT) AS score
+  FROM grain JOIN kw USING (token) GROUP BY doc_id, topic
+), best AS (
+  SELECT doc_id, topic, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, topic) AS rn FROM sc
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, coalesce(b.topic, 'none') AS topic,
+  CAST(coalesce(b.score, 0) AS BIGINT) AS score
+FROM ${D(sf)} d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""",
+    "url_blocklist" -> s"""
+WITH raw(url) AS (VALUES
+  ${graft.ops.Urls.fixtureValuesSql}),
+rules(rule) AS (VALUES
+  ${graft.ops.Urls.blocklistValuesSql}),
+s1 AS (SELECT url, split_part(split_part(url, '#', 1), '?', 1) AS base FROM raw),
+s2 AS (SELECT url, CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM s1),
+s3 AS (SELECT url, list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM s2),
+h AS (SELECT url,
+  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM s3),
+sfx AS (
+  SELECT url, unnest(list_transform(range(1, len(hp) + 1), i -> array_to_string(hp[i:len(hp)], '.'))) AS suf
+  FROM (SELECT url, string_split(host, '.') AS hp FROM h)
+), m AS (
+  SELECT url, rule FROM (
+    SELECT url, rule, row_number() OVER (PARTITION BY url ORDER BY length(rule) DESC, rule) AS rn
+    FROM sfx JOIN rules ON suf = rule
+  ) WHERE rn = 1
+)
+SELECT h.url, h.host, m.rule IS NOT NULL AS blocked, coalesce(m.rule, '') AS rule
+FROM h LEFT JOIN m USING (url) ORDER BY h.url""",
     "pipeline_recipe" -> s"""
 WITH w AS (
   SELECT doc_id, text,

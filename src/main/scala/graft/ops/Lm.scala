@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-trained bigram language-model fluency scoring — the CCNet-style
+  * "does this document look like the corpus" quality signal (Wenzek et
+  * al. 2020 score documents with a corpus LM; the reference's analog is
+  * the dictionary hit-ratio quality gate,
+  * /root/reference/src/ocrmypdf/quality.py:12-44, generalized from a
+  * fixed word list to a model trained on the corpus itself).
+  *
+  * Exact-integer formulation (no log-prob floats — the determinism
+  * invariant bans float accumulation): the model is the corpus bigram
+  * count table, and each document is scored by how common its bigrams
+  * are in that model:
+  *
+  *   - `n_bigrams`  — bigram occurrences in the doc (len(ws)-1, 0 if <2
+  *     words);
+  *   - `sum_cnt`    — sum over the doc's bigram occurrences of the
+  *     corpus-wide count of that bigram (≥ n_bigrams: each occurrence
+  *     counts itself);
+  *   - `rare_milli` — 1000 × (occurrences whose bigram appears exactly
+  *     once in the whole corpus) / n_bigrams — the hapax ratio, high
+  *     for disfluent/garbled text;
+  *   - `mean_freq_milli` — 1000 × sum_cnt / n_bigrams — mean corpus
+  *     frequency of the doc's bigrams, low for disfluent text.
+  *
+  * 100 TB shape: the gram grain is one row per DISTINCT (doc, bigram)
+  * with its in-doc multiplicity (two-phase hash agg), so the model join
+  * moves tf-compressed 16-byte md5 keys, never text. The grain feeds
+  * BOTH the model aggregation and the join-back, so it carries a
+  * persist barrier (Catalyst would otherwise re-run the scan+explode
+  * subtree twice — see the signature-table rule in Dedup). The model is
+  * corpus-sized (too big to broadcast at scale): a sort-merge/shuffled
+  * hash join on the gram key is the honest plan.
+  */
+object Lm {
+
+  /** Per-document bigram-LM fluency stats (see class doc). One output
+    * row per input document, including <2-word docs (zeros). */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grain = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextGrams.wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), explode(TextGrams.wordGramsExpr(2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+      // barrier: grain feeds the model agg AND the join-back below
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val model = grain.groupBy("gram").agg(sum("tf").as("cnt"))
+    val per = grain.join(model, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("cnt")).as("sum_cnt"),
+        sum(when(col("cnt") === 1, col("tf")).otherwise(lit(0L)))
+          .as("n_rare"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"),
+        expr("1000 * coalesce(n_rare, 0L) div greatest(coalesce(n_bigrams, 0L), 1)")
+          .as("rare_milli"),
+        expr("1000 * coalesce(sum_cnt, 0L) div greatest(coalesce(n_bigrams, 0L), 1)")
+          .as("mean_freq_milli"))
+  }
+}

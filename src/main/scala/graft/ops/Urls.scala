@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
+  /** Host of a `hostport` authority fragment: '[...]'-bracketed IPv6
+    * literals keep the whole bracketed literal (lowercased — hex digits
+    * are case-insensitive); otherwise everything before the first ':'.
+    * ONE owner for the algebra shared by [[canon]] and [[hostOf]] (a
+    * private copy drifting in either would silently un-sync
+    * canonicalization from blocklist matching). */
+  private def hostOfHostport(hostport: Column): Column =
+    when(hostport.startsWith("["),
+      lower(hostport.substr(lit(1), instr(hostport, "]"))))
+      .otherwise(lower(split_part(hostport, lit(":"), lit(1))))
+
+  /** Lowercased host of `urlCol` — the same fragment/query/scheme/
+    * userinfo/IPv6 algebra as [[canon]], surfacing only the host. */
+  def hostOf(urlCol: String): Column = {
+    val base =
+      split_part(split_part(col(urlCol), lit("#"), lit(1)), lit("?"), lit(1))
+    val sep = instr(base, "://")
+    val rest = when(sep > 0, base.substr(sep + lit(3), length(base)))
+      .otherwise(lit(""))
+    val auth = split_part(rest, lit("/"), lit(1))
+    hostOfHostport(element_at(split(auth, "@"), -1))
+  }
+
   /** Canonical-URL column for `urlCol` — pure builtin string/array
     * algebra (split_part / instr / substr / filter / array_sort), each
     * step with an exact DuckDB spelling the oracle replays
@@ -54,13 +77,8 @@ object Urls {
     // userinfo dropped at the LAST '@' (RFC 3986 authority = [userinfo@]
     // host[:port]; 'user:pass@host' must not parse 'user' as the host)
     val hostport = element_at(split(auth, "@"), -1)
-    // '[...]'-bracketed IPv6 literals: host = the bracketed literal
-    // (lowercased — hex digits are case-insensitive), port = the part
-    // after ']:'; the bare ':' split would yield host='[' and lose the port
     val brEnd = instr(hostport, "]")
-    val host = when(hostport.startsWith("["),
-        lower(hostport.substr(lit(1), brEnd)))
-      .otherwise(lower(split_part(hostport, lit(":"), lit(1))))
+    val host = hostOfHostport(hostport)
     val port = when(hostport.startsWith("["),
         when(hostport.substr(brEnd + lit(1), lit(1)) === ":",
           hostport.substr(brEnd + lit(2), length(hostport))).otherwise(lit("")))
@@ -140,4 +158,49 @@ object Urls {
 
   def fixtureValuesSql: String =
     fixture.map(u => s"('${u.replace("'", "''")}')").mkString(",\n  ")
+
+  /** Domain blocklist, UT1/SafeBrowsing-style semantics: an entry
+    * blocks the domain itself AND every subdomain. Includes a
+    * bracketed-IPv6 entry (no dots — its only "suffix" is itself) and a
+    * never-matching entry so the negative path is exercised. */
+  val blocklist: Seq[String] = Seq(
+    "example.org", // matches www.example.org via suffix
+    "archive.org", // matches web.archive.org
+    "host01.example.com", // exact subdomain entry; example.com itself stays
+    "[::1]", // IPv6 literal host
+    "tracker.net") // no fixture URL matches — negative case
+
+  def blocklistValuesSql: String =
+    blocklist.map(r => s"('${r.replace("'", "''")}')").mkString(",\n  ")
+
+  /** Wildcard-domain blocklist filter — one row per input URL with its
+    * host, whether any blocklist domain covers it, and the MOST
+    * SPECIFIC (longest) matching rule ('' when unblocked).
+    *
+    * 100 TB shape: never a LIKE/regex cross join — the host explodes
+    * into its dot-suffix chain ('a.b.c' → [a.b.c, b.c, c], ≤ label
+    * count rows, hosts are short), which BROADCAST-hash-joins the rule
+    * table on equality; the longest-match argmax is one two-phase agg
+    * over (url, rule). A url's suffixes have pairwise-distinct lengths,
+    * so max(struct(length, rule)) is deterministic without tie rules. */
+  def blocklistFilter(urls: DataFrame, urlCol: String): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val rules = blocklist.toDF("rule")
+    val withHost = urls.select(col(urlCol).as("url"), hostOf(urlCol).as("host"))
+    val sufs = withHost
+      .withColumn("hparts", split(col("host"), "\\."))
+      .select(col("url"), explode(expr(
+        "transform(sequence(1, size(hparts))," +
+          " i -> array_join(slice(hparts, i, size(hparts) - i + 1), '.'))"))
+        .as("suf"))
+    val matched = sufs.join(broadcast(rules), col("suf") === col("rule"))
+      .groupBy("url")
+      .agg(max(struct(length(col("rule")).as("len"), col("rule").as("rule")))
+        .as("best"))
+    withHost.join(matched, Seq("url"), "left")
+      .select(col("url"), col("host"),
+        col("best").isNotNull.as("blocked"),
+        coalesce(col("best.rule"), lit("")).as("rule"))
+  }
 }

@@ -31,7 +31,8 @@ object Plans {
       "media_optimize", "corpus_decontaminate_bloom",
       "index_postings", "search_tfidf", "assign_ids",
       "sim_allpairs_tokens", "pipeline_recipe",
-      "dedup_winnow").foreach { q =>
+      "dedup_winnow", "lm_bigram", "graph_pagerank", "text_topic",
+      "url_blocklist").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
