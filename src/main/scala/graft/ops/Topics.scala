@@ -49,7 +49,11 @@ object Topics {
     * keyword-tf score, tie-broken by topic asc, ('none', 0) for docs
     * with no keyword hits. */
   def classify(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grain = TextGrams.tokenGrain(docs, idCol, textCol)
+    // broadcast-literal isin prunes non-keyword tokens BETWEEN the
+    // explode and the groupBy — only keyword tokens ever shuffle
+    val kwSet = taxonomy.values.flatten.toSeq.sorted
+    val grain = TextGrams.tokenGrain(docs, idCol, textCol,
+      tokenFilter = Some(col("token").isin(kwSet: _*)))
     val scored = grain
       .join(broadcast(keywordDf(docs.sparkSession)), Seq("token"))
       .groupBy("doc_id", "topic").agg(sum("tf").as("score"))

@@ -38,16 +38,29 @@ object Urls {
       lower(hostport.substr(lit(1), instr(hostport, "]"))))
       .otherwise(lower(split_part(hostport, lit(":"), lit(1))))
 
+  /** Post-scheme remainder of a fragment/query-stripped `base` — ''
+    * when there is no '://'. Split at the FIRST '://' only (split_part
+    * field 2 silently truncated archive.org-style URLs whose path
+    * embeds another '://'). Shared owner for [[canon]] and [[hostOf]]. */
+  private def restOf(base: Column): Column = {
+    val sep = instr(base, "://")
+    when(sep > 0, base.substr(sep + lit(3), length(base))).otherwise(lit(""))
+  }
+
+  /** hostport of the post-scheme remainder: authority up to the first
+    * '/', userinfo dropped at the LAST '@' (RFC 3986 authority =
+    * [userinfo@]host[:port]; 'user:pass@host' must not parse 'user' as
+    * the host). Shared owner for [[canon]] and [[hostOf]]. */
+  private def hostportOfRest(rest: Column): Column =
+    element_at(split(split_part(rest, lit("/"), lit(1)), "@"), -1)
+
   /** Lowercased host of `urlCol` — the same fragment/query/scheme/
-    * userinfo/IPv6 algebra as [[canon]], surfacing only the host. */
+    * userinfo/IPv6 algebra as [[canon]] (shared helpers, not a copy),
+    * surfacing only the host. */
   def hostOf(urlCol: String): Column = {
     val base =
       split_part(split_part(col(urlCol), lit("#"), lit(1)), lit("?"), lit(1))
-    val sep = instr(base, "://")
-    val rest = when(sep > 0, base.substr(sep + lit(3), length(base)))
-      .otherwise(lit(""))
-    val auth = split_part(rest, lit("/"), lit(1))
-    hostOfHostport(element_at(split(auth, "@"), -1))
+    hostOfHostport(hostportOfRest(restOf(base)))
   }
 
   /** Canonical-URL column for `urlCol` — pure builtin string/array
@@ -64,9 +77,7 @@ object Urls {
     val sep = instr(base, "://")
     val scheme = when(sep > 0, lower(base.substr(lit(1), sep - 1)))
       .otherwise(lower(base))
-    val rest = when(sep > 0, base.substr(sep + lit(3), length(base)))
-      .otherwise(lit(""))
-    val auth = split_part(rest, lit("/"), lit(1))
+    val rest = restOf(base)
     val slash = instr(rest, "/")
     // substr start-past-end yields '' and oversized len clamps, in both
     // engines — the path/query extraction leans on that
@@ -74,9 +85,7 @@ object Urls {
       .otherwise(lit("/"))
     val q = when(instr(nf, "?") > 0,
       nf.substr(length(base) + lit(2), length(nf))).otherwise(lit(""))
-    // userinfo dropped at the LAST '@' (RFC 3986 authority = [userinfo@]
-    // host[:port]; 'user:pass@host' must not parse 'user' as the host)
-    val hostport = element_at(split(auth, "@"), -1)
+    val hostport = hostportOfRest(rest)
     val brEnd = instr(hostport, "]")
     val host = hostOfHostport(hostport)
     val port = when(hostport.startsWith("["),
@@ -165,6 +174,7 @@ object Urls {
     * never-matching entry so the negative path is exercised. */
   val blocklist: Seq[String] = Seq(
     "example.org", // matches www.example.org via suffix
+    "www.example.org", // OVERLAPS example.org: longest-match must win
     "archive.org", // matches web.archive.org
     "host01.example.com", // exact subdomain entry; example.com itself stays
     "[::1]", // IPv6 literal host

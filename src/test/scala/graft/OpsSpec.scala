@@ -1512,9 +1512,10 @@ class OpsSpec extends AnyFunSuite {
     val out = Urls.blocklistFilter(Urls.fixtureDf(spark), "url")
       .collect().map(r => r.getString(0) ->
         ((r.getString(1), r.getBoolean(2), r.getString(3)))).toMap
-    // subdomain blocked via suffix rule
+    // multi-match host: BOTH example.org and www.example.org cover it —
+    // the longest (most specific) rule must win
     assert(out("HTTP://WWW.Example.ORG/path/To/Page?")
-      == (("www.example.org", true, "example.org")))
+      == (("www.example.org", true, "www.example.org")))
     assert(out("https://web.archive.org/web/2020/https://example.com/a")
       == (("web.archive.org", true, "archive.org")))
     // exact subdomain entry blocks it; the parent domain stays clean
