@@ -188,6 +188,9 @@ object Bench {
     resultsExtra("text_topic") = timeTrials(1, 3) {
       graft.ops.Topics.classify(docs, "doc_id", "text").count()
     }._1
+    resultsExtra("bpe_train") = timeTrials(1, 3) {
+      graft.ops.Bpe.train(docs, "text").count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -466,6 +466,11 @@ object SparkEntry {
       // broadcast equality join (never a LIKE cross join)
       graft.ops.Urls.blocklistFilter(graft.ops.Urls.fixtureDf(s), "url")
         .orderBy("url")),
+    "bpe_train" -> ((s, dir) =>
+      // distributed BPE merge learning (Sennrich 2016): per-step pair
+      // argmax over the vocab, single-char-atom replace = greedy merge
+      graft.ops.Bpe.train(docs(s, dir), "text", merges = 6)
+        .orderBy("step")),
     "pipeline_recipe" -> ((s, dir) => {
       // the full C4-style training-data recipe composed from the
       // engine's own stages — quality filter → exact dedup (keep-first)
@@ -1255,6 +1260,7 @@ sfx AS (
 )
 SELECT h.url, h.host, m.rule IS NOT NULL AS blocked, coalesce(m.rule, '') AS rule
 FROM h LEFT JOIN m USING (url) ORDER BY h.url""",
+    "bpe_train" -> graft.ops.Bpe.trainOracleSql(D(sf), "text", merges = 6),
     "pipeline_recipe" -> s"""
 WITH w AS (
   SELECT doc_id, text,

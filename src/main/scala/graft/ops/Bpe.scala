@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-pair learning (Sennrich/Haddow/Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") —
+  * the tokenizer-training stage of a corpus pipeline. The encode-side
+  * cascade already exists (`TextStats.tokensBpe` / the `text_tokens`
+  * query applies a FIXED merge table); this operator LEARNS the table
+  * from the corpus.
+  *
+  * Representation: every symbol is exactly ONE character — initial
+  * symbols are the word's characters, and each merge step mints a fresh
+  * Unicode private-use atom chr(0xE000+step) for the merged symbol
+  * (same PUA convention as `TextStats.bpeAtom`). That makes the symbol
+  * sequence a plain string, adjacent-pair extraction a substring
+  * window, and merge application a single `replace` whose
+  * left-to-right non-overlapping semantics IS BPE's greedy merge order
+  * — identical in Spark and DuckDB, so the oracle replays training
+  * exactly (unrolled per-step CTEs). Assumes corpus text carries no
+  * PUA characters (true of the synthetic corpus; a production run
+  * would strip/remap them first).
+  *
+  * Per step: pair counts weighted by word frequency; winner = highest
+  * count, ties broken by pair string ascending (deterministic in both
+  * engines); stops early if no pair remains.
+  *
+  * 100 TB shape: the word-frequency vocab is Heaps-sublinear in corpus
+  * size and is the ONLY distributed state; per-step pair counting is a
+  * two-phase hash agg over ≤ |vocab|·(len-1) short pairs, the argmax is
+  * a TakeOrdered partial top-1 (never a full sort), and the driver
+  * pulls ONE row per step — a bounded model fit, the k-means
+  * convention. Merge application is a narrow per-row `replace`. The
+  * vocab's plan depth grows by one projection per step (K is small and
+  * fixed); text itself is touched once, at vocab construction.
+  */
+object Bpe {
+
+  /** Learn `merges` BPE merge pairs from the corpus word distribution.
+    * Output: one row per learned merge, (step, lhs, rhs, n) — lhs/rhs
+    * are the merged pair's two symbols expanded back to their surface
+    * strings, n the frequency-weighted pair count that won the step. */
+  def train(docs: DataFrame, textCol: String, merges: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(TextGrams.wordsExpr(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word").as("symstr"), col("freq"))
+    val expansion = scala.collection.mutable.Map[Char, String]()
+    def expand(s: String): String =
+      s.flatMap(c => expansion.getOrElse(c, c.toString))
+    val out = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    var k = 0
+    var exhausted = false
+    while (k < merges && !exhausted) {
+      val best = vocab
+        .select(col("freq"), explode(expr(
+          "case when length(symstr) >= 2 then transform(" +
+            "sequence(1, length(symstr) - 1), i -> substring(symstr, i, 2))" +
+            " else array() end")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1)
+        .collect() // ONE row per step — the bounded model-fit pull
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val atom = (0xE000 + k).toChar
+        out += ((k.toLong, expand(pair.substring(0, 1)),
+          expand(pair.substring(1, 2)), n))
+        expansion(atom) = expand(pair)
+        vocab = vocab.select(
+          replace(col("symstr"), lit(pair), lit(atom.toString)).as("symstr"),
+          col("freq"))
+        k += 1
+      }
+    }
+    out.toSeq.toDF("step", "lhs", "rhs", "n")
+  }
+
+  /** The oracle twin: unrolled per-step DuckDB SQL replaying the exact
+    * training algebra (`docsSql` = a read_parquet(...) relation). Atom
+    * expansion is the descending-j reverse-replace fold — atom_j's pair
+    * contains only atoms minted before j, so one pass per atom fully
+    * expands. */
+  def trainOracleSql(docsSql: String, textCol: String,
+      merges: Int = 6): String = {
+    def expandSql(inner: String, k: Int): String =
+      (k - 1 to 0 by -1).foldLeft(inner) { (acc, j) =>
+        s"replace($acc, chr(${0xE000 + j}), (SELECT pair FROM b$j))"
+      }
+    val steps = (0 until merges).map { k =>
+      val prev = if (k == 0) "v0" else s"v$k"
+      s"""p$k AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT freq, unnest(CASE WHEN length(symstr) >= 2
+      THEN list_transform(range(1, length(symstr)), i -> substr(symstr, i, 2))
+      ELSE [] END) AS pair FROM $prev) GROUP BY pair),
+b$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+v${k + 1} AS (SELECT replace(symstr, (SELECT pair FROM b$k), chr(${0xE000 + k})) AS symstr, freq FROM $prev)"""
+    }.mkString(",\n")
+    val rows = (0 until merges).map { k =>
+      val lhs = expandSql(s"substr((SELECT pair FROM b$k), 1, 1)", k)
+      val rhs = expandSql(s"substr((SELECT pair FROM b$k), 2, 1)", k)
+      s"SELECT CAST($k AS BIGINT) AS step, $lhs AS lhs, $rhs AS rhs, (SELECT n FROM b$k) AS n"
+    }.mkString("\nUNION ALL ")
+    s"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split($textCol, ' '), x -> x != '')) AS word FROM $docsSql
+), v0 AS (
+  SELECT word AS symstr, count(*) AS freq FROM w GROUP BY word
+),
+$steps
+SELECT * FROM (
+$rows
+) ORDER BY step"""
+  }
+}

@@ -31,6 +31,9 @@ object Plans {
       "media_optimize", "corpus_decontaminate_bloom",
       "index_postings", "search_tfidf", "assign_ids",
       "sim_allpairs_tokens", "pipeline_recipe",
+      // bpe_train is deliberately absent: its result DataFrame is the
+      // driver-assembled merge table (LocalTableScan) — the distributed
+      // plans are the per-step pair-count jobs, not the returned frame
       "dedup_winnow", "lm_bigram", "graph_pagerank", "text_topic",
       "url_blocklist").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)

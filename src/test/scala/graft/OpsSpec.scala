@@ -1507,6 +1507,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == (("stream", 1L)))
   }
 
+  test("bpe train: weighted counts, tie-break, atom expansion, early stop") {
+    import spark.implicits._
+    // words: aa×3, ab×2, aab×2
+    val docs = Seq("aa ab aa aab", "ab aa aab").toDF("text")
+    val out = graft.ops.Bpe.train(docs, "text", merges = 6)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (0L, "a", "a", 5L), // 'aa' in aa (×3) + aab (×2)
+      (1L, "a", "b", 2L), // n=2 TIE with the atom pair — 'ab' sorts first
+      (2L, "aa", "b", 2L)), // lhs is the step-0 atom, expanded to 'aa'
+      s"got $out")
+    // only 3 merges exist — training stops early, no null/empty rows
+    assert(out.size == 3)
+  }
+
   test("url blocklist: suffix wildcard, exact subdomain, IPv6, negatives") {
     import graft.ops.Urls
     val out = Urls.blocklistFilter(Urls.fixtureDf(spark), "url")
