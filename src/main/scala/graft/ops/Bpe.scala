@@ -44,39 +44,56 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, merges: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = docs
+    // the ONLY corpus pass: persist the word-frequency vocab so each
+    // step's collect recomputes just k narrow replaces over the cache
+    // (the kmeansMicro convention), then release it after the loop
+    val v0 = docs
       .select(explode(TextGrams.wordsExpr(textCol)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word").as("symstr"), col("freq"))
-    val expansion = scala.collection.mutable.Map[Char, String]()
-    def expand(s: String): String =
-      s.flatMap(c => expansion.getOrElse(c, c.toString))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab = v0
+    // code-point keys, not Chars: both engines substring by code point,
+    // so a winning pair may hold astral symbols (2 Java chars each)
+    val expansion = scala.collection.mutable.Map[Int, String]()
+    def expand(s: String): String = {
+      val sb = new StringBuilder
+      s.codePoints().forEach { cp =>
+        sb.append(expansion.getOrElse(cp, new String(Character.toChars(cp))))
+        ()
+      }
+      sb.toString
+    }
     val out = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
     var k = 0
     var exhausted = false
-    while (k < merges && !exhausted) {
-      val best = vocab
-        .select(col("freq"), explode(expr(
-          "case when length(symstr) >= 2 then transform(" +
-            "sequence(1, length(symstr) - 1), i -> substring(symstr, i, 2))" +
-            " else array() end")).as("pair"))
-        .groupBy("pair").agg(sum("freq").as("n"))
-        .orderBy(desc("n"), asc("pair")).limit(1)
-        .collect() // ONE row per step — the bounded model-fit pull
-      if (best.isEmpty) exhausted = true
-      else {
-        val pair = best(0).getString(0)
-        val n = best(0).getLong(1)
-        val atom = (0xE000 + k).toChar
-        out += ((k.toLong, expand(pair.substring(0, 1)),
-          expand(pair.substring(1, 2)), n))
-        expansion(atom) = expand(pair)
-        vocab = vocab.select(
-          replace(col("symstr"), lit(pair), lit(atom.toString)).as("symstr"),
-          col("freq"))
-        k += 1
+    try {
+      while (k < merges && !exhausted) {
+        val best = vocab
+          .select(col("freq"), explode(expr(
+            "case when length(symstr) >= 2 then transform(" +
+              "sequence(1, length(symstr) - 1), i -> substring(symstr, i, 2))" +
+              " else array() end")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(1)
+          .collect() // ONE row per step — the bounded model-fit pull
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          val n = best(0).getLong(1)
+          val atom = (0xE000 + k).toChar
+          val cps = pair.codePoints().toArray
+          out += ((k.toLong,
+            expand(new String(Character.toChars(cps(0)))),
+            expand(new String(Character.toChars(cps(1)))), n))
+          expansion(atom.toInt) = expand(pair)
+          vocab = vocab.select(
+            replace(col("symstr"), lit(pair), lit(atom.toString)).as("symstr"),
+            col("freq"))
+          k += 1
+        }
       }
-    }
+    } finally { v0.unpersist(); () }
     out.toSeq.toDF("step", "lhs", "rhs", "n")
   }
 
@@ -92,7 +109,7 @@ object Bpe {
         s"replace($acc, chr(${0xE000 + j}), (SELECT pair FROM b$j))"
       }
     val steps = (0 until merges).map { k =>
-      val prev = if (k == 0) "v0" else s"v$k"
+      val prev = s"v$k"
       s"""p$k AS (
   SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
     SELECT freq, unnest(CASE WHEN length(symstr) >= 2
@@ -104,7 +121,11 @@ v${k + 1} AS (SELECT replace(symstr, (SELECT pair FROM b$k), chr(${0xE000 + k}))
     val rows = (0 until merges).map { k =>
       val lhs = expandSql(s"substr((SELECT pair FROM b$k), 1, 1)", k)
       val rhs = expandSql(s"substr((SELECT pair FROM b$k), 2, 1)", k)
-      s"SELECT CAST($k AS BIGINT) AS step, $lhs AS lhs, $rhs AS rhs, (SELECT n FROM b$k) AS n"
+      // EXISTS guard replays the engine's EARLY STOP: a step with no
+      // remaining pair emits no row (and its NULL-propagating replace
+      // empties every later p$k, so all later steps drop out too)
+      s"SELECT CAST($k AS BIGINT) AS step, $lhs AS lhs, $rhs AS rhs, (SELECT n FROM b$k) AS n" +
+        s" WHERE EXISTS (SELECT 1 FROM b$k)"
     }.mkString("\nUNION ALL ")
     s"""
 WITH w AS (
