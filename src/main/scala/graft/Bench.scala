@@ -191,6 +191,15 @@ object Bench {
     resultsExtra("bpe_train") = timeTrials(1, 3) {
       graft.ops.Bpe.train(docs, "text").count()
     }._1
+    resultsExtra("source_overlap") = timeTrials(1, 3) {
+      graft.ops.CorpusAudit.sourceOverlap(docs, "text", "source").count()
+    }._1
+    resultsExtra("vocab_growth") = timeTrials(1, 3) {
+      graft.ops.CorpusAudit.vocabGrowth(docs, "doc_id", "text").count()
+    }._1
+    resultsExtra("dedup_minhash_apply") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("dedup_minhash_apply")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

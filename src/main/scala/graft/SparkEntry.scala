@@ -471,6 +471,30 @@ object SparkEntry {
       // argmax over the vocab, single-char-atom replace = greedy merge
       graft.ops.Bpe.train(docs(s, dir), "text", merges = 6)
         .orderBy("step")),
+    "source_overlap" -> ((s, dir) =>
+      // data-mixing audit: pairwise distinct-8-gram overlap between
+      // sources, exact milli Jaccard on the (source, gram) grain
+      graft.ops.CorpusAudit.sourceOverlap(docs(s, dir), "text", "source")
+        .orderBy("src_a", "src_b")),
+    "vocab_growth" -> ((s, dir) =>
+      // Heaps-law curve: new-token first occurrences per doc-id decile
+      // via one min(doc_id) hash agg — no sequential corpus scan
+      graft.ops.CorpusAudit.vocabGrowth(docs(s, dir), "doc_id", "text")
+        .orderBy("bucket")),
+    "dedup_minhash_apply" -> ((s, dir) => {
+      // the APPLY step for fuzzy dedup: LSH pairs → connected
+      // components → keep-one-per-cluster flags over the full corpus
+      val d = docs(s, dir)
+      val clusters = Dedup.resolveClusters(
+        Dedup.minhashLsh(d, "doc_id", "text").select("doc_a", "doc_b"))
+      d.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_keep_id"), col("doc_id")).as("keep_id"),
+          (coalesce(col("cluster_keep_id"), col("doc_id")) === col("doc_id"))
+            .as("kept"))
+        .orderBy("doc_id")
+    }),
     "pipeline_recipe" -> ((s, dir) => {
       // the full C4-style training-data recipe composed from the
       // engine's own stages — quality filter → exact dedup (keep-first)
@@ -1261,6 +1285,57 @@ sfx AS (
 SELECT h.url, h.host, m.rule IS NOT NULL AS blocked, coalesce(m.rule, '') AS rule
 FROM h LEFT JOIN m USING (url) ORDER BY h.url""",
     "bpe_train" -> graft.ops.Bpe.trainOracleSql(D(sf), "text", merges = 6),
+    "source_overlap" -> s"""
+WITH w AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+), g AS (
+  SELECT DISTINCT source, gh FROM (
+    SELECT source, unnest(CASE WHEN len(ws) >= 8
+      THEN list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
+      ELSE [] END) AS gh FROM w)
+), ps AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source
+), sh AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source GROUP BY 1, 2
+)
+SELECT sh.src_a, sh.src_b, pa.n_grams AS n_a, pb.n_grams AS n_b, sh.shared,
+  CAST((1000 * sh.shared) // (pa.n_grams + pb.n_grams - sh.shared) AS BIGINT) AS jaccard_milli
+FROM sh JOIN ps pa ON sh.src_a = pa.source JOIN ps pb ON sh.src_b = pb.source
+ORDER BY src_a, src_b""",
+    "vocab_growth" -> s"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)}
+), nd AS (SELECT max(doc_id) + 1 AS n_docs FROM ${D(sf)}),
+occ AS (
+  SELECT least(9, (doc_id * 10) // n_docs) AS bucket, CAST(count(*) AS BIGINT) AS occurrences
+  FROM t, nd GROUP BY 1
+), fo AS (
+  SELECT token, min(doc_id) AS first_doc FROM t GROUP BY token
+), nw AS (
+  SELECT least(9, (first_doc * 10) // n_docs) AS bucket, CAST(count(*) AS BIGINT) AS new_tokens
+  FROM fo, nd GROUP BY 1
+)
+SELECT o.bucket, o.occurrences, CAST(coalesce(n.new_tokens, 0) AS BIGINT) AS new_tokens,
+  CAST(sum(coalesce(n.new_tokens, 0)) OVER (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM occ o LEFT JOIN nw n USING (bucket) ORDER BY o.bucket""",
+    "dedup_minhash_apply" -> s"""
+WITH RECURSIVE $lshCtes,
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), e AS (
+  SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p
+), reach(id, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d
+), cl AS (
+  SELECT id AS doc_id, min(r) AS keep FROM reach GROUP BY id
+)
+SELECT d.doc_id, coalesce(cl.keep, d.doc_id) AS keep_id,
+  coalesce(cl.keep, d.doc_id) = d.doc_id AS kept
+FROM ${D(sf)} d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id""",
     "pipeline_recipe" -> s"""
 WITH w AS (
   SELECT doc_id, text,

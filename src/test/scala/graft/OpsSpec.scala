@@ -1507,6 +1507,51 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == (("stream", 1L)))
   }
 
+  test("source overlap: exact gram-set Jaccard between sources") {
+    import spark.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-gram
+    val nine = eight + " w9" // two 8-grams: w1..w8 and w2..w9
+    val docs = Seq((0L, "A", eight), (1L, "B", nine), (2L, "C", "short doc"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.CorpusAudit.sourceOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // A∩B = {w1..w8}: |A|=1, |B|=2, shared=1 → J = 1/2 = 500 milli
+    assert(out(("A", "B")) == ((1L, 2L, 1L, 500L)))
+    // C has no 8-gram → appears in no pair
+    assert(out.size == 1)
+  }
+
+  test("vocab growth: bucketed first occurrences and cumulative vocab") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "d"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusAudit.vocabGrowth(docs, "doc_id", "text",
+      buckets = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    // bucket 0 = docs 0-1: 4 occurrences, new {a,b,c}; bucket 1 = docs
+    // 2-3: 2 occurrences, new {d}; cumulative vocab 3 then 4
+    assert(out == Seq((0L, 4L, 3L, 3L), (1L, 2L, 1L, 4L)), s"got $out")
+  }
+
+  test("minhash apply: cluster keeps min id, singletons kept") {
+    import spark.implicits._
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((10L, near), (11L, near), (12L, near),
+      (20L, "completely different content with nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.resolveClusters(
+      Dedup.minhashLsh(docs, "doc_id", "text").select("doc_a", "doc_b"))
+    val out = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_keep_id"), col("doc_id")).as("keep_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) == 10L && out(11L) == 10L && out(12L) == 10L)
+    assert(out(20L) == 20L) // singleton never dropped
+  }
+
   test("bpe train: weighted counts, tie-break, atom expansion, early stop") {
     import spark.implicits._
     // words: aa×3, ab×2, aab×2
