@@ -481,20 +481,11 @@ object SparkEntry {
       // via one min(doc_id) hash agg — no sequential corpus scan
       graft.ops.CorpusAudit.vocabGrowth(docs(s, dir), "doc_id", "text")
         .orderBy("bucket")),
-    "dedup_minhash_apply" -> ((s, dir) => {
+    "dedup_minhash_apply" -> ((s, dir) =>
       // the APPLY step for fuzzy dedup: LSH pairs → connected
       // components → keep-one-per-cluster flags over the full corpus
-      val d = docs(s, dir)
-      val clusters = Dedup.resolveClusters(
-        Dedup.minhashLsh(d, "doc_id", "text").select("doc_a", "doc_b"))
-      d.select(col("doc_id"))
-        .join(clusters, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_keep_id"), col("doc_id")).as("keep_id"),
-          (coalesce(col("cluster_keep_id"), col("doc_id")) === col("doc_id"))
-            .as("kept"))
-        .orderBy("doc_id")
-    }),
+      Dedup.minhashApply(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "pipeline_recipe" -> ((s, dir) => {
       // the full C4-style training-data recipe composed from the
       // engine's own stages — quality filter → exact dedup (keep-first)
@@ -798,6 +789,24 @@ c$i AS (
     * graft.oracle.sf property — a lazy val would freeze the FIRST sf
     * seen for exactly these two oracles while every other oracle
     * followed the property. */
+  /** Recursive connected-components walk over the LSH candidate pair
+    * set (`ok` from [[lshCtes]]) ending in `cl(doc_id, keep)` — ONE
+    * owner for the dedup_clusters and dedup_minhash_apply oracles (the
+    * same anti-drift rationale as [[lshCtes]]; a def for the same
+    * sf-property reason). */
+  private def ccCtes = """p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), e AS (
+  SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p
+), reach(id, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d
+), cl AS (
+  SELECT id AS doc_id, min(r) AS keep FROM reach GROUP BY id
+)"""
+
   private def lshCtes = s"""shingled AS (
   SELECT doc_id, list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)) AS sh
   FROM ${D(sf)}
@@ -938,17 +947,8 @@ FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND
 ORDER BY doc_a, doc_b""",
     "dedup_clusters" -> s"""
 WITH RECURSIVE $lshCtes,
-p AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-), e AS (
-  SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p
-), reach(id, r) AS (
-  SELECT s, s FROM e
-  UNION
-  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d
-)
-SELECT id AS doc_id, min(r) AS cluster_keep_id FROM reach GROUP BY id ORDER BY doc_id""",
+$ccCtes
+SELECT doc_id, keep AS cluster_keep_id FROM cl ORDER BY doc_id""",
     "dedup_embed_cosine" -> s"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
 coef AS (
@@ -1321,18 +1321,7 @@ SELECT o.bucket, o.occurrences, CAST(coalesce(n.new_tokens, 0) AS BIGINT) AS new
 FROM occ o LEFT JOIN nw n USING (bucket) ORDER BY o.bucket""",
     "dedup_minhash_apply" -> s"""
 WITH RECURSIVE $lshCtes,
-p AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-), e AS (
-  SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p
-), reach(id, r) AS (
-  SELECT s, s FROM e
-  UNION
-  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d
-), cl AS (
-  SELECT id AS doc_id, min(r) AS keep FROM reach GROUP BY id
-)
+$ccCtes
 SELECT d.doc_id, coalesce(cl.keep, d.doc_id) AS keep_id,
   coalesce(cl.keep, d.doc_id) = d.doc_id AS kept
 FROM ${D(sf)} d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id""",

@@ -380,6 +380,23 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_keep_id"))
   }
 
+  /** The fuzzy-dedup APPLY step: minhash-LSH pairs → [[resolveClusters]]
+    * components → left join back to the corpus so EVERY document carries
+    * its keeper: (doc_id, keep_id, kept) with keep_id = the component's
+    * minimum id (itself for singletons/non-candidates). The same keeper
+    * contract as [[exact]], on the fuzzy path — `kept=false` rows are
+    * the ones a drop-duplicates materialization would remove. */
+  def minhashApply(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clusters = resolveClusters(
+      minhashLsh(docs, idCol, textCol).select("doc_a", "doc_b"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_keep_id"), col("doc_id")).as("keep_id"),
+        (coalesce(col("cluster_keep_id"), col("doc_id")) === col("doc_id"))
+          .as("kept"))
+  }
+
   /** Exact substring-level dedup [public technique: Lee et al. 2021
     * "Deduplicating Training Data Makes Language Models Better",
     * ExactSubstr]: find every maximal run of ≥ `minLen` characters that

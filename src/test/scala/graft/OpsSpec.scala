@@ -1541,15 +1541,12 @@ class OpsSpec extends AnyFunSuite {
     val docs = Seq((10L, near), (11L, near), (12L, near),
       (20L, "completely different content with nothing shared at all ok"))
       .toDF("doc_id", "text")
-    val clusters = Dedup.resolveClusters(
-      Dedup.minhashLsh(docs, "doc_id", "text").select("doc_a", "doc_b"))
-    val out = docs.select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_keep_id"), col("doc_id")).as("keep_id"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out(10L) == 10L && out(11L) == 10L && out(12L) == 10L)
-    assert(out(20L) == 20L) // singleton never dropped
+    val out = Dedup.minhashApply(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(10L) == ((10L, true)))
+    assert(out(11L) == ((10L, false)) && out(12L) == ((10L, false)))
+    assert(out(20L) == ((20L, true))) // singleton never dropped
   }
 
   test("bpe train: weighted counts, tie-break, atom expansion, early stop") {
