@@ -200,6 +200,9 @@ object Bench {
     resultsExtra("dedup_minhash_apply") = timeTrials(1, 3) {
       graft.SparkEntry.queries("dedup_minhash_apply")(spark, sfDir).count()
     }._1
+    resultsExtra("dedup_embed_apply") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("dedup_embed_apply")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -486,6 +486,10 @@ object SparkEntry {
       // components → keep-one-per-cluster flags over the full corpus
       Dedup.minhashApply(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "dedup_embed_apply" -> ((s, dir) =>
+      // the embedding-space apply twin: semantic clusters → keep flags
+      Dedup.embedCosineApply(emb(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")),
     "pipeline_recipe" -> ((s, dir) => {
       // the full C4-style training-data recipe composed from the
       // engine's own stages — quality filter → exact dedup (keep-first)
@@ -794,17 +798,51 @@ c$i AS (
     * owner for the dedup_clusters and dedup_minhash_apply oracles (the
     * same anti-drift rationale as [[lshCtes]]; a def for the same
     * sf-property reason). */
-  private def ccCtes = """p AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-), e AS (
+  /** The walk itself, parameterized only by an upstream `p(doc_a,
+    * doc_b)` pair CTE — shared by the minhash AND embedding cluster
+    * oracles ('ud', not 'e': the embedding chain already binds `e`). */
+  private def ccWalkCtes = """ud AS (
   SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p
 ), reach(id, r) AS (
-  SELECT s, s FROM e
+  SELECT s, s FROM ud
   UNION
-  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d
+  SELECT ud.s, reach.r FROM ud JOIN reach ON reach.id = ud.d
 ), cl AS (
   SELECT id AS doc_id, min(r) AS keep FROM reach GROUP BY id
+)"""
+
+  private def ccCtes = s"""p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), $ccWalkCtes"""
+
+  /** Sign-LSH embedding candidate chain ending in `scored(doc_a, doc_b,
+    * rawcos)` — ONE owner for the dedup_embed_cosine and
+    * dedup_embed_apply oracles (same anti-drift + sf-property rationale
+    * as [[lshCtes]]). */
+  private def embedLshCtes = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
+coef AS (
+  SELECT p, d, CASE WHEN strpos('89abcdef', substring(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END AS c
+  FROM range(0, 64) t1(p), range(0, 64) t2(d)
+), planes AS (SELECT p, list(c ORDER BY d) AS cs FROM coef GROUP BY p),
+bitsrc AS (
+  SELECT e.vec_id, pl.p, CASE WHEN list_dot_product(pl.cs, e.v) >= 0 THEN 1 ELSE 0 END AS b
+  FROM e CROSS JOIN planes pl
+), sig AS (SELECT vec_id, list(b ORDER BY p) AS bits FROM bitsrc GROUP BY vec_id),
+banded AS (
+  SELECT vec_id, bits, k AS band_idx,
+    CAST(list_sum(list_transform(range(0, 8), j -> bits[k*8 + j + 1] * (1 << j))) AS INT) AS band_val
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n FROM banded
+), ok AS (SELECT * FROM sized WHERE bucket_n <= 10000),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT doc_a, doc_b,
+    list_dot_product(va.v, vb.v) / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS rawcos
+  FROM cand JOIN e va ON va.vec_id = doc_a JOIN e vb ON vb.vec_id = doc_b
 )"""
 
   private def lshCtes = s"""shingled AS (
@@ -950,31 +988,16 @@ WITH RECURSIVE $lshCtes,
 $ccCtes
 SELECT doc_id, keep AS cluster_keep_id FROM cl ORDER BY doc_id""",
     "dedup_embed_cosine" -> s"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${E(sf)}),
-coef AS (
-  SELECT p, d, CASE WHEN strpos('89abcdef', substring(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END AS c
-  FROM range(0, 64) t1(p), range(0, 64) t2(d)
-), planes AS (SELECT p, list(c ORDER BY d) AS cs FROM coef GROUP BY p),
-bitsrc AS (
-  SELECT e.vec_id, pl.p, CASE WHEN list_dot_product(pl.cs, e.v) >= 0 THEN 1 ELSE 0 END AS b
-  FROM e CROSS JOIN planes pl
-), sig AS (SELECT vec_id, list(b ORDER BY p) AS bits FROM bitsrc GROUP BY vec_id),
-banded AS (
-  SELECT vec_id, bits, k AS band_idx,
-    CAST(list_sum(list_transform(range(0, 8), j -> bits[k*8 + j + 1] * (1 << j))) AS INT) AS band_val
-  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks
-), sized AS (
-  SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n FROM banded
-), ok AS (SELECT * FROM sized WHERE bucket_n <= 10000),
-cand AS (
-  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
-), scored AS (
-  SELECT doc_a, doc_b,
-    list_dot_product(va.v, vb.v) / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS rawcos
-  FROM cand JOIN e va ON va.vec_id = doc_a JOIN e vb ON vb.vec_id = doc_b
-)
+WITH $embedLshCtes
 SELECT doc_a, doc_b, round(rawcos, 6) AS cos FROM scored WHERE rawcos >= 0.35 ORDER BY doc_a, doc_b""",
+    "dedup_embed_apply" -> s"""
+WITH RECURSIVE $embedLshCtes,
+p AS (SELECT doc_a, doc_b FROM scored WHERE rawcos >= 0.35),
+$ccWalkCtes
+SELECT v.vec_id, coalesce(cl.keep, v.vec_id) AS keep_id,
+  coalesce(cl.keep, v.vec_id) = v.vec_id AS kept
+FROM (SELECT vec_id FROM ${E(sf)}) v LEFT JOIN cl ON cl.doc_id = v.vec_id
+ORDER BY v.vec_id""",
     "dedup_simhash" -> s"""
 WITH hs AS (
   SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x != ''), t -> substring(md5(t), 1, 16)) AS hs

@@ -397,6 +397,23 @@ object Dedup {
           .as("kept"))
   }
 
+  /** [[minhashApply]]'s embedding-space twin: sign-LSH cosine pairs →
+    * components → per-vector (vec_id, keep_id, kept). Same keeper
+    * contract; semantic near-duplicates (paraphrases with high
+    * embedding cosine) that token-level minhash cannot see. */
+  def embedCosineApply(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 64): DataFrame = {
+    val clusters = resolveClusters(
+      embeddingCosineLsh(emb, idCol, vecCol, dims = dims)
+        .select("doc_a", "doc_b"))
+    emb.select(col(idCol).cast("long").as("vec_id"))
+      .join(clusters, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_keep_id"), col("vec_id")).as("keep_id"),
+        (coalesce(col("cluster_keep_id"), col("vec_id")) === col("vec_id"))
+          .as("kept"))
+  }
+
   /** Exact substring-level dedup [public technique: Lee et al. 2021
     * "Deduplicating Training Data Makes Language Models Better",
     * ExactSubstr]: find every maximal run of ≥ `minLen` characters that

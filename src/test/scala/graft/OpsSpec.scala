@@ -1549,6 +1549,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out(20L) == ((20L, true))) // singleton never dropped
   }
 
+  test("embed apply: semantic cluster keeps min id, singleton kept") {
+    import spark.implicits._
+    val v1 = Array.tabulate(16)(i => (i + 1).toFloat)
+    val v1b = v1.map(_ * 2f) // same direction → cosine exactly 1
+    val v2 = Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f)
+    val emb = Seq((5L, v1), (6L, v1b), (9L, v2)).toDF("vec_id", "embedding")
+    val out = Dedup.embedCosineApply(emb, "vec_id", "embedding", dims = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(5L) == ((5L, true)))
+    assert(out(6L) == ((5L, false))) // colinear vector joins 5's cluster
+    assert(out(9L) == ((9L, true))) // dissimilar vector stays kept
+  }
+
   test("bpe train: weighted counts, tie-break, atom expansion, early stop") {
     import spark.implicits._
     // words: aa×3, ab×2, aab×2
