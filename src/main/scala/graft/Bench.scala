@@ -203,6 +203,9 @@ object Bench {
     resultsExtra("dedup_embed_apply") = timeTrials(1, 3) {
       graft.SparkEntry.queries("dedup_embed_apply")(spark, sfDir).count()
     }._1
+    resultsExtra("link_hostgraph") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("link_hostgraph")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -24,6 +24,7 @@ object SparkEntry {
   val goldenExtracted = "/root/repo/src/test/resources/golden/extracted/*.parquet"
   val goldenSpans = "/root/repo/src/test/resources/golden/spans/*.parquet"
   val goldenModes = "/root/repo/src/test/resources/golden/modes/*.parquet"
+  val goldenLinks = "/root/repo/src/test/resources/golden/links/*.parquet"
   val verifyN = 600
 
   // one extraction pass per session, shared by all pipeline queries.
@@ -135,6 +136,31 @@ object SparkEntry {
           sum(col("pc")).cast("long").as("chars"))
         .orderBy("host")
     }),
+    "extract_links" -> ((s, _) =>
+      // outlink extraction (extract/Links.scala): every visible anchor,
+      // RFC 3986-resolved against the page URL (+ first <base href>),
+      // chrome-flagged — byte-compared against the scalar-kernel goldens
+      extracted(s)
+        .select(col("url"), explode(col("links")).as("l"))
+        .select(col("url"), col("l.idx").as("idx"), col("l.raw").as("raw"),
+          col("l.resolved").as("resolved"), col("l.chrome").as("chrome"))
+        .orderBy("url", "idx")),
+    "link_hostgraph" -> ((s, _) =>
+      // host-level link graph from the pipeline's own outlinks — the
+      // Common-Crawl webgraph shape: one groupBy on the (src,dst)
+      // authority pair; chrome edges counted separately so consumers can
+      // weight navigation vs in-content citation. Authority-grained
+      // (lowercased); dst_host keeps port/userinfo as resolved.
+      extracted(s)
+        .select(col("url"), explode(col("links")).as("l"))
+        .select(lower(split_part(col("url"), lit("/"), lit(3))).as("src_host"),
+          lower(split_part(col("l.resolved"), lit("/"), lit(3))).as("dst_host"),
+          col("url"), col("l.chrome").as("chrome"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("url")).as("n_pages"),
+          sum(col("chrome").cast("long")).as("n_chrome"))
+        .orderBy("src_host", "dst_host")),
     "extract_dirlang" -> ((s, _) =>
       // first-strong bidi direction + resolved language metadata
       // (reference: renderer.py:30-42 _is_rtl_text; _metadata.py:178-216
@@ -733,6 +759,7 @@ object SparkEntry {
 
   private val G = s"read_parquet('$goldenExtracted')"
   private val GS = s"read_parquet('$goldenSpans')"
+  private val GL = s"read_parquet('$goldenLinks')"
   private def D(dir: String) = s"read_parquet('$dir/documents.parquet')"
   private def E(dir: String) = s"read_parquet('$dir/embeddings.parquet')"
   /** The sf dir the oracle SQL reads. The driver contract fixes
@@ -875,6 +902,14 @@ cand AS (
       s"SELECT split_part(url, '/', 3) AS host, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars FROM $G GROUP BY 1 ORDER BY host",
     "extract_dirlang" ->
       s"SELECT url, lang, dir FROM $G ORDER BY url",
+    "extract_links" ->
+      s"SELECT url, idx, raw, resolved, chrome FROM $GL ORDER BY url, idx",
+    "link_hostgraph" ->
+      s"""SELECT lower(split_part(url, '/', 3)) AS src_host,
+  lower(split_part(resolved, '/', 3)) AS dst_host,
+  count(*) AS n_links, CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+  CAST(sum(CASE WHEN chrome THEN 1 ELSE 0 END) AS BIGINT) AS n_chrome
+FROM $GL GROUP BY 1, 2 ORDER BY src_host, dst_host""",
     "extract_modes" ->
       s"SELECT url, mode, outcome, engine, n_spans, text_md5 FROM read_parquet('$goldenModes') ORDER BY mode, url",
     "pages_subset" ->

@@ -286,7 +286,11 @@ object HtmlEngine extends ExtractionEngine {
     ExtractResult(row.url, row.warc_ts, asm.text, asm.spans, outcome, tag,
       s.format, charset, dom.nodes.length, blocks.length, dom.truncated,
       lang = LangResolve.resolve(row.lang, asm.text),
-      dir = TextAssembler.firstStrongDir(asm.text))
+      dir = TextAssembler.firstStrongDir(asm.text),
+      // outlinks are a whole-visible-DOM property (boilerplate nav links
+      // are exactly what a frontier consumer wants — the chrome flag
+      // carries the split); redirect shells and rejects above emit none
+      links = graft.extract.Links.fromDom(dom, row.url))
   }
 }
 

@@ -1,0 +1,180 @@
+package graft.extract
+
+import graft.html.Dom
+import graft.model.Link
+
+/** Outlink extraction + RFC 3986 §5 reference resolution.
+  *
+  * The reference resolves every sidecar/intermediate path against its
+  * working directory before any stage consumes it
+  * (reference: src/ocrmypdf/_pipeline.py:1307-1327 merge_sidecars walks
+  * expected names; src/ocrmypdf/api.py:325-344 resolves user paths) — the
+  * web-page twin of that "relative name → absolute identity" step is href
+  * resolution against the page URL, which every downstream link consumer
+  * (host graph, frontier dedup, URL canonicalization) depends on.
+  *
+  * Scope (documented contract, mirrored by the unit suite):
+  *  - only http(s) results are emitted; `mailto:`/`javascript:`/`data:`
+  *    and other non-navigable schemes are dropped;
+  *  - fragment-only hrefs (`#top`, "") are same-document references,
+  *    not edges — dropped; fragments on real targets are stripped;
+  *  - the document's FIRST `<base href>` rebases resolution (WHATWG:
+  *    only the first base element with an href attribute is honored),
+  *    itself resolved against the page URL;
+  *  - dot segments are removed per RFC 3986 §5.2.4; excess `..` above
+  *    the root is discarded (RFC behavior);
+  *  - only VISIBLE anchors are walked — hidden-subtree masking is the
+  *    same gate the text path applies (reference: create_ocr_image masks
+  *    already-texted regions, src/ocrmypdf/_pipeline.py:640-676);
+  *  - authority case/port are preserved as written: resolution is not
+  *    canonicalization ([[graft.ops.Urls]] owns canon; consumers that
+  *    need host identity lowercase at the query grain).
+  */
+object Links {
+
+  /** Parsed absolute http(s) URL, fragment already stripped.
+    * `query` includes its leading '?' when present (so format is a plain
+    * concatenation and an empty query costs nothing). */
+  final case class Base(scheme: String, authority: String, path: String,
+      query: String)
+
+  /** Parse an absolute http(s) URL. None for anything else (no '://',
+    * non-http scheme, empty authority). An authority-only URL gets the
+    * RFC 3986 §6.2.3 empty-path normalization to "/". */
+  def parseAbs(url: String): Option[Base] = {
+    val i = url.indexOf("://")
+    if (i <= 0) return None
+    val scheme = url.substring(0, i).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return None
+    var rest = url.substring(i + 3)
+    val hash = rest.indexOf('#')
+    if (hash >= 0) rest = rest.substring(0, hash)
+    var aEnd = rest.length
+    var j = 0
+    while (j < aEnd) { // authority ends at the first '/' or '?'
+      val c = rest.charAt(j)
+      if (c == '/' || c == '?') { aEnd = j } else j += 1
+    }
+    val authority = rest.substring(0, aEnd)
+    if (authority.isEmpty) return None
+    val tail = rest.substring(aEnd)
+    val qm = tail.indexOf('?')
+    val (path, query) =
+      if (qm >= 0) (tail.substring(0, qm), tail.substring(qm))
+      else (tail, "")
+    Some(Base(scheme, authority, if (path.isEmpty) "/" else path, query))
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  def removeDotSegments(path: String): String = {
+    var in = path
+    val out = new java.lang.StringBuilder(path.length)
+    def dropLastSegment(): Unit = {
+      var j = out.length - 1
+      while (j >= 0 && out.charAt(j) != '/') j -= 1
+      out.setLength(if (j < 0) 0 else j)
+    }
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { dropLastSegment(); in = "/" + in.substring(4) }
+      else if (in == "/..") { dropLastSegment(); in = "/" }
+      else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (with its leading '/', if any) to output
+        var j = if (in.startsWith("/")) 1 else 0
+        while (j < in.length && in.charAt(j) != '/') j += 1
+        out.append(in, 0, j)
+        in = in.substring(j)
+      }
+    }
+    out.toString
+  }
+
+  private def format(b: Base): String =
+    b.scheme + "://" + b.authority +
+      (if (b.path.isEmpty) "/" else b.path) + b.query
+
+  private def splitQuery(s: String): (String, String) = {
+    val i = s.indexOf('?')
+    if (i >= 0) (s.substring(0, i), s.substring(i)) else (s, "")
+  }
+
+  private def hasScheme(s: String): Boolean = {
+    if (s.isEmpty || !s.charAt(0).isLetter) return false
+    var j = 1
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (c == ':') return true
+      if (!(c.isLetterOrDigit || c == '+' || c == '-' || c == '.')) return false
+      j += 1
+    }
+    false
+  }
+
+  /** Resolve one href against `base`. None = not an edge (fragment-only,
+    * empty, or a non-http(s) scheme). WHATWG URL parsing strips leading/
+    * trailing ASCII whitespace and ALL interior tab/LF/CR before any
+    * other processing — mirrored here so wrapped attribute values
+    * resolve like browsers resolve them. */
+  def resolve(base: Base, rawHref: String): Option[String] = {
+    val cleaned = rawHref.trim.filterNot(c => c == '\t' || c == '\n' || c == '\r')
+    val hash = cleaned.indexOf('#')
+    val h = if (hash >= 0) cleaned.substring(0, hash) else cleaned
+    if (h.isEmpty) None // fragment-only / empty: same-document, not an edge
+    else if (hasScheme(h)) parseAbs(h).map(format) // absolute (non-http → None)
+    else if (h.startsWith("//")) parseAbs(base.scheme + ":" + h).map(format)
+    else if (h.startsWith("/")) {
+      val (p, q) = splitQuery(h)
+      Some(format(base.copy(path = removeDotSegments(p), query = q)))
+    } else if (h.startsWith("?")) {
+      Some(format(base.copy(query = h)))
+    } else {
+      val dir = base.path.substring(0, base.path.lastIndexOf('/') + 1)
+      val (p, q) = splitQuery(h)
+      Some(format(base.copy(path = removeDotSegments(dir + p), query = q)))
+    }
+  }
+
+  /** Walk the flattened DOM once (parents precede children) collecting
+    * every visible anchor's resolved outlink in document order, with the
+    * same chrome-ancestry predicate [[Blocks.segment]] computes for
+    * block classification. */
+  def fromDom(dom: Dom, pageUrl: String): Vector[Link] =
+    parseAbs(pageUrl) match {
+      case None => Vector.empty
+      case Some(pageBase) =>
+        // first <base href> wins; itself resolved against the page URL;
+        // a non-http(s)/unparseable base falls back to the page URL
+        val effBase = dom.nodes.iterator
+          .filter(n => n.tag == "base" && n.attr("href").isDefined)
+          .take(1).toList.headOption
+          .flatMap(n => resolve(pageBase, n.attr("href").get))
+          .flatMap(parseAbs)
+          .getOrElse(pageBase)
+        val nodes = dom.nodes
+        val n = nodes.length
+        val chromeAnc = new Array[Boolean](n)
+        val out = Vector.newBuilder[Link]
+        var idx = 0
+        var i = 0
+        while (i < n) {
+          val nd = nodes(i)
+          if (nd.tag != "#text") {
+            val p = nd.parent
+            chromeAnc(i) = (p >= 0 && chromeAnc(p)) ||
+              Blocks.chromeTags.contains(nd.tag)
+            if (nd.tag == "a" && nd.visible) nd.attr("href").foreach { raw =>
+              resolve(effBase, raw).foreach { res =>
+                out += Link(idx, raw, res, chromeAnc(i))
+                idx += 1
+              }
+            }
+          }
+          i += 1
+        }
+        out.result()
+    }
+}

@@ -215,6 +215,10 @@ object SyntheticCorpus {
       s"<p>${paragraph(rng)}</p>").mkString("\n")
     val aside = (0 until 4).map(_ =>
       s"""<a href="#">${words(rng, 3)}</a>""").mkString(" · ")
+    // outlink-resolver fixtures (extract/Links.scala): an absolute
+    // external target (fragment stripped), a dot-segment relative path, a
+    // scheme-relative authority, and a non-navigable scheme (dropped)
+    val extHost = words(rng, 1)
     s"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>$title</title>
 <style>body { margin: 0 }</style>
@@ -227,7 +231,7 @@ object SyntheticCorpus {
 $paras
 </main>
 <aside>$aside</aside>
-<footer><p>© 2020 ${words(rng, 2)} · <a href="/tos">terms</a></p></footer>
+<footer><p>© 2020 ${words(rng, 2)} · <a href="/tos">terms</a> · <a href="https://$extHost.example.org/ref?x=1#frag">source</a> · <a href="../up/./page.html">up</a> · <a href="//cdn.$extHost.example.net/lib">cdn</a> · <a href="mailto:team@$extHost.example">mail</a></p></footer>
 </body></html>"""
   }
 
@@ -328,11 +332,16 @@ $sections
   }
 
   def linkfarm(rng: Rng): String = {
+    // <base href> fixture: every absolute-path link on this page rebases
+    // onto the mirror authority (extract/Links.scala honors the first
+    // base element, WHATWG rule); the trailing doc-relative link
+    // exercises path merge + dot-segment removal under the base's dir
+    val baseHost = words(rng, 1)
     val links = (0 until 40).map(_ =>
       s"""<a href="/${words(rng, 1)}">${words(rng, 2)}</a>""").mkString(" | ")
-    s"""<html><body><div>$links</div>
+    s"""<html><head><base href="https://mirror.$baseHost.example.com/deep/dir/"></head><body><div>$links</div>
 <div class="cookie-banner"><a href="#accept">Accept</a> <a href="#reject">Reject</a> cookies</div>
-<p>${words(rng, 3)}</p></body></html>"""
+<p><a href="a/../b.html">${words(rng, 1)}</a> ${words(rng, 3)}</p></body></html>"""
   }
 
   def fault(rng: Rng, variant: Int): Array[Byte] = variant match {

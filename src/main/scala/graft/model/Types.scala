@@ -28,6 +28,18 @@ final case class PageRow(
   */
 final case class Span(start: Int, end: Int, kind: String, path: String)
 
+/** An outlink extracted from the DOM: `raw` as written in the href
+  * attribute, `resolved` the absolute http(s) URL after RFC 3986 §5
+  * reference resolution against the page URL (honoring the document's
+  * first `<base href>`). Fragment-only and non-http(s)-scheme links are
+  * never emitted (same-document references / non-navigable schemes are
+  * not edges). `chrome` marks nav/header/footer/aside ancestry — the
+  * same content-vs-chrome predicate the boilerplate classifier uses
+  * (reference: src/ocrmypdf/pdfinfo/info.py:420-442 `_page_has_text`
+  * content-vs-chrome geometry) — so graph consumers can split
+  * navigation edges from in-content citations. */
+final case class Link(idx: Int, raw: String, resolved: String, chrome: Boolean)
+
 /** Output row of the extraction stage. `outcome` is the typed failure/skip
   * channel (reference: timeout/failure containment,
   * src/ocrmypdf/_exec/tesseract.py:341-353 — a bad document yields a marker,
@@ -51,7 +63,8 @@ final case class ExtractResult(
     n_blocks: Int, // candidate blocks before classification
     truncated: Boolean, // a bounded-resource guard fired (deterministically)
     lang: String = "und", // resolved language: valid input hint, else predicted
-    dir: String = "ltr" // first-strong bidi direction of the extracted text
+    dir: String = "ltr", // first-strong bidi direction of the extracted text
+    links: Seq[Link] = Nil // resolved outlinks (html branch; whole visible DOM)
 )
 
 object Outcome {

@@ -31,6 +31,8 @@ object GoldenGen {
       kind: String, path: String)
   final case class GoldenMode(url: String, mode: String, outcome: String,
       engine: String, n_spans: Long, text_md5: String)
+  final case class GoldenLink(url: String, idx: Int, raw: String,
+      resolved: String, chrome: Boolean)
 
   def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -81,7 +83,13 @@ object GoldenGen {
       .parquet(s"$goldenDir/spans")
     modes.toDF().sort("mode", "url").coalesce(1).write.mode("overwrite")
       .parquet(s"$goldenDir/modes")
-    println(s"[golden] wrote ${rows.length} rows, ${spans.length} spans, ${modes.length} mode rows")
+    val links = results.flatMap { r =>
+      r.links.map(l => GoldenLink(r.url, l.idx, l.raw, l.resolved, l.chrome))
+    }
+    links.toDF().sort("url", "idx").coalesce(1).write.mode("overwrite")
+      .parquet(s"$goldenDir/links")
+    println(s"[golden] wrote ${rows.length} rows, ${spans.length} spans, " +
+      s"${modes.length} mode rows, ${links.length} links")
     val byOutcome = rows.groupBy(_.outcome).view.mapValues(_.size).toMap
     println(s"[golden] outcomes: $byOutcome")
     val modeOutcomes = modes.groupBy(m => (m.mode, m.outcome))

@@ -629,4 +629,49 @@ class KernelSpec extends AnyFunSuite {
       "past the forty character good threshold</p></body></html>")
     assert(!t.contains("boilerhidden") && t.contains("kept"), t)
   }
+
+  // -- outlink resolution (extract/Links.scala) -------------------------
+
+  test("links: RFC 3986 resolution cases against a deep base") {
+    import graft.extract.Links
+    val b = Links.parseAbs("https://ex.test/a/b/c?base=1#frag").get
+    assert(b == Links.Base("https", "ex.test", "/a/b/c", "?base=1"))
+    def r(h: String) = Links.resolve(b, h)
+    assert(r("g") == Some("https://ex.test/a/b/g"))
+    assert(r("./g") == Some("https://ex.test/a/b/g"))
+    assert(r("g/") == Some("https://ex.test/a/b/g/"))
+    assert(r("/g") == Some("https://ex.test/g"))
+    assert(r("//other.test/x") == Some("https://other.test/x"))
+    assert(r("?y=2") == Some("https://ex.test/a/b/c?y=2"))
+    assert(r("g?y=2#s") == Some("https://ex.test/a/b/g?y=2"))
+    assert(r("..") == Some("https://ex.test/a/"))
+    assert(r("../") == Some("https://ex.test/a/"))
+    assert(r("../g") == Some("https://ex.test/a/g"))
+    assert(r("../../g") == Some("https://ex.test/g"))
+    assert(r("../../../g") == Some("https://ex.test/g")) // excess .. clamped
+    assert(r("a/./b/../c") == Some("https://ex.test/a/b/a/c"))
+    assert(r("http://plain.test") == Some("http://plain.test/"))
+    assert(r("HTTPS://UP.test/K#f") == Some("https://UP.test/K")) // scheme lowered, rest kept
+    assert(r("\n  g\t ") == Some("https://ex.test/a/b/g")) // WHATWG strip
+    assert(r("#top").isEmpty && r("").isEmpty) // same-document, not edges
+    assert(r("mailto:a@b.test").isEmpty && r("javascript:void(0)").isEmpty)
+    assert(r("data:text/plain,x").isEmpty)
+  }
+
+  test("links: fromDom honors first base, visibility, chrome ancestry") {
+    import graft.extract.Links
+    val dom = TreeBuilder.build(Tokenizer.tokenize(
+      """<html><head><base href="/moved/dir/"><base href="/ignored/"></head>
+<body><nav><a href="n1">nav link</a></nav>
+<p><a href="c1">content</a> <a>no href</a> <a href="#x">frag</a></p>
+<div style="display:none"><a href="hidden">gone</a></div>
+</body></html>"""))
+    val ls = Links.fromDom(dom, "https://h.test/orig/page")
+    assert(ls.map(_.resolved) == Vector(
+      "https://h.test/moved/dir/n1", "https://h.test/moved/dir/c1"))
+    assert(ls.map(_.idx) == Vector(0, 1)) // dense document order
+    assert(ls.map(_.chrome) == Vector(true, false))
+    // non-http page url → no links; relative base falls back correctly
+    assert(Links.fromDom(dom, "ftp://h.test/x").isEmpty)
+  }
 }
