@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{CorpusStats, Dedup, Events, Similarity, TextStats, Media, OrderedMerge}
+import graft.ops.{CorpusStats, Dedup, Events, Similarity, TextStats, Media, OrderedMerge, Urls}
 import graft.spark.Jobs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -161,6 +161,24 @@ object SparkEntry {
           countDistinct(col("url")).as("n_pages"),
           sum(col("chrome").cast("long")).as("n_chrome"))
         .orderBy("src_host", "dst_host")),
+    "crawl_frontier" -> ((s, _) => {
+      // crawl-frontier discovery: canonical outlink targets the crawl has
+      // NOT yet seen, ranked by in-reference count — the extraction →
+      // resolution → canonicalization → seen-set composition a CC-style
+      // crawler runs every cycle. Both sides use the SHARED canon
+      // algebra (ops/Urls.canon), so a target and its crawled page meet
+      // on one key. At 100 TB the seen side stays a compact one-column
+      // exchange (or a bloom pre-filter feeding this exact anti-join);
+      // here it is the plain shuffled LeftAnti on the canon key. The
+      // article fixtures link to sibling articles, so the anti-join
+      // provably removes rows (unit-pinned).
+      val ex = extracted(s)
+      val targets = ex.select(explode(col("links")).as("l"))
+        .select(Urls.canon("l.resolved").as("canon"))
+        .groupBy("canon").agg(count(lit(1)).as("n_refs"))
+      val seen = ex.select(Urls.canon("url").as("canon")).distinct()
+      targets.join(seen, Seq("canon"), "left_anti").orderBy("canon")
+    }),
     "extract_dirlang" -> ((s, _) =>
       // first-strong bidi direction + resolved language metadata
       // (reference: renderer.py:30-42 _is_rtl_text; _metadata.py:178-216
@@ -838,6 +856,42 @@ c$i AS (
   SELECT id AS doc_id, min(r) AS keep FROM reach GROUP BY id
 )"""
 
+  /** URL-canonicalization CTE chain — ONE owner for the url_dedup and
+    * crawl_frontier oracles (the [[graft.ops.Urls.canon]] algebra,
+    * replayed step-for-step in DuckDB). Reads `$src(url)`, produces
+    * `${p}c(url, canon)`; `p` prefixes every intermediate CTE name so
+    * the chain can appear twice in one query. */
+  private def canonCtes(src: String, p: String) = s"""${p}s1 AS (SELECT url, split_part(url, '#', 1) AS nf FROM $src),
+${p}s2 AS (SELECT url, nf, split_part(nf, '?', 1) AS base FROM ${p}s1),
+-- scheme split at the FIRST '://' only (split_part(..,2) returns the
+-- second FIELD and truncated path-embedded '://'); userinfo dropped at
+-- the LAST '@'; '[...]'-bracketed IPv6 hosts keep their ']:'-port
+${p}s3 AS (SELECT url, nf, base,
+       CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest,
+       CASE WHEN instr(base, '://') > 0 THEN lower(substr(base, 1, instr(base, '://') - 1)) ELSE lower(base) END AS scheme FROM ${p}s2),
+${p}s4 AS (SELECT *, split_part(rest, '/', 1) AS auth,
+       CASE WHEN instr(rest, '/') > 0 THEN substr(rest, instr(rest, '/')) ELSE '/' END AS path,
+       CASE WHEN instr(nf, '?') > 0 THEN substr(nf, length(base) + 2) ELSE '' END AS q FROM ${p}s3),
+${p}s4b AS (SELECT *, list_extract(string_split(auth, '@'), -1) AS hostport FROM ${p}s4),
+${p}s5 AS (SELECT *,
+       CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+            ELSE lower(split_part(hostport, ':', 1)) END AS host,
+       CASE WHEN hostport LIKE '[%' THEN
+              (CASE WHEN substr(hostport, instr(hostport, ']') + 1, 1) = ':' THEN substr(hostport, instr(hostport, ']') + 2) ELSE '' END)
+            ELSE split_part(hostport, ':', 2) END AS port FROM ${p}s4b),
+${p}s6 AS (SELECT *,
+       CASE WHEN port = '' THEN ''
+            WHEN scheme = 'http' AND port = '80' THEN ''
+            WHEN scheme = 'https' AND port = '443' THEN ''
+            ELSE ':' || port END AS portpart,
+       CASE WHEN path != '/' AND path LIKE '%/' THEN substr(path, 1, length(path) - 1) ELSE path END AS path2,
+       -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+       -- array_join([]) is '' — the empty-query rows must not null out
+       coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+         x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&'), '') AS qs FROM ${p}s5),
+${p}c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
+        CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon FROM ${p}s6)"""
+
   private def ccCtes = s"""p AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -928,39 +982,19 @@ FROM $GL GROUP BY 1, 2 ORDER BY src_host, dst_host""",
     "url_dedup" -> s"""
 WITH raw(url) AS (VALUES
   ${graft.ops.Urls.fixtureValuesSql}),
-s1 AS (SELECT url, split_part(url, '#', 1) AS nf FROM raw),
-s2 AS (SELECT url, nf, split_part(nf, '?', 1) AS base FROM s1),
--- scheme split at the FIRST '://' only (split_part(..,2) returns the
--- second FIELD and truncated path-embedded '://'); userinfo dropped at
--- the LAST '@'; '[...]'-bracketed IPv6 hosts keep their ']:'-port
-s3 AS (SELECT url, nf, base,
-       CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest,
-       CASE WHEN instr(base, '://') > 0 THEN lower(substr(base, 1, instr(base, '://') - 1)) ELSE lower(base) END AS scheme FROM s2),
-s4 AS (SELECT *, split_part(rest, '/', 1) AS auth,
-       CASE WHEN instr(rest, '/') > 0 THEN substr(rest, instr(rest, '/')) ELSE '/' END AS path,
-       CASE WHEN instr(nf, '?') > 0 THEN substr(nf, length(base) + 2) ELSE '' END AS q FROM s3),
-s4b AS (SELECT *, list_extract(string_split(auth, '@'), -1) AS hostport FROM s4),
-s5 AS (SELECT *,
-       CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
-            ELSE lower(split_part(hostport, ':', 1)) END AS host,
-       CASE WHEN hostport LIKE '[%' THEN
-              (CASE WHEN substr(hostport, instr(hostport, ']') + 1, 1) = ':' THEN substr(hostport, instr(hostport, ']') + 2) ELSE '' END)
-            ELSE split_part(hostport, ':', 2) END AS port FROM s4b),
-s6 AS (SELECT *,
-       CASE WHEN port = '' THEN ''
-            WHEN scheme = 'http' AND port = '80' THEN ''
-            WHEN scheme = 'https' AND port = '443' THEN ''
-            ELSE ':' || port END AS portpart,
-       CASE WHEN path != '/' AND path LIKE '%/' THEN substr(path, 1, length(path) - 1) ELSE path END AS path2,
-       -- coalesce: DuckDB array_to_string([]) is NULL where Spark
-       -- array_join([]) is '' — the empty-query rows must not null out
-       coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
-         x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&'), '') AS qs FROM s5),
-c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
-        CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon FROM s6),
+${canonCtes("raw", "")},
 g AS (SELECT canon, CAST(count(*) AS BIGINT) AS group_n, min(url) AS keep_url FROM c GROUP BY canon)
 SELECT c.url, c.canon, g.keep_url, g.group_n
 FROM c JOIN g USING (canon) ORDER BY url""",
+    "crawl_frontier" -> s"""
+WITH lr(url) AS (SELECT resolved FROM $GL),
+${canonCtes("lr", "t")},
+su(url) AS (SELECT url FROM $G),
+${canonCtes("su", "v")},
+tgt AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_refs FROM tc GROUP BY canon)
+SELECT canon, n_refs FROM tgt
+WHERE canon NOT IN (SELECT canon FROM vc)
+ORDER BY canon""",
     "text_langid_profile" -> {
       val k = graft.ops.LangId.topK
       s"""

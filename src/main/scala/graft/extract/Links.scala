@@ -148,9 +148,8 @@ object Links {
       case Some(pageBase) =>
         // first <base href> wins; itself resolved against the page URL;
         // a non-http(s)/unparseable base falls back to the page URL
-        val effBase = dom.nodes.iterator
-          .filter(n => n.tag == "base" && n.attr("href").isDefined)
-          .take(1).toList.headOption
+        val effBase = dom.nodes
+          .find(n => n.tag == "base" && n.attr("href").isDefined)
           .flatMap(n => resolve(pageBase, n.attr("href").get))
           .flatMap(parseAbs)
           .getOrElse(pageBase)

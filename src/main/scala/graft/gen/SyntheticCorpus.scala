@@ -219,6 +219,11 @@ object SyntheticCorpus {
     // external target (fragment stripped), a dot-segment relative path, a
     // scheme-relative authority, and a non-navigable scheme (dropped)
     val extHost = words(rng, 1)
+    // sibling-article reference (doc-relative `pK`, K always an article
+    // index): when the sibling shares this page's host the target is an
+    // already-crawled url — the fixture that makes crawl_frontier's
+    // seen-set anti-join provably remove rows
+    val sib = 26 * rng.nextInt(20) + rng.nextInt(6)
     s"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>$title</title>
 <style>body { margin: 0 }</style>
@@ -231,7 +236,7 @@ object SyntheticCorpus {
 $paras
 </main>
 <aside>$aside</aside>
-<footer><p>© 2020 ${words(rng, 2)} · <a href="/tos">terms</a> · <a href="https://$extHost.example.org/ref?x=1#frag">source</a> · <a href="../up/./page.html">up</a> · <a href="//cdn.$extHost.example.net/lib">cdn</a> · <a href="mailto:team@$extHost.example">mail</a></p></footer>
+<footer><p>© 2020 ${words(rng, 2)} · <a href="/tos">terms</a> · <a href="https://$extHost.example.org/ref?x=1#frag">source</a> · <a href="../up/./page.html">up</a> · <a href="//cdn.$extHost.example.net/lib">cdn</a> · <a href="mailto:team@$extHost.example">mail</a> · <a href="p$sib">related</a></p></footer>
 </body></html>"""
   }
 

@@ -658,6 +658,18 @@ class KernelSpec extends AnyFunSuite {
     assert(r("data:text/plain,x").isEmpty)
   }
 
+  test("links: sibling outlinks hit crawled urls — frontier anti-join has work") {
+    // the crawl_frontier query's seen-set anti-join is only exercised if
+    // some resolved outlink equals some corpus page url; the article
+    // template's doc-relative `p<K>` sibling reference guarantees that
+    val rows = (0L until 600L).map(SyntheticCorpus.row(_))
+    val urls = rows.map(_.url).toSet
+    val hits = rows.iterator
+      .flatMap(r => Extractor.extract(r).links.map(_.resolved))
+      .count(urls.contains)
+    assert(hits > 0, "no outlink resolves to a crawled url — frontier fixture broken")
+  }
+
   test("links: fromDom honors first base, visibility, chrome ancestry") {
     import graft.extract.Links
     val dom = TreeBuilder.build(Tokenizer.tokenize(
