@@ -510,6 +510,13 @@ object SparkEntry {
       // broadcast equality join (never a LIKE cross join)
       graft.ops.Urls.blocklistFilter(graft.ops.Urls.fixtureDf(s), "url")
         .orderBy("url")),
+    "robots_filter" -> ((s, _) =>
+      // RFC 9309 robots.txt admission: stateful line-group parse via
+      // lag + framed running sum, most-specific-agent group merge,
+      // longest-prefix-match verdict (Allow wins length ties); rules
+      // broadcast onto the url side's host key
+      graft.ops.Robots.filter(graft.ops.Robots.urlsDf(s), "url",
+        graft.ops.Robots.robotsDf(s)).orderBy("url")),
     "bpe_train" -> ((s, dir) =>
       // distributed BPE merge learning (Sennrich 2016): per-step pair
       // argmax over the vocab, single-char-atom replace = greedy merge
@@ -1376,6 +1383,7 @@ sfx AS (
 )
 SELECT h.url, h.host, m.rule IS NOT NULL AS blocked, coalesce(m.rule, '') AS rule
 FROM h LEFT JOIN m USING (url) ORDER BY h.url""",
+    "robots_filter" -> graft.ops.Robots.oracleSql,
     "bpe_train" -> graft.ops.Bpe.trainOracleSql(D(sf), "text", merges = 6),
     "source_overlap" -> s"""
 WITH w AS (

@@ -1,0 +1,281 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing + allow/deny verdicts — the crawl-side admission
+  * policy a Common-Crawl-style corpus is built under (the reference's
+  * analogous stage is its input admission matrix: which documents the
+  * pipeline may process at all, `validate_pdfinfo_options`'s policy
+  * gates, src/ocrmypdf/_validation.py:110-161 — here the gate is the
+  * Robots Exclusion Protocol, RFC 9309).
+  *
+  * Semantics implemented (documented scope, pinned by the unit suite —
+  * the rules are RFC 9309 / the Google REP parser's published behavior):
+  *  - a GROUP is one or more consecutive `User-agent` lines followed by
+  *    its rules; a `User-agent` line after rules starts a new group;
+  *  - non-group lines (`Sitemap`, `Crawl-delay`, unknown directives,
+  *    comments, blanks) are invisible to grouping — dropping them
+  *    before the boundary scan reproduces the RFC's grouping;
+  *  - rules BEFORE any `User-agent` line belong to no group → ignored;
+  *  - exactly the most specific agent level applies: groups naming the
+  *    agent exactly (case-insensitive) if any exist, else the `*`
+  *    groups, else no rules (everything allowed). ALL groups at the
+  *    chosen level merge (RFC 9309 §2.2.1: multiple groups for one
+  *    agent combine);
+  *  - rule matching is PLAIN PREFIX match on the raw url path
+  *    (query/fragment stripped); the `*`/`$` wildcard extension is out
+  *    of scope (documented); an empty-value rule matches nothing;
+  *  - verdict: longest matching rule path wins; `Allow` beats
+  *    `Disallow` at equal length (RFC 9309 §2.2.2); no matching rule →
+  *    allowed. Directive names are case-insensitive; only spaces are
+  *    trimmed (tabs out of scope).
+  *
+  * Everything is builtin string/window/join algebra replayed verbatim
+  * by the DuckDB oracle: posexplode(split) ↔ zipped unnest(range)/
+  * unnest(list); the group-boundary scan is lag + a running sum with an
+  * explicit ROWS frame in both engines.
+  *
+  * 100 TB shape: the robots side is one row per HOST — thousands of
+  * times smaller than the page table — so the parsed applicable-rule
+  * table is a broadcast join onto the url side's host key (never a
+  * shuffle of the big table by host), candidates are pruned by the
+  * prefix filter before the per-url two-phase argmax agg, and the only
+  * wide exchange is the url-keyed agg the verdict needs anyway.
+  */
+object Robots {
+
+  /** The crawler's product token (compared case-insensitively). */
+  val agent = "graftbot"
+
+  /** Per-host robots.txt bodies — adversarial coverage: comments,
+    * mixed-case directives, stacked agent lines, groups merged across a
+    * Sitemap line, rules before any group, empty-value rules, an
+    * exact-agent group that SHADOWS the `*` group, and a host whose
+    * only applicable group is someone else's. */
+  val fixture: Seq[(String, String)] = Seq(
+    "host01.example.com" -> Seq(
+      "# robots for host01 — * group first, then a graftbot group",
+      "User-agent: *",
+      "Disallow: /private",
+      "Allow: /private/pub",
+      "Disallow: /tmp/",
+      "Disallow:", // empty value: matches nothing, dropped at parse
+      "Crawl-delay: 10", // unknown directive: invisible to grouping
+      "",
+      "User-Agent: GraftBot", // case-insensitive directive AND agent
+      "User-agent: otherbot", // stacked: one group, two agents
+      "Disallow: /article/p1",
+      "Allow: /article/p10").mkString("\n"),
+    "host02.example.net" -> Seq(
+      "User-agent: badbot",
+      "Disallow: /",
+      "",
+      "User-agent: *",
+      "Allow: /a",
+      "Disallow: /a/b").mkString("\n"),
+    "host03.example.org" -> Seq(
+      "Disallow: /", // before any group: ignored per RFC
+      "User-agent: graftbot",
+      "Disallow:").mkString("\n"), // its whole group is empty-value
+    "host04.example.org" -> Seq(
+      "User-agent: graftbot",
+      "Disallow: /x",
+      "Sitemap: https://host04.example.org/sitemap.xml", // non-group line
+      "User-agent: graftbot", // second group, same agent: rules MERGE
+      "Disallow: /y").mkString("\n"),
+    "host05.example.net" -> Seq(
+      "User-agent: crawler-b", // no group matches graftbot and no `*`
+      "Disallow: /").mkString("\n"))
+
+  /** URL fixture — each row exercises one documented behavior; the
+    * host06 row has no robots body at all. */
+  val urlFixture: Seq[String] = Seq(
+    // host01: the graftbot group SHADOWS `*` — /private is NOT blocked
+    "http://host01.example.com/private/doc",
+    "http://host01.example.com/tmp/x",
+    "http://host01.example.com/article/p15", // prefix /article/p1 → deny
+    "http://host01.example.com/article/p100", // allow /article/p10 longer
+    "http://host01.example.com/article/p42", // no rule matches
+    // host02: graftbot falls back to the `*` group
+    "http://host02.example.net/a/x",
+    "https://HOST02.example.net:443/a/b", // host case + default port
+    "http://host02.example.net/a/b/c?q=1#frag", // query/frag stripped
+    "http://host02.example.net/z",
+    "http://host02.example.net/", // bare root vs allow /a: no match
+    // host03: pre-group rule ignored, own group empty → allowed
+    "http://host03.example.org/anything",
+    // host04: merged groups — both /x and /y deny
+    "http://host04.example.org/x/1",
+    "http://host04.example.org/y/2",
+    "http://host04.example.org/z/3",
+    // host05: only crawler-b has a group; graftbot unrestricted
+    "http://host05.example.net/q",
+    // host06: no robots.txt at all
+    "http://host06.example.com/anywhere")
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  def fixtureValuesSql: String =
+    fixture.map { case (h, t) => s"(${q(h)}, ${q(t)})" }.mkString(",\n  ")
+
+  def urlValuesSql: String =
+    urlFixture.map(u => s"(${q(u)})").mkString(",\n  ")
+
+  def robotsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fixture.toDF("host", "txt")
+  }
+
+  def urlsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    urlFixture.toDF("url")
+  }
+
+  /** Parse robots bodies into the merged rule set applicable to
+    * `agent`: (host, rtype 'allow'|'disallow', rpath). Pure builtin
+    * algebra; the window steps run over per-host line numbers (the
+    * robots table is per-host tiny — this shuffle is of rule LINES,
+    * never pages). */
+  def applicableRules(robots: DataFrame, agent: String): DataFrame = {
+    val byLine = Window.partitionBy("host").orderBy("ln")
+    val lines = robots.select(col("host"),
+        posexplode(split(col("txt"), "\n")).as(Seq("ln", "line0")))
+      .select(col("host"), col("ln"),
+        trim(split_part(col("line0"), lit("#"), lit(1))).as("line"))
+      .filter(instr(col("line"), ":") > 0)
+      .select(col("host"), col("ln"),
+        lower(trim(col("line").substr(lit(1), instr(col("line"), ":") - 1)))
+          .as("directive"),
+        trim(col("line").substr(instr(col("line"), ":") + lit(1),
+          length(col("line")))).as("value"))
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+      .withColumn("isua", col("directive") === "user-agent")
+    // group boundary = a UA line whose predecessor (among KEPT lines) is
+    // not a UA line; group id = running boundary count (explicit ROWS
+    // frame so both engines agree)
+    val grouped = lines
+      .withColumn("newg",
+        col("isua") && !coalesce(lag(col("isua"), 1).over(byLine), lit(false)))
+      .withColumn("grp", sum(col("newg").cast("int")).over(
+        byLine.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ga = grouped.filter(col("isua")).groupBy("host", "grp")
+      .agg(max(lower(col("value")) === lower(lit(agent))).as("ex"),
+        max(col("value") === "*").as("st"))
+    val hostLevel = ga.groupBy("host").agg(max(col("ex")).as("any_ex"))
+    val chosen = ga.join(hostLevel, Seq("host"))
+      .filter(when(col("any_ex"), col("ex")).otherwise(col("st")))
+      .select("host", "grp")
+    grouped.filter(!col("isua") && col("grp") > 0 && col("value") =!= "")
+      .join(chosen, Seq("host", "grp"))
+      .select(col("host"), col("directive").as("rtype"),
+        col("value").as("rpath"))
+  }
+
+  /** Per-url robots verdict: (url, host, path, allowed, rule, rtype).
+    * `rule`/`rtype` are ''/'' when no rule matched. The rule table
+    * rides a broadcast host-equality join; the longest-match argmax is
+    * max(struct(len, allow, rpath, rtype)) — allow outranks disallow at
+    * equal length, the path component only breaks ties between
+    * same-verdict rules. */
+  def filter(urls: DataFrame, urlCol: String, robots: DataFrame,
+      agent: String = agent): DataFrame = {
+    val rules = applicableRules(robots, agent)
+    val withPath = urls.select(col(urlCol).as("url"),
+      Urls.hostOf(urlCol).as("host"), Urls.pathOf(urlCol).as("path"))
+    val best = withPath.join(broadcast(rules), Seq("host"))
+      .filter(startswith(col("path"), col("rpath")))
+      .groupBy("url")
+      .agg(max(struct(length(col("rpath")).as("len"),
+        (col("rtype") === "allow").cast("int").as("a"),
+        col("rpath").as("rpath"), col("rtype").as("rtype"))).as("best"))
+    withPath.join(best, Seq("url"), "left")
+      .select(col("url"), col("host"), col("path"),
+        coalesce(col("best.a") === 1, lit(true)).as("allowed"),
+        coalesce(col("best.rpath"), lit("")).as("rule"),
+        coalesce(col("best.rtype"), lit("")).as("rtype"))
+  }
+
+  /** The DuckDB replay of [[applicableRules]]+[[filter]] over the same
+    * fixtures — zipped unnests for posexplode, lag + framed running sum
+    * for the boundary scan, row_number for the argmax. */
+  def oracleSql: String = s"""
+WITH robots(host, txt) AS (VALUES
+  $fixtureValuesSql),
+raw(url) AS (VALUES
+  $urlValuesSql),
+lines0 AS (
+  SELECT host, unnest(range(1, len(ls) + 1)) AS ln, unnest(ls) AS line0
+  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM robots)
+),
+lines1 AS (
+  SELECT host, ln, trim(split_part(line0, '#', 1)) AS line FROM lines0
+  WHERE instr(trim(split_part(line0, '#', 1)), ':') > 0
+),
+lines2 AS (
+  SELECT host, ln,
+    lower(trim(substr(line, 1, instr(line, ':') - 1))) AS directive,
+    trim(substr(line, instr(line, ':') + 1)) AS value
+  FROM lines1
+),
+kept AS (
+  SELECT *, directive = 'user-agent' AS isua FROM lines2
+  WHERE directive IN ('user-agent', 'allow', 'disallow')
+),
+marked AS (
+  SELECT *, isua AND NOT coalesce(
+    lag(isua) OVER (PARTITION BY host ORDER BY ln), false) AS newg
+  FROM kept
+),
+grouped AS (
+  SELECT *, sum(CASE WHEN newg THEN 1 ELSE 0 END) OVER (
+    PARTITION BY host ORDER BY ln
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+),
+ga AS (
+  SELECT host, grp, max(lower(value) = lower('$agent')) AS ex,
+         max(value = '*') AS st
+  FROM grouped WHERE isua GROUP BY host, grp
+),
+hostlevel AS (SELECT host, max(ex) AS any_ex FROM ga GROUP BY host),
+chosen AS (
+  SELECT ga.host, ga.grp FROM ga JOIN hostlevel USING (host)
+  WHERE CASE WHEN any_ex THEN ex ELSE st END
+),
+rules AS (
+  SELECT g.host, g.directive AS rtype, g.value AS rpath
+  FROM grouped g JOIN chosen c ON g.host = c.host AND g.grp = c.grp
+  WHERE NOT g.isua AND g.grp > 0 AND g.value != ''
+),
+u1 AS (SELECT url, split_part(split_part(url, '#', 1), '?', 1) AS base FROM raw),
+u2 AS (SELECT url, CASE WHEN instr(base, '://') > 0
+         THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM u1),
+u3 AS (SELECT url, rest,
+         list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport
+       FROM u2),
+withpath AS (
+  SELECT url,
+    CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+         ELSE lower(split_part(hostport, ':', 1)) END AS host,
+    CASE WHEN instr(rest, '/') > 0 THEN substr(rest, instr(rest, '/')) ELSE '/' END AS path
+  FROM u3
+),
+best AS (
+  SELECT url, rpath, rtype FROM (
+    SELECT w.url, r.rpath, r.rtype, row_number() OVER (
+      PARTITION BY w.url
+      ORDER BY length(r.rpath) DESC, (r.rtype = 'allow') DESC,
+               r.rpath DESC, r.rtype DESC) AS rn
+    FROM withpath w JOIN rules r ON w.host = r.host
+    WHERE starts_with(w.path, r.rpath)
+  ) WHERE rn = 1
+)
+SELECT w.url, w.host, w.path,
+  coalesce(b.rtype = 'allow', true) AS allowed,
+  coalesce(b.rpath, '') AS rule,
+  coalesce(b.rtype, '') AS rtype
+FROM withpath w LEFT JOIN best b USING (url)
+ORDER BY w.url"""
+}

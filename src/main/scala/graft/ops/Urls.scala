@@ -63,6 +63,18 @@ object Urls {
     hostOfHostport(hostportOfRest(restOf(base)))
   }
 
+  /** Raw path of `urlCol` (query/fragment stripped, absent path → '/',
+    * NO trailing-slash normalization — robots-rule prefix matching is
+    * defined on the path as written). Shares [[restOf]] with [[canon]],
+    * whose path step is this same algebra before slash-stripping. */
+  def pathOf(urlCol: String): Column = {
+    val base =
+      split_part(split_part(col(urlCol), lit("#"), lit(1)), lit("?"), lit(1))
+    val rest = restOf(base)
+    val slash = instr(rest, "/")
+    when(slash > 0, rest.substr(slash, length(rest))).otherwise(lit("/"))
+  }
+
   /** Canonical-URL column for `urlCol` — pure builtin string/array
     * algebra (split_part / instr / substr / filter / array_sort), each
     * step with an exact DuckDB spelling the oracle replays
