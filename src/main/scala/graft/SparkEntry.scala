@@ -522,6 +522,14 @@ object SparkEntry {
       // argmax over the vocab, single-char-atom replace = greedy merge
       graft.ops.Bpe.train(docs(s, dir), "text", merges = 6)
         .orderBy("step")),
+    "bpe_encode" -> ((s, dir) => {
+      // train-then-encode: the learned replace cascade applied per word
+      // inside transform/aggregate — one narrow codegen'd projection,
+      // no explode; per-doc subword token-cost stats
+      val d = docs(s, dir)
+      val pairs = graft.ops.Bpe.learn(d, "text", merges = 6)._2
+      graft.ops.Bpe.encode(d, "doc_id", "text", pairs).orderBy("doc_id")
+    }),
     "source_overlap" -> ((s, dir) =>
       // data-mixing audit: pairwise distinct-8-gram overlap between
       // sources, exact milli Jaccard on the (source, gram) grain
@@ -1385,6 +1393,8 @@ SELECT h.url, h.host, m.rule IS NOT NULL AS blocked, coalesce(m.rule, '') AS rul
 FROM h LEFT JOIN m USING (url) ORDER BY h.url""",
     "robots_filter" -> graft.ops.Robots.oracleSql,
     "bpe_train" -> graft.ops.Bpe.trainOracleSql(D(sf), "text", merges = 6),
+    "bpe_encode" -> graft.ops.Bpe.encodeOracleSql(D(sf), "doc_id", "text",
+      merges = 6),
     "source_overlap" -> s"""
 WITH w AS (
   SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}

@@ -44,6 +44,15 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, merges: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    learn(docs, textCol, merges)._1.toDF("step", "lhs", "rhs", "n")
+  }
+
+  /** The training loop shared by [[train]] and [[encode]]'s query
+    * composition: returns the surface-expanded merge rows AND the raw
+    * (pair, atom) replace table in step order — the cascade a tokenizer
+    * applies verbatim. */
+  def learn(docs: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Long, String, String, Long)], Seq[(String, String)]) = {
     // the ONLY corpus pass: persist the word-frequency vocab so each
     // step's collect recomputes just k narrow replaces over the cache
     // (the kmeansMicro convention), then release it after the loop
@@ -65,6 +74,7 @@ object Bpe {
       sb.toString
     }
     val out = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    val table = scala.collection.mutable.Buffer[(String, String)]()
     var k = 0
     var exhausted = false
     try {
@@ -87,6 +97,7 @@ object Bpe {
             expand(new String(Character.toChars(cps(0)))),
             expand(new String(Character.toChars(cps(1)))), n))
           expansion(atom.toInt) = expand(pair)
+          table += ((pair, atom.toString))
           vocab = vocab.select(
             replace(col("symstr"), lit(pair), lit(atom.toString)).as("symstr"),
             col("freq"))
@@ -94,7 +105,27 @@ object Bpe {
         }
       }
     } finally { v0.unpersist(); () }
-    out.toSeq.toDF("step", "lhs", "rhs", "n")
+    (out.toSeq, table.toSeq)
+  }
+
+  /** Apply a learned merge table to the corpus: per-doc subword token
+    * statistics (n_words, n_chars, n_tokens) — the tokenizer-cost /
+    * compression-audit pass a training-data pipeline runs before
+    * shard packing. The cascade is the same left-to-right `replace`
+    * fold training used, inlined per WORD inside `transform` so the
+    * whole encode is ONE narrow codegen'd projection — no explode, no
+    * shuffle, no UDF; docs with no words keep a zero row. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      pairs: Seq[(String, String)]): DataFrame = {
+    val cascade = (w: org.apache.spark.sql.Column) =>
+      pairs.foldLeft(w) { case (acc, (p, a)) => replace(acc, lit(p), lit(a)) }
+    docs.select(col(idCol), TextGrams.wordsExpr(textCol).as("ws"))
+      .select(col(idCol),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_chars"),
+        aggregate(transform(col("ws"), w => length(cascade(w)).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_tokens"))
   }
 
   /** The oracle twin: unrolled per-step DuckDB SQL replaying the exact
@@ -102,13 +133,11 @@ object Bpe {
     * expansion is the descending-j reverse-replace fold — atom_j's pair
     * contains only atoms minted before j, so one pass per atom fully
     * expands. */
-  def trainOracleSql(docsSql: String, textCol: String,
-      merges: Int = 6): String = {
-    def expandSql(inner: String, k: Int): String =
-      (k - 1 to 0 by -1).foldLeft(inner) { (acc, j) =>
-        s"replace($acc, chr(${0xE000 + j}), (SELECT pair FROM b$j))"
-      }
-    val steps = (0 until merges).map { k =>
+  /** The per-step training CTE chain over `v0(symstr, freq)` —
+    * p$k (pair counts) / b$k (winning pair) / v${k+1} (merged vocab) —
+    * shared by the train and encode oracles. */
+  private def stepCtes(merges: Int): String =
+    (0 until merges).map { k =>
       val prev = s"v$k"
       s"""p$k AS (
   SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
@@ -118,6 +147,14 @@ object Bpe {
 b$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
 v${k + 1} AS (SELECT replace(symstr, (SELECT pair FROM b$k), chr(${0xE000 + k})) AS symstr, freq FROM $prev)"""
     }.mkString(",\n")
+
+  def trainOracleSql(docsSql: String, textCol: String,
+      merges: Int = 6): String = {
+    def expandSql(inner: String, k: Int): String =
+      (k - 1 to 0 by -1).foldLeft(inner) { (acc, j) =>
+        s"replace($acc, chr(${0xE000 + j}), (SELECT pair FROM b$j))"
+      }
+    val steps = stepCtes(merges)
     val rows = (0 until merges).map { k =>
       val lhs = expandSql(s"substr((SELECT pair FROM b$k), 1, 1)", k)
       val rhs = expandSql(s"substr((SELECT pair FROM b$k), 2, 1)", k)
@@ -137,5 +174,47 @@ $steps
 SELECT * FROM (
 $rows
 ) ORDER BY step"""
+  }
+
+  /** Oracle twin of train-then-[[encode]]: the shared step chain learns
+    * the merges, an m-chain replays the cascade over the DISTINCT word
+    * map (word → merged string), and the per-doc stats join that map.
+    * An early-stopped step's empty b$k would null the m-chain through
+    * `replace(s, NULL, ..)` — the coalesce placeholder (a PUA char no
+    * corpus word contains, distinct from every minted atom) makes such
+    * a step a no-op instead, matching the engine's shorter cascade. */
+  def encodeOracleSql(docsSql: String, idCol: String, textCol: String,
+      merges: Int = 6): String = {
+    val mChain = (0 until merges).map { k =>
+      s"""m${k + 1} AS (SELECT word, replace(symstr,
+    coalesce((SELECT pair FROM b$k), chr(${0xF8FF})), chr(${0xE000 + k})) AS symstr
+  FROM m$k)"""
+    }.mkString(",\n")
+    s"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split($textCol, ' '), x -> x != '')) AS word FROM $docsSql
+), v0 AS (
+  SELECT word AS symstr, count(*) AS freq FROM w GROUP BY word
+),
+${stepCtes(merges)},
+m0 AS (SELECT DISTINCT word, word AS symstr FROM w),
+$mChain,
+tok AS (SELECT word, CAST(length(word) AS BIGINT) AS c,
+               CAST(length(symstr) AS BIGINT) AS t FROM m$merges),
+d AS (
+  SELECT $idCol, unnest(list_filter(string_split($textCol, ' '), x -> x != '')) AS word FROM $docsSql
+),
+agg AS (
+  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(sum(t) AS BIGINT) AS n_tokens
+  FROM d JOIN tok USING (word) GROUP BY $idCol
+)
+SELECT doc.$idCol,
+  coalesce(agg.n_words, CAST(0 AS BIGINT)) AS n_words,
+  coalesce(agg.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+  coalesce(agg.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+FROM $docsSql doc LEFT JOIN agg USING ($idCol)
+ORDER BY $idCol"""
   }
 }

@@ -1602,6 +1602,23 @@ class OpsSpec extends AnyFunSuite {
       == (("example.com", false, "")))
   }
 
+  test("bpe encode: learned cascade, per-doc token stats, empty doc") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    val d = Seq((1L, "abab ab"), (2L, ""), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val (_, pairs) = Bpe.learn(d, "text", merges = 2)
+    // step 0: 'ab' (count 3) wins; step 1: 'xy' ties the atom pair at 1
+    // and wins the ascending-pair tie-break ('x' < U+E000)
+    assert(pairs == Seq(("ab", "\uE000"), ("xy", "\uE001")))
+    val out = Bpe.encode(d, "doc_id", "text", pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // doc1: abab→2 atoms, ab→1; doc2 empty → zero row; doc3: xy→1 atom
+    assert(out.toSeq == Seq((1L, 2L, 6L, 3L), (2L, 0L, 0L, 0L),
+      (3L, 1L, 2L, 1L)))
+  }
+
   test("robots: group shadowing, merge, pre-group ignore, tie-breaks") {
     import graft.ops.Robots
     val out = Robots.filter(Robots.urlsDf(spark), "url",
