@@ -476,6 +476,12 @@ object SparkEntry {
       // narrow isin filter before any shuffle, partial top-k
       graft.ops.Search.tfidfTopK(docs(s, dir), "doc_id", "text",
         Seq("hash", "join", "vector"), k = 20)),
+    "search_bm25" -> ((s, dir) =>
+      // BM25 (k1=1.2, b=0.75) in exact integer millis: narrow dl
+      // projection + one tiny corpus-stats broadcast; DECIMAL(38)
+      // product so crawl-scale N can't wrap the term score
+      graft.ops.Search.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 20)),
     "assign_ids" -> ((s, dir) =>
       // deterministic dense ordinals: (md5-bucket, key) total order via
       // two-phase prefix sum — never zipWithIndex/monotonically_inc_id
@@ -1237,6 +1243,38 @@ SELECT g.doc_id,
   CAST(count(*) AS BIGINT) AS n_matched
 FROM grain g JOIN dft d USING (token) CROSS JOIN nn
 GROUP BY g.doc_id
+ORDER BY score_milli DESC, doc_id ASC LIMIT 20""",
+    "search_bm25" -> s"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM ${D(sf)}
+), grain AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+  WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2
+), dft AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM grain GROUP BY 1
+), dl AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS dl
+  FROM ${D(sf)}
+), tot AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS toks, CAST(count(*) AS BIGINT) AS n FROM dl
+), s AS (
+  SELECT g.doc_id,
+    -- idf_milli = (1000·(2N−2df+1)) // (2df+1); denom in millis with the
+    -- 300/900/2200 = k1, b, k1+1 constants; HUGEINT product = Spark's
+    -- DECIMAL(38,0), both truncate toward zero
+    CAST(CAST(g.tf AS HUGEINT) * 2200
+           * ((1000 * (2 * nn.n - 2 * d.df + 1)) // (2 * d.df + 1))
+         // (g.tf * 1000 + 300
+            + (900 * ((dl.dl * 1000000) // ((nn.toks * 1000) // nn.n))) // 1000)
+      AS BIGINT) AS term_milli
+  FROM grain g JOIN dft d USING (token) JOIN dl USING (doc_id) CROSS JOIN tot nn
+)
+SELECT doc_id, CAST(sum(term_milli) AS BIGINT) AS score_milli,
+  CAST(count(*) AS BIGINT) AS n_matched
+FROM s GROUP BY doc_id
 ORDER BY score_milli DESC, doc_id ASC LIMIT 20""",
     "assign_ids" -> s"""
 WITH t AS (

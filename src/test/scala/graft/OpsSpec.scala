@@ -1602,6 +1602,20 @@ class OpsSpec extends AnyFunSuite {
       == (("example.com", false, "")))
   }
 
+  test("bm25: exact integer scoring, hand-computed tiny corpus") {
+    import graft.ops.Search
+    import spark.implicits._
+    val d = Seq((1L, "cat dog cat"), (2L, "cat fish"),
+      (3L, "bird bird bird bird")).toDF("doc_id", "text")
+    val out = Search.bm25TopK(d, "doc_id", "text", Seq("cat", "fish"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // N=3, toks=9, avgdl_milli=3000; idf_milli: cat=600, fish=1666
+    // d1 cat: tf=2 dl=3 → denom 3200, term (2·2200·600)//3200 = 825
+    // d2 cat: tf=1 dl=2 → denom 1899, term 1320000//1899 = 695
+    // d2 fish:             term (2200·1666)//1899 = 1930 → d2 = 2625
+    assert(out.toSeq == Seq((2L, 2625L, 2L), (1L, 825L, 1L)))
+  }
+
   test("bpe encode: learned cascade, per-doc token stats, empty doc") {
     import graft.ops.Bpe
     import spark.implicits._
