@@ -1268,7 +1268,7 @@ WITH t AS (
     CAST(CAST(g.tf AS HUGEINT) * 2200
            * ((1000 * (2 * nn.n - 2 * d.df + 1)) // (2 * d.df + 1))
          // (g.tf * 1000 + 300
-            + (900 * ((dl.dl * 1000000) // ((nn.toks * 1000) // nn.n))) // 1000)
+            + (900 * ((dl.dl * 1000000) // greatest((nn.toks * 1000) // nn.n, 1))) // 1000)
       AS BIGINT) AS term_milli
   FROM grain g JOIN dft d USING (token) JOIN dl USING (doc_id) CROSS JOIN tot nn
 )

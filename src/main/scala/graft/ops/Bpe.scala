@@ -128,11 +128,6 @@ object Bpe {
           lit(0L), (a, x) => a + x).as("n_tokens"))
   }
 
-  /** The oracle twin: unrolled per-step DuckDB SQL replaying the exact
-    * training algebra (`docsSql` = a read_parquet(...) relation). Atom
-    * expansion is the descending-j reverse-replace fold — atom_j's pair
-    * contains only atoms minted before j, so one pass per atom fully
-    * expands. */
   /** The per-step training CTE chain over `v0(symstr, freq)` —
     * p$k (pair counts) / b$k (winning pair) / v${k+1} (merged vocab) —
     * shared by the train and encode oracles. */
@@ -148,6 +143,11 @@ b$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
 v${k + 1} AS (SELECT replace(symstr, (SELECT pair FROM b$k), chr(${0xE000 + k})) AS symstr, freq FROM $prev)"""
     }.mkString(",\n")
 
+  /** The oracle twin of [[train]]: unrolled per-step DuckDB SQL
+    * replaying the exact training algebra (`docsSql` = a
+    * read_parquet(...) relation). Atom expansion is the descending-j
+    * reverse-replace fold — atom_j's pair contains only atoms minted
+    * before j, so one pass per atom fully expands. */
   def trainOracleSql(docsSql: String, textCol: String,
       merges: Int = 6): String = {
     def expandSql(inner: String, k: Int): String =

@@ -184,6 +184,9 @@ object Robots {
     val rules = applicableRules(robots, agent)
     val withPath = urls.select(col(urlCol).as("url"),
       Urls.hostOf(urlCol).as("host"), Urls.pathOf(urlCol).as("path"))
+      // barrier: withPath feeds both the verdict agg and the final
+      // join-back — without it the url side scans and re-parses twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = withPath.join(broadcast(rules), Seq("host"))
       .filter(startswith(col("path"), col("rpath")))
       .groupBy("url")

@@ -86,14 +86,20 @@ object Search {
     val tot = dl.agg(sum(col("dl")).as("toks"), count(lit(1)).as("n"))
     val grain = TextGrams.tokenGrain(docs, idCol, textCol,
       tokenFilter = Some(col("token").isin(queryTerms.map(lit): _*)))
+      // barrier: grain feeds both the df agg and the score join — without
+      // it the corpus tokenizes twice (tfidfTopK's comment applies)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfPerToken = grain.groupBy("token").agg(count(lit(1)).as("df"))
     grain.join(dfPerToken, Seq("token"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(tot))
       .withColumn("idf_milli",
         expr("(1000L * (2L * n - 2L * df + 1L)) div (2L * df + 1L)"))
+      // greatest(avgdl_milli, 1): a degenerate corpus whose average doc
+      // length truncates below 0.001 words must rank, not throw ANSI
+      // DIVIDE_BY_ZERO (mirrored in the oracle)
       .withColumn("denom_milli", expr(
-        "tf * 1000L + 300L + (900L * ((dl * 1000000L) div ((toks * 1000L) div n))) div 1000L"))
+        "tf * 1000L + 300L + (900L * ((dl * 1000000L) div greatest((toks * 1000L) div n, 1L))) div 1000L"))
       .withColumn("term_milli", expr(
         "CAST(CAST(tf AS DECIMAL(38,0)) * 2200 * idf_milli AS DECIMAL(38,0))" +
           " div CAST(denom_milli AS DECIMAL(38,0))"))

@@ -63,16 +63,23 @@ object Urls {
     hostOfHostport(hostportOfRest(restOf(base)))
   }
 
+  /** Raw path of a post-scheme remainder: everything from the first
+    * '/', absent path → '/' (RFC 3986 §6.2.3). ONE owner for the path
+    * step shared by [[canon]] and [[pathOf]]. */
+  private def pathOfRest(rest: Column): Column = {
+    val slash = instr(rest, "/")
+    when(slash > 0, rest.substr(slash, length(rest))).otherwise(lit("/"))
+  }
+
   /** Raw path of `urlCol` (query/fragment stripped, absent path → '/',
     * NO trailing-slash normalization — robots-rule prefix matching is
-    * defined on the path as written). Shares [[restOf]] with [[canon]],
-    * whose path step is this same algebra before slash-stripping. */
+    * defined on the path as written). Shares [[restOf]]/[[pathOfRest]]
+    * with [[canon]], whose path step is this same algebra before
+    * slash-stripping. */
   def pathOf(urlCol: String): Column = {
     val base =
       split_part(split_part(col(urlCol), lit("#"), lit(1)), lit("?"), lit(1))
-    val rest = restOf(base)
-    val slash = instr(rest, "/")
-    when(slash > 0, rest.substr(slash, length(rest))).otherwise(lit("/"))
+    pathOfRest(restOf(base))
   }
 
   /** Canonical-URL column for `urlCol` — pure builtin string/array
@@ -90,11 +97,9 @@ object Urls {
     val scheme = when(sep > 0, lower(base.substr(lit(1), sep - 1)))
       .otherwise(lower(base))
     val rest = restOf(base)
-    val slash = instr(rest, "/")
     // substr start-past-end yields '' and oversized len clamps, in both
     // engines — the path/query extraction leans on that
-    val path = when(slash > 0, rest.substr(slash, length(rest)))
-      .otherwise(lit("/"))
+    val path = pathOfRest(rest)
     val q = when(instr(nf, "?") > 0,
       nf.substr(length(base) + lit(2), length(nf))).otherwise(lit(""))
     val hostport = hostportOfRest(rest)
