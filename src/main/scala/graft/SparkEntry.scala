@@ -143,8 +143,28 @@ object SparkEntry {
       extracted(s)
         .select(col("url"), explode(col("links")).as("l"))
         .select(col("url"), col("l.idx").as("idx"), col("l.raw").as("raw"),
-          col("l.resolved").as("resolved"), col("l.chrome").as("chrome"))
+          col("l.resolved").as("resolved"), col("l.chrome").as("chrome"),
+          col("l.text").as("text"))
         .orderBy("url", "idx")),
+    "link_anchor_text" -> ((s, _) =>
+      // inbound anchor-text aggregation per canonical target — the
+      // retrieval-training signal CC-style corpora mine: in-content
+      // (non-chrome) anchors only, grouped on the shared canon key;
+      // top anchor via min(struct(-n, text)) argmax, exact tie-break
+      extracted(s)
+        .select(explode(col("links")).as("l"))
+        .filter(!col("l.chrome") && col("l.text") =!= "")
+        .select(Urls.canon("l.resolved").as("canon"),
+          col("l.text").as("anchor"))
+        .groupBy("canon", "anchor").agg(count(lit(1)).as("n"))
+        .groupBy("canon")
+        .agg(sum(col("n")).as("n_refs"),
+          count(lit(1)).as("n_texts"),
+          min(struct((-col("n")).as("negn"), col("anchor").as("anchor")))
+            .as("top"))
+        .select(col("canon"), col("n_refs"), col("n_texts"),
+          col("top.anchor").as("top_anchor"), (-col("top.negn")).as("top_n"))
+        .orderBy("canon")),
     "link_hostgraph" -> ((s, _) =>
       // host-level link graph from the pipeline's own outlinks — the
       // Common-Crawl webgraph shape: one groupBy on the (src,dst)
@@ -978,7 +998,24 @@ cand AS (
     "extract_dirlang" ->
       s"SELECT url, lang, dir FROM $G ORDER BY url",
     "extract_links" ->
-      s"SELECT url, idx, raw, resolved, chrome FROM $GL ORDER BY url, idx",
+      s"SELECT url, idx, raw, resolved, chrome, text FROM $GL ORDER BY url, idx",
+    "link_anchor_text" -> s"""
+WITH lr0 AS (
+  SELECT resolved AS url, text AS anchor FROM $GL WHERE NOT chrome AND text != ''
+),
+lr(url) AS (SELECT DISTINCT url FROM lr0),
+${canonCtes("lr", "a")},
+j AS (SELECT ac.canon, lr0.anchor FROM lr0 JOIN ac USING (url)),
+g AS (SELECT canon, anchor, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+b AS (
+  SELECT canon, anchor AS top_anchor, n AS top_n FROM (
+    SELECT canon, anchor, n, row_number() OVER (
+      PARTITION BY canon ORDER BY n DESC, anchor) AS rn FROM g) WHERE rn = 1
+)
+SELECT g.canon, CAST(sum(g.n) AS BIGINT) AS n_refs,
+  CAST(count(*) AS BIGINT) AS n_texts, b.top_anchor, b.top_n
+FROM g JOIN b USING (canon) GROUP BY g.canon, b.top_anchor, b.top_n
+ORDER BY canon""",
     "link_hostgraph" ->
       s"""SELECT lower(split_part(url, '/', 3)) AS src_host,
   lower(split_part(resolved, '/', 3)) AS dst_host,

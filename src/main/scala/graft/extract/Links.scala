@@ -156,24 +156,62 @@ object Links {
         val nodes = dom.nodes
         val n = nodes.length
         val chromeAnc = new Array[Boolean](n)
-        val out = Vector.newBuilder[Link]
-        var idx = 0
+        // nearest enclosing EMITTED anchor's ordinal per node (-1 none):
+        // visible text under an anchor accumulates into that anchor's
+        // buffer in document order, the same single pass
+        val linkOrd = new Array[Int](n)
+        val acc =
+          scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
+        val texts =
+          scala.collection.mutable.ArrayBuffer[java.lang.StringBuilder]()
         var i = 0
         while (i < n) {
           val nd = nodes(i)
+          val p = nd.parent
           if (nd.tag != "#text") {
-            val p = nd.parent
             chromeAnc(i) = (p >= 0 && chromeAnc(p)) ||
               Blocks.chromeTags.contains(nd.tag)
+            linkOrd(i) = if (p >= 0) linkOrd(p) else -1
             if (nd.tag == "a" && nd.visible) nd.attr("href").foreach { raw =>
               resolve(effBase, raw).foreach { res =>
-                out += Link(idx, raw, res, chromeAnc(i))
-                idx += 1
+                acc += ((raw, res, chromeAnc(i)))
+                texts += new java.lang.StringBuilder
+                linkOrd(i) = acc.length - 1
               }
             }
+          } else if (nd.visible) {
+            val ord = if (p >= 0) linkOrd(p) else -1
+            if (ord >= 0) { texts(ord).append(Blocks.nfkc(nd.text)); () }
           }
           i += 1
         }
-        out.result()
+        acc.iterator.zipWithIndex.map { case ((raw, res, chrome), k) =>
+          Link(k, raw, res, chrome, collapseAnchor(texts(k).toString))
+        }.toVector
     }
+
+  /** Anchor-text normalization: whitespace runs collapse to single
+    * spaces (Character.isWhitespace — the kernel's segmentation
+    * predicate, not regex \\s), then a 256-code-point cap bounds the
+    * column against pathological whole-page anchors. Deterministic;
+    * fragments from adjacent inline children concatenate WITHOUT an
+    * injected space (render semantics: `foo<b>bar</b>` is "foobar"). */
+  private[graft] def collapseAnchor(s: String): String = {
+    val sb = new java.lang.StringBuilder(math.min(s.length, 300))
+    var i = 0
+    var pending = false
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isWhitespace(cp)) pending = sb.length > 0
+      else {
+        if (pending) { sb.append(' '); pending = false }
+        sb.appendCodePoint(cp)
+        ()
+      }
+      i += Character.charCount(cp)
+    }
+    val out = sb.toString
+    if (out.codePointCount(0, out.length) <= 256) out
+    else out.substring(0, out.offsetByCodePoints(0, 256)).trim
+  }
 }

@@ -37,8 +37,12 @@ final case class Span(start: Int, end: Int, kind: String, path: String)
   * same content-vs-chrome predicate the boilerplate classifier uses
   * (reference: src/ocrmypdf/pdfinfo/info.py:420-442 `_page_has_text`
   * content-vs-chrome geometry) — so graph consumers can split
-  * navigation edges from in-content citations. */
-final case class Link(idx: Int, raw: String, resolved: String, chrome: Boolean)
+  * navigation edges from in-content citations. `text` is the anchor's
+  * visible text (NFKC'd, whitespace-collapsed, capped at 256 code
+  * points; '' for image/empty anchors) — the inbound-anchor corpus
+  * retrieval training mines per target page. */
+final case class Link(idx: Int, raw: String, resolved: String,
+    chrome: Boolean, text: String)
 
 /** Output row of the extraction stage. `outcome` is the typed failure/skip
   * channel (reference: timeout/failure containment,

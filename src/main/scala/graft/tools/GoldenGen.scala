@@ -32,7 +32,7 @@ object GoldenGen {
   final case class GoldenMode(url: String, mode: String, outcome: String,
       engine: String, n_spans: Long, text_md5: String)
   final case class GoldenLink(url: String, idx: Int, raw: String,
-      resolved: String, chrome: Boolean)
+      resolved: String, chrome: Boolean, text: String)
 
   def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -84,7 +84,7 @@ object GoldenGen {
     modes.toDF().sort("mode", "url").coalesce(1).write.mode("overwrite")
       .parquet(s"$goldenDir/modes")
     val links = results.flatMap { r =>
-      r.links.map(l => GoldenLink(r.url, l.idx, l.raw, l.resolved, l.chrome))
+      r.links.map(l => GoldenLink(r.url, l.idx, l.raw, l.resolved, l.chrome, l.text))
     }
     links.toDF().sort("url", "idx").coalesce(1).write.mode("overwrite")
       .parquet(s"$goldenDir/links")

@@ -683,7 +683,30 @@ class KernelSpec extends AnyFunSuite {
       "https://h.test/moved/dir/n1", "https://h.test/moved/dir/c1"))
     assert(ls.map(_.idx) == Vector(0, 1)) // dense document order
     assert(ls.map(_.chrome) == Vector(true, false))
+    assert(ls.map(_.text) == Vector("nav link", "content"))
     // non-http page url → no links; relative base falls back correctly
     assert(Links.fromDom(dom, "ftp://h.test/x").isEmpty)
+  }
+
+  test("links: anchor text — inline concat, hidden child, nesting, cap") {
+    import graft.extract.Links
+    val dom = TreeBuilder.build(Tokenizer.tokenize(
+      """<html><body>
+<p><a href="a">foo<b>bar</b>  baz
+qux</a></p>
+<p><a href="b"><span style="display:none">secret</span>shown</a></p>
+<p><a href="c"><img src="x.png"></a></p>
+</body></html>"""))
+    val ls = Links.fromDom(dom, "https://h.test/")
+    // inline children concat WITHOUT injected space; whitespace runs
+    // (incl newline) collapse; hidden subtree text excluded; image-only
+    // anchor keeps ''
+    assert(ls.map(_.text) == Vector("foobar baz qux", "shown", ""))
+    // 256-code-point cap, trailing cut trimmed
+    val long = ("word " * 100).trim
+    assert(Links.collapseAnchor(long).codePointCount(0,
+      Links.collapseAnchor(long).length) <= 256)
+    assert(!Links.collapseAnchor(long).endsWith(" "))
+    assert(Links.collapseAnchor("  a  b\tc  ") == "a b c")
   }
 }
