@@ -206,6 +206,17 @@ object Bench {
     resultsExtra("link_hostgraph") = timeTrials(1, 3) {
       graft.SparkEntry.queries("link_hostgraph")(spark, sfDir).count()
     }._1
+    resultsExtra("search_bm25") = timeTrials(1, 3) {
+      graft.ops.Search.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 20).count()
+    }._1
+    resultsExtra("bpe_encode") = timeTrials(1, 3) {
+      val pairs = graft.ops.Bpe.learn(docs, "text", merges = 6)._2
+      graft.ops.Bpe.encode(docs, "doc_id", "text", pairs).count()
+    }._1
+    // robots_filter / link_anchor_text / crawl_frontier are fixture- or
+    // fixed-corpus-scale (not sf-scaled) — correctness queries, not
+    // throughput surfaces; extract already times the DOM kernel
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

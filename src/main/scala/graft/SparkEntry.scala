@@ -146,6 +146,27 @@ object SparkEntry {
           col("l.resolved").as("resolved"), col("l.chrome").as("chrome"),
           col("l.text").as("text"))
         .orderBy("url", "idx")),
+    "extract_canonical" -> ((s, _) =>
+      // per-page navigation metadata: resolved meta-refresh target and
+      // rel=canonical (both against the effective <base>), golden-pinned
+      extracted(s).select(col("url"), col("redirect"), col("canonical"))
+        .orderBy("url")),
+    "url_dedup_canonical" -> ((s, _) => {
+      // canonical-aware url dedup: the effective identity is the page's
+      // rel=canonical when declared, else its own url — then the same
+      // canon-keyed two-phase group as url_dedup. The syndicated-copy
+      // fixtures make multi-page clusters (canonical → sibling article).
+      val ex = extracted(s)
+      val eff = ex.select(col("url"),
+        when(col("canonical") =!= "", col("canonical")).otherwise(col("url"))
+          .as("eff"))
+      val withK = eff.select(col("url"), Urls.canon("eff").as("ckey"))
+      val groups = withK.groupBy("ckey")
+        .agg(count(lit(1)).as("group_n"), min(col("url")).as("keep_url"))
+      withK.join(groups, Seq("ckey"))
+        .select(col("url"), col("ckey"), col("keep_url"), col("group_n"))
+        .orderBy("url")
+    }),
     "link_anchor_text" -> ((s, _) =>
       // inbound anchor-text aggregation per canonical target — the
       // retrieval-training signal CC-style corpora mine: in-content
@@ -999,6 +1020,20 @@ cand AS (
       s"SELECT url, lang, dir FROM $G ORDER BY url",
     "extract_links" ->
       s"SELECT url, idx, raw, resolved, chrome, text FROM $GL ORDER BY url, idx",
+    "extract_canonical" ->
+      s"SELECT url, redirect, canonical FROM $G ORDER BY url",
+    "url_dedup_canonical" -> s"""
+WITH e0 AS (
+  SELECT url, CASE WHEN canonical != '' THEN canonical ELSE url END AS eff
+  FROM $G
+),
+ue(url) AS (SELECT DISTINCT eff FROM e0),
+${canonCtes("ue", "k")},
+m AS (SELECT e0.url, kc.canon AS ckey FROM e0 JOIN kc ON e0.eff = kc.url),
+g AS (SELECT ckey, CAST(count(*) AS BIGINT) AS group_n, min(url) AS keep_url
+      FROM m GROUP BY ckey)
+SELECT m.url, m.ckey, g.keep_url, g.group_n
+FROM m JOIN g USING (ckey) ORDER BY url""",
     "link_anchor_text" -> s"""
 WITH lr0 AS (
   SELECT resolved AS url, text AS anchor FROM $GL WHERE NOT chrome AND text != ''

@@ -276,11 +276,17 @@ object HtmlEngine extends ExtractionEngine {
       n.tag == "meta" && n.attr("http-equiv")
         .exists(_.equalsIgnoreCase("refresh"))
     }
+    // redirect target and rel=canonical are recorded for EVERY decoded
+    // page (a frontier/dedup consumer wants the redirect edge precisely
+    // from the skipped shell) — the disposition logic itself is unchanged
+    val redirectTarget = graft.extract.Links.refreshTarget(dom, row.url)
+    val canonicalUrl = graft.extract.Links.canonicalOf(dom, row.url)
     if (hasRefresh && isRedirect && cfg.mode != ProcessingMode.Force)
       return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
         "skipped:redirect", tag, s.format, charset, dom.nodes.length,
         blocks.length, dom.truncated,
-        lang = LangResolve.resolve(row.lang, ""))
+        lang = LangResolve.resolve(row.lang, ""),
+        redirect = redirectTarget, canonical = canonicalUrl)
     val outcome =
       if (asm.text.isEmpty) Outcome.SkippedEmpty else Outcome.Ok
     ExtractResult(row.url, row.warc_ts, asm.text, asm.spans, outcome, tag,
@@ -290,7 +296,8 @@ object HtmlEngine extends ExtractionEngine {
       // outlinks are a whole-visible-DOM property (boilerplate nav links
       // are exactly what a frontier consumer wants — the chrome flag
       // carries the split); redirect shells and rejects above emit none
-      links = graft.extract.Links.fromDom(dom, row.url))
+      links = graft.extract.Links.fromDom(dom, row.url),
+      redirect = redirectTarget, canonical = canonicalUrl)
   }
 }
 

@@ -142,17 +142,74 @@ object Links {
     * every visible anchor's resolved outlink in document order, with the
     * same chrome-ancestry predicate [[Blocks.segment]] computes for
     * block classification. */
+  /** Effective resolution base: the document's first `<base href>`
+    * (WHATWG: only the first base element with an href is honored),
+    * itself resolved against the page URL; a non-http(s)/unparseable
+    * base falls back to the page URL. ONE owner — [[fromDom]],
+    * [[canonicalOf]] and [[refreshTarget]] all resolve against it. */
+  def effectiveBase(dom: Dom, pageBase: Base): Base = dom.nodes
+    .find(n => n.tag == "base" && n.attr("href").isDefined)
+    .flatMap(n => resolve(pageBase, n.attr("href").get))
+    .flatMap(parseAbs)
+    .getOrElse(pageBase)
+
+  /** First `<link rel~="canonical" href>` target, resolved — the
+    * search-engine dedup signal (rel is a space-separated token list,
+    * matched case-insensitively). '' when absent or unresolvable. */
+  def canonicalOf(dom: Dom, pageUrl: String): String =
+    parseAbs(pageUrl) match {
+      case None => ""
+      case Some(pageBase) =>
+        val eff = effectiveBase(dom, pageBase)
+        dom.nodes.find { n =>
+          n.tag == "link" && n.attr("href").isDefined &&
+            n.attr("rel").exists(_.split("[ \t]+").exists(
+              _.equalsIgnoreCase("canonical")))
+        }.flatMap(n => resolve(eff, n.attr("href").get)).getOrElse("")
+    }
+
+  /** Meta-refresh redirect target: the first
+    * `<meta http-equiv="refresh">` whose content carries a url clause
+    * (`N; url=TARGET`, separator ';' or ',', keyword case-insensitive,
+    * optional single/double quotes — the WHATWG shared declarative
+    * refresh syntax), resolved. '' when absent, clause-less (refresh to
+    * self is not an edge), or unresolvable. */
+  def refreshTarget(dom: Dom, pageUrl: String): String =
+    parseAbs(pageUrl) match {
+      case None => ""
+      case Some(pageBase) =>
+        val eff = effectiveBase(dom, pageBase)
+        dom.nodes.find { n =>
+          n.tag == "meta" &&
+            n.attr("http-equiv").exists(_.equalsIgnoreCase("refresh")) &&
+            n.attr("content").isDefined
+        }.flatMap { n =>
+          val content = n.attr("content").get
+          val sep = content.indexWhere(c => c == ';' || c == ',')
+          if (sep < 0) None
+          else {
+            val rest = content.substring(sep + 1).trim
+            if (rest.length < 4 || !rest.substring(0, 3).equalsIgnoreCase("url")) None
+            else {
+              val afterKey = rest.substring(3).trim
+              if (!afterKey.startsWith("=")) None
+              else {
+                var v = afterKey.substring(1).trim
+                if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+                    (v.head == '\'' && v.last == '\'')))
+                  v = v.substring(1, v.length - 1).trim
+                if (v.isEmpty) None else resolve(eff, v)
+              }
+            }
+          }
+        }.getOrElse("")
+    }
+
   def fromDom(dom: Dom, pageUrl: String): Vector[Link] =
     parseAbs(pageUrl) match {
       case None => Vector.empty
       case Some(pageBase) =>
-        // first <base href> wins; itself resolved against the page URL;
-        // a non-http(s)/unparseable base falls back to the page URL
-        val effBase = dom.nodes
-          .find(n => n.tag == "base" && n.attr("href").isDefined)
-          .flatMap(n => resolve(pageBase, n.attr("href").get))
-          .flatMap(parseAbs)
-          .getOrElse(pageBase)
+        val effBase = effectiveBase(dom, pageBase)
         val nodes = dom.nodes
         val n = nodes.length
         val chromeAnc = new Array[Boolean](n)

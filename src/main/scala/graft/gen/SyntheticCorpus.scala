@@ -224,8 +224,15 @@ object SyntheticCorpus {
     // already-crawled url — the fixture that makes crawl_frontier's
     // seen-set anti-join provably remove rows
     val sib = 26 * rng.nextInt(20) + rng.nextInt(6)
+    // 1-in-6 articles declare a sibling article as rel=canonical (the
+    // syndicated-copy shape) — doc-relative, resolving on-host, so
+    // canonical-keyed dedup gets real multi-page clusters; the draw is
+    // UNCONDITIONAL so the rng stream stays aligned across variants
+    val canonSib = 26 * rng.nextInt(20) + rng.nextInt(6)
+    val canonLink = if (canonSib % 6 == 0)
+      s"""\n<link rel="canonical" href="p$canonSib">""" else ""
     s"""<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>$title</title>
+<html><head><meta charset="utf-8"><title>$title</title>$canonLink
 <style>body { margin: 0 }</style>
 <script>var x = 1 < 2;</script></head>
 <body>

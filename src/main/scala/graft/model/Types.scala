@@ -68,7 +68,9 @@ final case class ExtractResult(
     truncated: Boolean, // a bounded-resource guard fired (deterministically)
     lang: String = "und", // resolved language: valid input hint, else predicted
     dir: String = "ltr", // first-strong bidi direction of the extracted text
-    links: Seq[Link] = Nil // resolved outlinks (html branch; whole visible DOM)
+    links: Seq[Link] = Nil, // resolved outlinks (html branch; whole visible DOM)
+    redirect: String = "", // resolved meta-refresh target ('' when none)
+    canonical: String = "" // resolved <link rel=canonical> ('' when none)
 )
 
 object Outcome {

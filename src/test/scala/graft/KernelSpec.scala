@@ -688,6 +688,34 @@ class KernelSpec extends AnyFunSuite {
     assert(Links.fromDom(dom, "ftp://h.test/x").isEmpty)
   }
 
+  test("links: meta-refresh target and rel=canonical resolution") {
+    import graft.extract.Links
+    def dom(html: String) = TreeBuilder.build(Tokenizer.tokenize(html))
+    val base = "https://h.test/dir/page"
+    // quoted target, comma separator, case-insensitive URL keyword
+    assert(Links.refreshTarget(dom(
+      """<meta http-equiv="Refresh" content="5, URL='/new'">"""), base)
+      == "https://h.test/new")
+    // relative target resolves against <base href>
+    assert(Links.refreshTarget(dom(
+      """<head><base href="/moved/"><meta http-equiv="refresh" content="0; url=next"></head>"""),
+      base) == "https://h.test/moved/next")
+    // clause-less refresh (reload-self) and malformed clause: no edge
+    assert(Links.refreshTarget(dom(
+      """<meta http-equiv="refresh" content="30">"""), base) == "")
+    assert(Links.refreshTarget(dom(
+      """<meta http-equiv="refresh" content="0; uri=/x">"""), base) == "")
+    // rel is a token LIST, case-insensitive; first canonical wins
+    assert(Links.canonicalOf(dom(
+      """<link rel="alternate Canonical" href="p7"><link rel="canonical" href="p9">"""),
+      base) == "https://h.test/dir/p7")
+    assert(Links.canonicalOf(dom("""<link rel="stylesheet" href="s.css">"""),
+      base) == "")
+    // non-navigable canonical target → ''
+    assert(Links.canonicalOf(dom(
+      """<link rel="canonical" href="mailto:x@y">"""), base) == "")
+  }
+
   test("links: anchor text — inline concat, hidden child, nesting, cap") {
     import graft.extract.Links
     val dom = TreeBuilder.build(Tokenizer.tokenize(
