@@ -146,6 +146,19 @@ object SparkEntry {
           col("l.resolved").as("resolved"), col("l.chrome").as("chrome"),
           col("l.text").as("text"))
         .orderBy("url", "idx")),
+    "link_hits" -> ((s, _) => {
+      // HITS hub/authority over the host graph (exact-integer max-norm
+      // iterations) — crawl seeding/prioritization scores
+      val ex = extracted(s)
+      val edges = ex
+        .select(lower(split_part(col("url"), lit("/"), lit(3))).as("src"),
+          explode(col("links")).as("l"))
+        .select(col("src"),
+          lower(split_part(col("l.resolved"), lit("/"), lit(3))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.ops.Graph.hits(edges, iters = 3)
+    }),
     "extract_canonical" -> ((s, _) =>
       // per-page navigation metadata: resolved meta-refresh target and
       // rel=canonical (both against the effective <base>), golden-pinned
@@ -1020,6 +1033,16 @@ cand AS (
       s"SELECT url, lang, dir FROM $G ORDER BY url",
     "extract_links" ->
       s"SELECT url, idx, raw, resolved, chrome, text FROM $GL ORDER BY url, idx",
+    "link_hits" -> s"""
+WITH el AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT lower(split_part(url, '/', 3)) AS src,
+           lower(split_part(resolved, '/', 3)) AS dst FROM $GL)
+  WHERE src != dst GROUP BY 1, 2
+),
+${graft.ops.Graph.hitsOracleCtes(3)}
+SELECT host, auth_micro, hub_micro FROM hits_out
+ORDER BY auth_micro DESC, hub_micro DESC, host""",
     "extract_canonical" ->
       s"SELECT url, redirect, canonical FROM $G ORDER BY url",
     "url_dedup_canonical" -> s"""

@@ -77,4 +77,88 @@ object Graph {
       .orderBy(col("rank_micro").desc, col("token").asc)
       .limit(k)
   }
+
+  /** HITS hub/authority scores (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") over a weighted directed edge table
+    * `(src, dst, w)` — the host-graph ranking a crawl uses to seed and
+    * prioritize. Exact-integer variant: h₀ = 1_000_000 for every node;
+    * each half-step aggregates `Σ w·score` over in-(resp. out-)edges
+    * and renormalizes by the step MAXIMUM via truncating `div`
+    * (max-norm, not L2 — exactly replayable; score ORDER is the
+    * invariant, as with textRank). Hubs update from the CURRENT
+    * authority, the classic ordering. Nodes without in/out edges score
+    * 0 on that axis.
+    *
+    * Bounds: normalized scores ≤ 1e6, so a half-step sum is ≤ 1e6 ×
+    * (total edge weight into the node) — BIGINT-safe up to ~9e12 total
+    * in-weight per node, recorded here as the documented contract.
+    *
+    * 100 TB shape: the HOST graph is orders smaller than the page
+    * table (edges come pre-aggregated); every iteration shuffles only
+    * (host, long) pairs, max-norms ride broadcast one-row aggregates
+    * (never a driver collect), and `iters` is fixed so the lineage is
+    * a bounded join tree with per-step persist barriers (each step's
+    * scores feed the next half-step AND the final join). */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("host"))
+      .unionAll(e.select(col("dst").as("host"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def norm(raw: DataFrame, scoreCol: String): DataFrame = {
+      // greatest(max, 1): an all-zero half-step (no edges) must yield
+      // zeros, not a divide-by-zero abort
+      val mx = raw.agg(greatest(max(col("s")), lit(1L)).as("mx"))
+      nodes.join(raw, Seq("host"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("host"),
+          coalesce(expr("(s * 1000000L) div mx"), lit(0L)).as(scoreCol))
+    }
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = norm(
+        e.join(hub, e("src") === hub("host"))
+          .groupBy(e("dst").as("host")).agg(sum(expr("w * h")).as("s")), "a")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      hub = norm(
+        e.join(auth, e("dst") === auth("host"))
+          .groupBy(e("src").as("host")).agg(sum(expr("w * a")).as("s")), "h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    auth.join(hub, Seq("host"))
+      .select(col("host"), col("a").as("auth_micro"), col("h").as("hub_micro"))
+      .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("host").asc)
+  }
+
+  /** The DuckDB replay of [[hits]] as a CTE chain: `edgesSql` must
+    * define `el(src, dst, w)`; emits `hits_out(host, auth_micro,
+    * hub_micro)`. Unrolled per-iteration CTEs, max-norm via a
+    * cross-joined one-row aggregate — the same truncation points. */
+  def hitsOracleCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""n AS (SELECT DISTINCT host FROM (
+  SELECT src AS host FROM el UNION SELECT dst FROM el)),
+h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS sc FROM n)""")
+    for (k <- 1 to iters) {
+      sb.append(s""",
+a${k}r AS (SELECT e.dst AS host, CAST(sum(e.w * p.sc) AS BIGINT) AS s
+  FROM el e JOIN h${k - 1} p ON e.src = p.host GROUP BY 1),
+a${k}m AS (SELECT greatest(max(s), 1) AS mx FROM a${k}r),
+a$k AS (SELECT n.host,
+  CAST(coalesce((r.s * 1000000) // m.mx, 0) AS BIGINT) AS sc
+  FROM n LEFT JOIN a${k}r r USING (host) CROSS JOIN a${k}m m),
+h${k}r AS (SELECT e.src AS host, CAST(sum(e.w * p.sc) AS BIGINT) AS s
+  FROM el e JOIN a$k p ON e.dst = p.host GROUP BY 1),
+h${k}m AS (SELECT greatest(max(s), 1) AS mx FROM h${k}r),
+h$k AS (SELECT n.host,
+  CAST(coalesce((r.s * 1000000) // m.mx, 0) AS BIGINT) AS sc
+  FROM n LEFT JOIN h${k}r r USING (host) CROSS JOIN h${k}m m)""")
+    }
+    sb.append(s""",
+hits_out AS (
+  SELECT a$iters.host, a$iters.sc AS auth_micro, h$iters.sc AS hub_micro
+  FROM a$iters JOIN h$iters USING (host))""")
+    sb.toString
+  }
 }

@@ -1602,6 +1602,20 @@ class OpsSpec extends AnyFunSuite {
       == (("example.com", false, "")))
   }
 
+  test("hits: max-norm integer iterations, hand-computed chain graph") {
+    import graft.ops.Graph
+    import spark.implicits._
+    // a→c, b→c, c→d: c is the authority, a/b are hubs, d trails
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.hits(edges, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // iter k: auth(c)=1e6, auth(d) halves each step via the max-norm
+    // (500000 → 250000 → 125000); hubs a=b=1e6, hub(c) follows auth(d)
+    assert(out.toSeq == Seq(("c", 1000000L, 125000L),
+      ("d", 125000L, 0L), ("a", 0L, 1000000L), ("b", 0L, 1000000L)))
+  }
+
   test("bm25: exact integer scoring, hand-computed tiny corpus") {
     import graft.ops.Search
     import spark.implicits._
