@@ -570,6 +570,12 @@ object SparkEntry {
       // broadcast equality join (never a LIKE cross join)
       graft.ops.Urls.blocklistFilter(graft.ops.Urls.fixtureDf(s), "url")
         .orderBy("url")),
+    "url_domains" -> ((s, _) =>
+      // public-suffix + registrable-domain extraction: dot-suffix chain
+      // explode with start-index, broadcast PSL equijoin, longest match
+      // = min start index (never a LIKE/regex cross join)
+      graft.ops.Urls.registrableDomains(
+        graft.ops.Urls.domainFixtureDf(s), "url").orderBy("url")),
     "robots_filter" -> ((s, _) =>
       // RFC 9309 robots.txt admission: stateful line-group parse via
       // lag + framed running sum, most-specific-agent group merge,
@@ -1524,6 +1530,30 @@ sfx AS (
 )
 SELECT h.url, h.host, m.rule IS NOT NULL AS blocked, coalesce(m.rule, '') AS rule
 FROM h LEFT JOIN m USING (url) ORDER BY h.url""",
+    "url_domains" -> s"""
+WITH raw(url) AS (VALUES
+  ${graft.ops.Urls.domainFixtureValuesSql}),
+psl(suf_rule) AS (VALUES
+  ${graft.ops.Urls.publicSuffixValuesSql}),
+s1 AS (SELECT url, split_part(split_part(url, '#', 1), '?', 1) AS base FROM raw),
+s2 AS (SELECT url, CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM s1),
+s3 AS (SELECT url, list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM s2),
+h AS (SELECT url,
+  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM s3),
+wh AS (SELECT url, host, string_split(host, '.') AS hp,
+  (host LIKE '[%' OR regexp_matches(host, '^[0-9.]+$$')) AS isip FROM h),
+sufs AS (
+  SELECT url, unnest(range(1, len(hp) + 1)) AS i,
+    unnest(list_transform(range(1, len(hp) + 1),
+      i -> array_to_string(hp[i:len(hp)], '.'))) AS suf
+  FROM wh),
+m AS (SELECT url, min(i) AS mi FROM sufs JOIN psl ON suf = suf_rule GROUP BY url),
+j AS (SELECT wh.*, coalesce(m.mi, len(hp)) AS si FROM wh LEFT JOIN m USING (url))
+SELECT url, host,
+  CASE WHEN isip THEN '' ELSE array_to_string(hp[si:len(hp)], '.') END AS public_suffix,
+  CASE WHEN isip OR si = 1 THEN '' ELSE array_to_string(hp[si - 1:len(hp)], '.') END AS registrable
+FROM j ORDER BY url""",
     "robots_filter" -> graft.ops.Robots.oracleSql,
     "bpe_train" -> graft.ops.Bpe.trainOracleSql(D(sf), "text", merges = 6),
     "bpe_encode" -> graft.ops.Bpe.encodeOracleSql(D(sf), "doc_id", "text",

@@ -200,6 +200,78 @@ object Urls {
   def blocklistValuesSql: String =
     blocklist.map(r => s"('${r.replace("'", "''")}')").mkString(",\n  ")
 
+  /** Embedded public-suffix sample (publicsuffix.org SEMANTICS are
+    * what's pinned — a production run broadcasts the full list into the
+    * same algebra): longest matching suffix wins; a host equal to its
+    * suffix has no registrable domain; unlisted TLDs behave as
+    * single-label suffixes (the PSL's implicit `*` rule); IP literals
+    * have none. Includes overlapping entries (io / github.io) so the
+    * longest-match path is provably exercised. */
+  val publicSuffixes: Seq[String] = Seq("com", "org", "net", "io", "dev",
+    "co.uk", "org.uk", "ac.uk", "com.au", "github.io", "example")
+
+  /** Registrable-domain fixture: suffix-as-host, private-registry
+    * subdomains, deep subdomains, unlisted TLDs, single-label hosts,
+    * IPv4/IPv6 literals, and a single-label PSL entry. */
+  val domainFixture: Seq[String] = Seq(
+    "https://www.example.com/a",
+    "https://a.b.co.uk/x?q=1",
+    "https://co.uk/",
+    "https://user.github.io/project",
+    "https://github.io/",
+    "https://deep.sub.host01.example.com/article",
+    "http://192.168.0.1/router",
+    "http://[2001:db8::1]/x",
+    "https://something.unlistedtld/x",
+    "https://single/x",
+    "https://www.example/x")
+
+  def domainFixtureDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    domainFixture.toDF("url")
+  }
+
+  def domainFixtureValuesSql: String =
+    domainFixture.map(u => s"('${u.replace("'", "''")}')").mkString(",\n  ")
+
+  def publicSuffixValuesSql: String =
+    publicSuffixes.map(r => s"('${r.replace("'", "''")}')").mkString(",\n  ")
+
+  /** Public-suffix + registrable-domain extraction per url — the
+    * grouping key crawl statistics, politeness budgets, and per-site
+    * quotas are defined on. Same 100 TB shape as [[blocklistFilter]]:
+    * the host explodes into its dot-suffix chain (with the 1-based
+    * start label index riding along), broadcast-equijoins the suffix
+    * rules, and the longest match is the MIN start index — never a
+    * LIKE/regex cross join. */
+  def registrableDomains(urls: DataFrame, urlCol: String): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val psl = publicSuffixes.toDF("suf_rule")
+    val withHost = urls.select(col(urlCol).as("url"), hostOf(urlCol).as("host"))
+      .withColumn("hp", split(col("host"), "\\."))
+      .withColumn("isip", col("host").startsWith("[") ||
+        col("host").rlike("^[0-9.]+$"))
+      // barrier: feeds both the suffix-match agg and the final join-back
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sufs = withHost.select(col("url"), explode(expr(
+      "transform(sequence(1, size(hp)), i -> struct(i as i," +
+        " array_join(slice(hp, i, size(hp) - i + 1), '.') as suf))")).as("e"))
+      .select(col("url"), col("e.i").as("i"), col("e.suf").as("suf"))
+    val matched = sufs.join(broadcast(psl), col("suf") === col("suf_rule"))
+      .groupBy("url").agg(min(col("i")).as("mi"))
+    withHost.join(matched, Seq("url"), "left")
+      // fallback: unlisted TLD = the last label alone (PSL implicit `*`)
+      .withColumn("si", coalesce(col("mi"), size(col("hp")).cast("long")))
+      .select(col("url"), col("host"),
+        when(col("isip"), lit("")).otherwise(expr(
+          "array_join(slice(hp, cast(si as int), size(hp) - cast(si as int) + 1), '.')"))
+          .as("public_suffix"),
+        when(col("isip") || col("si") === 1L, lit("")).otherwise(expr(
+          "array_join(slice(hp, cast(si as int) - 1, size(hp) - cast(si as int) + 2), '.')"))
+          .as("registrable"))
+  }
+
   /** Wildcard-domain blocklist filter — one row per input URL with its
     * host, whether any blocklist domain covers it, and the MOST
     * SPECIFIC (longest) matching rule ('' when unblocked).

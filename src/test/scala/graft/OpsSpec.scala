@@ -1602,6 +1602,34 @@ class OpsSpec extends AnyFunSuite {
       == (("example.com", false, "")))
   }
 
+  test("registrable domains: longest suffix, suffix-as-host, IPs, fallback") {
+    import graft.ops.Urls
+    val out = Urls.registrableDomains(Urls.domainFixtureDf(spark), "url")
+      .collect().map(r => r.getString(0) -> ((r.getString(2), r.getString(3))))
+      .toMap
+    assert(out.size == Urls.domainFixture.size)
+    assert(out("https://www.example.com/a") == (("com", "example.com")))
+    // two-label rule beats the one-label 'io'/'uk'-style overlap
+    assert(out("https://a.b.co.uk/x?q=1") == (("co.uk", "b.co.uk")))
+    assert(out("https://user.github.io/project")
+      == (("github.io", "user.github.io")))
+    // a host that IS a public suffix has no registrable domain
+    assert(out("https://co.uk/") == (("co.uk", "")))
+    assert(out("https://github.io/") == (("github.io", "")))
+    // deep subdomain still collapses to the eTLD+1
+    assert(out("https://deep.sub.host01.example.com/article")
+      == (("com", "example.com")))
+    // IP literals: neither suffix nor registrable
+    assert(out("http://192.168.0.1/router") == (("", "")))
+    assert(out("http://[2001:db8::1]/x") == (("", "")))
+    // unlisted TLD = implicit single-label suffix; bare single label
+    assert(out("https://something.unlistedtld/x")
+      == (("unlistedtld", "something.unlistedtld")))
+    assert(out("https://single/x") == (("single", "")))
+    // single-label PSL entry ('example') matches like any other rule
+    assert(out("https://www.example/x") == (("example", "www.example")))
+  }
+
   test("hits: max-norm integer iterations, hand-computed chain graph") {
     import graft.ops.Graph
     import spark.implicits._
