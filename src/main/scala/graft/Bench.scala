@@ -210,9 +210,11 @@ object Bench {
       graft.ops.Search.bm25TopK(docs, "doc_id", "text",
         Seq("hash", "join", "vector"), k = 20).count()
     }._1
+    // learn ONCE outside the timed thunk — bpe_train already times
+    // training; this row must measure the encode projection alone
+    val bpePairs = graft.ops.Bpe.learn(docs, "text", merges = 6)._2
     resultsExtra("bpe_encode") = timeTrials(1, 3) {
-      val pairs = graft.ops.Bpe.learn(docs, "text", merges = 6)._2
-      graft.ops.Bpe.encode(docs, "doc_id", "text", pairs).count()
+      graft.ops.Bpe.encode(docs, "doc_id", "text", bpePairs).count()
     }._1
     // robots_filter / link_anchor_text / crawl_frontier are fixture- or
     // fixed-corpus-scale (not sf-scaled) — correctness queries, not

@@ -61,6 +61,16 @@ object SparkEntry {
     }
   }
 
+  /** Exploded host-grain link edges (src_host, dst_host, url, chrome) —
+    * ONE owner for the edge projection `link_hostgraph` aggregates and
+    * `link_hits` ranks (a private copy drifting in either would
+    * silently de-sync the HITS graph from the reported hostgraph). */
+  private def hostLinkGrain(ex: DataFrame): DataFrame = ex
+    .select(col("url"), explode(col("links")).as("l"))
+    .select(lower(split_part(col("url"), lit("/"), lit(3))).as("src_host"),
+      lower(split_part(col("l.resolved"), lit("/"), lit(3))).as("dst_host"),
+      col("url"), col("l.chrome").as("chrome"))
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def spark_read_events(spark: SparkSession, dir: String): DataFrame =
@@ -149,12 +159,8 @@ object SparkEntry {
     "link_hits" -> ((s, _) => {
       // HITS hub/authority over the host graph (exact-integer max-norm
       // iterations) — crawl seeding/prioritization scores
-      val ex = extracted(s)
-      val edges = ex
-        .select(lower(split_part(col("url"), lit("/"), lit(3))).as("src"),
-          explode(col("links")).as("l"))
-        .select(col("src"),
-          lower(split_part(col("l.resolved"), lit("/"), lit(3))).as("dst"))
+      val edges = hostLinkGrain(extracted(s))
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       graft.ops.Graph.hits(edges, iters = 3)
@@ -205,11 +211,7 @@ object SparkEntry {
       // authority pair; chrome edges counted separately so consumers can
       // weight navigation vs in-content citation. Authority-grained
       // (lowercased); dst_host keeps port/userinfo as resolved.
-      extracted(s)
-        .select(col("url"), explode(col("links")).as("l"))
-        .select(lower(split_part(col("url"), lit("/"), lit(3))).as("src_host"),
-          lower(split_part(col("l.resolved"), lit("/"), lit(3))).as("dst_host"),
-          col("url"), col("l.chrome").as("chrome"))
+      hostLinkGrain(extracted(s))
         .groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("url")).as("n_pages"),

@@ -278,9 +278,15 @@ object HtmlEngine extends ExtractionEngine {
     }
     // redirect target and rel=canonical are recorded for EVERY decoded
     // page (a frontier/dedup consumer wants the redirect edge precisely
-    // from the skipped shell) — the disposition logic itself is unchanged
-    val redirectTarget = graft.extract.Links.refreshTarget(dom, row.url)
-    val canonicalUrl = graft.extract.Links.canonicalOf(dom, row.url)
+    // from the skipped shell) — the disposition logic itself is
+    // unchanged. The page/effective base is derived ONCE and shared by
+    // refresh/canonical/links (this is the flagship-timed kernel path).
+    val effBase = graft.extract.Links.parseAbs(row.url)
+      .map(b => graft.extract.Links.effectiveBase(dom, b))
+    val redirectTarget =
+      effBase.map(graft.extract.Links.refreshTarget(dom, _)).getOrElse("")
+    val canonicalUrl =
+      effBase.map(graft.extract.Links.canonicalOf(dom, _)).getOrElse("")
     if (hasRefresh && isRedirect && cfg.mode != ProcessingMode.Force)
       return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
         "skipped:redirect", tag, s.format, charset, dom.nodes.length,
@@ -296,7 +302,8 @@ object HtmlEngine extends ExtractionEngine {
       // outlinks are a whole-visible-DOM property (boilerplate nav links
       // are exactly what a frontier consumer wants — the chrome flag
       // carries the split); redirect shells and rejects above emit none
-      links = graft.extract.Links.fromDom(dom, row.url),
+      links = effBase.map(graft.extract.Links.fromDom(dom, _))
+        .getOrElse(Vector.empty),
       redirect = redirectTarget, canonical = canonicalUrl)
   }
 }

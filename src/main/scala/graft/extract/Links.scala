@@ -154,62 +154,113 @@ object Links {
     .getOrElse(pageBase)
 
   /** First `<link rel~="canonical" href>` target, resolved — the
-    * search-engine dedup signal (rel is a space-separated token list,
-    * matched case-insensitively). '' when absent or unresolvable. */
+    * search-engine dedup signal. rel is an HTML space-separated token
+    * list (ASCII whitespace incl. LF/CR/FF — wrapped attributes must
+    * still match), matched case-insensitively. A link inside an
+    * explicit `<body>` is IGNORED (search engines reject body
+    * canonicals precisely because user-posted markup could otherwise
+    * hijack canonical-keyed dedup); head-less documents honor a
+    * top-level link since this builder synthesizes no head/body.
+    * '' when absent or unresolvable. */
   def canonicalOf(dom: Dom, pageUrl: String): String =
     parseAbs(pageUrl) match {
       case None => ""
-      case Some(pageBase) =>
-        val eff = effectiveBase(dom, pageBase)
-        dom.nodes.find { n =>
-          n.tag == "link" && n.attr("href").isDefined &&
-            n.attr("rel").exists(_.split("[ \t]+").exists(
-              _.equalsIgnoreCase("canonical")))
-        }.flatMap(n => resolve(eff, n.attr("href").get)).getOrElse("")
+      case Some(pageBase) => canonicalOf(dom, effectiveBase(dom, pageBase))
     }
 
+  /** [[canonicalOf]] against a precomputed effective base — the form
+    * the extraction kernel calls so the base is derived ONCE per page
+    * across links/canonical/refresh. */
+  def canonicalOf(dom: Dom, eff: Base): String = {
+    def inBody(id: Int): Boolean = {
+      var p = id
+      while (p >= 0) {
+        if (dom.nodes(p).tag == "body") return true
+        p = dom.nodes(p).parent
+      }
+      false
+    }
+    dom.nodes.find { n =>
+      n.tag == "link" && n.attr("href").isDefined &&
+        n.attr("rel").exists(_.split("\\s+").exists(
+          _.equalsIgnoreCase("canonical"))) && !inBody(n.id)
+    }.flatMap(n => resolve(eff, n.attr("href").get)).getOrElse("")
+  }
+
   /** Meta-refresh redirect target: the first
-    * `<meta http-equiv="refresh">` whose content carries a url clause
-    * (`N; url=TARGET`, separator ';' or ',', keyword case-insensitive,
-    * optional single/double quotes — the WHATWG shared declarative
-    * refresh syntax), resolved. '' when absent, clause-less (refresh to
-    * self is not an edge), or unresolvable. */
+    * `<meta http-equiv="refresh">` whose content parses under the
+    * WHATWG "shared declarative refresh steps": optional whitespace, a
+    * digit/dot run, then a separator (whitespace, ';' or ','), optional
+    * `url` keyword + '=', and the target — a leading quote cuts at the
+    * NEXT matching quote if present, else runs to the end; a remainder
+    * that is not a `url=` clause IS the target. '' when absent,
+    * clause-less (refresh to self is not an edge), or unresolvable. */
   def refreshTarget(dom: Dom, pageUrl: String): String =
     parseAbs(pageUrl) match {
       case None => ""
-      case Some(pageBase) =>
-        val eff = effectiveBase(dom, pageBase)
-        dom.nodes.find { n =>
-          n.tag == "meta" &&
-            n.attr("http-equiv").exists(_.equalsIgnoreCase("refresh")) &&
-            n.attr("content").isDefined
-        }.flatMap { n =>
-          val content = n.attr("content").get
-          val sep = content.indexWhere(c => c == ';' || c == ',')
-          if (sep < 0) None
-          else {
-            val rest = content.substring(sep + 1).trim
-            if (rest.length < 4 || !rest.substring(0, 3).equalsIgnoreCase("url")) None
-            else {
-              val afterKey = rest.substring(3).trim
-              if (!afterKey.startsWith("=")) None
-              else {
-                var v = afterKey.substring(1).trim
-                if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
-                    (v.head == '\'' && v.last == '\'')))
-                  v = v.substring(1, v.length - 1).trim
-                if (v.isEmpty) None else resolve(eff, v)
-              }
-            }
-          }
-        }.getOrElse("")
+      case Some(pageBase) => refreshTarget(dom, effectiveBase(dom, pageBase))
     }
+
+  /** [[refreshTarget]] against a precomputed effective base. */
+  def refreshTarget(dom: Dom, eff: Base): String =
+    dom.nodes.find { n =>
+      n.tag == "meta" &&
+        n.attr("http-equiv").exists(_.equalsIgnoreCase("refresh")) &&
+        n.attr("content").isDefined
+    }.flatMap(n => parseRefreshUrl(n.attr("content").get))
+      .flatMap(v => resolve(eff, v)).getOrElse("")
+
+  /** The WHATWG shared-declarative-refresh content parse (url part
+    * only). None when the content carries no navigable target. */
+  private[graft] def parseRefreshUrl(content: String): Option[String] = {
+    var i = 0
+    val len = content.length
+    def skipWs(): Unit = {
+      while (i < len && Character.isWhitespace(content.charAt(i))) i += 1
+    }
+    skipWs()
+    val numStart = i
+    while (i < len && (content.charAt(i).isDigit || content.charAt(i) == '.'))
+      i += 1
+    if (i == numStart) return None // no time value → invalid declaration
+    if (i >= len) return None // bare number: refresh-to-self, not an edge
+    // separator: whitespace and/or a single ';' or ','
+    val c = content.charAt(i)
+    if (c != ';' && c != ',' && !Character.isWhitespace(c)) return None
+    skipWs()
+    if (i < len && (content.charAt(i) == ';' || content.charAt(i) == ','))
+      i += 1
+    skipWs()
+    if (i >= len) return None
+    // optional url= prefix; a remainder that is NOT such a clause is
+    // itself the target (the spec's non-'url=' branch)
+    if (i + 3 <= len && content.substring(i, i + 3).equalsIgnoreCase("url")) {
+      val save = i
+      i += 3
+      skipWs()
+      if (i < len && content.charAt(i) == '=') { i += 1; skipWs() }
+      else i = save // 'url' was the start of the target itself
+    }
+    if (i >= len) return None
+    val q = content.charAt(i)
+    val v =
+      if (q == '"' || q == '\'') {
+        val close = content.indexOf(q, i + 1)
+        if (close > i) content.substring(i + 1, close)
+        else content.substring(i + 1) // unterminated: to the end
+      } else content.substring(i).trim
+    if (v.isEmpty) None else Some(v)
+  }
 
   def fromDom(dom: Dom, pageUrl: String): Vector[Link] =
     parseAbs(pageUrl) match {
       case None => Vector.empty
-      case Some(pageBase) =>
-        val effBase = effectiveBase(dom, pageBase)
+      case Some(pageBase) => fromDom(dom, effectiveBase(dom, pageBase))
+    }
+
+  /** [[fromDom]] against a precomputed effective base (one base
+    * derivation per page across links/canonical/refresh). */
+  def fromDom(dom: Dom, effBase: Base): Vector[Link] = {
         val nodes = dom.nodes
         val n = nodes.length
         val chromeAnc = new Array[Boolean](n)

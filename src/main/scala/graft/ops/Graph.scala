@@ -89,9 +89,11 @@ object Graph {
     * authority, the classic ordering. Nodes without in/out edges score
     * 0 on that axis.
     *
-    * Bounds: normalized scores ≤ 1e6, so a half-step sum is ≤ 1e6 ×
-    * (total edge weight into the node) — BIGINT-safe up to ~9e12 total
-    * in-weight per node, recorded here as the documented contract.
+    * Bounds: normalized scores ≤ 1e6, so a half-step sum is BIGINT-safe
+    * up to ~9e12 total in-weight per node; the ×1e6 renormalization
+    * product is widened to DECIMAL(38)/HUGEINT so it can never wrap
+    * below that bound (a popular host routinely exceeds 9e6 in-weight,
+    * which a 64-bit product would overflow).
     *
     * 100 TB shape: the HOST graph is orders smaller than the page
     * table (edges come pre-aggregated); every iteration shuffles only
@@ -112,7 +114,9 @@ object Graph {
       nodes.join(raw, Seq("host"), "left")
         .crossJoin(broadcast(mx))
         .select(col("host"),
-          coalesce(expr("(s * 1000000L) div mx"), lit(0L)).as(scoreCol))
+          coalesce(expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0))" +
+              " div CAST(mx AS DECIMAL(38,0))"), lit(0L)).as(scoreCol))
     }
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth: DataFrame = null
@@ -146,13 +150,13 @@ a${k}r AS (SELECT e.dst AS host, CAST(sum(e.w * p.sc) AS BIGINT) AS s
   FROM el e JOIN h${k - 1} p ON e.src = p.host GROUP BY 1),
 a${k}m AS (SELECT greatest(max(s), 1) AS mx FROM a${k}r),
 a$k AS (SELECT n.host,
-  CAST(coalesce((r.s * 1000000) // m.mx, 0) AS BIGINT) AS sc
+  CAST(coalesce((CAST(r.s AS HUGEINT) * 1000000) // m.mx, 0) AS BIGINT) AS sc
   FROM n LEFT JOIN a${k}r r USING (host) CROSS JOIN a${k}m m),
 h${k}r AS (SELECT e.src AS host, CAST(sum(e.w * p.sc) AS BIGINT) AS s
   FROM el e JOIN a$k p ON e.dst = p.host GROUP BY 1),
 h${k}m AS (SELECT greatest(max(s), 1) AS mx FROM h${k}r),
 h$k AS (SELECT n.host,
-  CAST(coalesce((r.s * 1000000) // m.mx, 0) AS BIGINT) AS sc
+  CAST(coalesce((CAST(r.s AS HUGEINT) * 1000000) // m.mx, 0) AS BIGINT) AS sc
   FROM n LEFT JOIN h${k}r r USING (host) CROSS JOIN h${k}m m)""")
     }
     sb.append(s""",

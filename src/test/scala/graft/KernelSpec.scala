@@ -700,11 +700,27 @@ class KernelSpec extends AnyFunSuite {
     assert(Links.refreshTarget(dom(
       """<head><base href="/moved/"><meta http-equiv="refresh" content="0; url=next"></head>"""),
       base) == "https://h.test/moved/next")
-    // clause-less refresh (reload-self) and malformed clause: no edge
+    // clause-less refresh (reload-self): no edge
     assert(Links.refreshTarget(dom(
       """<meta http-equiv="refresh" content="30">"""), base) == "")
+    // WHATWG branch coverage: bare target without url= (including one
+    // where the separator is whitespace alone), an unterminated quote
+    // running to the end, and a remainder that only LOOKS like url=
     assert(Links.refreshTarget(dom(
-      """<meta http-equiv="refresh" content="0; uri=/x">"""), base) == "")
+      """<meta http-equiv="refresh" content="0; /next">"""), base)
+      == "https://h.test/next")
+    assert(Links.refreshTarget(dom(
+      """<meta http-equiv="refresh" content="1 https://x.test/">"""), base)
+      == "https://x.test/")
+    assert(Links.refreshTarget(dom(
+      """<meta http-equiv="refresh" content="0; url='x">"""), base)
+      == "https://h.test/dir/x")
+    assert(Links.refreshTarget(dom(
+      """<meta http-equiv="refresh" content="0; uri=/x">"""), base)
+      == "https://h.test/dir/uri=/x")
+    // no time value at all: invalid declaration, no edge
+    assert(Links.refreshTarget(dom(
+      """<meta http-equiv="refresh" content="url=/x">"""), base) == "")
     // rel is a token LIST, case-insensitive; first canonical wins
     assert(Links.canonicalOf(dom(
       """<link rel="alternate Canonical" href="p7"><link rel="canonical" href="p9">"""),
@@ -714,6 +730,18 @@ class KernelSpec extends AnyFunSuite {
     // non-navigable canonical target → ''
     assert(Links.canonicalOf(dom(
       """<link rel="canonical" href="mailto:x@y">"""), base) == "")
+    // rel is split on ASCII whitespace incl. newline (wrapped attribute)
+    assert(Links.canonicalOf(dom(
+      "<link rel=\"alternate\ncanonical\" href=\"p7\">"), base)
+      == "https://h.test/dir/p7")
+    // a canonical inside an explicit <body> is user-content injection —
+    // ignored; the head one still wins
+    assert(Links.canonicalOf(dom(
+      """<body><p><link rel="canonical" href="/hijack"></p></body>"""),
+      base) == "")
+    assert(Links.canonicalOf(dom(
+      """<head><link rel="canonical" href="/real"></head><body><link rel="canonical" href="/hijack"></body>"""),
+      base) == "https://h.test/real")
   }
 
   test("links: anchor text — inline concat, hidden child, nesting, cap") {
