@@ -71,6 +71,28 @@ object SparkEntry {
       lower(split_part(col("l.resolved"), lit("/"), lit(3))).as("dst_host"),
       col("url"), col("l.chrome").as("chrome"))
 
+  /** Crawl-frontier discovery: canonical targets (outlinks AND
+    * meta-refresh redirects — a crawler follows both edge kinds) the
+    * crawl has NOT yet seen, ranked by in-reference count. Both sides
+    * use the SHARED canon algebra (ops/Urls.canon), so a target and
+    * its crawled page meet on one key. At 100 TB the seen side stays a
+    * compact one-column exchange (or a bloom pre-filter feeding this
+    * exact anti-join); here it is the plain shuffled LeftAnti on the
+    * canon key. The article fixtures link to sibling articles, so the
+    * anti-join provably removes rows (unit-pinned). Shared owner for
+    * the crawl_frontier and crawl_schedule queries. */
+  private def frontier(s: SparkSession): DataFrame = {
+    val ex = extracted(s)
+    val targets = ex.select(explode(col("links")).as("l"))
+      .select(col("l.resolved").as("target"))
+      .unionAll(ex.filter(col("redirect") =!= "")
+        .select(col("redirect").as("target")))
+      .select(Urls.canon("target").as("canon"))
+      .groupBy("canon").agg(count(lit(1)).as("n_refs"))
+    val seen = ex.select(Urls.canon("url").as("canon")).distinct()
+    targets.join(seen, Seq("canon"), "left_anti")
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def spark_read_events(spark: SparkSession, dir: String): DataFrame =
@@ -217,23 +239,20 @@ object SparkEntry {
           countDistinct(col("url")).as("n_pages"),
           sum(col("chrome").cast("long")).as("n_chrome"))
         .orderBy("src_host", "dst_host")),
-    "crawl_frontier" -> ((s, _) => {
-      // crawl-frontier discovery: canonical outlink targets the crawl has
-      // NOT yet seen, ranked by in-reference count — the extraction →
-      // resolution → canonicalization → seen-set composition a CC-style
-      // crawler runs every cycle. Both sides use the SHARED canon
-      // algebra (ops/Urls.canon), so a target and its crawled page meet
-      // on one key. At 100 TB the seen side stays a compact one-column
-      // exchange (or a bloom pre-filter feeding this exact anti-join);
-      // here it is the plain shuffled LeftAnti on the canon key. The
-      // article fixtures link to sibling articles, so the anti-join
-      // provably removes rows (unit-pinned).
-      val ex = extracted(s)
-      val targets = ex.select(explode(col("links")).as("l"))
-        .select(Urls.canon("l.resolved").as("canon"))
-        .groupBy("canon").agg(count(lit(1)).as("n_refs"))
-      val seen = ex.select(Urls.canon("url").as("canon")).distinct()
-      targets.join(seen, Seq("canon"), "left_anti").orderBy("canon")
+    "crawl_frontier" -> ((s, _) => frontier(s).orderBy("canon")),
+    "crawl_schedule" -> ((s, _) => {
+      // politeness scheduling over the frontier: one fetch per host per
+      // wave, most-referenced targets first within each host — the
+      // per-host window is keyed on the frontier's own host column, so
+      // the shuffle carries compact (canon, n_refs) rows and each
+      // host's queue orders independently
+      import org.apache.spark.sql.expressions.Window
+      val f = frontier(s).withColumn("host", Urls.hostOf("canon"))
+      val w = Window.partitionBy("host")
+        .orderBy(col("n_refs").desc, col("canon").asc)
+      f.withColumn("wave", (row_number().over(w) - 1).cast("long"))
+        .select(col("canon"), col("host"), col("n_refs"), col("wave"))
+        .orderBy("host", "wave")
     }),
     "extract_dirlang" -> ((s, _) =>
       // first-strong bidi direction + resolved language metadata
@@ -559,6 +578,16 @@ object SparkEntry {
       // signal), exact-integer hapax/mean-frequency milli ratios
       graft.ops.Lm.bigramScore(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "quality_tiers" -> ((s, dir) =>
+      // CCNet head/middle/tail terciles of the LM score — value-based
+      // thresholds out of a compact score histogram, no global sort
+      graft.ops.Lm.qualityTiers(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "sitemap_parse" -> ((s, _) =>
+      // sitemaps.org urlset/index parsing: document-ordered entries,
+      // entity-unescaped locs, directory-scope verdicts, lastmod days
+      graft.ops.Sitemaps.parse(graft.ops.Sitemaps.fixtureDf(s))
+        .orderBy("sm_url", "ord")),
     "graph_pagerank" -> ((s, dir) =>
       // TextRank keywords: 5-iteration integer PageRank over the word-
       // adjacency graph — the suite's one iterative-join operator
@@ -572,6 +601,16 @@ object SparkEntry {
       // broadcast equality join (never a LIKE cross join)
       graft.ops.Urls.blocklistFilter(graft.ops.Urls.fixtureDf(s), "url")
         .orderBy("url")),
+    "domain_stats" -> ((s, _) =>
+      // per-registrable-domain corpus stats — the grain crawl quotas
+      // and per-site budgets aggregate on, composed from the shared
+      // registrableDomains algebra over the pipeline's own pages
+      graft.ops.Urls.registrableDomains(
+        extracted(s).select(col("url")), "url")
+        .groupBy("registrable")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy("registrable")),
     "url_domains" -> ((s, _) =>
       // public-suffix + registrable-domain extraction: dot-suffix chain
       // explode with start-index, broadcast PSL equijoin, longest match
@@ -975,6 +1014,55 @@ ${p}s6 AS (SELECT *,
 ${p}c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
         CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon FROM ${p}s6)"""
 
+  /** Bigram-LM CTE chain — ONE owner for the lm_bigram and
+    * quality_tiers oracles (the [[graft.ops.Lm.bigramScore]] algebra,
+    * replayed in DuckDB). Reads the docs table `src`, produces
+    * `per(doc_id, n_bigrams, sum_cnt, n_rare)`. */
+  private def lmCtes(src: String) = s"""w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM $src
+), g AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+    THEN list_transform(range(1, len(ws)), i -> md5(array_to_string(ws[i:i+1], ' ')))
+    ELSE [] END) AS gram
+  FROM w
+), grain AS (
+  SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram
+), model AS (
+  SELECT gram, CAST(sum(tf) AS BIGINT) AS cnt FROM grain GROUP BY gram
+), per AS (
+  SELECT grain.doc_id,
+    CAST(sum(tf) AS BIGINT) AS n_bigrams,
+    CAST(sum(tf * cnt) AS BIGINT) AS sum_cnt,
+    CAST(sum(CASE WHEN cnt = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
+  FROM grain JOIN model USING (gram) GROUP BY grain.doc_id
+)"""
+
+  /** Registrable-domain CTE chain — ONE owner for the url_domains and
+    * domain_stats oracles (the [[graft.ops.Urls.registrableDomains]]
+    * algebra, replayed in DuckDB). Reads `raw(url)`, produces
+    * `dj(url, host, public_suffix, registrable)`. */
+  private def domainCtes = s"""psl(suf_rule) AS (VALUES
+  ${graft.ops.Urls.publicSuffixValuesSql}),
+ds1 AS (SELECT url, split_part(split_part(url, '#', 1), '?', 1) AS base FROM raw),
+ds2 AS (SELECT url, CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM ds1),
+ds3 AS (SELECT url, list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM ds2),
+dh AS (SELECT url,
+  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM ds3),
+dwh AS (SELECT url, host, string_split(host, '.') AS hp,
+  (host LIKE '[%' OR regexp_matches(host, '^[0-9.]+$$')) AS isip FROM dh),
+dsufs AS (
+  SELECT url, unnest(range(1, len(hp) + 1)) AS i,
+    unnest(list_transform(range(1, len(hp) + 1),
+      i -> array_to_string(hp[i:len(hp)], '.'))) AS suf
+  FROM dwh),
+dm AS (SELECT url, min(i) AS mi FROM dsufs JOIN psl ON suf = suf_rule GROUP BY url),
+dj AS (SELECT url, host,
+  CASE WHEN isip THEN '' ELSE array_to_string(hp[si:len(hp)], '.') END AS public_suffix,
+  CASE WHEN isip OR si = 1 THEN '' ELSE array_to_string(hp[si - 1:len(hp)], '.') END AS registrable
+  FROM (SELECT dwh.*, coalesce(dm.mi, len(hp)) AS si
+        FROM dwh LEFT JOIN dm USING (url)))"""
+
   private def ccCtes = s"""p AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -1110,8 +1198,28 @@ ${canonCtes("raw", "")},
 g AS (SELECT canon, CAST(count(*) AS BIGINT) AS group_n, min(url) AS keep_url FROM c GROUP BY canon)
 SELECT c.url, c.canon, g.keep_url, g.group_n
 FROM c JOIN g USING (canon) ORDER BY url""",
+    "crawl_schedule" -> s"""
+WITH lr(url) AS (SELECT resolved FROM $GL
+  UNION ALL SELECT redirect FROM $G WHERE redirect != ''),
+${canonCtes("lr", "t")},
+su(url) AS (SELECT url FROM $G),
+${canonCtes("su", "v")},
+tgt AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_refs FROM tc GROUP BY canon),
+fr AS (SELECT canon, n_refs FROM tgt WHERE canon NOT IN (SELECT canon FROM vc)),
+c1 AS (SELECT canon, n_refs, split_part(split_part(canon, '#', 1), '?', 1) AS base FROM fr),
+c2 AS (SELECT canon, n_refs, CASE WHEN instr(base, '://') > 0
+         THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM c1),
+c3 AS (SELECT canon, n_refs,
+         list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM c2),
+c4 AS (SELECT canon, n_refs,
+  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM c3)
+SELECT canon, host, n_refs,
+  CAST(row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, canon) - 1 AS BIGINT) AS wave
+FROM c4 ORDER BY host, wave""",
     "crawl_frontier" -> s"""
-WITH lr(url) AS (SELECT resolved FROM $GL),
+WITH lr(url) AS (SELECT resolved FROM $GL
+  UNION ALL SELECT redirect FROM $G WHERE redirect != ''),
 ${canonCtes("lr", "t")},
 su(url) AS (SELECT url FROM $G),
 ${canonCtes("su", "v")},
@@ -1439,30 +1547,38 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_
 FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""",
     "lm_bigram" -> s"""
-WITH w AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
-), g AS (
-  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
-    THEN list_transform(range(1, len(ws)), i -> md5(array_to_string(ws[i:i+1], ' ')))
-    ELSE [] END) AS gram
-  FROM w
-), grain AS (
-  SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram
-), model AS (
-  SELECT gram, CAST(sum(tf) AS BIGINT) AS cnt FROM grain GROUP BY gram
-), per AS (
-  SELECT grain.doc_id,
-    CAST(sum(tf) AS BIGINT) AS n_bigrams,
-    CAST(sum(tf * cnt) AS BIGINT) AS sum_cnt,
-    CAST(sum(CASE WHEN cnt = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
-  FROM grain JOIN model USING (gram) GROUP BY grain.doc_id
-)
+WITH ${lmCtes(D(sf))}
 SELECT d.doc_id,
   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
   CAST(coalesce(p.sum_cnt, 0) AS BIGINT) AS sum_cnt,
   CAST((1000 * coalesce(p.n_rare, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS rare_milli,
   CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS mean_freq_milli
 FROM ${D(sf)} d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
+    "quality_tiers" -> s"""
+WITH ${lmCtes(D(sf))},
+scored AS (
+  SELECT d.doc_id,
+    CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS score
+  FROM ${D(sf)} d LEFT JOIN per p USING (doc_id)
+),
+hist AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY score),
+cum AS (
+  SELECT score, CAST(sum(c) OVER (ORDER BY score
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+thr AS (
+  SELECT min(CASE WHEN cum * 3 >= n THEN score END) AS t_tail,
+         min(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t_mid
+  FROM cum, nn
+)
+SELECT doc_id, score,
+  CASE WHEN score <= t_tail THEN 'tail'
+       WHEN score <= t_mid THEN 'middle'
+       ELSE 'head' END AS tier
+FROM scored, thr ORDER BY doc_id""",
+    "sitemap_parse" -> graft.ops.Sitemaps.oracleSql,
     "graph_pagerank" -> {
       // 5 unrolled integer-PageRank iterations; `rk` not `rank` (window
       // keyword in DuckDB); sum(BIGINT) is HUGEINT → CAST back each step
@@ -1535,27 +1651,14 @@ FROM h LEFT JOIN m USING (url) ORDER BY h.url""",
     "url_domains" -> s"""
 WITH raw(url) AS (VALUES
   ${graft.ops.Urls.domainFixtureValuesSql}),
-psl(suf_rule) AS (VALUES
-  ${graft.ops.Urls.publicSuffixValuesSql}),
-s1 AS (SELECT url, split_part(split_part(url, '#', 1), '?', 1) AS base FROM raw),
-s2 AS (SELECT url, CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM s1),
-s3 AS (SELECT url, list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM s2),
-h AS (SELECT url,
-  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
-       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM s3),
-wh AS (SELECT url, host, string_split(host, '.') AS hp,
-  (host LIKE '[%' OR regexp_matches(host, '^[0-9.]+$$')) AS isip FROM h),
-sufs AS (
-  SELECT url, unnest(range(1, len(hp) + 1)) AS i,
-    unnest(list_transform(range(1, len(hp) + 1),
-      i -> array_to_string(hp[i:len(hp)], '.'))) AS suf
-  FROM wh),
-m AS (SELECT url, min(i) AS mi FROM sufs JOIN psl ON suf = suf_rule GROUP BY url),
-j AS (SELECT wh.*, coalesce(m.mi, len(hp)) AS si FROM wh LEFT JOIN m USING (url))
-SELECT url, host,
-  CASE WHEN isip THEN '' ELSE array_to_string(hp[si:len(hp)], '.') END AS public_suffix,
-  CASE WHEN isip OR si = 1 THEN '' ELSE array_to_string(hp[si - 1:len(hp)], '.') END AS registrable
-FROM j ORDER BY url""",
+$domainCtes
+SELECT url, host, public_suffix, registrable FROM dj ORDER BY url""",
+    "domain_stats" -> s"""
+WITH raw(url) AS (SELECT url FROM $G),
+$domainCtes
+SELECT registrable, CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM dj GROUP BY registrable ORDER BY registrable""",
     "robots_filter" -> graft.ops.Robots.oracleSql,
     "bpe_train" -> graft.ops.Bpe.trainOracleSql(D(sf), "text", merges = 6),
     "bpe_encode" -> graft.ops.Bpe.encodeOracleSql(D(sf), "doc_id", "text",

@@ -65,4 +65,45 @@ object Lm {
         expr("1000 * coalesce(sum_cnt, 0L) div greatest(coalesce(n_bigrams, 0L), 1)")
           .as("mean_freq_milli"))
   }
+
+  /** CCNet-style quality TIERING (Wenzek et al. 2020 §4.3 bucket the
+    * corpus into head/middle/tail thirds by LM score): each document is
+    * assigned the tercile of its [[bigramScore]] `mean_freq_milli`.
+    *
+    * Tier boundaries are VALUE thresholds, not ranks: `t_tail` is the
+    * smallest score s with |{score ≤ s}|·3 ≥ n, `t_mid` likewise for
+    * 2n — so tied scores always land in one tier and the assignment is
+    * order-independent (the determinism invariant). Degenerate corpora
+    * collapse low: all-equal scores → everything 'tail' (documented).
+    *
+    * 100 TB shape: no global sort and no rank window over the corpus —
+    * the distribution is reduced to a (score, count) HISTOGRAM whose
+    * size is bounded by the milli-score value range (not the corpus),
+    * the two thresholds come out of one aggregate over that histogram,
+    * and the tier assignment is a broadcast of the 1-row threshold
+    * table onto a narrow per-doc projection. The scored table carries a
+    * persist barrier: it feeds the histogram AND the final projection
+    * (the signature-table rule — Catalyst would re-run the whole LM
+    * lineage twice). */
+  def qualityTiers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = bigramScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("mean_freq_milli").as("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
+    // single-partition window over the histogram only — bounded by the
+    // value range, never the corpus
+    val cum = hist.withColumn("cum",
+      sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("score")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val n = hist.agg(sum("c").as("n"))
+    val thr = cum.crossJoin(broadcast(n))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("score"))).as("t_tail"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t_mid"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("score"),
+        when(col("score") <= col("t_tail"), lit("tail"))
+          .when(col("score") <= col("t_mid"), lit("middle"))
+          .otherwise(lit("head")).as("tier"))
+  }
 }

@@ -1727,4 +1727,104 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(3) && r.getString(4) == "/dir"
       && r.getString(5) == "allow")
   }
+
+  test("sitemaps: kinds, order, scope rule, entity unescape, lastmod forms") {
+    import graft.ops.Sitemaps
+    import spark.implicits._
+    val rows = Sitemaps.parse(Sitemaps.fixtureDf(spark))
+      .orderBy("sm_url", "ord").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+    // the invalid host09 body contributes NOTHING
+    assert(!rows.exists(_._1.contains("host09")))
+    val urlset = rows.filter(_._1.contains("host07"))
+    assert(urlset.map(_._2).forall(_ == "urlset")
+      && urlset.map(_._3).toSeq == (0L to 5L))
+    // pretty-printed loc trimmed across newlines; full W3C datetime →
+    // day prefix kept
+    assert(urlset(1)._4 == "https://host07.example.com/a/sub/page2"
+      && urlset(1)._5 == "2026-03-15")
+    // &amp; unescaped, double-escaped &amp;lt; stays the literal &lt;
+    assert(urlset(2)._4 == "https://host07.example.com/a/q?x=1&y=2&lt;")
+    // scope: same-dir in, sibling dir / other host / other scheme out
+    assert(urlset.map(_._6).toSeq
+      == Seq(true, true, true, false, false, false))
+    // garbage lastmod → ''
+    assert(urlset(3)._5 == "")
+    val idx = rows.filter(_._1.contains("host08"))
+    assert(idx.map(_._2).forall(_ == "index") && idx.length == 3
+      && idx.map(_._6).toSeq == Seq(true, true, false))
+    // a urlset whose only loc is empty (no <loc> tag): loc='' out of scope
+    val weird = Sitemaps.parse(Seq(
+      ("https://h.example/sitemap.xml",
+        "<urlset><url><lastmod>2026-01-01</lastmod></url></urlset>"))
+      .toDF("sm_url", "xml")).collect()
+    assert(weird.length == 1 && weird.head.getString(3) == ""
+      && !weird.head.getBoolean(5))
+  }
+
+  test("quality tiers: value thresholds, tie cohesion, degenerate corpus") {
+    import graft.ops.Lm
+    import spark.implicits._
+    // three score levels of two docs each: all-hapax bigrams (mean
+    // freq 1000), a bigram repeated 4× corpus-wide (4000), and one
+    // repeated 8× (8000) — exact terciles land one level per tier
+    val docs = Seq(
+      (1L, "q w e r t"), (2L, "z x c v b"),
+      (3L, "c c c"), (4L, "c c c"),
+      (5L, "e e e e e"), (6L, "e e e e e")).toDF("doc_id", "text")
+    val out = Lm.qualityTiers(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.mapValues(_._1).toMap == Map(1L -> 1000L, 2L -> 1000L,
+      3L -> 4000L, 4L -> 4000L, 5L -> 8000L, 6L -> 8000L))
+    // equal scores always share a tier (value thresholds, never ranks)
+    out.groupBy(_._2._1).foreach { case (_, g) =>
+      assert(g.values.map(_._2).toSet.size == 1) }
+    assert(out(1L)._2 == "tail" && out(3L)._2 == "middle"
+      && out(5L)._2 == "head")
+    // degenerate: all-equal scores collapse to 'tail'
+    val same = Seq((1L, "a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    assert(Lm.qualityTiers(same, "doc_id", "text").collect()
+      .forall(_.getString(2) == "tail"))
+  }
+
+  test("crawl_schedule: dense per-host waves, refs-desc order, frontier parity") {
+    // the politeness schedule must assign each host's queue wave numbers
+    // 0..n-1 with n_refs non-increasing along each queue, and cover the
+    // frontier exactly (same canon set, same n_refs)
+    val sched = SparkEntry.queries("crawl_schedule")(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val frontier = SparkEntry.queries("crawl_frontier")(spark, "").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(sched.map(t => (t._1, t._3)).toSet == frontier.toSet)
+    sched.groupBy(_._2).foreach { case (host, q) =>
+      val byWave = q.sortBy(_._4)
+      assert(byWave.map(_._4).toSeq == (0L until q.length).toSeq,
+        s"waves not dense for $host")
+      val refs = byWave.map(_._3)
+      assert(refs.zip(refs.drop(1)).forall { case (a, b) => a >= b },
+        s"n_refs not non-increasing along $host's queue")
+    }
+    // a meta-refresh redirect target that is never crawled must surface
+    // in the frontier (the redirect edge-kind is followed, not just <a>)
+    val ex = SparkEntry.queries("extract_canonical")(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val crawledCanon = spark.createDataFrame(
+      spark.sparkContext.parallelize(ex.keys.toSeq.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType))))
+    val crawledSet = crawledCanon.select(graft.ops.Urls.canon("u")).collect()
+      .map(_.getString(0)).toSet
+    val redirCanon = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ex.values.filter(_.nonEmpty).toSeq.distinct.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType))))
+      .select(graft.ops.Urls.canon("u")).collect().map(_.getString(0)).toSet
+    val uncrawledRedirs = redirCanon -- crawledSet
+    assert(uncrawledRedirs.nonEmpty, "fixture: every redirect target crawled")
+    val frontierSet = frontier.map(_._1).toSet
+    assert(uncrawledRedirs.subsetOf(frontierSet),
+      "uncrawled redirect targets missing from the frontier")
+  }
 }
