@@ -652,6 +652,11 @@ object SparkEntry {
       // components → keep-one-per-cluster flags over the full corpus
       Dedup.minhashApply(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "dedup_keep_best" -> ((s, dir) =>
+      // the apply step with a QUALITY keeper: each cluster keeps its
+      // longest member (min id on ties) instead of the smallest id
+      Dedup.minhashApplyKeepBest(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "dedup_embed_apply" -> ((s, dir) =>
       // the embedding-space apply twin: semantic clusters → keep flags
       Dedup.embedCosineApply(emb(s, dir), "vec_id", "embedding")
@@ -1703,6 +1708,24 @@ $ccCtes
 SELECT d.doc_id, coalesce(cl.keep, d.doc_id) AS keep_id,
   coalesce(cl.keep, d.doc_id) = d.doc_id AS kept
 FROM ${D(sf)} d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id""",
+    "dedup_keep_best" -> s"""
+WITH RECURSIVE $lshCtes,
+$ccCtes,
+lab AS (
+  SELECT d.doc_id,
+    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+    coalesce(cl.keep, d.doc_id) AS cluster_id
+  FROM ${D(sf)} d LEFT JOIN cl USING (doc_id)
+),
+bst AS (
+  SELECT cluster_id, doc_id AS keep_id FROM (
+    SELECT cluster_id, doc_id, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY n_words DESC, doc_id ASC) AS rn
+    FROM lab) WHERE rn = 1
+)
+SELECT lab.doc_id, lab.cluster_id, lab.n_words, bst.keep_id,
+  bst.keep_id = lab.doc_id AS kept
+FROM lab JOIN bst USING (cluster_id) ORDER BY lab.doc_id""",
     "pipeline_recipe" -> s"""
 WITH w AS (
   SELECT doc_id, text,

@@ -397,6 +397,41 @@ object Dedup {
           .as("kept"))
   }
 
+  /** [[minhashApply]] with a QUALITY keeper: the cluster representative
+    * is the LONGEST member (word count), smallest id on ties — real
+    * dedup pipelines keep the best copy, not the smallest id (the
+    * longest near-duplicate is usually the least truncated one; the
+    * reference's analogous choice is keeping the richest version of a
+    * page — graft_page keeps the base page and grafts only the layer
+    * that adds text, /root/reference/src/ocrmypdf/_graft.py:336-351).
+    *
+    * Output: (doc_id, cluster_id, n_words, keep_id, kept) — cluster_id
+    * is the component's min-label (stable across keeper policies),
+    * keep_id the argmax member. 100 TB shape: the labeled table is one
+    * compact (id, label, count) row per doc and feeds both the per-
+    * cluster argmax and the join-back, so it carries the signature-
+    * table persist barrier; the argmax is max(struct(...)) — a two-
+    * phase partial agg, never a sort. */
+  def minhashApplyKeepBest(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val clusters = resolveClusters(
+      minhashLsh(docs, idCol, textCol).select("doc_a", "doc_b"))
+    val labeled = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(TextGrams.wordsExpr(textCol)).cast("long").as("n_words"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("cluster_keep_id"), col("doc_id")).as("cluster_id"))
+      // barrier: labeled feeds the argmax agg AND the join-back
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val best = labeled.groupBy("cluster_id")
+      .agg(max(struct(col("n_words"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("keep_id"))
+    labeled.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_words"),
+        col("keep_id"), (col("keep_id") === col("doc_id")).as("kept"))
+  }
+
   /** [[minhashApply]]'s embedding-space twin: sign-LSH cosine pairs →
     * components → per-vector (vec_id, keep_id, kept). Same keeper
     * contract; semantic near-duplicates (paraphrases with high

@@ -1788,6 +1788,30 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "tail"))
   }
 
+  test("keep-best dedup: longest member wins, min id on ties, singletons kept") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // character-periodic texts with the shingle stride (4) dividing the
+    // period give IDENTICAL shingle sets at any length → identical
+    // minhash signatures → guaranteed LSH collision; different periods
+    // never collide. Docs 1,2: same 6-char period, 10 vs 18 words —
+    // the LONGER doc 2 must be the keeper. Docs 3,4: identical text —
+    // the tie falls to min id 3. Doc 5: singleton keeps itself.
+    val docs = Seq(
+      (1L, "ab cd " * 5), (2L, "ab cd " * 9),
+      (3L, "xy zw " * 5), (4L, "xy zw " * 5),
+      (5L, "unrelated singleton text entirely its own"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashApplyKeepBest(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1L, 10L, 2L, false)))
+    assert(out(2L) == ((1L, 18L, 2L, true)))
+    assert(out(3L) == ((3L, 10L, 3L, true)))
+    assert(out(4L) == ((3L, 10L, 3L, false)))
+    assert(out(5L) == ((5L, 6L, 5L, true)))
+  }
+
   test("crawl_schedule: dense per-host waves, refs-desc order, frontier parity") {
     // the politeness schedule must assign each host's queue wave numbers
     // 0..n-1 with n_refs non-increasing along each queue, and cover the
