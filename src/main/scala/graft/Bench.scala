@@ -216,9 +216,14 @@ object Bench {
     resultsExtra("bpe_encode") = timeTrials(1, 3) {
       graft.ops.Bpe.encode(docs, "doc_id", "text", bpePairs).count()
     }._1
-    // robots_filter / link_anchor_text / crawl_frontier are fixture- or
-    // fixed-corpus-scale (not sf-scaled) — correctness queries, not
-    // throughput surfaces; extract already times the DOM kernel
+    // robots_filter / link_anchor_text / crawl_frontier / crawl_schedule
+    // / domain_stats / sitemap_parse are fixture- or fixed-corpus-scale
+    // (not sf-scaled) — correctness queries, not throughput surfaces;
+    // extract already times the DOM kernel. quality_tiers rides on
+    // lm_bigram's timed lineage (one extra histogram agg).
+    resultsExtra("dedup_keep_best") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("dedup_keep_best")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -1042,18 +1042,28 @@ ${p}c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
   FROM grain JOIN model USING (gram) GROUP BY grain.doc_id
 )"""
 
+  /** Host-extraction CTE chain — ONE owner for the '#'/'?'-strip →
+    * first-'://' split → last-'@' userinfo drop → '['-bracketed-IPv6
+    * host algebra ([[graft.ops.Urls.hostOf]], replayed in DuckDB; a
+    * hand-spelled copy drifting in any consumer would silently un-sync
+    * its host column from the Spark side). Reads `$src` carrying
+    * `$carry` (a column list) and the url column `$urlCol`; produces
+    * `${p}h($carry, host)`. */
+  private def hostCtes(src: String, urlCol: String, carry: String,
+      p: String) = s"""${p}h1 AS (SELECT $carry, split_part(split_part($urlCol, '#', 1), '?', 1) AS base FROM $src),
+${p}h2 AS (SELECT $carry, CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM ${p}h1),
+${p}h3 AS (SELECT $carry, list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM ${p}h2),
+${p}h AS (SELECT $carry,
+  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM ${p}h3)"""
+
   /** Registrable-domain CTE chain — ONE owner for the url_domains and
     * domain_stats oracles (the [[graft.ops.Urls.registrableDomains]]
     * algebra, replayed in DuckDB). Reads `raw(url)`, produces
     * `dj(url, host, public_suffix, registrable)`. */
   private def domainCtes = s"""psl(suf_rule) AS (VALUES
   ${graft.ops.Urls.publicSuffixValuesSql}),
-ds1 AS (SELECT url, split_part(split_part(url, '#', 1), '?', 1) AS base FROM raw),
-ds2 AS (SELECT url, CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM ds1),
-ds3 AS (SELECT url, list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM ds2),
-dh AS (SELECT url,
-  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
-       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM ds3),
+${hostCtes("raw", "url", "url", "d")},
 dwh AS (SELECT url, host, string_split(host, '.') AS hp,
   (host LIKE '[%' OR regexp_matches(host, '^[0-9.]+$$')) AS isip FROM dh),
 dsufs AS (
@@ -1211,17 +1221,10 @@ su(url) AS (SELECT url FROM $G),
 ${canonCtes("su", "v")},
 tgt AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_refs FROM tc GROUP BY canon),
 fr AS (SELECT canon, n_refs FROM tgt WHERE canon NOT IN (SELECT canon FROM vc)),
-c1 AS (SELECT canon, n_refs, split_part(split_part(canon, '#', 1), '?', 1) AS base FROM fr),
-c2 AS (SELECT canon, n_refs, CASE WHEN instr(base, '://') > 0
-         THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM c1),
-c3 AS (SELECT canon, n_refs,
-         list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM c2),
-c4 AS (SELECT canon, n_refs,
-  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
-       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM c3)
+${hostCtes("fr", "canon", "canon, n_refs", "q")}
 SELECT canon, host, n_refs,
   CAST(row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, canon) - 1 AS BIGINT) AS wave
-FROM c4 ORDER BY host, wave""",
+FROM qh ORDER BY host, wave""",
     "crawl_frontier" -> s"""
 WITH lr(url) AS (SELECT resolved FROM $GL
   UNION ALL SELECT redirect FROM $G WHERE redirect != ''),

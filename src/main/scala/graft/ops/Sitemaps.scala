@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   *
   * Everything is builtin regexp/string algebra replayed verbatim by the
   * DuckDB oracle (patterns stay inside the Java-regex ∩ RE2 dialect
-  * intersection: `(?s)`, non-greedy `.*?`, `[^<]` classes only).
+  * intersection: `(?s)`, non-greedy `.*?`, and EXPLICIT character
+  * classes — `\s` is avoided because Java's includes U+000B where
+  * RE2's does not; the trim class is spelled `[ \t\n\r\f]`).
   *
   * 100 TB shape: sitemap documents are one-per-host-ish — thousands of
   * times fewer than pages — and every step here is a narrow per-row
@@ -106,14 +108,14 @@ object Sitemaps {
         regexp_extract_all(col("xml"), lit("(?s)<url>(.*?)</url>"), lit(1)))
     val loc0 = regexp_replace(
       regexp_extract(col("entry"), "(?s)<loc>(.*?)</loc>", 1),
-      "^\\s+|\\s+$", "")
+      "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")
     // unescape the five predefined entities; &amp; LAST (class doc)
     val loc = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&apos;" -> "'", "&amp;" -> "&")
       .foldLeft(loc0) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
     val lm0 = regexp_replace(
       regexp_extract(col("entry"), "(?s)<lastmod>(.*?)</lastmod>", 1),
-      "^\\s+|\\s+$", "")
+      "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")
     sitemaps
       .withColumn("kind", kind).filter(col("kind") =!= "")
       .withColumn("scope", scope)
@@ -160,9 +162,9 @@ ex AS (
 fields AS (
   SELECT sm_url, kind, CAST(ord AS BIGINT) AS ord, scope,
     regexp_replace(regexp_extract(entry, '(?s)<loc>(.*?)</loc>', 1),
-      '^\\s+|\\s+$$', '', 'g') AS loc0,
+      '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$$', '', 'g') AS loc0,
     regexp_replace(regexp_extract(entry, '(?s)<lastmod>(.*?)</lastmod>', 1),
-      '^\\s+|\\s+$$', '', 'g') AS lm0
+      '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$$', '', 'g') AS lm0
   FROM ex
 ),
 un AS (

@@ -1831,20 +1831,14 @@ class OpsSpec extends AnyFunSuite {
     }
     // a meta-refresh redirect target that is never crawled must surface
     // in the frontier (the redirect edge-kind is followed, not just <a>)
+    import spark.implicits._
     val ex = SparkEntry.queries("extract_canonical")(spark, "").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
-    val crawledCanon = spark.createDataFrame(
-      spark.sparkContext.parallelize(ex.keys.toSeq.map(org.apache.spark.sql.Row(_))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType))))
-    val crawledSet = crawledCanon.select(graft.ops.Urls.canon("u")).collect()
-      .map(_.getString(0)).toSet
-    val redirCanon = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        ex.values.filter(_.nonEmpty).toSeq.distinct.map(org.apache.spark.sql.Row(_))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType))))
-      .select(graft.ops.Urls.canon("u")).collect().map(_.getString(0)).toSet
+    def canonSet(us: Seq[String]): Set[String] =
+      us.toDF("u").select(graft.ops.Urls.canon("u")).collect()
+        .map(_.getString(0)).toSet
+    val crawledSet = canonSet(ex.keys.toSeq)
+    val redirCanon = canonSet(ex.values.filter(_.nonEmpty).toSeq.distinct)
     val uncrawledRedirs = redirCanon -- crawledSet
     assert(uncrawledRedirs.nonEmpty, "fixture: every redirect target crawled")
     val frontierSet = frontier.map(_._1).toSet
