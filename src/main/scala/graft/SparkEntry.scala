@@ -583,6 +583,24 @@ object SparkEntry {
       // thresholds out of a compact score histogram, no global sort
       graft.ops.Lm.qualityTiers(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "tier_sample" -> ((s, dir) =>
+      // CCNet's downstream move: keep the head, subsample middle/tail
+      // by salted md5 coins against per-tier milli rates
+      graft.ops.Lm.tierSample(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "dedup_incremental" -> ((s, dir) => {
+      // continuous-crawl admission: the odd half is a NEW batch checked
+      // against the even half's kept corpus; the %5 slice is re-offered
+      // under fresh ids so both duplicate reasons (vs corpus, vs own
+      // batch) provably fire
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val existing = base.filter(col("doc_id") % 2 === 0)
+      val incoming = base.filter(col("doc_id") % 2 === 1)
+        .unionAll(base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+      Dedup.incrementalExact(existing, incoming, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "sitemap_parse" -> ((s, _) =>
       // sitemaps.org urlset/index parsing: document-ordered entries,
       // entity-unescaped locs, directory-scope verdicts, lastmod days
@@ -1040,6 +1058,36 @@ ${p}c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
     CAST(sum(tf * cnt) AS BIGINT) AS sum_cnt,
     CAST(sum(CASE WHEN cnt = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
   FROM grain JOIN model USING (gram) GROUP BY grain.doc_id
+)"""
+
+  /** CCNet tier CTE chain — ONE owner for the quality_tiers and
+    * tier_sample oracles (the [[graft.ops.Lm.qualityTiers]] algebra:
+    * LM score → value-threshold terciles). Appends to [[lmCtes]];
+    * produces `tiered(doc_id, score, tier)`. */
+  private def tierCtes(src: String) = s"""${lmCtes(src)},
+scored AS (
+  SELECT d.doc_id,
+    CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS score
+  FROM $src d LEFT JOIN per p USING (doc_id)
+),
+hist AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY score),
+cum AS (
+  SELECT score, CAST(sum(c) OVER (ORDER BY score
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+thr AS (
+  SELECT min(CASE WHEN cum * 3 >= n THEN score END) AS t_tail,
+         min(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t_mid
+  FROM cum, nn
+),
+tiered AS (
+  SELECT doc_id, score,
+    CASE WHEN score <= t_tail THEN 'tail'
+         WHEN score <= t_mid THEN 'middle'
+         ELSE 'head' END AS tier
+  FROM scored, thr
 )"""
 
   /** Host-extraction CTE chain — ONE owner for the '#'/'?'-strip →
@@ -1563,29 +1611,41 @@ SELECT d.doc_id,
   CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS mean_freq_milli
 FROM ${D(sf)} d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
     "quality_tiers" -> s"""
-WITH ${lmCtes(D(sf))},
-scored AS (
-  SELECT d.doc_id,
-    CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS score
-  FROM ${D(sf)} d LEFT JOIN per p USING (doc_id)
-),
-hist AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY score),
-cum AS (
-  SELECT score, CAST(sum(c) OVER (ORDER BY score
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-  FROM hist
-),
-nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
-thr AS (
-  SELECT min(CASE WHEN cum * 3 >= n THEN score END) AS t_tail,
-         min(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t_mid
-  FROM cum, nn
+WITH ${tierCtes(D(sf))}
+SELECT doc_id, score, tier FROM tiered ORDER BY doc_id""",
+    "tier_sample" -> s"""
+WITH ${tierCtes(D(sf))},
+rated AS (
+  SELECT doc_id, tier,
+    CAST(CASE tier WHEN 'head' THEN 1000 WHEN 'middle' THEN 500
+         ELSE 100 END AS BIGINT) AS rate_milli
+  FROM tiered
 )
-SELECT doc_id, score,
-  CASE WHEN score <= t_tail THEN 'tail'
-       WHEN score <= t_mid THEN 'middle'
-       ELSE 'head' END AS tier
-FROM scored, thr ORDER BY doc_id""",
+SELECT doc_id, tier, rate_milli,
+  ('0x' || substring(md5('tier:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+    < (rate_milli * 4294967296) // 1000 AS kept
+FROM rated ORDER BY doc_id""",
+    "dedup_incremental" -> s"""
+WITH ex AS (SELECT md5(text) AS h FROM ${D(sf)} WHERE doc_id % 2 = 0 GROUP BY 1),
+inc AS (
+  SELECT doc_id, md5(text) AS h FROM ${D(sf)} WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 10000, md5(text) FROM ${D(sf)} WHERE doc_id % 5 = 0
+),
+fl AS (
+  SELECT i.doc_id, i.h, e.h IS NOT NULL AS in_ex
+  FROM inc i LEFT JOIN ex e USING (h)
+),
+fi AS (SELECT h, min(doc_id) AS first_id FROM fl WHERE NOT in_ex GROUP BY h),
+rs AS (
+  SELECT fl.doc_id,
+    CASE WHEN fl.in_ex THEN 'dup_existing'
+         WHEN fl.doc_id = fi.first_id THEN 'admitted'
+         ELSE 'dup_batch' END AS reason
+  FROM fl LEFT JOIN fi USING (h)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, reason = 'admitted' AS admitted,
+  reason FROM rs ORDER BY doc_id""",
     "sitemap_parse" -> graft.ops.Sitemaps.oracleSql,
     "graph_pagerank" -> {
       // 5 unrolled integer-PageRank iterations; `rk` not `rank` (window

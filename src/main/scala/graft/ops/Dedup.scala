@@ -432,6 +432,46 @@ object Dedup {
         col("keep_id"), (col("keep_id") === col("doc_id")).as("kept"))
   }
 
+  /** INCREMENTAL exact dedup — the continuous-crawl admission step: a
+    * new batch is admitted against an already-kept corpus, so a
+    * document enters only if its content hash is unseen BOTH in the
+    * existing corpus and earlier (min id) in its own batch (the
+    * reference's analogous policy is skip-text: a page whose text layer
+    * ALREADY exists is not re-OCRed,
+    * /root/reference/src/ocrmypdf/_pipeline.py:337-372).
+    *
+    * Output: one row per incoming doc — (doc_id, admitted, reason)
+    * with reason ∈ {'admitted','dup_existing','dup_batch'}
+    * ('dup_existing' wins when both apply: the batch copy of an
+    * already-kept text is a duplicate of the CORPUS first).
+    *
+    * 100 TB shape: the existing side collapses to a one-column DISTINCT
+    * hash exchange (at warehouse scale a bloom/Iceberg-manifest
+    * pre-filter feeding this exact join); the incoming side shuffles
+    * 16-byte md5 keys twice (flag join, batch argmin), text never
+    * moves. The flagged table feeds the argmin AND the join-back, so it
+    * carries the signature-table persist barrier. */
+  def incrementalExact(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val seen = existing.select(md5(col(textCol)).as("h")).distinct()
+      .withColumn("in_ex", lit(true))
+    val flagged = incoming
+      .select(col(idCol).cast("long").as("doc_id"), md5(col(textCol)).as("h"))
+      .join(seen, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("in_ex"), lit(false)).as("in_ex"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = flagged.filter(!col("in_ex"))
+      .groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    flagged.join(firsts, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_ex"), lit("dup_existing"))
+          .when(col("doc_id") === col("first_id"), lit("admitted"))
+          .otherwise(lit("dup_batch")).as("reason"))
+      .select(col("doc_id"), (col("reason") === "admitted").as("admitted"),
+        col("reason"))
+  }
+
   /** [[minhashApply]]'s embedding-space twin: sign-LSH cosine pairs →
     * components → per-vector (vec_id, keep_id, kept). Same keeper
     * contract; semantic near-duplicates (paraphrases with high

@@ -106,4 +106,26 @@ object Lm {
           .when(col("score") <= col("t_mid"), lit("middle"))
           .otherwise(lit("head")).as("tier"))
   }
+
+  /** Tier-proportional downsampling — the move CCNet makes AFTER
+    * tiering (Wenzek et al. 2020 §4.3 keep the head, subsample the
+    * rest): every doc draws an md5 coin against its tier's keep rate
+    * (milli-units). The coin is salted 'tier:' like every sampler in
+    * CorpusStats, so composing this with quota/weighted sampling
+    * selects independently; rates default to keep-all-head / half the
+    * middle / a tenth of the tail.
+    *
+    * 100 TB shape: [[qualityTiers]]' histogram reduction plus one
+    * narrow coin projection — no new exchange at all. */
+  def tierSample(docs: DataFrame, idCol: String, textCol: String,
+      headMilli: Long = 1000L, midMilli: Long = 500L,
+      tailMilli: Long = 100L): DataFrame =
+    qualityTiers(docs, idCol, textCol)
+      .withColumn("rate_milli",
+        when(col("tier") === "head", lit(headMilli))
+          .when(col("tier") === "middle", lit(midMilli))
+          .otherwise(lit(tailMilli)))
+      .select(col("doc_id"), col("tier"), col("rate_milli"),
+        (expr("cast(conv(substring(md5(concat('tier:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+          < expr("rate_milli * 4294967296 div 1000")).as("kept"))
 }

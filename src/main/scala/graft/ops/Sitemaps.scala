@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** sitemaps.org sitemap parsing — the crawl-side URL *discovery*
   * channel that complements robots.txt's admission channel (the
-  * reference's analogous stage is its input enumeration: which
-  * documents enter the pipeline at all — `create_input_file`'s intake,
-  * /root/reference/src/ocrmypdf/_pipeline.py:77-121 — here the intake
-  * manifest is the Sitemap protocol, www.sitemaps.org/protocol.html).
+  * reference's analogous stage is its input triage: deciding what
+  * enters the pipeline and as which kind,
+  * /root/reference/src/ocrmypdf/_pipeline.py:170-202 `triage` — here
+  * the intake manifest is the Sitemap protocol,
+  * www.sitemaps.org/protocol.html).
   *
   * Semantics implemented (documented scope, pinned by the unit suite):
   *  - a document sniffing `<sitemapindex` is an INDEX (child-sitemap

@@ -1812,6 +1812,50 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, 6L, 5L, true)))
   }
 
+  test("incremental dedup: corpus-dup beats batch-dup, batch keeps first") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val existing = Seq((10L, "kept text a"), (12L, "kept text b"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "brand new text"),      // admitted
+      (2L, "kept text a"),         // dup of the corpus
+      (3L, "repeated in batch"),   // admitted (first of its pair)
+      (4L, "repeated in batch"),   // dup within the batch
+      (5L, "kept text a"))         // corpus-dup wins over batch-dup
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(existing, incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out == Map(
+      1L -> ((true, "admitted")), 2L -> ((false, "dup_existing")),
+      3L -> ((true, "admitted")), 4L -> ((false, "dup_batch")),
+      5L -> ((false, "dup_existing"))))
+  }
+
+  test("tier sample: head always kept, rates follow tiers, coins salted") {
+    import graft.ops.Lm
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q w e r t"), (2L, "z x c v b"),
+      (3L, "c c c"), (4L, "c c c"),
+      (5L, "e e e e e"), (6L, "e e e e e")).toDF("doc_id", "text")
+    val out = Lm.tierSample(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // rate follows the tier assignment pinned by the tiers test
+    assert(out(1L)._1 == "tail" && out(1L)._2 == 100L)
+    assert(out(3L)._1 == "middle" && out(3L)._2 == 500L)
+    // head rate 1000 milli = keep-all (threshold 2^32 > any 32-bit coin)
+    assert(out(5L)._1 == "head" && out(5L)._2 == 1000L && out(5L)._3
+      && out(6L)._3)
+    // custom rates: everything-zero drops every non-head doc
+    val strict = Lm.tierSample(docs, "doc_id", "text",
+      headMilli = 1000L, midMilli = 0L, tailMilli = 0L).collect()
+      .map(r => (r.getString(1), r.getBoolean(3)))
+    assert(strict.forall { case (t, k) => k == (t == "head") })
+  }
+
   test("crawl_schedule: dense per-host waves, refs-desc order, frontier parity") {
     // the politeness schedule must assign each host's queue wave numbers
     // 0..n-1 with n_refs non-increasing along each queue, and cover the
