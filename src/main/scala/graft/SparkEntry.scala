@@ -642,6 +642,16 @@ object SparkEntry {
       // broadcast onto the url side's host key
       graft.ops.Robots.filter(graft.ops.Robots.urlsDf(s), "url",
         graft.ops.Robots.robotsDf(s)).orderBy("url")),
+    "robots_sitemaps" -> ((s, _) =>
+      // robots.txt Sitemap pointers (host-global, group-blind) — the
+      // standard sitemap discovery channel, feeding Sitemaps.parse
+      graft.ops.Robots.sitemapPointers(graft.ops.Robots.robotsDf(s))
+        .orderBy("host", "ln")),
+    "robots_crawl_delay" -> ((s, _) =>
+      // group-scoped Crawl-delay applicable to our agent: integer
+      // seconds, max across merged groups (politest wait wins)
+      graft.ops.Robots.crawlDelays(graft.ops.Robots.robotsDf(s))
+        .orderBy("host")),
     "bpe_train" -> ((s, dir) =>
       // distributed BPE merge learning (Sennrich 2016): per-step pair
       // argmax over the vocab, single-char-atom replace = greedy merge
@@ -1728,6 +1738,8 @@ SELECT registrable, CAST(count(*) AS BIGINT) AS n_pages,
   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
 FROM dj GROUP BY registrable ORDER BY registrable""",
     "robots_filter" -> graft.ops.Robots.oracleSql,
+    "robots_sitemaps" -> graft.ops.Robots.sitemapOracleSql,
+    "robots_crawl_delay" -> graft.ops.Robots.crawlDelayOracleSql,
     "bpe_train" -> graft.ops.Bpe.trainOracleSql(D(sf), "text", merges = 6),
     "bpe_encode" -> graft.ops.Bpe.encodeOracleSql(D(sf), "doc_id", "text",
       merges = 6),

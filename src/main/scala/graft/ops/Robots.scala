@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * the rules are RFC 9309 / the Google REP parser's published behavior):
   *  - a GROUP is one or more consecutive `User-agent` lines followed by
   *    its rules; a `User-agent` line after rules starts a new group;
-  *  - non-group lines (`Sitemap`, `Crawl-delay`, unknown directives,
-  *    comments, blanks) are invisible to grouping — dropping them
-  *    before the boundary scan reproduces the RFC's grouping;
+  *  - grouping sees exactly the group-scoped directives (`Allow`,
+  *    `Disallow`, `Crawl-delay`) plus `User-agent` — so any rule-like
+  *    record after a user-agent run CLOSES the group header (the
+  *    Google parser's published behavior); non-group lines (`Sitemap`,
+  *    unknown directives, comments, blanks) are invisible to grouping;
+  *  - `Crawl-delay` is group-scoped (the Bing/Yandex reading), integer
+  *    seconds only, MAX across merged groups; `Sitemap` is host-GLOBAL
+  *    (valid anywhere in the file, independent of user-agent);
   *  - rules BEFORE any `User-agent` line belong to no group → ignored;
   *  - exactly the most specific agent level applies: groups naming the
   *    agent exactly (case-insensitive) if any exist, else the `*`
@@ -62,7 +67,7 @@ object Robots {
       "Allow: /private/pub",
       "Disallow: /tmp/",
       "Disallow:", // empty value: matches nothing, dropped at parse
-      "Crawl-delay: 10", // unknown directive: invisible to grouping
+      "Crawl-delay: 10", // group-scoped: belongs to the (shadowed) * group
       "",
       "User-Agent: GraftBot", // case-insensitive directive AND agent
       "User-agent: otherbot", // stacked: one group, two agents
@@ -87,6 +92,25 @@ object Robots {
       "Disallow: /y").mkString("\n"),
     "host05.example.net" -> Seq(
       "User-agent: crawler-b", // no group matches graftbot and no `*`
+      "Disallow: /").mkString("\n"),
+    "host07.example.com" -> Seq(
+      "User-agent: *",
+      "Crawl-delay: 2", // shadowed with the whole * group
+      "Disallow: /all",
+      "",
+      "User-agent: graftbot",
+      "Crawl-delay: 7",
+      "Crawl-delay: 3", // two delays in one group: MAX (7) wins
+      "Crawl-delay: 2.5", // fractional: dropped (integer-only scope)
+      "SiteMap: https://host07.example.com/sitemap.xml", // name case-blind
+      "Sitemap: https://host07.example.com/maps/extra.xml",
+      "Disallow: /x").mkString("\n"),
+    "host08.example.org" -> Seq(
+      "User-agent: graftbot",
+      "Crawl-delay: 3",
+      // the delay record CLOSED the header: otherbot is a NEW group, so
+      // its Disallow does NOT bind graftbot (Google parser behavior)
+      "User-agent: otherbot",
       "Disallow: /").mkString("\n"))
 
   /** URL fixture — each row exercises one documented behavior; the
@@ -113,7 +137,13 @@ object Robots {
     // host05: only crawler-b has a group; graftbot unrestricted
     "http://host05.example.net/q",
     // host06: no robots.txt at all
-    "http://host06.example.com/anywhere")
+    "http://host06.example.com/anywhere",
+    // host07: the graftbot group's Disallow /x binds; /y does not
+    "http://host07.example.com/x/1",
+    "http://host07.example.com/y/1",
+    // host08: otherbot's group was CLOSED off by the crawl-delay record
+    // — its Disallow / must NOT bind graftbot
+    "http://host08.example.org/anything")
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -133,14 +163,12 @@ object Robots {
     urlFixture.toDF("url")
   }
 
-  /** Parse robots bodies into the merged rule set applicable to
-    * `agent`: (host, rtype 'allow'|'disallow', rpath). Pure builtin
-    * algebra; the window steps run over per-host line numbers (the
-    * robots table is per-host tiny — this shuffle is of rule LINES,
-    * never pages). */
-  def applicableRules(robots: DataFrame, agent: String): DataFrame = {
-    val byLine = Window.partitionBy("host").orderBy("ln")
-    val lines = robots.select(col("host"),
+  /** Every directive line of every robots body, comment-stripped and
+    * name-lowercased: (host, ln, directive, value). ONE owner for the
+    * line algebra shared by the group machinery and the group-BLIND
+    * [[sitemapPointers]] extraction. */
+  private def parsedLines(robots: DataFrame): DataFrame =
+    robots.select(col("host"),
         posexplode(split(col("txt"), "\n")).as(Seq("ln", "line0")))
       .select(col("host"), col("ln"),
         trim(split_part(col("line0"), lit("#"), lit(1))).as("line"))
@@ -150,7 +178,20 @@ object Robots {
           .as("directive"),
         trim(col("line").substr(instr(col("line"), ":") + lit(1),
           length(col("line")))).as("value"))
-      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+
+  /** The group-scoped directive lines (allow/disallow/crawl-delay) of
+    * the groups applicable to `agent`: (host, directive, value).
+    * Grouping sees exactly the group-scoped directives + user-agent —
+    * so any rule-like record after a user-agent run CLOSES the group
+    * header (the Google parser's published behavior: `UA:a, Crawl-
+    * delay, UA:b` puts b in a NEW group), while Sitemap/unknown/
+    * comment lines stay invisible. ONE owner for [[applicableRules]]
+    * and [[crawlDelays]]. */
+  private def chosenLines(robots: DataFrame, agent: String): DataFrame = {
+    val byLine = Window.partitionBy("host").orderBy("ln")
+    val lines = parsedLines(robots)
+      .filter(col("directive").isin(
+        "user-agent", "allow", "disallow", "crawl-delay"))
       .withColumn("isua", col("directive") === "user-agent")
     // group boundary = a UA line whose predecessor (among KEPT lines) is
     // not a UA line; group id = running boundary count (explicit ROWS
@@ -169,9 +210,44 @@ object Robots {
       .select("host", "grp")
     grouped.filter(!col("isua") && col("grp") > 0 && col("value") =!= "")
       .join(chosen, Seq("host", "grp"))
+      .select(col("host"), col("directive"), col("value"))
+  }
+
+  /** Parse robots bodies into the merged rule set applicable to
+    * `agent`: (host, rtype 'allow'|'disallow', rpath). Pure builtin
+    * algebra; the window steps run over per-host line numbers (the
+    * robots table is per-host tiny — this shuffle is of rule LINES,
+    * never pages). */
+  def applicableRules(robots: DataFrame, agent: String): DataFrame =
+    chosenLines(robots, agent)
+      .filter(col("directive").isin("allow", "disallow"))
       .select(col("host"), col("directive").as("rtype"),
         col("value").as("rpath"))
-  }
+
+  /** The Crawl-delay applicable to `agent` per host: group-scoped like
+    * rules (the Bing/Yandex reading — the delay in the chosen group
+    * applies), integer seconds only (fractional/garbage values are
+    * dropped, documented scope), MAX across the chosen groups' delays —
+    * when merged groups disagree, the politest wait wins. Hosts with no
+    * applicable numeric delay are absent. */
+  def crawlDelays(robots: DataFrame, agent: String = agent): DataFrame =
+    chosenLines(robots, agent)
+      .filter(col("directive") === "crawl-delay"
+        && col("value").rlike("^[0-9]+$"))
+      .groupBy("host")
+      .agg(max(col("value").cast("long")).as("delay_s"))
+
+  /** Sitemap pointers: (host, ln, sitemap_url). Group-BLIND — the
+    * Sitemap directive is host-global per the sitemaps.org extension
+    * (valid anywhere in the file, independent of user-agent), so this
+    * reads [[parsedLines]] directly, keeping the source line for
+    * document order. The crawl-side discovery composition: robots.txt →
+    * sitemap urls → [[Sitemaps.parse]] → frontier. */
+  def sitemapPointers(robots: DataFrame): DataFrame =
+    parsedLines(robots)
+      .filter(col("directive") === "sitemap" && col("value") =!= "")
+      .select(col("host"), col("ln").cast("long").as("ln"),
+        col("value").as("sitemap_url"))
 
   /** Per-url robots verdict: (url, host, path, allowed, rule, rtype).
     * `rule`/`rtype` are ''/'' when no rule matched. The rule table
@@ -200,15 +276,11 @@ object Robots {
         coalesce(col("best.rtype"), lit("")).as("rtype"))
   }
 
-  /** The DuckDB replay of [[applicableRules]]+[[filter]] over the same
-    * fixtures — zipped unnests for posexplode, lag + framed running sum
-    * for the boundary scan, row_number for the argmax. */
-  def oracleSql: String = s"""
-WITH robots(host, txt) AS (VALUES
-  $fixtureValuesSql),
-raw(url) AS (VALUES
-  $urlValuesSql),
-lines0 AS (
+  /** The [[parsedLines]] replay: `lines2(host, ln, directive, value)`
+    * with DuckDB's 1-BASED ln (Spark's posexplode is 0-based; only
+    * order matters inside the group scan, but any oracle that OUTPUTS
+    * ln must subtract 1). ONE owner for all three robots oracles. */
+  private def linesCtes: String = s"""lines0 AS (
   SELECT host, unnest(range(1, len(ls) + 1)) AS ln, unnest(ls) AS line0
   FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM robots)
 ),
@@ -221,10 +293,13 @@ lines2 AS (
     lower(trim(substr(line, 1, instr(line, ':') - 1))) AS directive,
     trim(substr(line, instr(line, ':') + 1)) AS value
   FROM lines1
-),
-kept AS (
+)"""
+
+  /** The [[chosenLines]] replay: group scan + agent-level choice ending
+    * in `grouped` + `chosen(host, grp)`. Appends to [[linesCtes]]. */
+  private def groupCtes: String = s"""kept AS (
   SELECT *, directive = 'user-agent' AS isua FROM lines2
-  WHERE directive IN ('user-agent', 'allow', 'disallow')
+  WHERE directive IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
 ),
 marked AS (
   SELECT *, isua AND NOT coalesce(
@@ -246,11 +321,44 @@ hostlevel AS (SELECT host, max(ex) AS any_ex FROM ga GROUP BY host),
 chosen AS (
   SELECT ga.host, ga.grp FROM ga JOIN hostlevel USING (host)
   WHERE CASE WHEN any_ex THEN ex ELSE st END
-),
+)"""
+
+  /** The DuckDB replay of [[sitemapPointers]] — [[linesCtes]] only
+    * (group-blind), ln re-based to Spark's 0-based posexplode. */
+  def sitemapOracleSql: String = s"""
+WITH robots(host, txt) AS (VALUES
+  $fixtureValuesSql),
+$linesCtes
+SELECT host, CAST(ln - 1 AS BIGINT) AS ln, value AS sitemap_url
+FROM lines2 WHERE directive = 'sitemap' AND value != ''
+ORDER BY host, ln"""
+
+  /** The DuckDB replay of [[crawlDelays]] over the same fixtures. */
+  def crawlDelayOracleSql: String = s"""
+WITH robots(host, txt) AS (VALUES
+  $fixtureValuesSql),
+$linesCtes,
+$groupCtes
+SELECT g.host, CAST(max(CAST(g.value AS BIGINT)) AS BIGINT) AS delay_s
+FROM grouped g JOIN chosen c ON g.host = c.host AND g.grp = c.grp
+WHERE g.directive = 'crawl-delay' AND regexp_matches(g.value, '^[0-9]+$$')
+GROUP BY g.host ORDER BY g.host"""
+
+  /** The DuckDB replay of [[applicableRules]]+[[filter]] over the same
+    * fixtures — zipped unnests for posexplode, lag + framed running sum
+    * for the boundary scan, row_number for the argmax. */
+  def oracleSql: String = s"""
+WITH robots(host, txt) AS (VALUES
+  $fixtureValuesSql),
+raw(url) AS (VALUES
+  $urlValuesSql),
+$linesCtes,
+$groupCtes,
 rules AS (
   SELECT g.host, g.directive AS rtype, g.value AS rpath
   FROM grouped g JOIN chosen c ON g.host = c.host AND g.grp = c.grp
-  WHERE NOT g.isua AND g.grp > 0 AND g.value != ''
+  WHERE NOT g.isua AND g.directive IN ('allow', 'disallow')
+    AND g.grp > 0 AND g.value != ''
 ),
 u1 AS (SELECT url, split_part(split_part(url, '#', 1), '?', 1) AS base FROM raw),
 u2 AS (SELECT url, CASE WHEN instr(base, '://') > 0

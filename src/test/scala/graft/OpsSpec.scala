@@ -1713,6 +1713,31 @@ class OpsSpec extends AnyFunSuite {
     // robots at all: both unrestricted
     assert(out("http://host05.example.net/q") == ((true, "", "")))
     assert(out("http://host06.example.com/anywhere") == ((true, "", "")))
+    // host07: the exact-agent group's rule binds through its delay lines
+    assert(out("http://host07.example.com/x/1") == ((false, "/x", "disallow")))
+    assert(out("http://host07.example.com/y/1") == ((true, "", "")))
+    // host08: the crawl-delay record closed graftbot's header — the
+    // following otherbot group's Disallow / must NOT bind graftbot
+    assert(out("http://host08.example.org/anything") == ((true, "", "")))
+  }
+
+  test("robots: crawl delays group-scoped max, sitemap pointers group-blind") {
+    import graft.ops.Robots
+    val delays = Robots.crawlDelays(Robots.robotsDf(spark)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // host07: graftbot group has 7 and 3 (max 7); the * group's 2 and
+    // the fractional 2.5 never apply. host08: graftbot's own group's 3.
+    // host01's delay sits in the SHADOWED * group → absent.
+    assert(delays == Map("host07.example.com" -> 7L,
+      "host08.example.org" -> 3L))
+    val maps = Robots.sitemapPointers(Robots.robotsDf(spark)).collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    // host04's pointer sits between two groups, host07's two inside a
+    // group (one with SiteMap name casing) — all surface
+    assert(maps.toSet == Set(
+      ("host04.example.org", "https://host04.example.org/sitemap.xml"),
+      ("host07.example.com", "https://host07.example.com/sitemap.xml"),
+      ("host07.example.com", "https://host07.example.com/maps/extra.xml")))
   }
 
   test("robots: Allow beats Disallow at equal rule length") {
