@@ -35,7 +35,10 @@ object Plans {
       // driver-assembled merge table (LocalTableScan) — the distributed
       // plans are the per-step pair-count jobs, not the returned frame
       "dedup_winnow", "lm_bigram", "graph_pagerank", "text_topic",
-      "url_blocklist", "source_overlap", "vocab_growth").foreach { q =>
+      "url_blocklist", "source_overlap", "vocab_growth",
+      "quality_tiers", "tier_sample", "dedup_incremental",
+      "dedup_keep_best", "sitemap_parse", "robots_crawl_delay",
+      "crawl_schedule", "domain_stats").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
