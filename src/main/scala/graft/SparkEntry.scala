@@ -304,7 +304,7 @@ object SparkEntry {
       }
       val pages = s.createDataset(blobs)
         .repartition(4) // archives parse in parallel, like binaryFile tasks
-        .flatMap(graft.spark.WarcSource.parseRecords _)
+        .flatMap(b => graft.spark.WarcSource.parseRecords(b))
       Jobs.extract(pages, 32).toDF()
         .select("url", "text", "outcome", "engine").orderBy("url")
     }),

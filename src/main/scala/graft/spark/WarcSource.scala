@@ -10,8 +10,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * Content-Length framing means payloads are OPAQUE — html containing
   * "WARC/1.0" never desyncs the reader.
   *
-  * Only `WARC-Type: response` records with a `WARC-Target-URI` become
-  * pages; other record types (warcinfo, request, metadata) are skipped,
+  * Only records of the wanted `WARC-Type` (default `response`; WET
+  * readers pass `conversion`) with a `WARC-Target-URI` become pages;
+  * other record types (warcinfo, request, metadata) are skipped,
   * and a structurally corrupt header ends the walk deterministically
   * (same failure-containment discipline as the extraction kernel — bad
   * bytes degrade, never throw).
@@ -78,11 +79,12 @@ object WarcSource {
     * inconsistency. Total on arbitrary bytes. LAZY: advances one record
     * per pull, so the downstream flatMap streams records out of a large
     * archive instead of materializing every payload copy up front. */
-  def parseRecords(bytes: Array[Byte]): Iterator[PageRow] =
+  def parseRecords(bytes: Array[Byte],
+      recordType: String = "response"): Iterator[PageRow] =
     if (bytes == null) Iterator.empty
-    else new RecordIterator(bytes)
+    else new RecordIterator(bytes, recordType)
 
-  private final class RecordIterator(bytes: Array[Byte])
+  private final class RecordIterator(bytes: Array[Byte], recordType: String)
       extends Iterator[PageRow] {
     private var i = 0
     private var ok = true
@@ -160,7 +162,7 @@ object WarcSource {
               // payloads we skip — copying megabytes per skipped record
               // just to discard them is pure allocation pressure in the
               // per-file hot loop
-              val wanted = warcType == "response" && url != null &&
+              val wanted = warcType == recordType && url != null &&
                 date != null
               val start = i
               i += contentLength.toInt

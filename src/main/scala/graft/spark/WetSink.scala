@@ -1,0 +1,135 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WET emission sink — the text-extract distribution format Common
+  * Crawl actually ships (WARC/1.0 `conversion` records, ISO 28500 §6.8:
+  * one record per source page carrying the EXTRACTED text as a
+  * `text/plain` payload). The pipeline's outward twin of
+  * [[WarcSource]]: archives come in as WARC `response` records, text
+  * leaves as WET `conversion` records (the reference's analogous stage
+  * is emitting the recognized text as a new layer in the output
+  * artifact — render_hocr_page/graft,
+  * /root/reference/src/ocrmypdf/hocrtransform/, rather than keeping it
+  * in internal tables).
+  *
+  * Layout + determinism contract (the north rule's byte-parity
+  * discipline applied to a SINK): rows are bucketed by
+  * `pmod(xxhash64(url), files)` and sorted by url inside each file, so
+  * the SAME table always serializes to the SAME bytes file-for-file —
+  * rerun-identical output a downstream consumer can checksum. Each
+  * file opens with one `warcinfo` record built from fixed fields only
+  * (no wall clock — a timestamp here would break byte parity).
+  *
+  * 100 TB shape: one hash exchange of (url, ts, text) rows, then each
+  * task streams its records straight to its own file through the
+  * Hadoop FileSystem API (warehouse-scheme-agnostic, same discipline
+  * as CheckpointedWriter) — no driver collection, no small-file
+  * explosion (`files` pins the output fan-out).
+  */
+object WetSink {
+
+  private val CRLF = "\r\n"
+  private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** CR/LF in a header value would forge record structure — same
+    * flattening rule as [[WarcSource.writeRecords]]. */
+  private def headerSafe(v: String): String =
+    if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0) v
+    else v.replace('\r', ' ').replace('\n', ' ')
+
+  private def record(headers: Seq[(String, String)],
+      payload: Array[Byte], out: java.io.OutputStream): Unit = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(CRLF)
+    headers.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(headerSafe(v)).append(CRLF)
+    }
+    sb.append("Content-Length: ").append(payload.length).append(CRLF)
+    sb.append(CRLF)
+    out.write(sb.toString.getBytes(UTF8))
+    out.write(payload)
+    out.write(s"$CRLF$CRLF".getBytes(UTF8))
+  }
+
+  /** One page as a WET conversion record. Content-Length framing keeps
+    * the text payload OPAQUE — embedded "WARC/1.0", CRLFs, anything. */
+  def conversionRecord(url: String, ts: java.sql.Timestamp, text: String,
+      out: java.io.OutputStream): Unit = {
+    val instant =
+      if (ts == null) java.time.Instant.EPOCH
+      // full micros precision — same rationale as WarcSource.writeRecords
+      else java.time.Instant.ofEpochSecond(
+        Math.floorDiv(ts.getTime, 1000L), ts.getNanos.toLong)
+    record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> instant.toString,
+      "Content-Type" -> "text/plain"),
+      (if (text == null) "" else text).getBytes(UTF8), out)
+  }
+
+  private def warcinfo(out: java.io.OutputStream): Unit =
+    record(Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+      s"software: graft${CRLF}format: WARC File Format 1.0$CRLF".getBytes(UTF8), out)
+
+  /** Write `df`'s (urlCol, tsCol, textCol) as `files` WET files under
+    * `outDir` (part-NNNNN.warc.wet). Rerun-identical bytes (class doc). */
+  def writeWet(df: DataFrame, outDir: String, urlCol: String = "url",
+      tsCol: String = "warc_ts", textCol: String = "text",
+      files: Int = 32): Unit = {
+    val spark = df.sparkSession
+    val conf = org.apache.spark.graft.GraftUtilAccess.serializableConf(
+      spark.sparkContext.hadoopConfiguration)
+    val prepared = df
+      .select(col(urlCol).as("url"), col(tsCol).as("ts"),
+        col(textCol).as("text"))
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(files)))
+      .repartition(files, col("bucket"))
+      .sortWithinPartitions("bucket", "url")
+    val counts = prepared.queryExecution.toRdd.mapPartitionsWithIndex {
+      (pid, rows) =>
+        val path = new org.apache.hadoop.fs.Path(
+          outDir, f"part-$pid%05d.warc.wet")
+        val fs = path.getFileSystem(
+          org.apache.spark.graft.GraftUtilAccess.confOf(conf))
+        val out = fs.create(path, true)
+        var n = 0L
+        try {
+          warcinfo(out)
+          rows.foreach { r =>
+            val url = r.getUTF8String(0).toString
+            val ts = if (r.isNullAt(1)) null
+              else org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .toJavaTimestamp(r.getLong(1))
+            val text = if (r.isNullAt(2)) null else r.getUTF8String(2).toString
+            conversionRecord(url, ts, text, out)
+            n += 1
+          }
+        } finally out.close()
+        Iterator.single(n)
+    }.collect()
+    require(counts.length == files,
+      s"wet sink wrote ${counts.length} files, expected $files")
+  }
+
+  /** Read WET files back as (url, warc_ts, text) — the verification
+    * twin of [[writeWet]] (and a real consumer for third-party WET):
+    * one task per file, conversion records only, text decoded UTF-8. */
+  def readWet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wet*")
+      .load(dir)
+      .select("content")
+      .as[Array[Byte]]
+      .flatMap { b =>
+        val raw = if (b.length >= 2 && (b(0) & 0xff) == 0x1f &&
+          (b(1) & 0xff) == 0x8b) WarcSource.gunzipAll(b) else b
+        WarcSource.parseRecords(raw, "conversion").map(p =>
+          (p.url, p.warc_ts, new String(p.html, UTF8)))
+      }
+      .toDF("url", "warc_ts", "text")
+  }
+}

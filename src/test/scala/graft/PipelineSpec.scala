@@ -440,6 +440,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(restored.take(5).map(_.url) == rows.take(5).map(_.url))
   }
 
+  test("wet sink: round-trip, rerun byte-identity, opaque payloads") {
+    import graft.spark.WetSink
+    import spark.implicits._
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-02-03T04:05:06.123456Z"))
+    val rows = Seq(
+      ("https://w.test/a", ts, "plain text"),
+      // payload framing must keep CRLFs and an embedded version line
+      ("https://w.test/b", ts, "line1\r\nWARC/1.0\r\nline3"),
+      ("https://w.test/c", ts, "ünïcodé — 数据"),
+      ("https://w.test/d", ts, ""),
+      ("https://w.test/e", null.asInstanceOf[java.sql.Timestamp], "no ts"))
+    val df = rows.toDF("url", "warc_ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet").toString
+    WetSink.writeWet(df, s"$dir/one", files = 3)
+    val back = WetSink.readWet(spark, s"$dir/one").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(_._1)
+    // null ts serializes as the epoch sentinel; everything else exact
+    assert(back.map(_._1).toSeq == rows.map(_._1).sorted)
+    assert(back.map(_._3).toSeq ==
+      rows.sortBy(_._1).map(_._3))
+    assert(back.take(4).forall(_._2 == ts))
+    assert(back.last._2 == java.sql.Timestamp.from(java.time.Instant.EPOCH))
+    // rerun byte-identity: same table → same files, byte for byte
+    WetSink.writeWet(df, s"$dir/two", files = 3)
+    (0 until 3).foreach { i =>
+      val f = f"part-$i%05d.warc.wet"
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/one", f))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/two", f))
+      assert(java.util.Arrays.equals(a, b), s"wet file $f not rerun-stable")
+      assert(a.nonEmpty)
+    }
+    // a WET file is invisible to the response-record reader (warcinfo +
+    // conversion records only), and vice versa the WET reader sees all
+    val asWarc = graft.spark.WarcSource.parseRecords(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/one", "part-00000.warc.wet")))
+    assert(asWarc.isEmpty)
+    // the real pipeline composition: extract → WET → read-back parity
+    val ex = Jobs.extract(Jobs.syntheticPages(spark, 200), 8).toDF()
+      .select(col("url"), col("warc_ts"), col("text"))
+    WetSink.writeWet(ex, s"$dir/full", files = 4)
+    val round = WetSink.readWet(spark, s"$dir/full")
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    val want = ex.collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(round == want, "extract → WET → read-back text parity broken")
+  }
+
   test("subset filter: open-ended `end` selects the same rows as resolved") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
