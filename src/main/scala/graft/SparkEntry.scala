@@ -592,12 +592,15 @@ object SparkEntry {
       // continuous-crawl admission: the odd half is a NEW batch checked
       // against the even half's kept corpus; the %5 slice is re-offered
       // under fresh ids so both duplicate reasons (vs corpus, vs own
-      // batch) provably fire
+      // batch) provably fire. The re-offer offset is 10^12 — far above
+      // any sf's genuine id range (a small offset would COLLIDE with
+      // real ids at larger sf, making the doc_id sort ambiguous)
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val existing = base.filter(col("doc_id") % 2 === 0)
       val incoming = base.filter(col("doc_id") % 2 === 1)
         .unionAll(base.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+          .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+            col("text")))
       Dedup.incrementalExact(existing, incoming, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1640,7 +1643,7 @@ WITH ex AS (SELECT md5(text) AS h FROM ${D(sf)} WHERE doc_id % 2 = 0 GROUP BY 1)
 inc AS (
   SELECT doc_id, md5(text) AS h FROM ${D(sf)} WHERE doc_id % 2 = 1
   UNION ALL
-  SELECT doc_id + 10000, md5(text) FROM ${D(sf)} WHERE doc_id % 5 = 0
+  SELECT doc_id + 1000000000000, md5(text) FROM ${D(sf)} WHERE doc_id % 5 = 0
 ),
 fl AS (
   SELECT i.doc_id, i.h, e.h IS NOT NULL AS in_ex

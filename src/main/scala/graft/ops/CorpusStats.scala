@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
+  /** Operator-salted 32-bit sampling coin: the first 8 md5 hex digits
+    * of '<salt>:<id>' as a bigint in [0, 2^32). ONE owner of the coin
+    * algebra every threshold sampler draws from ([[weightedSample]],
+    * [[graft.ops.Lm.tierSample]]); the DuckDB twin is
+    * `('0x' || substring(md5('<salt>:' || CAST(id AS VARCHAR)), 1, 8))
+    * ::BIGINT`. Distinct salts make composed samplers select
+    * independently — editing the width or salt format in one site
+    * without the others (or their oracle twins) would silently
+    * re-correlate them. */
+  def coin32(salt: String, idCol: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substring(md5(concat('$salt:', cast($idCol as string))), 1, 8), 16, 10) as bigint)")
+
   /** Whitespace tokens, empties dropped — mirrors DuckDB
     * list_filter(string_split(text, ' '), x -> x != ''). Shared owner:
     * [[TextGrams]] (Bloom/CountMin must hash identical tokens). */
@@ -494,7 +506,7 @@ object CorpusStats {
       .select(col(idCol).as("doc_id"), col("weight_milli"),
         // integer div (Spark `div` ≡ DuckDB `//`), never float `/`;
         // 'weight:' salt → independent of the other samplers' coins
-        (expr(s"cast(conv(substring(md5(concat('weight:', cast($idCol as string))), 1, 8), 16, 10) as bigint)")
+        (coin32("weight", idCol)
           < expr("(weight_milli * 4294967296L) div 1000")).as("kept"))
 
   /** PII redaction [public technique: the standard pre-training scrub —

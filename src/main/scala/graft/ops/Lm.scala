@@ -126,6 +126,6 @@ object Lm {
           .when(col("tier") === "middle", lit(midMilli))
           .otherwise(lit(tailMilli)))
       .select(col("doc_id"), col("tier"), col("rate_milli"),
-        (expr("cast(conv(substring(md5(concat('tier:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+        (CorpusStats.coin32("tier", "doc_id")
           < expr("rate_milli * 4294967296 div 1000")).as("kept"))
 }

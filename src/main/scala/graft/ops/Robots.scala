@@ -102,6 +102,9 @@ object Robots {
       "Crawl-delay: 7",
       "Crawl-delay: 3", // two delays in one group: MAX (7) wins
       "Crawl-delay: 2.5", // fractional: dropped (integer-only scope)
+      // 20 digits > Long range: dropped by the 18-digit cap, never an
+      // ANSI cast overflow
+      "Crawl-delay: 99999999999999999999",
       "SiteMap: https://host07.example.com/sitemap.xml", // name case-blind
       "Sitemap: https://host07.example.com/maps/extra.xml",
       "Disallow: /x").mkString("\n"),
@@ -229,11 +232,14 @@ object Robots {
     * applies), integer seconds only (fractional/garbage values are
     * dropped, documented scope), MAX across the chosen groups' delays —
     * when merged groups disagree, the politest wait wins. Hosts with no
-    * applicable numeric delay are absent. */
+    * applicable numeric delay are absent. The digit count is CAPPED at
+    * 18 (< log10(2^63)): hostile input like a 20-digit delay must
+    * degrade to dropped, not blow up the ANSI cast (Spark 4 CAST
+    * throws on overflow — the degrade-never-throw discipline). */
   def crawlDelays(robots: DataFrame, agent: String = agent): DataFrame =
     chosenLines(robots, agent)
       .filter(col("directive") === "crawl-delay"
-        && col("value").rlike("^[0-9]+$"))
+        && col("value").rlike("^[0-9]{1,18}$"))
       .groupBy("host")
       .agg(max(col("value").cast("long")).as("delay_s"))
 
@@ -341,7 +347,7 @@ $linesCtes,
 $groupCtes
 SELECT g.host, CAST(max(CAST(g.value AS BIGINT)) AS BIGINT) AS delay_s
 FROM grouped g JOIN chosen c ON g.host = c.host AND g.grp = c.grp
-WHERE g.directive = 'crawl-delay' AND regexp_matches(g.value, '^[0-9]+$$')
+WHERE g.directive = 'crawl-delay' AND regexp_matches(g.value, '^[0-9]{1,18}$$')
 GROUP BY g.host ORDER BY g.host"""
 
   /** The DuckDB replay of [[applicableRules]]+[[filter]] over the same

@@ -34,42 +34,55 @@ object WarcSource {
     * lang hint in a plain one. */
   /** Header values ride on CRLF-framed lines: a CR/LF inside a value
     * (un-normalized crawl input) would inject a forged header and desync
-    * every following record, so line breaks are flattened to spaces. */
-  private def headerSafe(v: String): String =
+    * every following record, so line breaks are flattened to spaces.
+    * ONE owner, shared with [[WetSink]]. */
+  private[spark] def headerSafe(v: String): String =
     if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0) v
     else v.replace('\r', ' ').replace('\n', ' ')
+
+  /** Full Timestamp precision: getTime truncates to millis, but
+    * parquet/Spark timestamps carry MICROS — round-tripping through
+    * ofEpochMilli would silently change warc_ts on re-ingest and break
+    * (url, warc_ts)-keyed byte parity. getNanos carries the complete
+    * fractional second. null → the epoch sentinel. ONE owner, shared
+    * with [[WetSink]]. */
+  private[spark] def instantOf(ts: java.sql.Timestamp): java.time.Instant =
+    if (ts == null) java.time.Instant.EPOCH
+    else java.time.Instant.ofEpochSecond(
+      Math.floorDiv(ts.getTime, 1000L), ts.getNanos.toLong)
+
+  /** One framed WARC record: version line, headers, Content-Length,
+    * blank line, exactly-Content-Length payload, CRLF CRLF separator.
+    * ONE owner of the framing rules for every writer in this package. */
+  private[spark] def writeRecord(version: String,
+      headers: Seq[(String, String)], payload: Array[Byte],
+      out: java.io.OutputStream): Unit = {
+    val sb = new StringBuilder
+    sb.append(version).append(CRLF)
+    headers.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(headerSafe(v)).append(CRLF)
+    }
+    sb.append("Content-Length: ").append(payload.length).append(CRLF)
+    sb.append(CRLF)
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(payload)
+    out.write(s"$CRLF$CRLF".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   def writeRecords(rows: Seq[PageRow]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     rows.foreach { r =>
-      val sb = new StringBuilder
-      sb.append("WARC/1.0").append(CRLF)
-      sb.append("WARC-Type: response").append(CRLF)
-      sb.append("WARC-Target-URI: ").append(headerSafe(r.url)).append(CRLF)
-      sb.append("WARC-Date: ").append(
-        // full Timestamp precision: getTime truncates to millis, but
-        // parquet/Spark timestamps carry MICROS — round-tripping through
-        // ofEpochMilli would silently change warc_ts on re-ingest and
-        // break (url, warc_ts)-keyed byte parity. getNanos carries the
-        // complete fractional second.
-        (if (r.warc_ts == null) java.time.Instant.EPOCH
-         else java.time.Instant.ofEpochSecond(
-           Math.floorDiv(r.warc_ts.getTime, 1000L), r.warc_ts.getNanos.toLong))
-          .toString)
-        .append(CRLF)
-      if (r.lang != null)
-        sb.append("WARC-Graft-Lang: ").append(headerSafe(r.lang)).append(CRLF)
-      if (r.text != null)
-        sb.append("WARC-Graft-Prior: ").append(
+      val headers = Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> r.url,
+        "WARC-Date" -> instantOf(r.warc_ts).toString) ++
+        (if (r.lang != null) Seq("WARC-Graft-Lang" -> r.lang) else Nil) ++
+        (if (r.text != null) Seq("WARC-Graft-Prior" ->
           java.util.Base64.getEncoder.encodeToString(
             r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          .append(CRLF)
+         else Nil)
       val payload = if (r.html == null) Array.empty[Byte] else r.html
-      sb.append("Content-Length: ").append(payload.length).append(CRLF)
-      sb.append(CRLF)
-      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.write(payload)
-      out.write(s"$CRLF$CRLF".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      writeRecord("WARC/1.0", headers, payload, out)
     }
     out.toByteArray
   }

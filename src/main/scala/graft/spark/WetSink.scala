@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   * in internal tables).
   *
   * Layout + determinism contract (the north rule's byte-parity
-  * discipline applied to a SINK): rows are bucketed by
-  * `pmod(xxhash64(url), files)` and sorted by url inside each file, so
-  * the SAME table always serializes to the SAME bytes file-for-file —
-  * rerun-identical output a downstream consumer can checksum. Each
-  * file opens with one `warcinfo` record built from fixed fields only
-  * (no wall clock — a timestamp here would break byte parity).
+  * discipline applied to a SINK): rows hash to files by Spark's
+  * murmur3 of the url (`repartition(files, url)`) and each file is
+  * sorted by (url, ts, text) — the FULL row totalizes the order, so
+  * even a table carrying one url twice (recrawl snapshots) serializes
+  * to the same bytes on every run. Record ids are deterministic v3
+  * UUIDs of (url, date); the warcinfo record carries only fixed
+  * fields and the epoch date (a wall clock here would break byte
+  * parity). Records declare WARC/1.1 — the version that ALLOWS the
+  * fractional-second WARC-Date the micros-exact ts round-trip needs
+  * (WARC/1.0 dates are whole seconds only).
   *
   * 100 TB shape: one hash exchange of (url, ts, text) rows, then each
   * task streams its records straight to its own file through the
@@ -32,47 +36,37 @@ object WetSink {
 
   private val CRLF = "\r\n"
   private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+  private val Version = "WARC/1.1"
 
-  /** CR/LF in a header value would forge record structure — same
-    * flattening rule as [[WarcSource.writeRecords]]. */
-  private def headerSafe(v: String): String =
-    if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0) v
-    else v.replace('\r', ' ').replace('\n', ' ')
-
-  private def record(headers: Seq[(String, String)],
-      payload: Array[Byte], out: java.io.OutputStream): Unit = {
-    val sb = new StringBuilder
-    sb.append("WARC/1.0").append(CRLF)
-    headers.foreach { case (k, v) =>
-      sb.append(k).append(": ").append(headerSafe(v)).append(CRLF)
-    }
-    sb.append("Content-Length: ").append(payload.length).append(CRLF)
-    sb.append(CRLF)
-    out.write(sb.toString.getBytes(UTF8))
-    out.write(payload)
-    out.write(s"$CRLF$CRLF".getBytes(UTF8))
-  }
+  /** Deterministic ISO 28500 mandatory record id: a NAME-derived (v3)
+    * uuid, so reruns emit identical bytes where a random v4 would not. */
+  private def recordId(name: String): String =
+    "<urn:uuid:" + java.util.UUID.nameUUIDFromBytes(name.getBytes(UTF8)) + ">"
 
   /** One page as a WET conversion record. Content-Length framing keeps
-    * the text payload OPAQUE — embedded "WARC/1.0", CRLFs, anything. */
+    * the text payload OPAQUE — embedded "WARC/1.0", CRLFs, anything.
+    * Framing, header flattening, and the micros-exact ts conversion are
+    * [[WarcSource]]'s — ONE owner for both writers. */
   def conversionRecord(url: String, ts: java.sql.Timestamp, text: String,
       out: java.io.OutputStream): Unit = {
-    val instant =
-      if (ts == null) java.time.Instant.EPOCH
-      // full micros precision — same rationale as WarcSource.writeRecords
-      else java.time.Instant.ofEpochSecond(
-        Math.floorDiv(ts.getTime, 1000L), ts.getNanos.toLong)
-    record(Seq(
+    val date = WarcSource.instantOf(ts).toString
+    WarcSource.writeRecord(Version, Seq(
       "WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> recordId(s"graft-wet:$url\n$date"),
       "WARC-Target-URI" -> url,
-      "WARC-Date" -> instant.toString,
+      "WARC-Date" -> date,
       "Content-Type" -> "text/plain"),
       (if (text == null) "" else text).getBytes(UTF8), out)
   }
 
   private def warcinfo(out: java.io.OutputStream): Unit =
-    record(Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
-      s"software: graft${CRLF}format: WARC File Format 1.0$CRLF".getBytes(UTF8), out)
+    WarcSource.writeRecord(Version, Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> recordId("graft-wet:warcinfo"),
+      "WARC-Date" -> java.time.Instant.EPOCH.toString,
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft${CRLF}format: WARC File Format 1.1$CRLF".getBytes(UTF8),
+      out)
 
   /** Write `df`'s (urlCol, tsCol, textCol) as `files` WET files under
     * `outDir` (part-NNNNN.warc.wet). Rerun-identical bytes (class doc). */
@@ -85,9 +79,8 @@ object WetSink {
     val prepared = df
       .select(col(urlCol).as("url"), col(tsCol).as("ts"),
         col(textCol).as("text"))
-      .withColumn("bucket", pmod(xxhash64(col("url")), lit(files)))
-      .repartition(files, col("bucket"))
-      .sortWithinPartitions("bucket", "url")
+      .repartition(files, col("url"))
+      .sortWithinPartitions("url", "ts", "text")
     val counts = prepared.queryExecution.toRdd.mapPartitionsWithIndex {
       (pid, rows) =>
         val path = new org.apache.hadoop.fs.Path(

@@ -477,10 +477,15 @@ class PipelineSpec extends AnyFunSuite {
     }
     // a WET file is invisible to the response-record reader (warcinfo +
     // conversion records only), and vice versa the WET reader sees all
-    val asWarc = graft.spark.WarcSource.parseRecords(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$dir/one", "part-00000.warc.wet")))
-    assert(asWarc.isEmpty)
+    val rawWet = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/one", "part-00000.warc.wet"))
+    assert(graft.spark.WarcSource.parseRecords(rawWet).isEmpty)
+    // ISO 28500 mandatory fields present; WARC/1.1 declared (fractional
+    // WARC-Date seconds are a 1.1 feature)
+    val head = new String(rawWet.take(400), "UTF-8")
+    assert(head.startsWith("WARC/1.1\r\n"))
+    assert(head.contains("WARC-Record-ID: <urn:uuid:")
+      && head.contains("WARC-Date: "))
     // the real pipeline composition: extract → WET → read-back parity
     val ex = Jobs.extract(Jobs.syntheticPages(spark, 200), 8).toDF()
       .select(col("url"), col("warc_ts"), col("text"))
