@@ -655,6 +655,20 @@ object SparkEntry {
       // seconds, max across merged groups (politest wait wins)
       graft.ops.Robots.crawlDelays(graft.ops.Robots.robotsDf(s))
         .orderBy("host")),
+    "discovery_chain" -> ((s, _) => {
+      // the full crawl-discovery composition: robots.txt Sitemap
+      // pointers → fetched sitemap documents → in-scope urlset entries,
+      // joined on the sitemap url (the pointer side is per-host tiny —
+      // a broadcast onto the parsed-entry side at scale)
+      val ptrs = graft.ops.Robots.sitemapPointers(
+        graft.ops.Robots.robotsDf(s))
+      val entries = graft.ops.Sitemaps.parse(graft.ops.Sitemaps.fixtureDf(s))
+      ptrs.join(entries, ptrs("sitemap_url") === entries("sm_url"))
+        .filter(col("kind") === "urlset" && col("in_scope"))
+        .select(col("host"), col("sm_url"), col("ord"), col("loc"),
+          col("lastmod_day"))
+        .orderBy("host", "sm_url", "ord")
+    }),
     "bpe_train" -> ((s, dir) =>
       // distributed BPE merge learning (Sennrich 2016): per-step pair
       // argmax over the vocab, single-char-atom replace = greedy merge
@@ -1743,6 +1757,13 @@ FROM dj GROUP BY registrable ORDER BY registrable""",
     "robots_filter" -> graft.ops.Robots.oracleSql,
     "robots_sitemaps" -> graft.ops.Robots.sitemapOracleSql,
     "robots_crawl_delay" -> graft.ops.Robots.crawlDelayOracleSql,
+    "discovery_chain" -> s"""
+WITH rsm AS (${graft.ops.Robots.sitemapOracleSql}),
+smo AS (${graft.ops.Sitemaps.oracleSql})
+SELECT r.host, s.sm_url, s.ord, s.loc, s.lastmod_day
+FROM rsm r JOIN smo s ON r.sitemap_url = s.sm_url
+WHERE s.kind = 'urlset' AND s.in_scope
+ORDER BY r.host, s.sm_url, s.ord""",
     "bpe_train" -> graft.ops.Bpe.trainOracleSql(D(sf), "text", merges = 6),
     "bpe_encode" -> graft.ops.Bpe.encodeOracleSql(D(sf), "doc_id", "text",
       merges = 6),

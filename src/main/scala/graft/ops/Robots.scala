@@ -105,7 +105,9 @@ object Robots {
       // 20 digits > Long range: dropped by the 18-digit cap, never an
       // ANSI cast overflow
       "Crawl-delay: 99999999999999999999",
-      "SiteMap: https://host07.example.com/sitemap.xml", // name case-blind
+      // points at the Sitemaps fixture's host07 urlset — the
+      // discovery_chain query joins the two modules on this url
+      "SiteMap: https://host07.example.com/a/sitemap.xml", // name case-blind
       "Sitemap: https://host07.example.com/maps/extra.xml",
       "Disallow: /x").mkString("\n"),
     "host08.example.org" -> Seq(

@@ -1736,8 +1736,18 @@ class OpsSpec extends AnyFunSuite {
     // group (one with SiteMap name casing) — all surface
     assert(maps.toSet == Set(
       ("host04.example.org", "https://host04.example.org/sitemap.xml"),
-      ("host07.example.com", "https://host07.example.com/sitemap.xml"),
+      ("host07.example.com", "https://host07.example.com/a/sitemap.xml"),
       ("host07.example.com", "https://host07.example.com/maps/extra.xml")))
+    // the discovery chain composes: the host07 pointer resolves to the
+    // Sitemaps fixture's urlset, surviving entries are in-scope urlset
+    // rows only (index children and out-of-scope locs filtered)
+    val chain = SparkEntry.queries("discovery_chain")(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(3)))
+    assert(chain.nonEmpty && chain.forall(_._1 == "host07.example.com"))
+    assert(chain.map(_._2).toSet == Set(
+      "https://host07.example.com/a/page1",
+      "https://host07.example.com/a/sub/page2",
+      "https://host07.example.com/a/q?x=1&y=2&lt;"))
   }
 
   test("robots: Allow beats Disallow at equal rule length") {
