@@ -588,6 +588,11 @@ object SparkEntry {
       // by salted md5 coins against per-tier milli rates
       graft.ops.Lm.tierSample(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "signal_outliers" -> ((s, dir) =>
+      // Tukey-fence length outliers: exact nearest-rank quartiles out
+      // of a value-bounded histogram — no global sort
+      graft.ops.CorpusStats.signalOutliers(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "dedup_incremental" -> ((s, dir) => {
       // continuous-crawl admission: the odd half is a NEW batch checked
       // against the even half's kept corpus; the %5 slice is re-offered
@@ -1673,6 +1678,31 @@ rs AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, reason = 'admitted' AS admitted,
   reason FROM rs ORDER BY doc_id""",
+    "signal_outliers" -> s"""
+WITH sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+  FROM ${D(sf)}
+),
+hist AS (SELECT n_tokens, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY n_tokens),
+cum AS (
+  SELECT n_tokens, CAST(sum(c) OVER (ORDER BY n_tokens
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+qs AS (
+  SELECT min(CASE WHEN cum >= 1 + (n - 1) // 4 THEN n_tokens END) AS q1,
+         min(CASE WHEN cum >= 1 + (3 * (n - 1)) // 4 THEN n_tokens END) AS q3
+  FROM cum, nn
+),
+fences AS (
+  SELECT q1 - (3 * (q3 - q1)) // 2 AS lo, q3 + (3 * (q3 - q1)) // 2 AS hi
+  FROM qs
+)
+SELECT doc_id, n_tokens, lo, hi,
+  (n_tokens < lo OR n_tokens > hi) AS outlier
+FROM sc, fences ORDER BY doc_id""",
     "sitemap_parse" -> graft.ops.Sitemaps.oracleSql,
     "graph_pagerank" -> {
       // 5 unrolled integer-PageRank iterations; `rk` not `rank` (window

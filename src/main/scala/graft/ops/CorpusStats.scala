@@ -244,6 +244,50 @@ object CorpusStats {
       .select("doc_id", "n_words", "dup_word_milli", "stopword_milli",
         "reject_reason", "kept")
 
+  /** Length-distribution OUTLIER flags via Tukey's fences [public
+    * technique: Tukey 1977 box-plot fences, the standard robust outlier
+    * rule — RefinedWeb-style cleaning drops documents with anomalous
+    * length]: a doc is an outlier when its token count falls outside
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR]. Exact integer arithmetic: quantiles
+    * are lower nearest-rank (value at rank 1 + (n−1)·q, the same
+    * definition agg_quantiles pins), 1.5·IQR is (3·IQR) div 2 — both
+    * engines truncate toward zero.
+    *
+    * 100 TB shape: the same histogram reduction as Lm.qualityTiers —
+    * the corpus collapses to a (n_tokens, count) table bounded by the
+    * VALUE range, the single-partition cum window runs over that tiny
+    * table only, and the verdict is a broadcast of the 1-row fence
+    * table onto a narrow projection. The scored table persists once
+    * (feeds the histogram AND the verdict join — the signature-table
+    * rule). */
+  def signalOutliers(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scored = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(wordsExpr(textCol)).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = scored.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(org.apache.spark.sql.expressions.Window
+        .orderBy("n_tokens")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val n = hist.agg(sum("c").as("n"))
+    val fences = cum.crossJoin(broadcast(n))
+      .agg(
+        min(when(col("cum") >= lit(1) + expr("(n - 1) div 4"),
+          col("n_tokens"))).as("q1"),
+        min(when(col("cum") >= lit(1) + expr("(3 * (n - 1)) div 4"),
+          col("n_tokens"))).as("q3"))
+      .select(col("q1"), col("q3"),
+        expr("q1 - (3 * (q3 - q1)) div 2").as("lo"),
+        expr("q3 + (3 * (q3 - q1)) div 2").as("hi"))
+    scored.crossJoin(broadcast(fences))
+      .select(col("doc_id"), col("n_tokens"), col("lo"), col("hi"),
+        (col("n_tokens") < col("lo") || col("n_tokens") > col("hi"))
+          .as("outlier"))
+  }
+
   /** The quality-decision algebra as an ADD-columns transform (keeps the
     * caller's columns — the streaming twin needs the text alongside the
     * verdict). ONE owner of the rules: [[qualityFilter]] (whose DuckDB

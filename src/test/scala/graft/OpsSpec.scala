@@ -1847,6 +1847,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, 6L, 5L, true)))
   }
 
+  test("signal outliers: nearest-rank quartiles, tukey fences, zero-IQR") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    // token counts [1, 10, 10, 10, 10, 100]: q1 rank = 1+(5 div 4) = 2
+    // → 10, q3 rank = 1+(15 div 4) = 4 → 10, IQR 0 → fences collapse to
+    // [10, 10] and exactly the 1- and 100-token docs flag
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(1L -> doc(1), 2L -> doc(10), 3L -> doc(10),
+      4L -> doc(10), 5L -> doc(10), 6L -> doc(100)).toDF("doc_id", "text")
+    val out = CorpusStats.signalOutliers(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(2L) == ((10L, 10L, 10L, false)))
+    assert(out(1L)._4 && out(6L)._4)
+    assert(out.values.count(_._4) == 2)
+    // a spread distribution: counts 1..8, q1 = rank 2 → 2, q3 = rank 6
+    // → 6, IQR 4, fences [-4, 12] → nothing flags (lo may be negative)
+    val spread = (1 to 8).map(i => i.toLong -> doc(i)).toDF("doc_id", "text")
+    val o2 = CorpusStats.signalOutliers(spread, "doc_id", "text").collect()
+    assert(o2.forall(!_.getBoolean(4)))
+    assert(o2.head.getLong(2) == -4L && o2.head.getLong(3) == 12L)
+  }
+
   test("incremental dedup: corpus-dup beats batch-dup, batch keeps first") {
     import graft.ops.Dedup
     import spark.implicits._
