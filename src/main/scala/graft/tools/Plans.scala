@@ -38,7 +38,8 @@ object Plans {
       "url_blocklist", "source_overlap", "vocab_growth",
       "quality_tiers", "tier_sample", "dedup_incremental",
       "dedup_keep_best", "sitemap_parse", "robots_crawl_delay",
-      "crawl_schedule", "domain_stats").foreach { q =>
+      "crawl_schedule", "domain_stats", "signal_outliers",
+      "discovery_chain").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
