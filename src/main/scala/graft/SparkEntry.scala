@@ -466,6 +466,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", minJaccard = 0.1)
         .orderBy("doc_a", "doc_b")),
+    "dedup_containment" -> ((s, dir) =>
+      // Broder containment: asymmetric milli fractions over the shared
+      // gram-intersection core — quotes/excerpts symmetric Jaccard misses
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", maxHamming = 16)
         .orderBy("doc_a", "doc_b")),
@@ -1069,6 +1074,26 @@ ${p}s6 AS (SELECT *,
 ${p}c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
         CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon FROM ${p}s6)"""
 
+  /** Distinct-shingle intersection CTE chain — ONE owner for the
+    * dedup_ngram_jaccard and dedup_containment oracles (the
+    * [[graft.ops.Dedup]] gramIntersections core, replayed in DuckDB).
+    * Reads docs `src`, produces `sizes(doc_id, sz)` and
+    * `inter(doc_a, doc_b, inter)`. */
+  private def gramInterCtes(src: String) = s"""sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)))) AS sh
+  FROM $src
+), bucketed AS (
+  SELECT *, count(*) OVER (PARTITION BY sh) AS bucket_n FROM sh
+), ok AS (SELECT * FROM bucketed WHERE bucket_n <= 100),
+-- sizes over the SAME capped universe as the intersection join: hot
+-- shingles are outside the metric entirely, never denominator-only
+sizes AS (SELECT doc_id, count(*) AS sz FROM ok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ok a JOIN ok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
   /** Bigram-LM CTE chain — ONE owner for the lm_bigram and
     * quality_tiers oracles (the [[graft.ops.Lm.bigramScore]] algebra,
     * replayed in DuckDB). Reads the docs table `src`, produces
@@ -1409,23 +1434,23 @@ pairs AS (
 )
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 16 ORDER BY doc_a, doc_b""",
     "dedup_ngram_jaccard" -> s"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)))) AS sh
-  FROM ${D(sf)}
-), bucketed AS (
-  SELECT *, count(*) OVER (PARTITION BY sh) AS bucket_n FROM sh
-), ok AS (SELECT * FROM bucketed WHERE bucket_n <= 100),
--- sizes over the SAME capped universe as the intersection join: hot
--- shingles are outside the metric entirely, never denominator-only
-sizes AS (SELECT doc_id, count(*) AS sz FROM ok GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ok a JOIN ok b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+WITH ${gramInterCtes(D(sf))}
 SELECT doc_a, doc_b, round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.1
+ORDER BY doc_a, doc_b""",
+    "dedup_containment" -> s"""
+WITH ${gramInterCtes(D(sf))},
+cm AS (
+  SELECT doc_a, doc_b,
+    CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+    CAST(inter AS BIGINT) AS inter,
+    CAST((1000 * inter) // sa.sz AS BIGINT) AS contain_a_milli,
+    CAST((1000 * inter) // sb.sz AS BIGINT) AS contain_b_milli
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, sz_a, sz_b, inter, contain_a_milli, contain_b_milli
+FROM cm WHERE greatest(contain_a_milli, contain_b_milli) >= 800
 ORDER BY doc_a, doc_b""",
     "docstats_tokens" ->
       s"SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens, $tokensBpeSql AS tokens_bpe, CAST(length(text) AS BIGINT) AS n_chars FROM ${D(sf)} ORDER BY doc_id",

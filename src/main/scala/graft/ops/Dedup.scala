@@ -101,8 +101,14 @@ object Dedup {
     * would silently understate every Jaccard touching them).
     * Quadratic in bucket size — apply AFTER an LSH prefilter at scale;
     * exposed standalone for small candidate sets and for the oracle. */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+  /** Distinct-shingle intersection table: one row per co-shingled pair
+    * (doc_a < doc_b) with `inter` shared-shingle count and both docs'
+    * distinct-shingle sizes. ONE owner of the gram/bucket/self-join
+    * core consumed by [[ngramJaccard]] (symmetric resemblance) and
+    * [[containmentPairs]] (asymmetric containment) — a private copy
+    * drifting in either would silently de-sync the two verifiers. */
+  private def gramIntersections(docs: DataFrame, idCol: String,
+      textCol: String, maxBucket: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(shinglesExpr(textCol))).as("sh"))
     // bucketed is the FORK (sizes + both self-join sides) — the barrier
@@ -114,21 +120,43 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = bucketed.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = bucketed.select(col("sh"), col("id").as("doc_a"))
+    bucketed.select(col("sh"), col("id").as("doc_a"))
       .join(bucketed.select(col("sh"), col("id").as("doc_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("id", "doc_a")
         .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("id", "doc_b")
         .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+  }
+
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, maxBucket: Int = 100): DataFrame =
+    gramIntersections(docs, idCol, textCol, maxBucket)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
-  }
+
+  /** Asymmetric CONTAINMENT pairs [public technique: Broder 1997
+    * "On the resemblance and containment of documents" — containment
+    * c(A,B) = |S(A)∩S(B)| / |S(A)|]: flags pairs where one document's
+    * shingle set is mostly inside the other's — quotes, excerpts, and
+    * page-plus-boilerplate supersets that SYMMETRIC Jaccard scores low
+    * (a small doc fully contained in a big one has tiny resemblance but
+    * containment 1000). Exact integer milli fractions over the same
+    * distinct-shingle intersection core as [[ngramJaccard]]; a pair
+    * surfaces when either direction reaches `minContainMilli`. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      minContainMilli: Int = 800, maxBucket: Int = 100): DataFrame =
+    gramIntersections(docs, idCol, textCol, maxBucket)
+      .withColumn("contain_a_milli", expr("1000 * inter div sz_a"))
+      .withColumn("contain_b_milli", expr("1000 * inter div sz_b"))
+      .filter(greatest(col("contain_a_milli"), col("contain_b_milli"))
+        >= lit(minContainMilli.toLong))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+        col("inter"), col("contain_a_milli"), col("contain_b_milli"))
 
   /** 64-bit SimHash over whitespace tokens; each token-hash bit votes ±1,
     * sign → signature bit. The token hash is the first 16 hex chars of

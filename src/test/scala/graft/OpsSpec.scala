@@ -1847,6 +1847,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, 6L, 5L, true)))
   }
 
+  test("containment: quote inside a big doc flags where jaccard stays low") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // doc 2 = doc 1 verbatim + a long unique tail (period-4 chars keep
+    // doc 1's shingles aligned inside doc 2): containment(1 in 2) high,
+    // symmetric jaccard LOW — the case this verifier exists for
+    val quote = "abcd" * 12                     // 48 chars, 1 shingle kind
+    val tail = (0 until 200).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, quote + " " + tail),
+      (3L, "wholly unrelated content with its own words")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      minContainMilli = 900).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(5), r.getLong(6)))).toMap
+    // every shingle of doc 1 occurs in doc 2 → contain_a = 1000; doc 2's
+    // side is small (its tail shingles are its own)
+    assert(cont.contains((1L, 2L)))
+    val (ca, cb) = cont((1L, 2L))
+    assert(ca == 1000L && cb < 500L)
+    assert(!cont.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+    // the same pair scores LOW on symmetric jaccard (below a 0.5 gate)
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("signal outliers: nearest-rank quartiles, tukey fences, zero-IQR") {
     import graft.ops.CorpusStats
     import spark.implicits._
