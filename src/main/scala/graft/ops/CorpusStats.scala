@@ -266,13 +266,7 @@ object CorpusStats {
       .select(col(idCol).cast("long").as("doc_id"),
         size(wordsExpr(textCol)).cast("long").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hist = scored.groupBy("n_tokens").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum",
-      sum("c").over(org.apache.spark.sql.expressions.Window
-        .orderBy("n_tokens")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-    val n = hist.agg(sum("c").as("n"))
+    val (cum, n) = ValueHist.cumAndTotal(scored, "n_tokens")
     val fences = cum.crossJoin(broadcast(n))
       .agg(
         min(when(col("cum") >= lit(1) + expr("(n - 1) div 4"),

@@ -92,21 +92,19 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for near-dup verification: candidate pairs
-    * from a shared distinct shingle, exact |∩|/|∪| over the distinct
-    * shingles that occur in ≤ `maxBucket` docs. The cap defines the
-    * UNIVERSE, consistently for numerator and denominator: sizes are
-    * counted over the same capped shingle set the intersection joins
-    * on (counting hot boilerplate shingles in |∪| but never in |∩|
-    * would silently understate every Jaccard touching them).
-    * Quadratic in bucket size — apply AFTER an LSH prefilter at scale;
-    * exposed standalone for small candidate sets and for the oracle. */
   /** Distinct-shingle intersection table: one row per co-shingled pair
     * (doc_a < doc_b) with `inter` shared-shingle count and both docs'
-    * distinct-shingle sizes. ONE owner of the gram/bucket/self-join
-    * core consumed by [[ngramJaccard]] (symmetric resemblance) and
-    * [[containmentPairs]] (asymmetric containment) — a private copy
-    * drifting in either would silently de-sync the two verifiers. */
+    * distinct-shingle sizes over the shingles occurring in ≤
+    * `maxBucket` docs. The cap defines the UNIVERSE, consistently for
+    * numerator and denominator: sizes are counted over the same capped
+    * shingle set the intersection joins on (counting hot boilerplate
+    * shingles in sizes but never in the intersection would silently
+    * understate every downstream metric touching them). Quadratic in
+    * bucket size — apply AFTER an LSH prefilter at scale. ONE owner of
+    * the gram/bucket/self-join core consumed by [[ngramJaccard]]
+    * (symmetric resemblance) and [[containmentPairs]] (asymmetric
+    * containment) — a private copy drifting in either would silently
+    * de-sync the two verifiers. */
   private def gramIntersections(docs: DataFrame, idCol: String,
       textCol: String, maxBucket: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
@@ -130,6 +128,9 @@ object Dedup {
         .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
   }
 
+  /** Exact n-gram Jaccard for near-dup verification: exact |∩|/|∪|
+    * over [[gramIntersections]]' capped shingle universe — exposed
+    * standalone for small candidate sets and for the oracle. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, maxBucket: Int = 100): DataFrame =
     gramIntersections(docs, idCol, textCol, maxBucket)

@@ -89,14 +89,7 @@ object Lm {
     val scored = bigramScore(docs, idCol, textCol)
       .select(col("doc_id"), col("mean_freq_milli").as("score"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
-    // single-partition window over the histogram only — bounded by the
-    // value range, never the corpus
-    val cum = hist.withColumn("cum",
-      sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("score")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-    val n = hist.agg(sum("c").as("n"))
+    val (cum, n) = ValueHist.cumAndTotal(scored, "score")
     val thr = cum.crossJoin(broadcast(n))
       .agg(min(when(col("cum") * 3 >= col("n"), col("score"))).as("t_tail"),
         min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t_mid"))

@@ -39,7 +39,7 @@ object Plans {
       "quality_tiers", "tier_sample", "dedup_incremental",
       "dedup_keep_best", "sitemap_parse", "robots_crawl_delay",
       "crawl_schedule", "domain_stats", "signal_outliers",
-      "discovery_chain").foreach { q =>
+      "discovery_chain", "dedup_containment").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
