@@ -635,9 +635,13 @@ object SparkEntry {
     "domain_stats" -> ((s, _) =>
       // per-registrable-domain corpus stats — the grain crawl quotas
       // and per-site budgets aggregate on, composed from the shared
-      // registrableDomains algebra over the pipeline's own pages
+      // registrableDomains algebra. The corpus pages (all one
+      // registrable domain by construction) are UNIONed with the PSL
+      // fixture urls so the aggregation provably separates domains
+      // (eTLD+1 collapse, suffix-only hosts, IP literals)
       graft.ops.Urls.registrableDomains(
-        extracted(s).select(col("url")), "url")
+        extracted(s).select(col("url"))
+          .unionAll(graft.ops.Urls.domainFixtureDf(s)), "url")
         .groupBy("registrable")
         .agg(count(lit(1)).as("n_pages"),
           countDistinct(col("host")).as("n_hosts"))
@@ -1804,7 +1808,8 @@ WITH raw(url) AS (VALUES
 $domainCtes
 SELECT url, host, public_suffix, registrable FROM dj ORDER BY url""",
     "domain_stats" -> s"""
-WITH raw(url) AS (SELECT url FROM $G),
+WITH raw(url) AS (SELECT url FROM $G
+  UNION ALL SELECT * FROM (VALUES ${graft.ops.Urls.domainFixtureValuesSql})),
 $domainCtes
 SELECT registrable, CAST(count(*) AS BIGINT) AS n_pages,
   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
