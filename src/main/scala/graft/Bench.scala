@@ -216,13 +216,27 @@ object Bench {
     resultsExtra("bpe_encode") = timeTrials(1, 3) {
       graft.ops.Bpe.encode(docs, "doc_id", "text", bpePairs).count()
     }._1
-    // robots_filter / link_anchor_text / crawl_frontier / crawl_schedule
-    // / domain_stats / sitemap_parse are fixture- or fixed-corpus-scale
-    // (not sf-scaled) — correctness queries, not throughput surfaces;
-    // extract already times the DOM kernel. quality_tiers rides on
-    // lm_bigram's timed lineage (one extra histogram agg).
+    // robots_filter / robots_sitemaps / robots_crawl_delay /
+    // link_anchor_text / crawl_frontier / crawl_schedule / domain_stats
+    // / sitemap_parse / discovery_chain are fixture- or
+    // fixed-corpus-scale (not sf-scaled) — correctness queries, not
+    // throughput surfaces; extract already times the DOM kernel.
+    // tier_sample rides on quality_tiers' timed lineage (one extra
+    // coin projection).
     resultsExtra("dedup_keep_best") = timeTrials(1, 3) {
       graft.SparkEntry.queries("dedup_keep_best")(spark, sfDir).count()
+    }._1
+    resultsExtra("dedup_containment") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("dedup_containment")(spark, sfDir).count()
+    }._1
+    resultsExtra("signal_outliers") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("signal_outliers")(spark, sfDir).count()
+    }._1
+    resultsExtra("quality_tiers") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("quality_tiers")(spark, sfDir).count()
+    }._1
+    resultsExtra("dedup_incremental") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("dedup_incremental")(spark, sfDir).count()
     }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
