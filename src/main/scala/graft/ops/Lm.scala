@@ -85,7 +85,11 @@ object Lm {
     * persist barrier: it feeds the histogram AND the final projection
     * (the signature-table rule — Catalyst would re-run the whole LM
     * lineage twice). */
-  def qualityTiers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (scored, thr): the persisted per-doc score table and the 1-row
+    * (t_tail, t_mid) threshold table — shared by [[qualityTiers]] and
+    * the [[tierThresholds]] export. */
+  private def scoredAndThresholds(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val scored = bigramScore(docs, idCol, textCol)
       .select(col("doc_id"), col("mean_freq_milli").as("score"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -93,11 +97,41 @@ object Lm {
     val thr = cum.crossJoin(broadcast(n))
       .agg(min(when(col("cum") * 3 >= col("n"), col("score"))).as("t_tail"),
         min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t_mid"))
+    (scored, thr)
+  }
+
+  def qualityTiers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (scored, thr) = scoredAndThresholds(docs, idCol, textCol)
     scored.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("score"),
         when(col("score") <= col("t_tail"), lit("tail"))
           .when(col("score") <= col("t_mid"), lit("middle"))
           .otherwise(lit("head")).as("tier"))
+  }
+
+  /** The OFFLINE half of the offline-model → online-apply deployment
+    * (CCNet trains the LM and picks thresholds on a reference corpus,
+    * then workers score new text against the FROZEN artifact): the
+    * corpus bigram model pruned to counts ≥ `minCount` (the compactness
+    * lever — rare grams contribute ~nothing to sum_cnt and dominate the
+    * model's size; minCount=1 keeps the full model and makes the
+    * streaming apply EXACTLY batch-equivalent), plus the tier value
+    * thresholds. Driver-side collect by design — this is the model
+    * EXPORT step; the model ships to executors as a broadcast (see
+    * `streaming.StreamJobs.streamingTierApply`). */
+  def exportTierModel(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): (Map[String, Long], Long, Long) = {
+    val grain = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextGrams.wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), explode(TextGrams.wordGramsExpr(2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val model = grain.groupBy("gram").agg(sum("tf").as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (_, thr) = scoredAndThresholds(docs, idCol, textCol)
+    val t = thr.collect().head
+    (model, t.getLong(0), t.getLong(1))
   }
 
   /** Tier-proportional downsampling — the move CCNet makes AFTER

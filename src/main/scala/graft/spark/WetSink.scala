@@ -72,7 +72,7 @@ object WetSink {
     * `outDir` (part-NNNNN.warc.wet). Rerun-identical bytes (class doc). */
   def writeWet(df: DataFrame, outDir: String, urlCol: String = "url",
       tsCol: String = "warc_ts", textCol: String = "text",
-      files: Int = 32): Unit = {
+      files: Int = 32, gzip: Boolean = false): Unit = {
     val spark = df.sparkSession
     val conf = org.apache.spark.graft.GraftUtilAccess.serializableConf(
       spark.sparkContext.hadoopConfiguration)
@@ -83,21 +83,35 @@ object WetSink {
       .sortWithinPartitions("url", "ts", "text")
     val counts = prepared.queryExecution.toRdd.mapPartitionsWithIndex {
       (pid, rows) =>
+        val ext = if (gzip) "warc.wet.gz" else "warc.wet"
         val path = new org.apache.hadoop.fs.Path(
-          outDir, f"part-$pid%05d.warc.wet")
+          outDir, f"part-$pid%05d.$ext")
         val fs = path.getFileSystem(
           org.apache.spark.graft.GraftUtilAccess.confOf(conf))
         val out = fs.create(path, true)
+        // gzip = the real CC layout: EACH record its own gzip member
+        // (readers can then split/seek per record; gunzipAll restores
+        // the concatenation). Java's gzip header carries MTIME=0 — no
+        // wall clock, so the rerun byte-identity contract survives
+        // compression.
+        def emit(write: java.io.OutputStream => Unit): Unit =
+          if (!gzip) write(out)
+          else {
+            val bo = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bo)
+            write(g); g.close()
+            out.write(bo.toByteArray)
+          }
         var n = 0L
         try {
-          warcinfo(out)
+          emit(warcinfo)
           rows.foreach { r =>
             val url = r.getUTF8String(0).toString
             val ts = if (r.isNullAt(1)) null
               else org.apache.spark.sql.catalyst.util.DateTimeUtils
                 .toJavaTimestamp(r.getLong(1))
             val text = if (r.isNullAt(2)) null else r.getUTF8String(2).toString
-            conversionRecord(url, ts, text, out)
+            emit(conversionRecord(url, ts, text, _))
             n += 1
           }
         } finally out.close()

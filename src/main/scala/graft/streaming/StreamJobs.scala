@@ -257,6 +257,43 @@ object StreamJobs {
     }.toDF("doc_id", "n_hits")
   }
 
+  /** The ONLINE half of CCNet's offline-model → online-apply
+    * deployment (the batch half is
+    * [[graft.ops.Lm.exportTierModel]]): each arriving document scores
+    * STATELESSLY against the frozen broadcast bigram model and is
+    * assigned its tier by the frozen value thresholds — no state, no
+    * watermark, no shuffle; the model rides one broadcast per query.
+    * Bigrams the frozen model never saw count 0 (maximum rarity), the
+    * only semantic a frozen model can give unseen text; with the full
+    * (minCount=1) model over the SAME corpus the verdicts are exactly
+    * batch-equivalent to [[graft.ops.Lm.qualityTiers]] (test-pinned).
+    * The gram representation is TextGrams' md5-of-space-joined-words —
+    * drifting from it would silently de-sync stream scores from the
+    * batch model. */
+  def streamingTierApply(docs: Dataset[(Long, String)],
+      model: Map[String, Long], tTail: Long, tMid: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.mapPartitions { it =>
+      val m = bc.value
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
+        val ws = if (text == null) Array.empty[String]
+          else text.split(' ').filter(_.nonEmpty)
+        var i = 0; var n = 0L; var sum = 0L
+        while (i + 1 < ws.length) {
+          sum += m.getOrElse(md5hex(md, ws(i) + " " + ws(i + 1)), 0L)
+          n += 1; i += 1
+        }
+        val score = 1000L * sum / math.max(n, 1L)
+        val tier = if (score <= tTail) "tail"
+          else if (score <= tMid) "middle" else "head"
+        (id, score, tier)
+      }
+    }.toDF("doc_id", "score", "tier")
+  }
+
   /** Keep-first ownership per text hash for the streaming recipe. */
   final case class RecipeState(keepDoc: Long)
 

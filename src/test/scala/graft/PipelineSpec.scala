@@ -494,6 +494,26 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(2))).toMap
     val want = ex.collect().map(r => (r.getString(0), r.getString(2))).toMap
     assert(round == want, "extract → WET → read-back text parity broken")
+    // gzip layout (the real CC shipping form): per-RECORD gzip members,
+    // same read-back, rerun byte-identity survives compression
+    WetSink.writeWet(df, s"$dir/gza", files = 2, gzip = true)
+    WetSink.writeWet(df, s"$dir/gzb", files = 2, gzip = true)
+    val gz0 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/gza", "part-00000.warc.wet.gz"))
+    assert(java.util.Arrays.equals(gz0, java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/gzb", "part-00000.warc.wet.gz"))),
+      "gzip wet output not rerun-stable")
+    val gzBack = WetSink.readWet(spark, s"$dir/gza").collect()
+      .map(r => (r.getString(0), r.getString(2))).sortBy(_._1)
+    assert(gzBack.map(_._1).toSeq == rows.map(_._1).sorted
+      && gzBack.map(_._2).toSeq == rows.sortBy(_._1).map(_._3))
+    // one gzip member per record (+1 warcinfo): count the magic pairs
+    def members(b: Array[Byte]): Int = (0 until b.length - 1).count(i =>
+      (b(i) & 0xff) == 0x1f && (b(i + 1) & 0xff) == 0x8b)
+    val allGz = (0 until 2).map(i => java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/gza", f"part-$i%05d.warc.wet.gz")))
+    assert(allGz.map(members).sum == rows.length + 2,
+      "expected one gzip member per record plus one warcinfo per file")
   }
 
   test("subset filter: open-ended `end` selects the same rows as resolved") {

@@ -348,4 +348,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(v.collect { case (id, "kept") => id }.toSet == keepers)
     } finally q.stop()
   }
+
+  test("streaming: frozen-model tier apply is batch-equivalent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three fluency levels (the tiers unit fixture's shape) — train the
+    // model + thresholds OFFLINE on this corpus, then stream the same
+    // docs through the frozen artifact and expect the batch verdicts
+    val docRows = Seq(
+      (1L, "q w e r t"), (2L, "z x c v b"),
+      (3L, "c c c"), (4L, "c c c"),
+      (5L, "e e e e e"), (6L, "e e e e e"))
+    val docsDf = docRows.toDF("doc_id", "text")
+    val (model, tTail, tMid) =
+      graft.ops.Lm.exportTierModel(docsDf, "doc_id", "text")
+    val batch = graft.ops.Lm.qualityTiers(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamJobs.streamingTierApply(stream.toDS(), model, tTail, tMid)
+      .writeStream.format("memory").queryName("tier_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(docRows.take(3))
+      q.processAllAvailable()
+      // unseen-at-train-time text in a later batch: all-zero counts →
+      // rock-bottom score → 'tail' (the only semantic a frozen model
+      // can give unseen bigrams), never a crash
+      stream.addData(docRows.drop(3) :+ (7L, "totally unseen words here"))
+      q.processAllAvailable()
+      val got = spark.table("tier_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(got.size == 7)
+      docRows.map(_._1).foreach { id =>
+        assert(got(id) == batch(id), s"stream/batch verdict drift for $id")
+      }
+      assert(got(7L) == ((0L, "tail")))
+    } finally q.stop()
+  }
 }
