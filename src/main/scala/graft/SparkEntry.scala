@@ -254,6 +254,21 @@ object SparkEntry {
         .select(col("canon"), col("host"), col("n_refs"), col("wave"))
         .orderBy("host", "wave")
     }),
+    "crawl_depth" -> ((s, _) => {
+      // in-crawl hop distance: BFS waves from the pages no other crawled
+      // page links to (the crawl's effective entry points) over exact-url
+      // link edges BETWEEN crawled pages (the frontier op owns the
+      // canon-matching story; this one audits the crawl that happened).
+      // Cycle-only islands get no row by design — absence = orphaned.
+      val ex = extracted(s)
+      val pages = ex.select(col("url")).distinct()
+      val el = ex.select(col("url").as("src"), explode(col("links")).as("l"))
+        .select(col("src"), col("l.resolved").as("dst"))
+        .join(pages.select(col("url").as("dst")), Seq("dst"), "left_semi")
+      graft.ops.Graph.bfsDepth(el, maxDepth = 8)
+        .select(col("node").as("url"), col("depth"))
+        .orderBy("url")
+    }),
     "extract_dirlang" -> ((s, _) =>
       // first-strong bidi direction + resolved language metadata
       // (reference: renderer.py:30-42 _is_rtl_text; _metadata.py:178-216
@@ -1344,6 +1359,14 @@ tgt AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_refs FROM tc GROUP BY canon)
 SELECT canon, n_refs FROM tgt
 WHERE canon NOT IN (SELECT canon FROM vc)
 ORDER BY canon""",
+    "crawl_depth" -> s"""
+WITH el0 AS (
+  SELECT DISTINCT url AS src, resolved AS dst FROM $GL WHERE url != resolved
+),
+pages AS (SELECT DISTINCT url FROM $G),
+el AS (SELECT src, dst FROM el0 JOIN pages ON el0.dst = pages.url),
+${graft.ops.Graph.bfsOracleCtes(8)}
+SELECT u AS url, depth FROM bfs_out ORDER BY url""",
     "text_langid_profile" -> {
       val k = graft.ops.LangId.topK
       s"""

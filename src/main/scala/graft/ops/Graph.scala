@@ -135,6 +135,68 @@ object Graph {
       .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("host").asc)
   }
 
+  /** Bounded multi-source BFS over a directed edge table `(src, dst)`:
+    * hop distance from the graph's ROOTS (nodes with no inbound edge —
+    * a crawl's effective entry points) to every reachable node, the
+    * "how deep did we get" audit a breadth-limited recrawl budgets on.
+    * Classic frontier iteration: wave k expands ONLY nodes first
+    * reached at k−1 (the post-min filter makes each edge fire exactly
+    * once per BFS level), `unionAll` + `min` folds the new wave into
+    * the distance table. Nodes not reachable from any root (cycle-only
+    * components) get NO row — at web scale that absence IS the signal
+    * (orphaned link islands).
+    *
+    * 100 TB shape: every iteration shuffles only (node, long) pairs —
+    * never pages; the frontier shrinks geometrically on real web
+    * graphs. Each level takes a `localCheckpoint` lineage CUT, not a
+    * lazy persist: the distance table feeds level k twice (union +
+    * frontier join), so a lazy plan doubles per level — 2^maxDepth
+    * subtrees by the end (the same reason the connected-components
+    * walk cuts). At the full crawl the node column would be a 64-bit
+    * url hash, not the string — callers pick the key.
+    */
+  def bfsDepth(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = e.select(col("src").as("node")).distinct()
+      .join(e.select(col("dst").as("node")).distinct(), Seq("node"),
+        "left_anti")
+    var dist = seeds.withColumn("depth", lit(0L)).localCheckpoint(true)
+    for (k <- 1 to maxDepth) {
+      val frontier = dist.filter(col("depth") === lit(k - 1L))
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node"), lit(k.toLong).as("depth"))
+      dist = dist.unionAll(next)
+        .groupBy("node").agg(min("depth").as("depth"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** The DuckDB replay of [[bfsDepth]] as an UNROLLED CTE chain (one
+    * level per CTE — the bounded-iteration semantics exactly, unlike an
+    * unbounded recursive CTE): expects `el(src, dst)` already
+    * self-loop-free and distinct; emits `bfs_out(u, depth)`. */
+  def bfsOracleCtes(maxDepth: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""d0 AS (
+  SELECT DISTINCT src AS u, CAST(0 AS BIGINT) AS depth FROM el
+  WHERE NOT EXISTS (SELECT 1 FROM el e2 WHERE e2.dst = el.src))""")
+    for (k <- 1 to maxDepth) {
+      sb.append(s""",
+d$k AS (SELECT u, min(depth) AS depth FROM (
+  SELECT u, depth FROM d${k - 1}
+  UNION ALL
+  SELECT e.dst AS u, CAST($k AS BIGINT) AS depth
+  FROM el e JOIN d${k - 1} p ON e.src = p.u AND p.depth = ${k - 1})
+  GROUP BY u)""")
+    }
+    sb.append(s""",
+bfs_out AS (SELECT u, depth FROM d$maxDepth)""")
+    sb.toString
+  }
+
   /** The DuckDB replay of [[hits]] as a CTE chain: `edgesSql` must
     * define `el(src, dst, w)`; emits `hits_out(host, auth_micro,
     * hub_micro)`. Unrolled per-iteration CTEs, max-norm via a

@@ -1644,6 +1644,26 @@ class OpsSpec extends AnyFunSuite {
       ("d", 125000L, 0L), ("a", 0L, 1000000L), ("b", 0L, 1000000L)))
   }
 
+  test("bfsDepth: chain, merging roots, cycle island, depth cap") {
+    import graft.ops.Graph
+    import spark.implicits._
+    // two roots (a, r) merge on c; chain runs a→b→c→d; x↔y is a
+    // cycle-only island (no root reaches it → absent by design);
+    // self-loop d→d must not extend the chain
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("r", "c"),
+      ("x", "y"), ("y", "x"), ("d", "d")).toDF("src", "dst")
+    val out = Graph.bfsDepth(edges, maxDepth = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // c takes the SHORTER path (r→c = 1, not a→b→c = 2)
+    assert(out == Map("a" -> 0L, "r" -> 0L, "b" -> 1L, "c" -> 1L,
+      "d" -> 2L))
+    // depth cap truncates the frontier: a 4-chain cut at maxDepth=2
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val cut = Graph.bfsDepth(chain, maxDepth = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cut == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
   test("bm25: exact integer scoring, hand-computed tiny corpus") {
     import graft.ops.Search
     import spark.implicits._
