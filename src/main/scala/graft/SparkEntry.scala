@@ -608,6 +608,12 @@ object SparkEntry {
       // by salted md5 coins against per-tier milli rates
       graft.ops.Lm.tierSample(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "mix_plan" -> ((s, dir) =>
+      // token-budget mix planner: per-tier keep rates realizing a
+      // 60/30/10 head/middle/tail mix of half the corpus tokens, capped
+      // at keep-everything — exact milli arithmetic, ≤3-row output
+      graft.ops.Lm.mixPlan(docs(s, dir), "doc_id", "text")
+        .orderBy("tier")),
     "signal_outliers" -> ((s, dir) =>
       // Tukey-fence length outliers: exact nearest-rank quartiles out
       // of a value-bounded histogram — no global sort
@@ -1709,6 +1715,29 @@ SELECT doc_id, tier, rate_milli,
   ('0x' || substring(md5('tier:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
     < (rate_milli * 4294967296) // 1000 AS kept
 FROM rated ORDER BY doc_id""",
+    "mix_plan" -> s"""
+WITH ${tierCtes(D(sf))},
+tk AS (
+  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS toks
+  FROM ${D(sf)}
+),
+mp AS (
+  SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS tokens
+  FROM tiered JOIN tk USING (doc_id) GROUP BY tier
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM mp),
+pl AS (
+  SELECT tier, n_docs, tokens,
+    CAST(CASE tier WHEN 'head' THEN 600 WHEN 'middle' THEN 300
+         ELSE 100 END AS BIGINT) AS share_milli,
+    CAST((total * 1) // 2 AS BIGINT) AS budget
+  FROM mp, tot
+)
+SELECT tier, n_docs, tokens, share_milli,
+  CAST(least(1000, (budget * share_milli) // greatest(tokens, 1)) AS BIGINT) AS keep_milli,
+  CAST((tokens * least(1000, (budget * share_milli) // greatest(tokens, 1))) // 1000 AS BIGINT) AS planned_tokens
+FROM pl ORDER BY tier""",
     "dedup_incremental" -> s"""
 WITH ex AS (SELECT md5(text) AS h FROM ${D(sf)} WHERE doc_id % 2 = 0 GROUP BY 1),
 inc AS (

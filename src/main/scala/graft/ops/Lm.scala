@@ -155,4 +155,48 @@ object Lm {
       .select(col("doc_id"), col("tier"), col("rate_milli"),
         (CorpusStats.coin32("tier", "doc_id")
           < expr("rate_milli * 4294967296 div 1000")).as("kept"))
+
+  /** Token-budget MIX PLAN over the quality tiers: given a token budget
+    * (a fraction of the corpus, default half) and target mix shares
+    * (default 60/30/10 head/middle/tail — the "keep the head" shape of
+    * CCNet §4.3 and the hand-set source weights of Gao et al. 2020),
+    * compute the per-tier keep rate that realizes the mix, capped at
+    * keep-everything: a tier smaller than its budget share yields
+    * rate 1000 and the plan under-fills rather than over-sampling
+    * (deduplicated corpora repeat nothing — the cap is the honest
+    * semantics, and the gap is visible as planned < share·budget).
+    * Exact integer arithmetic end-to-end (milli rates, truncating
+    * div), so the plan is byte-deterministic and oracle-replayable.
+    *
+    * 100 TB shape: [[qualityTiers]]' histogram reduction, one narrow
+    * token-count projection, then a ≤3-row aggregate — the corpus
+    * never re-shuffles; the budget total rides a broadcast 1-row
+    * aggregate. Output: one row per non-empty tier. */
+  def mixPlan(docs: DataFrame, idCol: String, textCol: String,
+      budgetNumer: Long = 1L, budgetDenom: Long = 2L,
+      headMilli: Long = 600L, midMilli: Long = 300L,
+      tailMilli: Long = 100L): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(TextGrams.wordsExpr(textCol)).cast("long").as("toks"))
+    val tiers = qualityTiers(docs, idCol, textCol)
+      .join(toks, Seq("doc_id"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+    val total = tiers.agg(sum("tokens").as("total"))
+    tiers.crossJoin(broadcast(total))
+      .withColumn("share_milli",
+        when(col("tier") === "head", lit(headMilli))
+          .when(col("tier") === "middle", lit(midMilli))
+          .otherwise(lit(tailMilli)))
+      .withColumn("budget",
+        expr(s"(total * ${budgetNumer}L) div ${budgetDenom}L"))
+      // keep_milli = 1000 · (budget·share/1000) / tokens — the 1000s
+      // cancel: rate = budget·share_milli div tokens, ONE truncation
+      .withColumn("keep_milli",
+        least(lit(1000L),
+          expr("(budget * share_milli) div greatest(tokens, 1)")))
+      .select(col("tier"), col("n_docs"), col("tokens"), col("share_milli"),
+        col("keep_milli"),
+        expr("(tokens * keep_milli) div 1000").as("planned_tokens"))
+  }
 }

@@ -1843,6 +1843,30 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "tail"))
   }
 
+  test("mix plan: 60/30/10 of half the corpus, keep-everything cap") {
+    import graft.ops.Lm
+    import spark.implicits._
+    // the tiers fixture: tail = docs 1,2 (10 toks), middle = 3,4
+    // (6 toks), head = 5,6 (10 toks); total 26 → budget 13
+    val docs = Seq(
+      (1L, "q w e r t"), (2L, "z x c v b"),
+      (3L, "c c c"), (4L, "c c c"),
+      (5L, "e e e e e"), (6L, "e e e e e")).toDF("doc_id", "text")
+    val out = Lm.mixPlan(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // head: 13·600/10 = 780 milli → 10·780//1000 = 7 planned tokens
+    assert(out("head") == ((2L, 10L, 600L, 780L, 7L)))
+    assert(out("middle") == ((2L, 6L, 300L, 650L, 3L)))
+    assert(out("tail") == ((2L, 10L, 100L, 130L, 1L)))
+    // full-corpus budget: head share (26·600/10 = 1560) exceeds
+    // keep-everything → capped at 1000, plan under-fills honestly
+    val full = Lm.mixPlan(docs, "doc_id", "text",
+      budgetNumer = 1L, budgetDenom = 1L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(full("head") == ((1000L, 10L)))
+  }
+
   test("keep-best dedup: longest member wins, min id on ties, singletons kept") {
     import graft.ops.Dedup
     import spark.implicits._
