@@ -374,6 +374,20 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+    "dedup_normalized" -> ((s, dir) => {
+      // CCNet-normalized exact dedup: keys are lowercased/digit-folded/
+      // punct-stripped text, so formatting edits don't defeat the hash.
+      // The corpus is all-ASCII lowercase (normalization would be a
+      // no-op), so every %7 doc is re-offered UPPERCASED under offset
+      // ids — the groups provably collapse case variants while raw
+      // exact dedup would not. Offset 10^12: above any sf's id range.
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+          upper(col("text")).as("text"))
+      Dedup.normalizedDedup(base.unionAll(variants), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "corpus_decontaminate_bloom" -> ((s, dir) => {
       // Bloom-filter decontamination: same held-out benchmark slice as
       // corpus_decontaminate, probed through the m-bit packed filter
@@ -1738,6 +1752,17 @@ SELECT tier, n_docs, tokens, share_milli,
   CAST(least(1000, (budget * share_milli) // greatest(tokens, 1)) AS BIGINT) AS keep_milli,
   CAST((tokens * least(1000, (budget * share_milli) // greatest(tokens, 1))) // 1000 AS BIGINT) AS planned_tokens
 FROM pl ORDER BY tier""",
+    "dedup_normalized" -> s"""
+WITH u AS (
+  SELECT doc_id, text FROM ${D(sf)}
+  UNION ALL
+  SELECT doc_id + 1000000000000, upper(text) FROM ${D(sf)} WHERE doc_id % 7 = 0
+),
+k AS (SELECT doc_id, md5(${graft.ops.Dedup.normalizeCcnetSql("text")}) AS nkey FROM u),
+g AS (SELECT nkey, CAST(count(*) AS BIGINT) AS group_n, min(doc_id) AS keep_id
+      FROM k GROUP BY nkey)
+SELECT k.doc_id, k.nkey, g.keep_id, g.group_n
+FROM k JOIN g USING (nkey) ORDER BY doc_id""",
     "dedup_incremental" -> s"""
 WITH ex AS (SELECT md5(text) AS h FROM ${D(sf)} WHERE doc_id % 2 = 0 GROUP BY 1),
 inc AS (

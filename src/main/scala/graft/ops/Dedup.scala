@@ -35,6 +35,51 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
 
+  /** CCNet-style text normalization for dedup KEYS (Wenzek et al. 2020
+    * §3.1 deduplicate on lowercased, digit-folded, punctuation-stripped
+    * text so trivial formatting edits don't defeat the hash): lowercase
+    * → digits→'0' → ASCII punctuation dropped (the four hex ranges
+    * x21-2f, x3a-40, x5b-60, x7b-7e — spelled explicitly, Java and RE2
+    * read them identically where named classes differ) → space runs
+    * collapsed → trimmed. Accent folding is OUT OF SCOPE (non-ASCII
+    * passes through untouched) — CCNet drops accents too, but there is
+    * no accent algebra both engines share, and a one-sided fold would
+    * silently de-sync keys. The normalized form is a KEY, never
+    * content: consumers keep the original text. */
+  def normalizeCcnet(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(c),
+      lit("[0-9]"), lit("0")),
+      lit("[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]"), lit("")),
+      lit(" +"), lit(" ")))
+
+  /** The DuckDB twin of [[normalizeCcnet]] over SQL expression `x` —
+    * kept beside the Column form so the two algebras cannot drift. */
+  def normalizeCcnetSql(x: String): String =
+    s"trim(regexp_replace(regexp_replace(regexp_replace(lower($x), " +
+      s"'[0-9]', '0', 'g'), " +
+      s"'[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]', '', 'g'), " +
+      s"' +', ' ', 'g'))"
+
+  /** Normalized exact dedup: [[exact]]'s keep-first grouping on the
+    * [[normalizeCcnet]] key instead of the raw text hash. One row per
+    * INPUT document (the apply view): (doc_id, nkey, keep_id, group_n).
+    *
+    * 100 TB shape: identical to exact dedup — the normalization is a
+    * narrow codegen'd projection feeding md5, the group stats are a
+    * two-phase hash agg on 32-char keys, and the join-back fans the
+    * one group row out; the keyed table carries the signature-table
+    * persist barrier (it feeds both the agg and the join-back). */
+  def normalizedDedup(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+      md5(normalizeCcnet(col(textCol)).cast("binary")).as("nkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = keyed.groupBy("nkey")
+      .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("keep_id"))
+    keyed.join(groups, Seq("nkey"))
+      .select(col("doc_id"), col("nkey"), col("keep_id"), col("group_n"))
+  }
+
   /** MinHash + LSH near-dup candidates. k minhashes, `bands` bands of
     * k/bands rows each. Returns (doc_a, doc_b, est_jaccard) for pairs
     * sharing ≥1 band, est_jaccard = fraction of equal minhashes.

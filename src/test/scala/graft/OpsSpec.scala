@@ -1843,6 +1843,26 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "tail"))
   }
 
+  test("normalized dedup: case/digit/punct variants collapse, accents don't") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World! 42"), // punct + case + digits
+      (2L, "hello world 07"),   // digit-folds to the same key as 1
+      (3L, "hello  world   00"), // space runs collapse to the same key
+      (4L, "café au lait"),     // accents are OUT of scope:
+      (5L, "cafe au lait"),     //   4 and 5 must NOT collapse
+      (6L, "!!! ???")           // punct-only → empty key, its own group
+    ).toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((1L, 3L)) && out(2L) == ((1L, 3L))
+      && out(3L) == ((1L, 3L)))
+    assert(out(4L) == ((4L, 1L)) && out(5L) == ((5L, 1L)))
+    assert(out(6L) == ((6L, 1L)))
+  }
+
   test("mix plan: 60/30/10 of half the corpus, keep-everything cap") {
     import graft.ops.Lm
     import spark.implicits._
