@@ -551,6 +551,10 @@ object SparkEntry {
         windowWords = 4).orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
       CorpusStats.vocabTopK(docs(s, dir), "text", k = 100)),
+    "vocab_coverage" -> ((s, dir) =>
+      // top-K vocabulary coverage (OOV-rate curve) resolved exactly
+      // against the count-of-counts histogram — no vocabulary ranking
+      CorpusStats.vocabCoverage(docs(s, dir), "text").orderBy("k")),
     "sketch_kmv" -> ((s, dir) => {
       // KMV bottom-k distinct sketch as a native TypedImperativeAggregate:
       // bounded ≤k state, map-side PARTIAL merge — the mergeable-sketch
@@ -1554,6 +1558,26 @@ WITH w AS (
 )
 SELECT doc_id, count(*) AS n_kept, string_agg(p, ' ' ORDER BY pos) AS clean_text
 FROM kept GROUP BY 1 ORDER BY doc_id""",
+    "vocab_coverage" -> s"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM ${D(sf)}
+),
+tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM tc GROUP BY c),
+cum AS (SELECT c, m,
+  CAST(coalesce(sum(m) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ranks_before,
+  CAST(coalesce(sum(c * m) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS occ_before
+  FROM hist),
+tot AS (SELECT CAST(coalesce(sum(c * m), 0) AS BIGINT) AS total,
+               CAST(coalesce(sum(m), 0) AS BIGINT) AS vocab_size FROM hist),
+ks(k) AS (VALUES (CAST(100 AS BIGINT)), (CAST(1000 AS BIGINT)), (CAST(10000 AS BIGINT)))
+SELECT k, vocab_size, total,
+  CAST(coalesce(occ_before + (k - ranks_before) * c, total) AS BIGINT) AS covered,
+  CAST((1000 * coalesce(occ_before + (k - ranks_before) * c, total)) // greatest(total, 1) AS BIGINT) AS coverage_milli
+FROM ks CROSS JOIN tot
+LEFT JOIN cum ON ranks_before < k AND k <= ranks_before + m
+ORDER BY k""",
     "vocab_topk" -> s"""
 WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token FROM ${D(sf)})
 SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",

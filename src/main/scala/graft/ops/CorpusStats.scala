@@ -377,6 +377,51 @@ object CorpusStats {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Vocabulary COVERAGE curve — the tokenizer-design question "what
+    * fraction of token occurrences does a top-K vocabulary cover"
+    * (OOV rate = 1 − coverage), answered EXACTLY without ever ranking
+    * the vocabulary: reduce token counts to a count-of-counts
+    * histogram (c, m) — m tokens occur exactly c times — and resolve
+    * each K against the histogram's cumulative (ranks_before,
+    * occ_before) ordered by c desc. Tokens tied on c are
+    * interchangeable for coverage, so the K-th rank inside a tie
+    * group contributes (K − ranks_before)·c occurrences exactly. A K
+    * beyond the vocabulary covers everything.
+    *
+    * 100 TB shape: the token count table is Heaps-law sublinear, and
+    * the HISTOGRAM of counts is smaller still (distinct count values
+    * are O(√Σc) by the counting bound) — the single-partition window
+    * runs over that, never the vocabulary, and each K resolves via a
+    * broadcast join against it. No global sort anywhere. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      ks: Seq[Long] = Seq(100L, 1000L, 10000L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs.select(explode(wordsExpr(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("m"))
+      // barrier: the histogram feeds the cum window AND the total agg
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("c"), col("m"),
+      coalesce(sum("m").over(w), lit(0L)).as("ranks_before"),
+      coalesce(sum(expr("c * m")).over(w), lit(0L)).as("occ_before"))
+    val tot = hist.agg(
+      coalesce(sum(expr("c * m")), lit(0L)).as("total"),
+      coalesce(sum("m"), lit(0L)).as("vocab_size"))
+    ks.toDF("k").crossJoin(broadcast(tot))
+      .join(broadcast(cum),
+        col("ranks_before") < col("k") &&
+          col("k") <= col("ranks_before") + col("m"), "left")
+      .select(col("k"), col("vocab_size"), col("total"),
+        coalesce(col("occ_before") + (col("k") - col("ranks_before"))
+          * col("c"), col("total")).as("covered"),
+        expr("1000 * coalesce(occ_before + (k - ranks_before) * c, total)" +
+          " div greatest(total, 1)").as("coverage_milli"))
+  }
+
   /** Word n-gram hash list (md5 of the space-joined window, stride 1);
     * shared owner: [[TextGrams]] — Bloom's admissibility guarantee
     * (bloom_hits ≥ exact n_hits) requires both decontaminate forms to

@@ -1843,6 +1843,25 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "tail"))
   }
 
+  test("vocab coverage: tie-group interpolation, beyond-vocab cap") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    // counts: a=4, b=2, c=2, d=1, e=1 → total 10, vocab 5
+    val docs = Seq("a a a a b b", "c c d e").toDF("text")
+    val out = CorpusStats.vocabCoverage(docs, "text",
+      ks = Seq(1L, 2L, 3L, 4L, 99L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((5L, 10L, 4L, 400L)))
+    // K=2 lands INSIDE the c=2 tie group: 4 + (2-1)·2 = 6
+    assert(out(2L) == ((5L, 10L, 6L, 600L)))
+    assert(out(3L) == ((5L, 10L, 8L, 800L)))
+    // K=4 lands inside the c=1 group: 8 + (4-3)·1 = 9
+    assert(out(4L) == ((5L, 10L, 9L, 900L)))
+    // K beyond the vocabulary covers everything
+    assert(out(99L) == ((5L, 10L, 10L, 1000L)))
+  }
+
   test("normalized dedup: case/digit/punct variants collapse, accents don't") {
     import graft.ops.Dedup
     import spark.implicits._
