@@ -218,11 +218,11 @@ object Bench {
     }._1
     // robots_filter / robots_sitemaps / robots_crawl_delay /
     // link_anchor_text / crawl_frontier / crawl_schedule / domain_stats
-    // / sitemap_parse / discovery_chain are fixture- or
+    // / sitemap_parse / discovery_chain / crawl_depth are fixture- or
     // fixed-corpus-scale (not sf-scaled) — correctness queries, not
     // throughput surfaces; extract already times the DOM kernel.
-    // tier_sample rides on quality_tiers' timed lineage (one extra
-    // coin projection).
+    // tier_sample and mix_plan ride on quality_tiers' timed lineage
+    // (one extra coin/plan projection).
     resultsExtra("dedup_keep_best") = timeTrials(1, 3) {
       graft.SparkEntry.queries("dedup_keep_best")(spark, sfDir).count()
     }._1
@@ -237,6 +237,15 @@ object Bench {
     }._1
     resultsExtra("dedup_incremental") = timeTrials(1, 3) {
       graft.SparkEntry.queries("dedup_incremental")(spark, sfDir).count()
+    }._1
+    resultsExtra("dedup_normalized") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("dedup_normalized")(spark, sfDir).count()
+    }._1
+    resultsExtra("vocab_coverage") = timeTrials(1, 3) {
+      graft.ops.CorpusStats.vocabCoverage(docs, "text").count()
+    }._1
+    resultsExtra("gopher_filter") = timeTrials(1, 3) {
+      graft.ops.CorpusStats.gopherRules(docs, "doc_id", "text").count()
     }._1
 
     // ANN quality: recall@10 of each approximate path against the exact

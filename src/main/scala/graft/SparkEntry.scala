@@ -632,6 +632,11 @@ object SparkEntry {
       // at keep-everything — exact milli arithmetic, ≤3-row output
       graft.ops.Lm.mixPlan(docs(s, dir), "doc_id", "text")
         .orderBy("tier")),
+    "gopher_filter" -> ((s, dir) =>
+      // Gopher Table-A1 rule bundle: exact milli signals, first-failing
+      // verdict; stopword bar at 1 distinct on this vocabulary
+      graft.ops.CorpusStats.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "signal_outliers" -> ((s, dir) =>
       // Tukey-fence length outliers: exact nearest-rank quartiles out
       // of a value-bounded histogram — no global sort
@@ -1753,6 +1758,35 @@ SELECT doc_id, tier, rate_milli,
   ('0x' || substring(md5('tier:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
     < (rate_milli * 4294967296) // 1000 AS kept
 FROM rated ORDER BY doc_id""",
+    "gopher_filter" -> s"""
+WITH w AS (
+  SELECT doc_id, text AS t,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM ${D(sf)}
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST((1000 * coalesce(list_sum(list_transform(ws, x -> length(x))), 0)) // greatest(len(ws), 1) AS BIGINT) AS word_len_milli,
+    CAST((1000 * len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))) // greatest(len(ws), 1) AS BIGINT) AS alpha_milli,
+    CAST((1000 * ((length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) // 3)) // greatest(len(ws), 1) AS BIGINT) AS symbol_milli,
+    CAST(len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+  FROM w
+)
+SELECT doc_id, n_words, word_len_milli, alpha_milli, symbol_milli, n_stop,
+  CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+       WHEN word_len_milli < 3000 OR word_len_milli > 10000 THEN 'word_length'
+       WHEN alpha_milli < 800 THEN 'alpha_ratio'
+       WHEN symbol_milli > 100 THEN 'symbol_ratio'
+       WHEN n_stop < 1 THEN 'stopwords'
+       ELSE '' END AS reject_reason,
+  (CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+       WHEN word_len_milli < 3000 OR word_len_milli > 10000 THEN 'word_length'
+       WHEN alpha_milli < 800 THEN 'alpha_ratio'
+       WHEN symbol_milli > 100 THEN 'symbol_ratio'
+       WHEN n_stop < 1 THEN 'stopwords'
+       ELSE '' END) = '' AS kept
+FROM s ORDER BY doc_id""",
     "mix_plan" -> s"""
 WITH ${tierCtes(D(sf))},
 tk AS (

@@ -1843,6 +1843,30 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "tail"))
   }
 
+  test("gopher rules: each rule fires, first-fail ordering, kept doc") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("the data " * 25).trim),  // 50 words, all bounds met → kept
+      (2L, "short text"),             // word_count
+      (3L, ("ab " * 50).trim),        // mean len 2000 → word_length
+      (4L, ("1234 " * 50).trim),      // digits: len ok, alpha 0 → alpha_ratio
+      (5L, ("#tag the " * 25).trim),  // 500 milli '#' → symbol_ratio
+      (6L, ("dot... the " * 25).trim), // '...' counted via div 3 → symbol_ratio
+      (7L, ("data " * 50).trim)       // no stopword → stopwords
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(6), r.getBoolean(7))))
+      .toMap
+    assert(out(1L) == (("", true)))
+    assert(out(2L) == (("word_count", false)))
+    assert(out(3L) == (("word_length", false)))
+    assert(out(4L) == (("alpha_ratio", false)))
+    assert(out(5L) == (("symbol_ratio", false)))
+    assert(out(6L) == (("symbol_ratio", false)))
+    assert(out(7L) == (("stopwords", false)))
+  }
+
   test("vocab coverage: tie-group interpolation, beyond-vocab cap") {
     import graft.ops.CorpusStats
     import spark.implicits._
