@@ -255,17 +255,22 @@ object SparkEntry {
         .orderBy("host", "wave")
     }),
     "crawl_depth" -> ((s, _) => {
-      // in-crawl hop distance: BFS waves from the pages no other crawled
-      // page links to (the crawl's effective entry points) over exact-url
-      // link edges BETWEEN crawled pages (the frontier op owns the
-      // canon-matching story; this one audits the crawl that happened).
-      // Cycle-only islands get no row by design — absence = orphaned.
+      // in-crawl hop distance: BFS waves from the crawl's effective
+      // entry points — EVERY crawled page no other crawled page links
+      // to, including pages with no in-crawl edges at all (seeding from
+      // the edge table alone would misread those as orphaned) — over
+      // exact-url link edges BETWEEN crawled pages (the frontier op
+      // owns the canon-matching story; this one audits the crawl that
+      // happened). Cycle-only islands get no row: absence = orphaned.
       val ex = extracted(s)
       val pages = ex.select(col("url")).distinct()
       val el = ex.select(col("url").as("src"), explode(col("links")).as("l"))
         .select(col("src"), col("l.resolved").as("dst"))
         .join(pages.select(col("url").as("dst")), Seq("dst"), "left_semi")
-      graft.ops.Graph.bfsDepth(el, maxDepth = 8)
+      val entry = pages.select(col("url").as("node"))
+        .join(el.select(col("dst").as("node")).distinct(), Seq("node"),
+          "left_anti")
+      graft.ops.Graph.bfsDepth(el, maxDepth = 8, seeds = Some(entry))
         .select(col("node").as("url"), col("depth"))
         .orderBy("url")
     }),
@@ -1394,7 +1399,11 @@ WITH el0 AS (
 ),
 pages AS (SELECT DISTINCT url FROM $G),
 el AS (SELECT src, dst FROM el0 JOIN pages ON el0.dst = pages.url),
-${graft.ops.Graph.bfsOracleCtes(8)}
+bseed AS (
+  SELECT url AS u FROM pages
+  WHERE NOT EXISTS (SELECT 1 FROM el WHERE el.dst = pages.url)
+),
+${graft.ops.Graph.bfsOracleCtes(8, seedsFrom = Some("bseed"))}
 SELECT u AS url, depth FROM bfs_out ORDER BY url""",
     "text_langid_profile" -> {
       val k = graft.ops.LangId.topK
@@ -1816,7 +1825,7 @@ WITH u AS (
   UNION ALL
   SELECT doc_id + 1000000000000, upper(text) FROM ${D(sf)} WHERE doc_id % 7 = 0
 ),
-k AS (SELECT doc_id, md5(${graft.ops.Dedup.normalizeCcnetSql("text")}) AS nkey FROM u),
+k AS (SELECT doc_id, coalesce(md5(${graft.ops.Dedup.normalizeCcnetSql("text")}), '') AS nkey FROM u),
 g AS (SELECT nkey, CAST(count(*) AS BIGINT) AS group_n, min(doc_id) AS keep_id
       FROM k GROUP BY nkey)
 SELECT k.doc_id, k.nkey, g.keep_id, g.group_n

@@ -71,8 +71,13 @@ object Dedup {
     * persist barrier (it feeds both the agg and the join-back). */
   def normalizedDedup(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // null text folds to the sentinel key '' (not an md5 hex, so it
+    // can never collide with a real group): the one-row-per-input
+    // contract must survive null docs — a NULL key would silently
+    // drop them at the inner join-back
     val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
-      md5(normalizeCcnet(col(textCol)).cast("binary")).as("nkey"))
+      coalesce(md5(normalizeCcnet(col(textCol)).cast("binary")), lit(""))
+        .as("nkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = keyed.groupBy("nkey")
       .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("keep_id"))

@@ -155,14 +155,20 @@ object Graph {
     * walk cuts). At the full crawl the node column would be a 64-bit
     * url hash, not the string — callers pick the key.
     */
-  def bfsDepth(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
+  def bfsDepth(edges: DataFrame, maxDepth: Int = 8,
+      seeds: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val seeds = e.select(col("src").as("node")).distinct()
-      .join(e.select(col("dst").as("node")).distinct(), Seq("node"),
-        "left_anti")
-    var dist = seeds.withColumn("depth", lit(0L)).localCheckpoint(true)
+    // default roots derive from the EDGE table (src never linked-to) —
+    // callers with a node universe wider than the edges (e.g. crawled
+    // pages with no in-crawl edges at all) pass explicit `seeds(node)`,
+    // or those nodes would be invisible here and read as "orphaned"
+    val s0 = seeds.map(_.select(col("node")).distinct()).getOrElse(
+      e.select(col("src").as("node")).distinct()
+        .join(e.select(col("dst").as("node")).distinct(), Seq("node"),
+          "left_anti"))
+    var dist = s0.withColumn("depth", lit(0L)).localCheckpoint(true)
     for (k <- 1 to maxDepth) {
       val frontier = dist.filter(col("depth") === lit(k - 1L))
       val next = e.join(frontier, e("src") === frontier("node"))
@@ -177,12 +183,20 @@ object Graph {
   /** The DuckDB replay of [[bfsDepth]] as an UNROLLED CTE chain (one
     * level per CTE — the bounded-iteration semantics exactly, unlike an
     * unbounded recursive CTE): expects `el(src, dst)` already
-    * self-loop-free and distinct; emits `bfs_out(u, depth)`. */
-  def bfsOracleCtes(maxDepth: Int): String = {
+    * self-loop-free and distinct; emits `bfs_out(u, depth)`.
+    * `seedsFrom` names a caller CTE with column `u` (the explicit-seed
+    * twin of [[bfsDepth]]'s `seeds` param); absent, roots derive from
+    * `el` like the Spark default. */
+  def bfsOracleCtes(maxDepth: Int, seedsFrom: Option[String] = None): String = {
     val sb = new StringBuilder
-    sb.append("""d0 AS (
+    sb.append(seedsFrom match {
+      case Some(src) =>
+        s"""d0 AS (
+  SELECT DISTINCT u, CAST(0 AS BIGINT) AS depth FROM $src)"""
+      case None => """d0 AS (
   SELECT DISTINCT src AS u, CAST(0 AS BIGINT) AS depth FROM el
-  WHERE NOT EXISTS (SELECT 1 FROM el e2 WHERE e2.dst = el.src))""")
+  WHERE NOT EXISTS (SELECT 1 FROM el e2 WHERE e2.dst = el.src))"""
+    })
     for (k <- 1 to maxDepth) {
       sb.append(s""",
 d$k AS (SELECT u, min(depth) AS depth FROM (

@@ -38,16 +38,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Lm {
 
+  /** The (doc_id, gram, tf) grain every LM consumer stands on — ONE
+    * tokenize+explode pass, persisted because every consumer feeds it
+    * to the model aggregation AND a join-back (the signature-table
+    * rule). [[exportTierModel]] shares ONE grain between its model
+    * collect and its threshold lineage instead of re-scanning. */
+  private def gramGrain(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = docs
+    .select(col(idCol).cast("long").as("doc_id"),
+      TextGrams.wordsExpr(textCol).as("ws"))
+    .select(col("doc_id"), explode(TextGrams.wordGramsExpr(2)).as("gram"))
+    .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    .persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Per-document bigram-LM fluency stats (see class doc). One output
     * row per input document, including <2-word docs (zeros). */
-  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grain = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextGrams.wordsExpr(textCol).as("ws"))
-      .select(col("doc_id"), explode(TextGrams.wordGramsExpr(2)).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
-      // barrier: grain feeds the model agg AND the join-back below
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramScoreFromGrain(docs, idCol, gramGrain(docs, idCol, textCol))
+
+  private def bigramScoreFromGrain(docs: DataFrame, idCol: String,
+      grain: DataFrame): DataFrame = {
     val model = grain.groupBy("gram").agg(sum("tf").as("cnt"))
     val per = grain.join(model, Seq("gram"))
       .groupBy("doc_id")
@@ -64,6 +74,22 @@ object Lm {
           .as("rare_milli"),
         expr("1000 * coalesce(sum_cnt, 0L) div greatest(coalesce(n_bigrams, 0L), 1)")
           .as("mean_freq_milli"))
+  }
+
+  /** (scored, thr): the persisted per-doc score table and the 1-row
+    * (t_tail, t_mid) threshold table — shared by [[qualityTiers]] and
+    * the [[exportTierModel]] export (which passes its own grain so the
+    * model collect and the threshold lineage scan the corpus once). */
+  private def scoredAndThresholds(docs: DataFrame, idCol: String,
+      grain: DataFrame): (DataFrame, DataFrame) = {
+    val scored = bigramScoreFromGrain(docs, idCol, grain)
+      .select(col("doc_id"), col("mean_freq_milli").as("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (cum, n) = ValueHist.cumAndTotal(scored, "score")
+    val thr = cum.crossJoin(broadcast(n))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("score"))).as("t_tail"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t_mid"))
+    (scored, thr)
   }
 
   /** CCNet-style quality TIERING (Wenzek et al. 2020 §4.3 bucket the
@@ -85,23 +111,9 @@ object Lm {
     * persist barrier: it feeds the histogram AND the final projection
     * (the signature-table rule — Catalyst would re-run the whole LM
     * lineage twice). */
-  /** (scored, thr): the persisted per-doc score table and the 1-row
-    * (t_tail, t_mid) threshold table — shared by [[qualityTiers]] and
-    * the [[tierThresholds]] export. */
-  private def scoredAndThresholds(docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame) = {
-    val scored = bigramScore(docs, idCol, textCol)
-      .select(col("doc_id"), col("mean_freq_milli").as("score"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val (cum, n) = ValueHist.cumAndTotal(scored, "score")
-    val thr = cum.crossJoin(broadcast(n))
-      .agg(min(when(col("cum") * 3 >= col("n"), col("score"))).as("t_tail"),
-        min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t_mid"))
-    (scored, thr)
-  }
-
   def qualityTiers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val (scored, thr) = scoredAndThresholds(docs, idCol, textCol)
+    val (scored, thr) =
+      scoredAndThresholds(docs, idCol, gramGrain(docs, idCol, textCol))
     scored.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("score"),
         when(col("score") <= col("t_tail"), lit("tail"))
@@ -121,16 +133,17 @@ object Lm {
     * `streaming.StreamJobs.streamingTierApply`). */
   def exportTierModel(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 1L): (Map[String, Long], Long, Long) = {
-    val grain = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextGrams.wordsExpr(textCol).as("ws"))
-      .select(col("doc_id"), explode(TextGrams.wordGramsExpr(2)).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    // ONE persisted grain feeds the model collect AND the threshold
+    // lineage — the corpus is scanned and gram-aggregated once
+    val grain = gramGrain(docs, idCol, textCol)
     val model = grain.groupBy("gram").agg(sum("tf").as("cnt"))
       .filter(col("cnt") >= minCount)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val (_, thr) = scoredAndThresholds(docs, idCol, textCol)
+    val (_, thr) = scoredAndThresholds(docs, idCol, grain)
     val t = thr.collect().head
+    require(!t.isNullAt(0) && !t.isNullAt(1),
+      "exportTierModel: empty corpus — no documents to derive tier " +
+        "thresholds from")
     (model, t.getLong(0), t.getLong(1))
   }
 

@@ -59,6 +59,12 @@ object WetSink {
       (if (text == null) "" else text).getBytes(UTF8), out)
   }
 
+  /** RFC 1952 member header: magic, CM=8 (deflate), FLG=0, MTIME=0
+    * (determinism — never the wall clock), XFL=0, OS=0 — byte-for-byte
+    * what JDK GZIPOutputStream writes. */
+  private val GzipMemberHeader: Array[Byte] =
+    Array(0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+
   private def warcinfo(out: java.io.OutputStream): Unit =
     WarcSource.writeRecord(Version, Seq(
       "WARC-Type" -> "warcinfo",
@@ -91,16 +97,38 @@ object WetSink {
         val out = fs.create(path, true)
         // gzip = the real CC layout: EACH record its own gzip member
         // (readers can then split/seek per record; gunzipAll restores
-        // the concatenation). Java's gzip header carries MTIME=0 — no
-        // wall clock, so the rerun byte-identity contract survives
-        // compression.
+        // the concatenation). Members are written with ONE reusable
+        // Deflater/CRC32/buffer per PARTITION (a GZIPOutputStream per
+        // record would allocate a native zlib state per record — the
+        // hot write path at 100 TB); the fixed header carries MTIME=0
+        // so rerun byte-identity survives compression. Same bytes as
+        // JDK GZIPOutputStream (same header, deflate params, trailer).
+        val deflater = if (gzip) new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true) else null
+        val crc = if (gzip) new java.util.zip.CRC32 else null
+        val raw = if (gzip) new java.io.ByteArrayOutputStream() else null
+        val dbuf = if (gzip) new Array[Byte](8192) else null
         def emit(write: java.io.OutputStream => Unit): Unit =
           if (!gzip) write(out)
           else {
-            val bo = new java.io.ByteArrayOutputStream()
-            val g = new java.util.zip.GZIPOutputStream(bo)
-            write(g); g.close()
-            out.write(bo.toByteArray)
+            raw.reset(); write(raw)
+            val body = raw.toByteArray
+            deflater.reset(); crc.reset(); crc.update(body, 0, body.length)
+            out.write(GzipMemberHeader)
+            deflater.setInput(body); deflater.finish()
+            while (!deflater.finished()) {
+              val k = deflater.deflate(dbuf)
+              if (k > 0) out.write(dbuf, 0, k)
+            }
+            val tr = new Array[Byte](8)
+            val c = crc.getValue; val sz = body.length.toLong
+            var i = 0
+            while (i < 4) {
+              tr(i) = ((c >>> (8 * i)) & 0xff).toByte
+              tr(4 + i) = ((sz >>> (8 * i)) & 0xff).toByte
+              i += 1
+            }
+            out.write(tr)
           }
         var n = 0L
         try {
@@ -114,7 +142,10 @@ object WetSink {
             emit(conversionRecord(url, ts, text, _))
             n += 1
           }
-        } finally out.close()
+        } finally {
+          out.close()
+          if (deflater != null) deflater.end()
+        }
         Iterator.single(n)
     }.collect()
     require(counts.length == files,

@@ -1662,6 +1662,13 @@ class OpsSpec extends AnyFunSuite {
     val cut = Graph.bfsDepth(chain, maxDepth = 2)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(cut == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // explicit seeds: node universe wider than the edge table — the
+    // edge-less node z is a depth-0 entry point, not invisible
+    val seeded = Graph.bfsDepth(chain, maxDepth = 8,
+      seeds = Some(Seq("a", "z").toDF("node")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(seeded == Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "c" -> 2L,
+      "d" -> 3L))
   }
 
   test("bm25: exact integer scoring, hand-computed tiny corpus") {
@@ -1895,15 +1902,20 @@ class OpsSpec extends AnyFunSuite {
       (3L, "hello  world   00"), // space runs collapse to the same key
       (4L, "café au lait"),     // accents are OUT of scope:
       (5L, "cafe au lait"),     //   4 and 5 must NOT collapse
-      (6L, "!!! ???")           // punct-only → empty key, its own group
+      (6L, "!!! ???"),          // punct-only → empty-string norm
+      (7L, null.asInstanceOf[String]) // null text must KEEP its row
     ).toDF("doc_id", "text")
     val out = Dedup.normalizedDedup(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
       .toMap
+    assert(out.size == 7, "one row per input doc, nulls included")
     assert(out(1L) == ((1L, 3L)) && out(2L) == ((1L, 3L))
       && out(3L) == ((1L, 3L)))
     assert(out(4L) == ((4L, 1L)) && out(5L) == ((5L, 1L)))
+    // null folds to the '' sentinel key — its own group, never
+    // conflated with the md5 of the punct-only (empty-norm) doc
     assert(out(6L) == ((6L, 1L)))
+    assert(out(7L) == ((7L, 1L)))
   }
 
   test("mix plan: 60/30/10 of half the corpus, keep-everything cap") {

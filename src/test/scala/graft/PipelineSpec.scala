@@ -507,9 +507,29 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(2))).sortBy(_._1)
     assert(gzBack.map(_._1).toSeq == rows.map(_._1).sorted
       && gzBack.map(_._2).toSeq == rows.sortBy(_._1).map(_._3))
-    // one gzip member per record (+1 warcinfo): count the magic pairs
-    def members(b: Array[Byte]): Int = (0 until b.length - 1).count(i =>
-      (b(i) & 0xff) == 0x1f && (b(i + 1) & 0xff) == 0x8b)
+    // one gzip member per record (+1 warcinfo): WALK the members
+    // exactly — inflate each body to find its end, skip the 8-byte
+    // trailer, require the next offset to start a member. (Scanning
+    // for 0x1f8b pairs would also match the pair INSIDE deflate
+    // payload bytes.)
+    def members(b: Array[Byte]): Int = {
+      val inf = new java.util.zip.Inflater(true)
+      val sink = new Array[Byte](8192)
+      var off = 0; var n = 0
+      try {
+        while (off < b.length) {
+          assert((b(off) & 0xff) == 0x1f && (b(off + 1) & 0xff) == 0x8b
+            && b(off + 2) == 8 && b(off + 3) == 0,
+            s"not a member header at offset $off")
+          inf.reset()
+          inf.setInput(b, off + 10, b.length - off - 10)
+          while (!inf.finished()) inf.inflate(sink)
+          off += 10 + (b.length - off - 10 - inf.getRemaining) + 8
+          n += 1
+        }
+      } finally inf.end()
+      n
+    }
     val allGz = (0 until 2).map(i => java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/gza", f"part-$i%05d.warc.wet.gz")))
     assert(allGz.map(members).sum == rows.length + 2,
