@@ -254,6 +254,25 @@ object SparkEntry {
         .select(col("canon"), col("host"), col("n_refs"), col("wave"))
         .orderBy("host", "wave")
     }),
+    "host_quality" -> ((s, _) =>
+      // host-grain quality rollup — the grain a crawl prioritizes and
+      // budget-cuts on: outcome rate, token mass, and BPE-per-word
+      // tokenizer fertility, all exact integer milli (the float
+      // quality column is deliberately NOT summed — float accumulation
+      // is order-dependent and breaks the determinism contract)
+      extracted(s)
+        .select(col("host"), col("outcome"),
+          tokensWsUdf(col("text")).as("tokens_ws"),
+          tokensBpeUdf(col("text")).as("tokens_bpe"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          expr("(1000 * sum(case when outcome = 'ok' then 1L else 0L end))" +
+            " div count(1)").as("ok_milli"),
+          sum(col("tokens_ws")).as("tokens"),
+          expr("sum(tokens_ws) div count(1)").as("mean_tokens"),
+          expr("(1000 * sum(tokens_bpe)) div greatest(sum(tokens_ws), 1L)")
+            .as("fertility_milli"))
+        .orderBy("host")),
     "crawl_depth" -> ((s, _) => {
       // in-crawl hop distance: BFS waves from the crawl's effective
       // entry points — EVERY crawled page no other crawled page links
@@ -1393,6 +1412,14 @@ tgt AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_refs FROM tc GROUP BY canon)
 SELECT canon, n_refs FROM tgt
 WHERE canon NOT IN (SELECT canon FROM vc)
 ORDER BY canon""",
+    "host_quality" -> s"""
+SELECT split_part(url, '/', 3) AS host,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST((1000 * sum(CASE WHEN outcome = 'ok' THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS ok_milli,
+  CAST(sum(tokens_ws) AS BIGINT) AS tokens,
+  CAST(sum(tokens_ws) // count(*) AS BIGINT) AS mean_tokens,
+  CAST((1000 * sum(tokens_bpe)) // greatest(sum(tokens_ws), 1) AS BIGINT) AS fertility_milli
+FROM $G GROUP BY 1 ORDER BY host""",
     "crawl_depth" -> s"""
 WITH el0 AS (
   SELECT DISTINCT url AS src, resolved AS dst FROM $GL WHERE url != resolved
