@@ -247,6 +247,9 @@ object Bench {
     resultsExtra("gopher_filter") = timeTrials(1, 3) {
       graft.ops.CorpusStats.gopherRules(docs, "doc_id", "text").count()
     }._1
+    resultsExtra("importance_shift") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("importance_shift")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -656,6 +656,15 @@ object SparkEntry {
       // at keep-everything — exact milli arithmetic, ≤3-row output
       graft.ops.Lm.mixPlan(docs(s, dir), "doc_id", "text")
         .orderBy("tier")),
+    "importance_shift" -> ((s, dir) => {
+      // DSIR-lite importance weights: target = the head quality tier,
+      // source = the whole corpus; positive shift_ppm = head-like
+      val d = docs(s, dir)
+      val head = graft.ops.Lm.qualityTiers(d, "doc_id", "text")
+        .filter(col("tier") === "head").select("doc_id")
+      graft.ops.CorpusStats.importanceShift(d, "doc_id", "text", head)
+        .orderBy("doc_id")
+    }),
     "gopher_filter" -> ((s, dir) =>
       // Gopher Table-A1 rule bundle: exact milli signals, first-failing
       // verdict; stopword bar at 1 distinct on this vocabulary
@@ -1794,6 +1803,38 @@ SELECT doc_id, tier, rate_milli,
   ('0x' || substring(md5('tier:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
     < (rate_milli * 4294967296) // 1000 AS kept
 FROM rated ORDER BY doc_id""",
+    "importance_shift" -> s"""
+WITH ${tierCtes(D(sf))},
+wrd AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM ${D(sf)}
+),
+ig AS (
+  SELECT doc_id, ('0x' || substring(md5(w), 1, 8))::BIGINT % 4096 AS b,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM wrd GROUP BY 1, 2
+),
+sc AS (SELECT b, CAST(sum(tf) AS BIGINT) AS sc FROM ig GROUP BY b),
+st AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS st FROM ig),
+hd AS (SELECT doc_id FROM tiered WHERE tier = 'head'),
+tcn AS (SELECT b, CAST(sum(tf) AS BIGINT) AS tc
+        FROM ig JOIN hd USING (doc_id) GROUP BY b),
+tt AS (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS tt FROM tcn),
+bt AS (
+  SELECT sc.b,
+    CAST((1000000 * coalesce(tcn.tc, 0)) // greatest(tt.tt, 1) AS BIGINT) AS t_ppm,
+    CAST((1000000 * sc.sc) // greatest(st.st, 1) AS BIGINT) AS s_ppm
+  FROM sc LEFT JOIN tcn USING (b) CROSS JOIN st CROSS JOIN tt
+),
+iper AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         CAST(sum(tf * (t_ppm - s_ppm)) AS BIGINT) AS ssum
+  FROM ig JOIN bt USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(iper.n_words, 0) AS BIGINT) AS n_words,
+  CAST(coalesce(iper.ssum // greatest(iper.n_words, 1), 0) AS BIGINT) AS shift_ppm
+FROM ${D(sf)} d LEFT JOIN iper USING (doc_id) ORDER BY d.doc_id""",
     "gopher_filter" -> s"""
 WITH w AS (
   SELECT doc_id, text AS t,

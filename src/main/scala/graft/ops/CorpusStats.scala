@@ -235,6 +235,63 @@ object CorpusStats {
     * the same pass over the row, no join between signal operators, no
     * shuffle at all; rows are never dropped (kept=false flows through), so
     * the downstream writer decides what to materialize. */
+  /** Data-selection importance SHIFT [public technique: Xie et al.
+    * 2023 (DSIR) weight documents by hashed-n-gram importance under a
+    * target vs source distribution]: each word hashes to one of
+    * `buckets` md5 buckets; the corpus (source) and a target SUBSET of
+    * it each induce a bucket frequency in ppm, and a document scores
+    * the mean (target − source) ppm over its word occurrences —
+    * positive means "more like the target than the corpus". This is
+    * the exact-integer LINEAR surrogate of DSIR's log-ratio weights
+    * (no float log both engines share; ORDER of documents under the
+    * score is the useful output, as with the rank-style operators).
+    *
+    * `targetIds` must be one `doc_id` column selecting the target
+    * slice — DSIR's external target corpus is modeled here as a
+    * subset (e.g. the head quality tier), which keeps ONE word grain
+    * for both distributions.
+    *
+    * 100 TB shape: the corpus reduces to a (doc_id, bucket, tf) grain
+    * once (persisted — it feeds the source counts, the target
+    * semi-join, and the score join-back); both distributions are
+    * ≤`buckets` rows and BROADCAST back onto the grain, so the only
+    * corpus-sized exchanges are the grain aggregation and the per-doc
+    * rollup of compact integer rows. */
+  def importanceShift(docs: DataFrame, idCol: String, textCol: String,
+      targetIds: DataFrame, buckets: Int = 4096): DataFrame = {
+    val grain = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(wordsExpr(textCol)).as("w"))
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)" +
+          s" % $buckets").as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = grain.groupBy("b").agg(sum("tf").as("sc"))
+    val st = grain.agg(coalesce(sum("tf"), lit(0L)).as("st"))
+    val tc = grain
+      .join(targetIds.select(col("doc_id").cast("long").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .groupBy("b").agg(sum("tf").as("tc"))
+    val tt = tc.agg(coalesce(sum("tc"), lit(0L)).as("tt"))
+    val bt = sc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(st)).crossJoin(broadcast(tt))
+      .select(col("b"),
+        expr("(1000000 * coalesce(tc, 0L)) div greatest(tt, 1L)")
+          .as("t_ppm"),
+        expr("(1000000 * sc) div greatest(st, 1L)").as("s_ppm"))
+    val per = grain.join(broadcast(bt), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_words"),
+        sum(expr("tf * (t_ppm - s_ppm)")).as("ssum"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(expr("ssum div greatest(n_words, 1L)"), lit(0L))
+          .as("shift_ppm"))
+  }
+
   /** Gopher-style rule bundle [public technique: Rae et al. 2021
     * (Gopher) Table A1 quality heuristics — the standard pre-LM web
     * filter]: word-count bounds, mean-word-length bounds, alphabetic-

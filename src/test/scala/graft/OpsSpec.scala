@@ -1850,6 +1850,21 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "tail"))
   }
 
+  test("importance shift: target words positive, others negative, empty zero") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    // source: x:4, y:4 (s_ppm 500000 each); target = doc 1 only:
+    // t_ppm(x) = 1000000, t_ppm(y) = 0
+    val docs = Seq((1L, "x x x x"), (2L, "y y y y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val m = CorpusStats.importanceShift(docs, "doc_id", "text",
+      Seq(1L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == ((4L, 500000L)))
+    assert(m(2L) == ((4L, -500000L)))
+    assert(m(3L) == ((0L, 0L)))
+  }
+
   test("gopher rules: each rule fires, first-fail ordering, kept doc") {
     import graft.ops.CorpusStats
     import spark.implicits._
