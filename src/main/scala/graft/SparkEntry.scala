@@ -656,6 +656,11 @@ object SparkEntry {
       // at keep-everything — exact milli arithmetic, ≤3-row output
       graft.ops.Lm.mixPlan(docs(s, dir), "doc_id", "text")
         .orderBy("tier")),
+    "ngram_novelty" -> ((s, dir) =>
+      // first-seen fraction of each doc's distinct 8-grams (min-doc_id
+      // argmin over the shared decontamination gram algebra)
+      graft.ops.CorpusStats.ngramNovelty(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "importance_shift" -> ((s, dir) => {
       // DSIR-lite importance weights: target = the head quality tier,
       // source = the whole corpus; positive shift_ppm = head-like
@@ -1803,6 +1808,27 @@ SELECT doc_id, tier, rate_milli,
   ('0x' || substring(md5('tier:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
     < (rate_milli * 4294967296) // 1000 AS kept
 FROM rated ORDER BY doc_id""",
+    "ngram_novelty" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+),
+g AS (
+  SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 8
+    THEN list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
+    ELSE [] END) AS gh
+  FROM w
+),
+f AS (SELECT gh, min(doc_id) AS first FROM g GROUP BY gh),
+nv AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM g JOIN f USING (gh) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(nv.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+  CAST((1000 * coalesce(nv.n_novel, 0)) // greatest(coalesce(nv.n_grams, 0), 1) AS BIGINT) AS novelty_milli
+FROM ${D(sf)} d LEFT JOIN nv USING (doc_id) ORDER BY d.doc_id""",
     "importance_shift" -> s"""
 WITH ${tierCtes(D(sf))},
 wrd AS (

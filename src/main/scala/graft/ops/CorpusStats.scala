@@ -235,6 +235,43 @@ object CorpusStats {
     * the same pass over the row, no join between signal operators, no
     * shuffle at all; rows are never dropped (kept=false flows through), so
     * the downstream writer decides what to materialize. */
+  /** N-gram NOVELTY — how much of a document is first-seen vs already
+    * in the corpus before it (by doc_id order): the per-doc fraction of
+    * DISTINCT word `n`-grams whose corpus-wide FIRST occurrence (min
+    * doc_id) is this document. Low novelty = the doc restates earlier
+    * content — the document-grain cousin of the substring-dedup signal,
+    * and the memorization-risk proxy corpus audits track. Grams are
+    * [[TextGrams.wordGramsExpr]] md5s, the same algebra decontamination
+    * probes with.
+    *
+    * 100 TB shape: the corpus reduces once to a DISTINCT (doc_id, gram)
+    * grain of 32-char keys (persisted — it feeds the min-doc argmin AND
+    * the join-back, the signature-table rule); both exchanges move
+    * compact hashes, text never joins. Docs with < n words emit zeros
+    * via the final left join. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grain = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), explode(wordGramsExpr(n)).as("gh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = grain.groupBy("gh").agg(min("doc_id").as("first"))
+    val per = grain.join(first, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("(1000 * coalesce(n_novel, 0L))" +
+          " div greatest(coalesce(n_grams, 0L), 1L)").as("novelty_milli"))
+  }
+
   /** Data-selection importance SHIFT [public technique: Xie et al.
     * 2023 (DSIR) weight documents by hashed-n-gram importance under a
     * target vs source distribution]: each word hashes to one of

@@ -1850,6 +1850,24 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "tail"))
   }
 
+  test("ngram novelty: first occurrence owns the gram, short docs zero") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    val eight = "a b c d e f g h"          // one 8-gram
+    val docs = Seq(
+      (1L, eight),                          // first owner → novelty 1000
+      (2L, eight),                          // restates doc 1 → 0
+      (3L, s"$eight i"),                    // grams: abcdefgh (seen), bcdefghi (new) → 500
+      (4L, "too short")).toDF("doc_id", "text")
+    val m = CorpusStats.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L) == ((1L, 1L, 1000L)))
+    assert(m(2L) == ((1L, 0L, 0L)))
+    assert(m(3L) == ((2L, 1L, 500L)))
+    assert(m(4L) == ((0L, 0L, 0L)))
+  }
+
   test("importance shift: target words positive, others negative, empty zero") {
     import graft.ops.CorpusStats
     import spark.implicits._

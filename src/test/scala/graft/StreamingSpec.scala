@@ -349,6 +349,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: gopher rules run unchanged on a stream (stateless op)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the rule bundle is one narrow projection — it must compose onto a
+    // streaming DF with no changes, no state, and batch-equal verdicts
+    val rows = Seq((1L, ("the data " * 25).trim), (2L, "short text"),
+      (3L, ("data " * 50).trim))
+    val batch = graft.ops.CorpusStats
+      .gopherRules(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.ops.CorpusStats
+      .gopherRules(stream.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("gopher_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(6)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming: frozen-model tier apply is batch-equivalent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
