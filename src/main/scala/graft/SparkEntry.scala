@@ -656,6 +656,11 @@ object SparkEntry {
       // at keep-everything — exact milli arithmetic, ≤3-row output
       graft.ops.Lm.mixPlan(docs(s, dir), "doc_id", "text")
         .orderBy("tier")),
+    "text_ttr" -> ((s, dir) =>
+      // windowed type-token ratio at w=25 (the corpus runs 10-99 words,
+      // so 25 yields a 0-3 window mix; the op default is 50)
+      graft.ops.CorpusStats.windowedTtr(docs(s, dir), "doc_id", "text",
+        w = 25).orderBy("doc_id")),
     "ngram_novelty" -> ((s, dir) =>
       // first-seen fraction of each doc's distinct 8-grams (min-doc_id
       // argmin over the shared decontamination gram algebra)
@@ -1808,6 +1813,20 @@ SELECT doc_id, tier, rate_milli,
   ('0x' || substring(md5('tier:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
     < (rate_milli * 4294967296) // 1000 AS kept
 FROM rated ORDER BY doc_id""",
+    "text_ttr" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
+),
+dw AS (
+  SELECT doc_id, CASE WHEN len(ws) >= 25
+    THEN list_transform(range(0, len(ws) // 25), i -> len(list_distinct(ws[i*25+1:i*25+25])))
+    ELSE [] END AS ds
+  FROM w
+)
+SELECT doc_id,
+  CAST(len(ds) AS BIGINT) AS n_windows,
+  CAST((1000 * coalesce(list_sum(ds), 0)) // greatest(len(ds) * 25, 1) AS BIGINT) AS ttr_milli
+FROM dw ORDER BY doc_id""",
     "ngram_novelty" -> s"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}

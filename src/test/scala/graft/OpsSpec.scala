@@ -1850,6 +1850,24 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getString(2) == "tail"))
   }
 
+  test("windowed ttr: full windows only, tail ignored, short docs zero") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a b b b b b"),   // two windows, 1 type each → 200
+      (2L, "a b c d e"),             // one all-distinct window → 1000
+      (3L, "a b"),                   // shorter than a window → 0 / 0
+      (4L, "a b c d e f g")          // 7 words: tail 'f g' ignored → 1000
+    ).toDF("doc_id", "text")
+    val m = CorpusStats.windowedTtr(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m(1L) == ((2L, 200L)))
+    assert(m(2L) == ((1L, 1000L)))
+    assert(m(3L) == ((0L, 0L)))
+    assert(m(4L) == ((1L, 1000L)))
+  }
+
   test("ngram novelty: first occurrence owns the gram, short docs zero") {
     import graft.ops.CorpusStats
     import spark.implicits._
