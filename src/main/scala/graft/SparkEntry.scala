@@ -807,6 +807,12 @@ object SparkEntry {
       // the embedding-space apply twin: semantic clusters → keep flags
       Dedup.embedCosineApply(emb(s, dir), "vec_id", "embedding")
         .orderBy("vec_id")),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): k-means cells as the candidate
+      // generator (data-adaptive, vs embed_apply's oblivious sign-LSH),
+      // exact in-cell cosine, keep-min per component
+      Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")),
     "pipeline_recipe" -> ((s, dir) => {
       // the full C4-style training-data recipe composed from the
       // engine's own stages — quality filter → exact dedup (keep-first)
@@ -1522,6 +1528,35 @@ $ccWalkCtes
 SELECT v.vec_id, coalesce(cl.keep, v.vec_id) AS keep_id,
   coalesce(cl.keep, v.vec_id) = v.vec_id AS kept
 FROM (SELECT vec_id FROM ${E(sf)}) v LEFT JOIN cl ON cl.doc_id = v.vec_id
+ORDER BY v.vec_id""",
+    "dedup_semantic" -> s"""
+WITH RECURSIVE ${kmeansCtes(3, 16)},
+fd AS (
+  SELECT m.vec_id, c.cent_id,
+    list_dot_product(m.vm::DOUBLE[], m.vm::DOUBLE[])
+      - 2 * list_dot_product(m.vm::DOUBLE[], c.cm::DOUBLE[])
+      + list_dot_product(c.cm::DOUBLE[], c.cm::DOUBLE[]) AS d2
+  FROM m CROSS JOIN c3 c
+),
+asg AS (
+  -- final assignment against the trained centroids; zero-vector
+  -- exclusion is the shared ANN contract (training is unfiltered)
+  SELECT f.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS n, f.cent_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM fd) f
+  JOIN e ON e.vec_id = f.vec_id
+  WHERE f.rn = 1 AND list_dot_product(e.v, e.v) > 0
+),
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.35
+),
+$ccWalkCtes
+SELECT v.vec_id, asg.cell, coalesce(cl.keep, v.vec_id) AS keep_id,
+  coalesce(cl.keep, v.vec_id) = v.vec_id AS kept
+FROM (SELECT vec_id FROM ${E(sf)}) v
+LEFT JOIN asg ON asg.vec_id = v.vec_id
+LEFT JOIN cl ON cl.doc_id = v.vec_id
 ORDER BY v.vec_id""",
     "dedup_simhash" -> s"""
 WITH hs AS (

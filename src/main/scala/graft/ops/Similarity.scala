@@ -353,4 +353,70 @@ object Similarity {
       .filter(col("cos2_ppm") >= minCos2Ppm)
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_ppm"))
   }
+
+  /** Semantic deduplication [public technique: Abbas et al. 2023
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540]: cluster the embedding space with
+    * k-means, compare pairs ONLY within a cluster with the exact cosine,
+    * and keep one representative per connected component — the
+    * embedding-space analog of minhash dedup that catches paraphrases
+    * sharing no tokens. Differs from [[graft.ops.Dedup.embedCosineApply]]
+    * in the candidate generator: k-means cells (data-adaptive, what the
+    * paper uses) instead of data-oblivious sign-LSH bands.
+    *
+    * Determinism & oracle: the quantizer is [[kmeansMicro]] (pure integer
+    * function of the input set); final assignment uses the same exact
+    * integer metric (tie → lower cent_id); the in-cell verify is the
+    * fused exact double cosine (bit-identity with dot/(na·nb) pinned by
+    * sim_topk_native's oracle); component keeper = min id (order-free).
+    * Zero vectors have no cosine direction and are excluded from
+    * ASSIGNMENT (operator contract, same as every ANN path here —
+    * training is unfiltered, mirroring ivfTopKKmeans); excluded rows
+    * keep themselves with a null cell.
+    *
+    * Output: one row per input vector — (vec_id, cell, keep_id, kept).
+    *
+    * 100 TB shape: assignment is a NARROW fold over the collected
+    * centroid model (zero shuffle on the corpus); the quadratic stage is
+    * the within-cell self-join, whose cell sizes are bounded by scaling
+    * `centroids` with the corpus (the paper runs C ≈ N/10⁴ — the model
+    * stays a driver-side fit because kmeansMicro pulls C packed rows per
+    * iteration, not the corpus); component resolution shuffles compact
+    * (long, long) pairs only. Text/vectors never enter the CC join. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.35, centroids: Int = 16,
+      iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
+    val centsLit = typedLit(cents)
+    // assigned feeds BOTH sides of the in-cell self-join and the final
+    // left join — persist barrier per the file-wide convention
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("cv"))
+      .filter(nonZeroVec(col("cv")))
+      .withColumn("vm", microCol(col("cv")))
+      .withColumn("cell",
+        element_at(array_sort(transform(centsLit, c =>
+          struct(d2Micro(col("vm"), c.getField("_2")).as("d2"),
+            c.getField("_1").as("cent_id")))), 1).getField("cent_id"))
+      .drop("vm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("cv").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("cv").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      // threshold BEFORE any exchange — cosine is a pure pair function
+      .filter(expr("cosine_sim(va, vb)") >= minCosine)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.resolveClusters(pairs)
+    corpus.select(col(idCol).cast("long").as("vec_id"))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"), "left")
+      .join(clusters, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_keep_id"), col("vec_id")).as("keep_id"),
+        (coalesce(col("cluster_keep_id"), col("vec_id")) === col("vec_id"))
+          .as("kept"))
+  }
 }

@@ -1563,6 +1563,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out(9L) == ((9L, true))) // dissimilar vector stays kept
   }
 
+  test("semantic dedup: in-cell cosine components, zero vector excluded") {
+    import spark.implicits._
+    val v1 = Array.tabulate(16)(i => (i + 1).toFloat)
+    // orthogonal to nothing in particular — just far from v1's direction
+    val v2 = Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f)
+    val zero = Array.fill(16)(0f)
+    // identical duplicates (5,6) and (9,10): identical vectors quantize
+    // identically, so they land in the same k-means cell by construction
+    val emb = Seq((5L, v1), (6L, v1), (9L, v2), (10L, v2), (99L, zero))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        centroids = 2, iters = 2)
+      .collect().map { r =>
+        r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getLong(2), r.getBoolean(3)))
+      }.toMap
+    assert(out(5L)._2 == 5L && out(5L)._3)
+    assert(out(6L) == ((out(5L)._1, 5L, false))) // same cell, dropped
+    assert(out(9L)._2 == 9L && out(9L)._3)
+    assert(out(10L) == ((out(9L)._1, 9L, false)))
+    // zero vector: no cosine direction — excluded from assignment (null
+    // cell), keeps itself
+    assert(out(99L) == ((-1L, 99L, true)))
+  }
+
   test("bpe train: weighted counts, tie-break, atom expansion, early stop") {
     import spark.implicits._
     // words: aa×3, ab×2, aab×2
