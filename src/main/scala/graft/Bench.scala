@@ -256,6 +256,9 @@ object Bench {
     resultsExtra("dedup_semantic") = timeTrials(1, 3) {
       graft.SparkEntry.queries("dedup_semantic")(spark, sfDir).count()
     }._1
+    resultsExtra("text_readability") = timeTrials(1, 3) {
+      graft.ops.CorpusStats.readability(docs, "doc_id", "text").count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -847,6 +847,11 @@ object SparkEntry {
       // stopword/punct ratio quality signals, integer milli-exact
       CorpusStats.qualitySignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "text_readability" -> ((s, dir) =>
+      // Flesch reading-ease in integer milli-units (vowel-run syllable
+      // heuristic, [.!?]-run sentences) — a routing signal for tiers
+      CorpusStats.readability(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "media_resize" -> ((s, dir) =>
       // aspect-preserving fit into 224×224 (the pre-encoder plan): pure
       // integer milli-scale math over the stub metadata — the resample
@@ -2537,6 +2542,23 @@ SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
   (1000 * len(list_filter(ws, w -> list_contains(['and','for','in','is','it','of','that','the','to','with'], lower(w))))) // greatest(len(ws), 1) AS stopword_milli,
   (1000 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) // greatest(length(text), 1) AS nonalnum_milli
 FROM w ORDER BY doc_id""",
+    "text_readability" -> s"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM ${D(sf)}),
+c AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+    CAST(coalesce(list_sum(list_transform(ws, w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+  FROM w
+), r AS (
+  SELECT *,
+    CAST((1000 * n_words) // greatest(n_sentences, 1) AS BIGINT) AS wps_milli,
+    CAST((1000 * n_syllables) // greatest(n_words, 1) AS BIGINT) AS spw_milli
+  FROM c
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, wps_milli, spw_milli,
+  CAST(206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000 AS BIGINT) AS flesch_milli
+FROM r ORDER BY doc_id""",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
     "media_resize" -> s"""

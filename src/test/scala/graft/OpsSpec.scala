@@ -1563,6 +1563,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(9L) == ((9L, true))) // dissimilar vector stays kept
   }
 
+  test("readability: flesch milli from vowel-run syllables and [.!?] runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),
+      (2L, "beautiful onomatopoeia"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusStats.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))).toMap
+    // 5 words, 2 sentence runs ('.' and '!'), 1 vowel run per word:
+    // wps 2500, spw 1000 → 206835 − 2537 − 84600
+    assert(out(1L) == ((5L, 2L, 5L, 119698L)))
+    // beautiful = eau/i/u (3 runs), onomatopoeia = o/o/a/o/oeia (5);
+    // no sentence marks → divisor floors at 1: wps 2000, spw 4000
+    assert(out(2L) == ((2L, 0L, 8L, 206835L - 2030L - 338400L)))
+    // empty doc: all counts 0 → score is the constant term
+    assert(out(3L) == ((0L, 0L, 0L, 206835L)))
+  }
+
   test("semantic dedup: in-cell cosine components, zero vector excluded") {
     import spark.implicits._
     val v1 = Array.tabulate(16)(i => (i + 1).toFloat)
