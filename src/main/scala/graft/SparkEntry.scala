@@ -143,6 +143,11 @@ object SparkEntry {
         .orderBy("url", "idx")),
     "triage_sniff" -> ((s, _) =>
       extracted(s).select("url", "format", "charset").orderBy("url")),
+    "cdx_index" -> ((s, _) =>
+      // CDX-style capture index over the extraction output: SURT key
+      // (reversed host labels — site-prefix range scans), 14-digit
+      // timestamp, text digest; the sort IS the product
+      graft.ops.Urls.cdxIndex(extracted(s), "url", "warc_ts", "text")),
     "extract_metrics" -> ((s, _) =>
       extracted(s).groupBy("engine", "outcome")
         .agg(count(lit(1)).as("n"),
@@ -1145,7 +1150,16 @@ c$i AS (
     * replayed step-for-step in DuckDB). Reads `$src(url)`, produces
     * `${p}c(url, canon)`; `p` prefixes every intermediate CTE name so
     * the chain can appear twice in one query. */
-  private def canonCtes(src: String, p: String) = s"""${p}s1 AS (SELECT url, split_part(url, '#', 1) AS nf FROM $src),
+  private def canonCtes(src: String, p: String) =
+    s"""${canonPartCtes(src, p)},
+${p}c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
+        CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon FROM ${p}s6)"""
+
+  /** The component chain behind [[canonCtes]] (ends at `${"$"}{p}s6`
+    * with scheme/host/portpart/path2/qs columns) — shared with the
+    * cdx_index oracle, whose SURT key reassembles the SAME components
+    * in sort-friendly order instead of canonical-URL order. */
+  private def canonPartCtes(src: String, p: String) = s"""${p}s1 AS (SELECT url, split_part(url, '#', 1) AS nf FROM $src),
 ${p}s2 AS (SELECT url, nf, split_part(nf, '?', 1) AS base FROM ${p}s1),
 -- scheme split at the FIRST '://' only (split_part(..,2) returns the
 -- second FIELD and truncated path-embedded '://'); userinfo dropped at
@@ -1172,9 +1186,7 @@ ${p}s6 AS (SELECT *,
        -- coalesce: DuckDB array_to_string([]) is NULL where Spark
        -- array_join([]) is '' — the empty-query rows must not null out
        coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
-         x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&'), '') AS qs FROM ${p}s5),
-${p}c AS (SELECT url, scheme || '://' || host || portpart || path2 ||
-        CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon FROM ${p}s6)"""
+         x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&'), '') AS qs FROM ${p}s5)"""
 
   /** Distinct-shingle intersection CTE chain — ONE owner for the
     * dedup_ngram_jaccard and dedup_containment oracles (the
@@ -1341,6 +1353,19 @@ cand AS (
       s"""SELECT url, idx, start, "end", kind, path FROM $GS ORDER BY url, idx""",
     "triage_sniff" ->
       s"SELECT url, format, charset FROM $G ORDER BY url",
+    "cdx_index" -> s"""
+WITH ${canonPartCtes(s"(SELECT url FROM $G)", "x")},
+surt AS (
+  SELECT url, array_to_string(list_reverse(string_split(host, '.')), ',') || portpart || ')' || path2 ||
+    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS surt_key
+  FROM xs6
+),
+gg AS (SELECT url, warc_ts, text FROM $G)
+SELECT s.surt_key, strftime(gg.warc_ts, '%Y%m%d%H%M%S') AS ts14,
+  gg.url AS url, md5(coalesce(gg.text, '')) AS digest,
+  CAST(coalesce(length(gg.text), 0) AS BIGINT) AS n_chars
+FROM surt s JOIN gg ON gg.url = s.url
+ORDER BY surt_key, ts14, url""",
     "extract_metrics" ->
       s"SELECT engine, outcome, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars FROM $G GROUP BY engine, outcome ORDER BY engine, outcome",
     "merge_ordered" ->

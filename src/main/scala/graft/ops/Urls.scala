@@ -87,6 +87,15 @@ object Urls {
     * step with an exact DuckDB spelling the oracle replays
     * (string_split / list_filter / list_sort / array_to_string). */
   def canon(urlCol: String): Column = {
+    val (scheme, host, portPart, path2, qPart) = canonParts(urlCol)
+    concat(scheme, lit("://"), host, portPart, path2, qPart)
+  }
+
+  /** The shared canonicalization components (scheme, host, portPart,
+    * normalized path, normalized query part) — ONE owner for [[canon]]
+    * and [[surtKey]] (a drifting copy would silently un-sync the CDX
+    * index key from url dedup). */
+  private def canonParts(urlCol: String): (Column, Column, Column, Column, Column) = {
     val u = col(urlCol)
     val nf = split_part(u, lit("#"), lit(1)) // fragment dropped
     val base = split_part(nf, lit("?"), lit(1))
@@ -120,8 +129,47 @@ object Urls {
     val qs = array_join(array_sort(filter(split(q, "&"),
       x => x =!= "" && x.substr(lit(1), lit(4)) =!= "utm_")), "&")
     val qPart = when(qs === "", lit("")).otherwise(concat(lit("?"), qs))
-    concat(scheme, lit("://"), host, portPart, path2, qPart)
+    (scheme, host, portPart, path2, qPart)
   }
+
+  /** SURT (Sort-friendly URI Reordering Transform) key over the
+    * CANONICAL form of `urlCol` — the web-archiving index key format
+    * [public spec: IIPC/Heritrix SURT; the key column of Common Crawl's
+    * public CDX index]: scheme dropped, host labels reversed and
+    * comma-joined, non-default port kept, then ')' + normalized path +
+    * sorted query. `http://www.Example.com/a/` →
+    * `com,example,www)/a`. Label reversal makes one host's (and one
+    * registrable domain's) pages lexicographically CONTIGUOUS — range
+    * scans over a sorted index replace hash lookups. IPv4 hosts reverse
+    * like any dotted labels (archive.org's own indexes do the same);
+    * bracketed IPv6 literals have no dots, so they pass through
+    * verbatim — no special case needed in either engine. */
+  def surtKey(urlCol: String): Column = {
+    val (_, host, portPart, path2, qPart) = canonParts(urlCol)
+    concat(array_join(reverse(split(host, "\\.")), ","),
+      portPart, lit(")"), path2, qPart)
+  }
+
+  /** CDX-style capture index over an extracted-pages table [public
+    * format: the CDX(J) server index behind Common Crawl / Wayback
+    * lookups]: one row per capture, keyed (surt_key, ts14, url) so the
+    * written index is range-scannable by site prefix and time. The
+    * digest is md5 of the extracted text (this engine's corpus-wide
+    * digest convention; classic CDX uses base32 sha1 of the raw payload
+    * — same role, spelled in the algebra both engines share).
+    *
+    * 100 TB shape: one narrow projection (the key is pure string
+    * algebra) + ONE range-partitioned sort on the index key — the sort
+    * IS the product (a CDX index is served sorted); no other shuffle. */
+  def cdxIndex(pages: DataFrame, urlCol: String, tsCol: String,
+      textCol: String): DataFrame =
+    pages.select(
+      surtKey(urlCol).as("surt_key"),
+      date_format(col(tsCol), "yyyyMMddHHmmss").as("ts14"),
+      col(urlCol).as("url"),
+      md5(coalesce(col(textCol), lit(""))).as("digest"),
+      coalesce(length(col(textCol)), lit(0)).cast("long").as("n_chars"))
+      .orderBy("surt_key", "ts14", "url")
 
   /** URL-keyed exact dedup on the canonical form: one row per input,
     * with its canonical url, the group's keeper (lowest raw url) and the

@@ -22,7 +22,8 @@ object GoldenGen {
   val verifyCorpusSize = 600
   val goldenDir = "/root/repo/src/test/resources/golden"
 
-  final case class GoldenRow(url: String, text: String, outcome: String,
+  final case class GoldenRow(url: String, warc_ts: java.sql.Timestamp,
+      text: String, outcome: String,
       engine: String, format: String, charset: String, n_nodes: Int,
       n_blocks: Int, n_spans: Int, truncated: Int, lang: String,
       dir: String, pred_lang: String,
@@ -54,7 +55,7 @@ object GoldenGen {
       Extractor.extract(SyntheticCorpus.row(i))
     }
     val rows = results.map { r =>
-      GoldenRow(r.url, r.text, r.outcome, r.engine, r.format, r.charset,
+      GoldenRow(r.url, r.warc_ts, r.text, r.outcome, r.engine, r.format, r.charset,
         r.n_nodes, r.n_blocks, r.spans.length, if (r.truncated) 1 else 0,
         r.lang, r.dir,
         TextStats.langId(r.text), TextStats.dictHitRatio(r.text),

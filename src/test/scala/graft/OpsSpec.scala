@@ -1623,6 +1623,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("surt key: reversed labels, ports, IPv6 passthrough, sorted query") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://www.Example.COM/a/",
+      "https://example.com:8443/x?b=2&a=1&utm_source=t",
+      "http://127.0.0.1/p",
+      "http://[::1]:8080/x",
+      "http://example.com").toDF("url")
+    val out = urls.select(col("url"), graft.ops.Urls.surtKey("url").as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // host labels reversed; canon's trailing-slash strip carries over
+    assert(out("http://www.Example.COM/a/") == "com,example,www)/a")
+    // non-default port kept; query sorted, utm_* dropped (canon algebra)
+    assert(out("https://example.com:8443/x?b=2&a=1&utm_source=t")
+      == "com,example:8443)/x?a=1&b=2")
+    // IPv4 reverses like any dotted labels (archive.org indexes do too)
+    assert(out("http://127.0.0.1/p") == "1,0,0,127)/p")
+    // bracketed IPv6 has no dots — passes through verbatim
+    assert(out("http://[::1]:8080/x") == "[::1]:8080)/x")
+    assert(out("http://example.com") == "com,example)/")
+  }
+
   test("url blocklist: suffix wildcard, exact subdomain, IPv6, negatives") {
     import graft.ops.Urls
     val out = Urls.blocklistFilter(Urls.fixtureDf(spark), "url")
