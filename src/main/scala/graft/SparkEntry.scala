@@ -1120,6 +1120,27 @@ c$i AS (
     sb.toString
   }
 
+  /** Final k-means cell assignment against the trained centroids
+    * `c{iters}` — the exact-integer d² argmin (rn = 1, tie → lower
+    * cent_id) plus the shared zero-vector exclusion (training is
+    * unfiltered on both sides, matching Spark's nonZeroVec contract).
+    * ONE owner for the sim_topk_ivf_kmeans and dedup_semantic oracles:
+    * produces `fd(vec_id, cent_id, d2)` (also ranked further by the IVF
+    * probe side) and `fasg(vec_id, v, n, cell)`. */
+  private def kmeansAssignCtes(iters: Int): String = s"""fd AS (
+  SELECT m.vec_id, c.cent_id,
+    list_dot_product(m.vm::DOUBLE[], m.vm::DOUBLE[])
+      - 2 * list_dot_product(m.vm::DOUBLE[], c.cm::DOUBLE[])
+      + list_dot_product(c.cm::DOUBLE[], c.cm::DOUBLE[]) AS d2
+  FROM m CROSS JOIN c$iters c
+),
+fasg AS (
+  SELECT f.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS n, f.cent_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM fd) f
+  JOIN e ON e.vec_id = f.vec_id
+  WHERE f.rn = 1 AND list_dot_product(e.v, e.v) > 0
+)"""
+
   /** MinHash-LSH candidate CTE chain, shared by the dedup_minhash_lsh and
     * dedup_clusters oracles (the latter appends a recursive
     * connected-components walk over the same pair set). A def, not a
@@ -1561,31 +1582,17 @@ FROM (SELECT vec_id FROM ${E(sf)}) v LEFT JOIN cl ON cl.doc_id = v.vec_id
 ORDER BY v.vec_id""",
     "dedup_semantic" -> s"""
 WITH RECURSIVE ${kmeansCtes(3, 16)},
-fd AS (
-  SELECT m.vec_id, c.cent_id,
-    list_dot_product(m.vm::DOUBLE[], m.vm::DOUBLE[])
-      - 2 * list_dot_product(m.vm::DOUBLE[], c.cm::DOUBLE[])
-      + list_dot_product(c.cm::DOUBLE[], c.cm::DOUBLE[]) AS d2
-  FROM m CROSS JOIN c3 c
-),
-asg AS (
-  -- final assignment against the trained centroids; zero-vector
-  -- exclusion is the shared ANN contract (training is unfiltered)
-  SELECT f.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS n, f.cent_id AS cell
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM fd) f
-  JOIN e ON e.vec_id = f.vec_id
-  WHERE f.rn = 1 AND list_dot_product(e.v, e.v) > 0
-),
+${kmeansAssignCtes(3)},
 p AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.35
 ),
 $ccWalkCtes
-SELECT v.vec_id, asg.cell, coalesce(cl.keep, v.vec_id) AS keep_id,
+SELECT v.vec_id, fasg.cell, coalesce(cl.keep, v.vec_id) AS keep_id,
   coalesce(cl.keep, v.vec_id) = v.vec_id AS kept
 FROM (SELECT vec_id FROM ${E(sf)}) v
-LEFT JOIN asg ON asg.vec_id = v.vec_id
+LEFT JOIN fasg ON fasg.vec_id = v.vec_id
 LEFT JOIN cl ON cl.doc_id = v.vec_id
 ORDER BY v.vec_id""",
     "dedup_simhash" -> s"""
@@ -2573,7 +2580,10 @@ c AS (
   SELECT doc_id,
     CAST(len(ws) AS BIGINT) AS n_words,
     CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
-    CAST(coalesce(list_sum(list_transform(ws, w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+    -- the coalesce covers ONLY the empty-list case (list_sum([]) is NULL
+    -- where Spark's aggregate([], 0L) = 0); a NULL text must stay NULL in
+    -- both engines, so it is guarded out of the fold
+    CAST(CASE WHEN ws IS NULL THEN NULL ELSE coalesce(list_sum(list_transform(ws, w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))), 0) END AS BIGINT) AS n_syllables
   FROM w
 ), r AS (
   SELECT *,
@@ -2743,19 +2753,9 @@ cents AS (
 SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_topk_ivf_kmeans" -> s"""
 WITH ${kmeansCtes(3, 16)},
-fd AS (
-  SELECT m.vec_id, c.cent_id,
-    list_dot_product(m.vm::DOUBLE[], m.vm::DOUBLE[])
-      - 2 * list_dot_product(m.vm::DOUBLE[], c.cm::DOUBLE[])
-      + list_dot_product(c.cm::DOUBLE[], c.cm::DOUBLE[]) AS d2
-  FROM m CROSS JOIN c3 c
-),
+${kmeansAssignCtes(3)},
 assigned AS (
-  -- zero-vector exclusion: same contract as Spark's nonZeroVec on the
-  -- corpus/query sides (training is unfiltered on both sides)
-  SELECT f.vec_id AS nbr_id, e.v AS cv, sqrt(list_dot_product(e.v, e.v)) AS cn, f.cent_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM fd
-  ) f JOIN e ON e.vec_id = f.vec_id WHERE f.rn = 1 AND list_dot_product(e.v, e.v) > 0
+  SELECT vec_id AS nbr_id, v AS cv, n AS cn, cell FROM fasg
 ),
 probed AS (
   SELECT f.vec_id AS query_id, e.v AS qv, sqrt(list_dot_product(e.v, e.v)) AS qn, f.cent_id AS cell FROM (

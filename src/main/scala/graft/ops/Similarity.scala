@@ -133,6 +133,25 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
+  /** Ranked centroid list for a micro-quantized vector: every trained
+    * cell as (d2, cent_id) structs sorted by exact integer d² (tie →
+    * lower cent_id). ONE owner for the assignment algebra that
+    * [[kmeansMicro]], [[ivfTopKKmeans]] and [[semanticDedup]] share —
+    * the metric and tie-break are a pinned oracle contract, and a
+    * drifting copy in any of the three would silently un-sync their
+    * oracles. Rank against a MATERIALIZED micro column: codegen does
+    * not hoist common subexpressions out of HOF lambdas, so quantizing
+    * inside the per-centroid transform would redo the O(dim)
+    * floor/cast C times per row. */
+  private def cellRanking(centsLit: Column, vm: Column): Column =
+    array_sort(transform(centsLit, c =>
+      struct(d2Micro(vm, c.getField("_2")).as("d2"),
+        c.getField("_1").as("cent_id"))))
+
+  /** Nearest trained cell (the rank-1 entry of [[cellRanking]]). */
+  private def assignCell(centsLit: Column, vm: Column): Column =
+    element_at(cellRanking(centsLit, vm), 1).getField("cent_id")
+
   /** Deterministic Lloyd k-means over micro-quantized vectors [public
     * technique: Lloyd 1982]. Init is hash-seeded (the C rows with the
     * lexicographically smallest md5(vec_id), id tie-break); each
@@ -165,10 +184,7 @@ object Similarity {
       }.toSeq
       (0 until iters).foreach { _ =>
         val centsLit = typedLit(cents)
-        val assigned = vm.withColumn("cell",
-          element_at(array_sort(transform(centsLit, c =>
-            struct(d2Micro(col("vm"), c.getField("_2")).as("d2"),
-              c.getField("_1").as("cent_id")))), 1).getField("cent_id"))
+        val assigned = vm.withColumn("cell", assignCell(centsLit, col("vm")))
         // the truncating integer mean (Spark `div` ≡ DuckDB `//` ≡ Scala
         // Long `/`, all toward zero — verified) folds INSIDE the agg, and
         // the second groupBy packs each cell's dims into one sorted
@@ -210,27 +226,18 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
     val centsLit = typedLit(cents)
-    // rank against a MATERIALIZED micro column: codegen does not hoist
-    // common subexpressions out of HOF lambdas, so quantizing inside the
-    // per-centroid transform would redo the O(dim) floor/cast C times
-    // per row
-    def cellRanking(vm: Column): Column =
-      array_sort(transform(centsLit, c =>
-        struct(d2Micro(vm, c.getField("_2")).as("d2"),
-          c.getField("_1").as("cent_id"))))
     val assigned = corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
       .filter(nonZeroVec(col("cv")))
       .withColumn("vm", microCol(col("cv")))
-      .withColumn("cell",
-        element_at(cellRanking(col("vm")), 1).getField("cent_id"))
+      .withColumn("cell", assignCell(centsLit, col("vm")))
       .drop("vm")
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(nonZeroVec(col("qv")))
       .withColumn("vm", microCol(col("qv")))
       .withColumn("probe",
-        explode(slice(cellRanking(col("vm")), 1, nprobe)))
+        explode(slice(cellRanking(centsLit, col("vm")), 1, nprobe)))
       .withColumn("cell", col("probe").getField("cent_id"))
       .drop("probe", "vm")
     // in-cell rerank through the native fused cosine (bit-identity with
@@ -395,10 +402,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("cv"))
       .filter(nonZeroVec(col("cv")))
       .withColumn("vm", microCol(col("cv")))
-      .withColumn("cell",
-        element_at(array_sort(transform(centsLit, c =>
-          struct(d2Micro(col("vm"), c.getField("_2")).as("d2"),
-            c.getField("_1").as("cent_id")))), 1).getField("cent_id"))
+      .withColumn("cell", assignCell(centsLit, col("vm")))
       .drop("vm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
