@@ -852,11 +852,21 @@ object SparkEntry {
       // stopword/punct ratio quality signals, integer milli-exact
       CorpusStats.qualitySignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
-    "text_readability" -> ((s, dir) =>
+    "text_readability" -> ((s, _) =>
       // Flesch reading-ease in integer milli-units (vowel-run syllable
-      // heuristic, [.!?]-run sentences) — a routing signal for tiers
-      CorpusStats.readability(docs(s, dir), "doc_id", "text")
+      // heuristic, [.!?]-run sentences) — a routing signal for tiers.
+      // Runs over the EXTRACTION output: the documents fixture has zero
+      // sentence terminators (its sentence axis would verify vacuously);
+      // extracted article text exercises real punctuation. The bench
+      // times the same projection over the sf-scaled documents table.
+      CorpusStats.readability(extracted(s), "url", "text")
         .orderBy("doc_id")),
+    "text_sentences" -> ((s, _) =>
+      // deterministic sentence grain ([.!?]-run chunks, terminator
+      // attached) — the segmentation readability's counts agree with;
+      // over the extraction output for the same fixture-richness reason
+      CorpusStats.sentences(extracted(s), "url", "text")
+        .orderBy("doc_id", "sent_idx")),
     "media_resize" -> ((s, dir) =>
       // aspect-preserving fit into 224×224 (the pre-encoder plan): pure
       // integer milli-scale math over the stub metadata — the resample
@@ -2575,7 +2585,7 @@ SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
   (1000 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) // greatest(length(text), 1) AS nonalnum_milli
 FROM w ORDER BY doc_id""",
     "text_readability" -> s"""
-WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM ${D(sf)}),
+WITH w AS (SELECT url AS doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM $G),
 c AS (
   SELECT doc_id,
     CAST(len(ws) AS BIGINT) AS n_words,
@@ -2594,6 +2604,12 @@ c AS (
 SELECT doc_id, n_words, n_sentences, n_syllables, wps_milli, spw_milli,
   CAST(206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000 AS BIGINT) AS flesch_milli
 FROM r ORDER BY doc_id""",
+    "text_sentences" -> s"""
+WITH s AS (SELECT url AS doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss FROM $G),
+x AS (SELECT doc_id, unnest(range(0, len(ss))) AS sent_idx, unnest(ss) AS s FROM s)
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, trim(s) AS sentence,
+  CAST(len(list_filter(string_split(trim(s), ' '), x -> x != '')) AS BIGINT) AS n_words
+FROM x ORDER BY doc_id, sent_idx""",
     "media_meta" ->
       s"SELECT doc_id, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS height, CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS media_kind FROM ${D(sf)} ORDER BY doc_id",
     "media_resize" -> s"""

@@ -137,6 +137,30 @@ object CorpusStats {
         expr("206835L - (1015L * wps_milli) div 1000L" +
           " - (84600L * spw_milli) div 1000L"))
 
+  /** Rule-based sentence segmentation: one row per sentence-ish chunk,
+    * split where runs of [.!?] end, with the terminator run attached to
+    * its sentence ('[^.!?]+[.!?]*' over the raw text — the same
+    * [.!?]-run notion [[readability]] counts, so the two signals agree
+    * on what a sentence is). Leading orphan terminator runs belong to no
+    * sentence (the regex needs ≥1 non-terminator char to open a match);
+    * chunks that trim to '' keep their slot (sent_idx stays the match
+    * ordinal, a stable offset into the doc). Abbreviation/decimal-point
+    * handling is out of scope — this is the deterministic segmentation
+    * grain for downstream dedup/stats, not a linguistic segmenter.
+    *
+    * Output: (doc_id, sent_idx, sentence, n_words).
+    *
+    * 100 TB shape: one narrow extract + explode — zero shuffle; row
+    * count is bounded by total corpus chars. */
+  def sentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      expr(s"regexp_extract_all($textCol, '[^.!?]+[.!?]*', 0)").as("ss"))
+      .select(col("doc_id"), posexplode(col("ss")).as(Seq("sent_idx", "s")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        trim(col("s")).as("sentence"),
+        expr("cast(size(filter(split(trim(s), ' '), x -> x != '')) as bigint)")
+          .as("n_words"))
+
   /** The passage-grain view shared by [[passageDedup]] (stats) and
     * [[passageDedupClean]] (transform): one row per non-overlapping
     * `w`-word passage, (doc_id, pos, p, h). Trailing words that don't

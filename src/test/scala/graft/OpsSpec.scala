@@ -1582,6 +1582,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0L, 206835L)))
   }
 
+  test("sentences: terminator runs attach, leading orphans drop, null/empty silent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!! Done"),
+      (2L, "...leading dots. tail"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.ops.CorpusStats.sentences(docs, "doc_id", "text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(out == Seq(
+      (1L, 0L, "The cat sat.", 3L),
+      (1L, 1L, "It ran!!", 2L), // the full '!!' run stays attached
+      (1L, 2L, "Done", 1L), // unterminated tail is still a sentence
+      // the leading '...' opens no match — orphan terminators dropped
+      (2L, 0L, "leading dots.", 2L),
+      (2L, 1L, "tail", 1L)), s"got $out")
+    // empty and null docs emit no sentence rows (explode of []/null)
+  }
+
   test("semantic dedup: in-cell cosine components, zero vector excluded") {
     import spark.implicits._
     val v1 = Array.tabulate(16)(i => (i + 1).toFloat)
