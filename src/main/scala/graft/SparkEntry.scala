@@ -278,6 +278,36 @@ object SparkEntry {
           expr("(1000 * sum(tokens_bpe)) div greatest(sum(tokens_ws), 1L)")
             .as("fertility_milli"))
         .orderBy("host")),
+    "link_spam_signal" -> ((s, _) => {
+      // host-grain link-farm signal (the SEO-spam heuristic a crawl
+      // budget-cuts on): outlink density per word and the intra-host
+      // share of outlinks — a host whose pages are mostly links, mostly
+      // to itself, is a link farm, not content. Two two-phase host aggs
+      // over the (already persisted) extraction output, joined on host;
+      // exact integer milli. 100 TB: host is the same skewed key
+      // host_quality rolls up on — partial aggs combine map-side, and a
+      // pathological mega-host salts exactly like host_stats_salted.
+      val ex = extracted(s)
+      val pages = ex.groupBy(lower(col("host")).as("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(tokensWsUdf(col("text"))).as("n_words"))
+      val links = hostLinkGrain(ex)
+        .groupBy(col("src_host").as("host"))
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("dst_host") === col("src_host"), 1L).otherwise(0L))
+            .as("n_intra"),
+          sum(col("chrome").cast("long")).as("n_chrome"))
+      pages.join(links, Seq("host"), "left")
+        .select(col("host"), col("n_pages"), col("n_words"),
+          coalesce(col("n_links"), lit(0L)).as("n_links"),
+          coalesce(col("n_intra"), lit(0L)).as("n_intra"),
+          coalesce(col("n_chrome"), lit(0L)).as("n_chrome"))
+        .withColumn("link_density_milli",
+          expr("(1000L * n_links) div greatest(n_words, 1L)"))
+        .withColumn("intra_ratio_milli",
+          expr("(1000L * n_intra) div greatest(n_links, 1L)"))
+        .orderBy("host")
+    }),
     "crawl_depth" -> ((s, _) => {
       // in-crawl hop distance: BFS waves from the crawl's effective
       // entry points — EVERY crawled page no other crawled page links
@@ -1454,6 +1484,25 @@ ORDER BY canon""",
   count(*) AS n_links, CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
   CAST(sum(CASE WHEN chrome THEN 1 ELSE 0 END) AS BIGINT) AS n_chrome
 FROM $GL GROUP BY 1, 2 ORDER BY src_host, dst_host""",
+    "link_spam_signal" -> s"""
+WITH pg AS (
+  SELECT lower(split_part(url, '/', 3)) AS host, count(*) AS n_pages,
+    CAST(sum(tokens_ws) AS BIGINT) AS n_words
+  FROM $G GROUP BY 1
+),
+lk AS (
+  SELECT lower(split_part(url, '/', 3)) AS host,
+    count(*) AS n_links,
+    CAST(sum(CASE WHEN lower(split_part(resolved, '/', 3)) = lower(split_part(url, '/', 3)) THEN 1 ELSE 0 END) AS BIGINT) AS n_intra,
+    CAST(sum(CASE WHEN chrome THEN 1 ELSE 0 END) AS BIGINT) AS n_chrome
+  FROM $GL GROUP BY 1
+)
+SELECT pg.host, pg.n_pages, pg.n_words,
+  coalesce(lk.n_links, 0) AS n_links, coalesce(lk.n_intra, 0) AS n_intra,
+  coalesce(lk.n_chrome, 0) AS n_chrome,
+  (1000 * coalesce(lk.n_links, 0)) // greatest(pg.n_words, 1) AS link_density_milli,
+  (1000 * coalesce(lk.n_intra, 0)) // greatest(coalesce(lk.n_links, 0), 1) AS intra_ratio_milli
+FROM pg LEFT JOIN lk USING (host) ORDER BY host""",
     "extract_modes" ->
       s"SELECT url, mode, outcome, engine, n_spans, text_md5 FROM read_parquet('$goldenModes') ORDER BY mode, url",
     "pages_subset" ->
