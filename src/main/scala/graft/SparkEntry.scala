@@ -680,6 +680,12 @@ object SparkEntry {
       // thresholds out of a compact score histogram, no global sort
       graft.ops.Lm.qualityTiers(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "quality_tiers_by_lang" -> ((s, dir) =>
+      // CCNet's ACTUAL tiering grain: terciles per language (LM scores
+      // are not comparable across languages — a global cut would dump
+      // whole low-resource languages into one tier)
+      graft.ops.Lm.qualityTiersBy(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
     "tier_sample" -> ((s, dir) =>
       // CCNet's downstream move: keep the head, subsample middle/tail
       // by salted md5 coins against per-tier milli rates
@@ -1292,34 +1298,38 @@ inter AS (
   FROM grain JOIN model USING (gram) GROUP BY grain.doc_id
 )"""
 
-  /** CCNet tier CTE chain — ONE owner for the quality_tiers and
-    * tier_sample oracles (the [[graft.ops.Lm.qualityTiers]] algebra:
-    * LM score → value-threshold terciles). Appends to [[lmCtes]];
-    * produces `tiered(doc_id, score, tier)`. */
-  private def tierCtes(src: String) = s"""${lmCtes(src)},
+  /** CCNet tier CTE chain — ONE owner for the quality_tiers /
+    * tier_sample / importance_shift / mix_plan / quality_tiers_by_lang
+    * oracles (the [[graft.ops.Lm.qualityTiers]] algebra: LM score →
+    * value-threshold terciles). Appends to [[lmCtes]]; produces
+    * `tiered(doc_id, grp, score, tier)`. `grpExpr` (a SQL expression
+    * over the source alias `d`) picks the population the terciles are
+    * computed WITHIN — the default single constant group is the global
+    * variant; `d.lang` is the per-language CCNet form. */
+  private def tierCtes(src: String, grpExpr: String = "'all'") = s"""${lmCtes(src)},
 scored AS (
-  SELECT d.doc_id,
+  SELECT d.doc_id, $grpExpr AS grp,
     CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS score
   FROM $src d LEFT JOIN per p USING (doc_id)
 ),
-hist AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY score),
+hist AS (SELECT grp, score, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY grp, score),
 cum AS (
-  SELECT score, CAST(sum(c) OVER (ORDER BY score
+  SELECT grp, score, CAST(sum(c) OVER (PARTITION BY grp ORDER BY score
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM hist
 ),
-nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+nn AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY grp),
 thr AS (
-  SELECT min(CASE WHEN cum * 3 >= n THEN score END) AS t_tail,
+  SELECT cum.grp, min(CASE WHEN cum * 3 >= n THEN score END) AS t_tail,
          min(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t_mid
-  FROM cum, nn
+  FROM cum JOIN nn USING (grp) GROUP BY cum.grp
 ),
 tiered AS (
-  SELECT doc_id, score,
+  SELECT doc_id, scored.grp AS grp, score,
     CASE WHEN score <= t_tail THEN 'tail'
          WHEN score <= t_mid THEN 'middle'
          ELSE 'head' END AS tier
-  FROM scored, thr
+  FROM scored JOIN thr USING (grp)
 )"""
 
   /** Host-extraction CTE chain — ONE owner for the '#'/'?'-strip →
@@ -1932,6 +1942,9 @@ FROM ${D(sf)} d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
     "quality_tiers" -> s"""
 WITH ${tierCtes(D(sf))}
 SELECT doc_id, score, tier FROM tiered ORDER BY doc_id""",
+    "quality_tiers_by_lang" -> s"""
+WITH ${tierCtes(D(sf), "d.lang")}
+SELECT doc_id, grp AS lang, score, tier FROM tiered ORDER BY doc_id""",
     "tier_sample" -> s"""
 WITH ${tierCtes(D(sf))},
 rated AS (

@@ -121,6 +121,41 @@ object Lm {
           .otherwise(lit("head")).as("tier"))
   }
 
+  /** Per-population [[qualityTiers]] — the form CCNet actually ships
+    * (Wenzek et al. 2020 compute the head/middle/tail thresholds PER
+    * LANGUAGE, because LM scores are not comparable across languages:
+    * one global cut would put all of a low-resource language in one
+    * tier). Tercile value thresholds are derived independently within
+    * each `byCol` group over the SAME corpus LM score, so a document's
+    * tier is relative to its own population.
+    *
+    * Output: (doc_id, <byCol>, score, tier).
+    *
+    * 100 TB shape: [[ValueHist.cumAndTotalBy]] keeps the reduction a
+    * (grp, score, count) histogram — bounded by groups × value range,
+    * never the corpus; the per-group threshold table (≤ #languages
+    * rows) broadcasts onto the narrow assignment. The scored table
+    * carries the usual fork barrier (histogram + final projection). */
+  def qualityTiersBy(docs: DataFrame, idCol: String, textCol: String,
+      byCol: String): DataFrame = {
+    val scored = bigramScoreFromGrain(docs, idCol,
+        gramGrain(docs, idCol, textCol))
+      .select(col("doc_id"), col("mean_freq_milli").as("score"))
+      .join(docs.select(col(idCol).as("doc_id"), col(byCol).as("grp")),
+        Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (cum, n) = ValueHist.cumAndTotalBy(scored, "grp", "score")
+    val thr = cum.join(n, Seq("grp"))
+      .groupBy("grp")
+      .agg(min(when(col("cum") * 3 >= col("n"), col("score"))).as("t_tail"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t_mid"))
+    scored.join(broadcast(thr), Seq("grp"))
+      .select(col("doc_id"), col("grp").as(byCol), col("score"),
+        when(col("score") <= col("t_tail"), lit("tail"))
+          .when(col("score") <= col("t_mid"), lit("middle"))
+          .otherwise(lit("head")).as("tier"))
+  }
+
   /** The OFFLINE half of the offline-model → online-apply deployment
     * (CCNet trains the LM and picks thresholds on a reference corpus,
     * then workers score new text against the FROZEN artifact): the

@@ -27,4 +27,18 @@ object ValueHist {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     (cum, hist.agg(sum("c").as("n")))
   }
+
+  /** The GROUPED twin of [[cumAndTotal]]: one independent histogram /
+    * cumulative sum / total per `keyCol` value (the per-population
+    * form [[Lm.qualityTiersBy]] computes per-language terciles with).
+    * The window is partitioned by the key, so even the bounded-range
+    * guarantee tightens: each partition is at most one value range. */
+  def cumAndTotalBy(scored: DataFrame, keyCol: String,
+      valueCol: String): (DataFrame, DataFrame) = {
+    val hist = scored.groupBy(keyCol, valueCol).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy(keyCol).orderBy(valueCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    (cum, hist.groupBy(keyCol).agg(sum("c").as("n")))
+  }
 }
