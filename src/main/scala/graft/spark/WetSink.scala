@@ -59,12 +59,6 @@ object WetSink {
       (if (text == null) "" else text).getBytes(UTF8), out)
   }
 
-  /** RFC 1952 member header: magic, CM=8 (deflate), FLG=0, MTIME=0
-    * (determinism — never the wall clock), XFL=0, OS=0 — byte-for-byte
-    * what JDK GZIPOutputStream writes. */
-  private val GzipMemberHeader: Array[Byte] =
-    Array(0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
-
   private def warcinfo(out: java.io.OutputStream): Unit =
     WarcSource.writeRecord(Version, Seq(
       "WARC-Type" -> "warcinfo",
@@ -75,82 +69,15 @@ object WetSink {
       out)
 
   /** Write `df`'s (urlCol, tsCol, textCol) as `files` WET files under
-    * `outDir` (part-NNNNN.warc.wet). Rerun-identical bytes (class doc). */
+    * `outDir` (part-NNNNN.warc.wet). Rerun-identical bytes (class doc);
+    * layout, gzip-member framing, and the files-count contract live in
+    * [[RecordSink]] (ONE owner with the WAT writer). */
   def writeWet(df: DataFrame, outDir: String, urlCol: String = "url",
       tsCol: String = "warc_ts", textCol: String = "text",
-      files: Int = 32, gzip: Boolean = false): Unit = {
-    val spark = df.sparkSession
-    val conf = org.apache.spark.graft.GraftUtilAccess.serializableConf(
-      spark.sparkContext.hadoopConfiguration)
-    val prepared = df
-      .select(col(urlCol).as("url"), col(tsCol).as("ts"),
-        col(textCol).as("text"))
-      .repartition(files, col("url"))
-      .sortWithinPartitions("url", "ts", "text")
-    val counts = prepared.queryExecution.toRdd.mapPartitionsWithIndex {
-      (pid, rows) =>
-        val ext = if (gzip) "warc.wet.gz" else "warc.wet"
-        val path = new org.apache.hadoop.fs.Path(
-          outDir, f"part-$pid%05d.$ext")
-        val fs = path.getFileSystem(
-          org.apache.spark.graft.GraftUtilAccess.confOf(conf))
-        val out = fs.create(path, true)
-        // gzip = the real CC layout: EACH record its own gzip member
-        // (readers can then split/seek per record; gunzipAll restores
-        // the concatenation). Members are written with ONE reusable
-        // Deflater/CRC32/buffer per PARTITION (a GZIPOutputStream per
-        // record would allocate a native zlib state per record — the
-        // hot write path at 100 TB); the fixed header carries MTIME=0
-        // so rerun byte-identity survives compression. Same bytes as
-        // JDK GZIPOutputStream (same header, deflate params, trailer).
-        val deflater = if (gzip) new java.util.zip.Deflater(
-          java.util.zip.Deflater.DEFAULT_COMPRESSION, true) else null
-        val crc = if (gzip) new java.util.zip.CRC32 else null
-        val raw = if (gzip) new java.io.ByteArrayOutputStream() else null
-        val dbuf = if (gzip) new Array[Byte](8192) else null
-        def emit(write: java.io.OutputStream => Unit): Unit =
-          if (!gzip) write(out)
-          else {
-            raw.reset(); write(raw)
-            val body = raw.toByteArray
-            deflater.reset(); crc.reset(); crc.update(body, 0, body.length)
-            out.write(GzipMemberHeader)
-            deflater.setInput(body); deflater.finish()
-            while (!deflater.finished()) {
-              val k = deflater.deflate(dbuf)
-              if (k > 0) out.write(dbuf, 0, k)
-            }
-            val tr = new Array[Byte](8)
-            val c = crc.getValue; val sz = body.length.toLong
-            var i = 0
-            while (i < 4) {
-              tr(i) = ((c >>> (8 * i)) & 0xff).toByte
-              tr(4 + i) = ((sz >>> (8 * i)) & 0xff).toByte
-              i += 1
-            }
-            out.write(tr)
-          }
-        var n = 0L
-        try {
-          emit(warcinfo)
-          rows.foreach { r =>
-            val url = r.getUTF8String(0).toString
-            val ts = if (r.isNullAt(1)) null
-              else org.apache.spark.sql.catalyst.util.DateTimeUtils
-                .toJavaTimestamp(r.getLong(1))
-            val text = if (r.isNullAt(2)) null else r.getUTF8String(2).toString
-            emit(conversionRecord(url, ts, text, _))
-            n += 1
-          }
-        } finally {
-          out.close()
-          if (deflater != null) deflater.end()
-        }
-        Iterator.single(n)
-    }.collect()
-    require(counts.length == files,
-      s"wet sink wrote ${counts.length} files, expected $files")
-  }
+      files: Int = 32, gzip: Boolean = false): Unit =
+    RecordSink.write(df, outDir, urlCol, tsCol, textCol,
+      if (gzip) "warc.wet.gz" else "warc.wet", files, gzip,
+      warcinfo, conversionRecord)
 
   /** Read WET files back as (url, warc_ts, text) — the verification
     * twin of [[writeWet]] (and a real consumer for third-party WET):

@@ -536,6 +536,61 @@ class PipelineSpec extends AnyFunSuite {
       "expected one gzip member per record plus one warcinfo per file")
   }
 
+  test("wat sink: envelope metadata, round-trip, rerun byte-identity") {
+    import graft.spark.WatSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_wat").toString
+    val ex = Jobs.extract(Jobs.syntheticPages(spark, 200), 8).toDF()
+    WatSink.writeWat(ex, s"$dir/one", files = 3)
+    WatSink.writeWat(ex, s"$dir/two", files = 3)
+    (0 until 3).foreach { i =>
+      val f = f"part-$i%05d.warc.wat"
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/one", f))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/two", f))
+      assert(java.util.Arrays.equals(a, b), s"wat file $f not rerun-stable")
+      assert(a.nonEmpty)
+    }
+    // metadata records are invisible to the response-record reader
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/one", "part-00000.warc.wat"))
+    assert(graft.spark.WarcSource.parseRecords(raw).isEmpty)
+    val head = new String(raw.take(500), "UTF-8")
+    assert(head.startsWith("WARC/1.1\r\n"))
+    assert(head.contains("WARC-Type: warcinfo"))
+    // every page round-trips, and the envelope carries the page's own
+    // outcome, link list, and head metadata (parsed back out of the
+    // JSON, not substring-matched)
+    val back = WatSink.readWat(spark, s"$dir/one")
+    assert(back.count() == 200)
+    val ddl = "Envelope STRUCT<`Payload-Metadata`: STRUCT<" +
+      "`HTML-Metadata`: STRUCT<Links: ARRAY<STRUCT<url: STRING>>, " +
+      "Head: STRUCT<`Meta-Refresh`: STRING>>, " +
+      "`Extraction-Metadata`: STRUCT<outcome: STRING>>>"
+    val parsed = back
+      .select(col("url"), from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("j"))
+      .select(col("url"),
+        col("j.Envelope.Payload-Metadata.Extraction-Metadata.outcome")
+          .as("outcome"),
+        coalesce(size(
+          col("j.Envelope.Payload-Metadata.HTML-Metadata.Links")), lit(0))
+          .as("n_links"),
+        col("j.Envelope.Payload-Metadata.HTML-Metadata.Head.Meta-Refresh")
+          .as("refresh"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getString(3)))).toMap
+    val want = ex.select(col("url"), col("outcome"),
+        size(col("links")).as("n"), col("redirect"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2),
+          if (r.getString(3) == "") null else r.getString(3)))).toMap
+    assert(parsed == want,
+      "WAT envelope metadata does not match the extraction output")
+    assert(want.values.exists(_._2 > 0), "fixture has no linked pages")
+    assert(want.values.exists(_._3 != null), "fixture has no redirects")
+  }
+
   test("subset filter: open-ended `end` selects the same rows as resolved") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
