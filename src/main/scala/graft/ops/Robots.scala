@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   *    groups, else no rules (everything allowed). ALL groups at the
   *    chosen level merge (RFC 9309 §2.2.1: multiple groups for one
   *    agent combine);
-  *  - rule matching is PLAIN PREFIX match on the raw url path
-  *    (query/fragment stripped); the `*`/`$` wildcard extension is out
-  *    of scope (documented); an empty-value rule matches nothing;
-  *  - verdict: longest matching rule path wins; `Allow` beats
+  *  - rule matching is the RFC 9309 §2.2.3 wildcard match on the raw
+  *    url path (query/fragment stripped): `*` matches any character
+  *    sequence, a TRAILING `$` anchors at the path end, every other
+  *    character (including an interior '$') is literal — a rule with
+  *    neither is exactly a prefix match; an empty-value rule matches
+  *    nothing;
+  *  - verdict: longest matching rule STRING wins (wildcards count as
+  *    one character — the Google parser's specificity); `Allow` beats
   *    `Disallow` at equal length (RFC 9309 §2.2.2); no matching rule →
   *    allowed. Directive names are case-insensitive; only spaces are
   *    trimmed (tabs out of scope).
@@ -116,7 +120,16 @@ object Robots {
       // the delay record CLOSED the header: otherbot is a NEW group, so
       // its Disallow does NOT bind graftbot (Google parser behavior)
       "User-agent: otherbot",
-      "Disallow: /").mkString("\n"))
+      "Disallow: /").mkString("\n"),
+    "host09.example.com" -> Seq(
+      // RFC 9309 §2.2.3 wildcards: '*' spans any chars (incl '/'), a
+      // trailing '$' anchors; regex metachars in rules are LITERAL
+      "User-agent: graftbot",
+      "Disallow: /*.pdf$",
+      "Allow: /pub/*.pdf$", // longer rule string → wins for /pub pdfs
+      "Disallow: /dl/*/raw",
+      "Disallow: /lit(eral)+x",
+      "Allow: /dl/ok$").mkString("\n"))
 
   /** URL fixture — each row exercises one documented behavior; the
     * host06 row has no robots body at all. */
@@ -148,7 +161,15 @@ object Robots {
     "http://host07.example.com/y/1",
     // host08: otherbot's group was CLOSED off by the crawl-delay record
     // — its Disallow / must NOT bind graftbot
-    "http://host08.example.org/anything")
+    "http://host08.example.org/anything",
+    // host09: wildcard rules
+    "http://host09.example.com/doc.pdf", // /*.pdf$ → deny
+    "http://host09.example.com/pub/a.pdf", // longer Allow /pub/*.pdf$ wins
+    "http://host09.example.com/doc.pdfx", // '$' anchor: no match → allowed
+    "http://host09.example.com/dl/a/b/raw", // '*' crosses '/' → deny
+    "http://host09.example.com/dl/ok", // anchored Allow matches exactly
+    "http://host09.example.com/dl/okx", // anchor misses → no rule
+    "http://host09.example.com/lit(eral)+x/y") // metachars literal → deny
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -257,22 +278,63 @@ object Robots {
       .select(col("host"), col("ln").cast("long").as("ln"),
         col("value").as("sitemap_url"))
 
+  /** The RFC 9309 §2.2.3 wildcard characters a rule path may carry:
+    * `*` matches any character sequence (including '/'), a TRAILING
+    * `$` anchors the match at the path's end; every OTHER character is
+    * literal — including an interior '$' (the Google parser's
+    * reading). Implemented as rule → anchored regex: escape the regex
+    * metacharacters with ONE fold over this list, then '*' → '.*' and
+    * '^' + optional '$'. [[ruleRegexCol]] (Spark) and [[ruleRegexSql]]
+    * (the oracle) are generated from this SAME list — two engines, one
+    * escape table; a drifting copy would silently un-sync the verdicts.
+    * '*' is absent here (it becomes '.*'); a literal-only rule's regex
+    * '^literal' is exactly the previous prefix-match semantics. */
+  private val regexSpecials: Seq[String] =
+    Seq("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$")
+
+  private def ruleRegexCol(rpath: Column): Column = {
+    val anchored = rpath.endsWith("$")
+    val body = when(anchored, rpath.substr(lit(1), length(rpath) - 1))
+      .otherwise(rpath)
+    val esc = regexSpecials.foldLeft(body)((acc, ch) =>
+      replace(acc, lit(ch), lit("\\" + ch)))
+    concat(lit("^"), replace(esc, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** [[ruleRegexCol]] spelled as a DuckDB expression over a rule-path
+    * SQL expression `e` — the fold runs over the same [[regexSpecials]]
+    * list at string-build time. */
+  def ruleRegexSql(e: String): String = {
+    val body =
+      s"(CASE WHEN $e LIKE '%$$' THEN substr($e, 1, length($e) - 1) ELSE $e END)"
+    val esc = regexSpecials.foldLeft(body)((acc, ch) =>
+      s"replace($acc, '$ch', '\\$ch')")
+    s"('^' || replace($esc, '*', '.*') || " +
+      s"(CASE WHEN $e LIKE '%$$' THEN '$$' ELSE '' END))"
+  }
+
   /** Per-url robots verdict: (url, host, path, allowed, rule, rtype).
     * `rule`/`rtype` are ''/'' when no rule matched. The rule table
     * rides a broadcast host-equality join; the longest-match argmax is
-    * max(struct(len, allow, rpath, rtype)) — allow outranks disallow at
-    * equal length, the path component only breaks ties between
-    * same-verdict rules. */
+    * max(struct(len, allow, rpath, rtype)) — rule STRING length
+    * (wildcards count as one char, the Google parser's specificity),
+    * allow outranks disallow at equal length, the path component only
+    * breaks ties between same-verdict rules. Matching is the anchored
+    * wildcard regex ([[ruleRegexCol]]); Spark's RLike caches the last
+    * compiled pattern per instance, and the broadcast rule side is
+    * host-clustered, so recompilation is per rule, not per row. */
   def filter(urls: DataFrame, urlCol: String, robots: DataFrame,
       agent: String = agent): DataFrame = {
     val rules = applicableRules(robots, agent)
+      .withColumn("rpat", ruleRegexCol(col("rpath")))
     val withPath = urls.select(col(urlCol).as("url"),
       Urls.hostOf(urlCol).as("host"), Urls.pathOf(urlCol).as("path"))
       // barrier: withPath feeds both the verdict agg and the final
       // join-back — without it the url side scans and re-parses twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = withPath.join(broadcast(rules), Seq("host"))
-      .filter(startswith(col("path"), col("rpath")))
+      .filter(expr("regexp_like(path, rpat)"))
       .groupBy("url")
       .agg(max(struct(length(col("rpath")).as("len"),
         (col("rtype") === "allow").cast("int").as("a"),
@@ -388,7 +450,7 @@ best AS (
       ORDER BY length(r.rpath) DESC, (r.rtype = 'allow') DESC,
                r.rpath DESC, r.rtype DESC) AS rn
     FROM withpath w JOIN rules r ON w.host = r.host
-    WHERE starts_with(w.path, r.rpath)
+    WHERE regexp_matches(w.path, ${ruleRegexSql("r.rpath")})
   ) WHERE rn = 1
 )
 SELECT w.url, w.host, w.path,

@@ -1833,6 +1833,20 @@ class OpsSpec extends AnyFunSuite {
     // host08: the crawl-delay record closed graftbot's header — the
     // following otherbot group's Disallow / must NOT bind graftbot
     assert(out("http://host08.example.org/anything") == ((true, "", "")))
+    // host09: RFC 9309 §2.2.3 wildcards
+    assert(out("http://host09.example.com/doc.pdf")
+      == ((false, "/*.pdf$", "disallow"))) // '*' + '$' anchor
+    assert(out("http://host09.example.com/pub/a.pdf")
+      == ((true, "/pub/*.pdf$", "allow"))) // longer rule STRING wins
+    assert(out("http://host09.example.com/doc.pdfx")
+      == ((true, "", ""))) // '$' anchors: .pdfx is not .pdf-at-end
+    assert(out("http://host09.example.com/dl/a/b/raw")
+      == ((false, "/dl/*/raw", "disallow"))) // '*' crosses '/'
+    assert(out("http://host09.example.com/dl/ok")
+      == ((true, "/dl/ok$", "allow")))
+    assert(out("http://host09.example.com/dl/okx") == ((true, "", "")))
+    assert(out("http://host09.example.com/lit(eral)+x/y")
+      == ((false, "/lit(eral)+x", "disallow"))) // metachars are literal
   }
 
   test("robots: crawl delays group-scoped max, sitemap pointers group-blind") {
