@@ -143,6 +143,17 @@ object SparkEntry {
         .orderBy("url", "idx")),
     "triage_sniff" -> ((s, _) =>
       extracted(s).select("url", "format", "charset").orderBy("url")),
+    "extract_ldjson" -> ((s, _) =>
+      // structured-data mining (the WAT analog CC pipelines run over
+      // schema.org blocks): ld+json payloads captured VERBATIM by the
+      // kernel, typed here with a JSON column function — parsing is
+      // plan-side work, never the kernel's
+      extracted(s)
+        .select(col("url"), posexplode(col("ldjson")).as(Seq("idx", "payload")))
+        .select(col("url"), col("idx").cast("long").as("idx"),
+          col("payload"),
+          get_json_object(col("payload"), "$['@type']").as("item_type"))
+        .orderBy("url", "idx")),
     "cdx_index" -> ((s, _) =>
       // CDX-style capture index over the extraction output: SURT key
       // (reversed host labels — site-prefix range scans), 14-digit
@@ -1424,6 +1435,14 @@ cand AS (
       s"""SELECT url, idx, start, "end", kind, path FROM $GS ORDER BY url, idx""",
     "triage_sniff" ->
       s"SELECT url, format, charset FROM $G ORDER BY url",
+    "extract_ldjson" -> s"""
+WITH x AS (
+  SELECT url, unnest(range(0, len(ldjson))) AS idx, unnest(ldjson) AS payload
+  FROM $G
+)
+SELECT url, CAST(idx AS BIGINT) AS idx, payload,
+  json_extract_string(payload, '$$."@type"') AS item_type
+FROM x ORDER BY url, idx""",
     "cdx_index" -> s"""
 WITH ${canonPartCtes(s"(SELECT url FROM $G)", "x")},
 surt AS (

@@ -304,7 +304,8 @@ object HtmlEngine extends ExtractionEngine {
       // carries the split); redirect shells and rejects above emit none
       links = effBase.map(graft.extract.Links.fromDom(dom, _))
         .getOrElse(Vector.empty),
-      redirect = redirectTarget, canonical = canonicalUrl)
+      redirect = redirectTarget, canonical = canonicalUrl,
+      ldjson = dom.ldjson)
   }
 }
 

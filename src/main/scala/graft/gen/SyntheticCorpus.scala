@@ -231,8 +231,20 @@ object SyntheticCorpus {
     val canonSib = 26 * rng.nextInt(20) + rng.nextInt(6)
     val canonLink = if (canonSib % 6 == 0)
       s"""\n<link rel="canonical" href="p$canonSib">""" else ""
+    // structured-data fixtures (html/TreeBuilder ld+json capture): a
+    // 1-in-3 schema.org Article block, a 1-in-3 block whose MIME is
+    // uppercase + padded (type matching is trimmed/case-insensitive);
+    // the remaining third has only the plain <script> below (negative).
+    // Draws are UNCONDITIONAL so the rng stream stays aligned.
+    val ldKw = words(rng, 2)
+    val ldDraw = rng.nextInt(3)
+    val ldJson = if (ldDraw == 0)
+      s"""\n<script type="application/ld+json">{"@type":"Article","headline":"$title","keywords":"$ldKw"}</script>"""
+    else if (ldDraw == 1)
+      s"""\n<script type=" Application/LD+JSON ">{"@type":"NewsArticle","headline":"$title"}</script>"""
+    else ""
     s"""<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>$title</title>$canonLink
+<html><head><meta charset="utf-8"><title>$title</title>$canonLink$ldJson
 <style>body { margin: 0 }</style>
 <script>var x = 1 < 2;</script></head>
 <body>

@@ -25,7 +25,11 @@ final class DomNode(
 final class Dom(
     val nodes: ArrayBuffer[DomNode],
     val truncated: Boolean, // a bounded-resource guard fired
-    val title: String // <title> text, NFKC'd + whitespace-collapsed later
+    val title: String, // <title> text, NFKC'd + whitespace-collapsed later
+    // <script type="application/ld+json"> payloads, document order,
+    // VERBATIM (structured data is mined downstream with JSON
+    // functions — the kernel never parses it)
+    val ldjson: IndexedSeq[String] = IndexedSeq.empty
 )
 
 /** Open-element-stack tree builder with specified repair rules.
@@ -185,6 +189,12 @@ object TreeBuilder {
 
     var titleDone = false
     var skippedTitle = false
+    // structured-data capture: the text token(s) inside a
+    // <script type="application/ld+json"> element (MIME match is
+    // trimmed + case-insensitive per WHATWG MIME matching); the payload
+    // is taken VERBATIM — JSON parsing is downstream work
+    val ldjson = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inLdJson = false
     // WHATWG pre rule, at its spec location (tree construction): "if the
     // NEXT TOKEN after a <pre> start tag is a U+000A character token,
     // ignore it". Token-level, so ANY intervening token — including a
@@ -218,8 +228,12 @@ object TreeBuilder {
         val void = voidTags.contains(name) || (selfClosing && foreign)
         addElement(name, attrs, push = !void)
         if (name == "pre" && !void) preNL = true
+        inLdJson = name == "script" && !void &&
+          attrs.collectFirst { case (k, v) if k == "type" => v }
+            .exists(_.trim.equalsIgnoreCase("application/ld+json"))
       case EndTag(name) =>
         preNL = false
+        inLdJson = false
         if (name == "title") {
           if (inTitle) { inTitle = false; titleDone = true }
           skippedTitle = false
@@ -245,6 +259,10 @@ object TreeBuilder {
         val t = if (preNL && raw.nonEmpty && raw.charAt(0) == '\n')
           raw.substring(1) else raw
         preNL = false
+        // ld+json capture is INDEPENDENT of content handling: the node
+        // is still added below (script text was always a DOM node here
+        // — node counts and goldens must not shift for non-ld scripts)
+        if (inLdJson) { ldjson += raw; inLdJson = false }
         if (skippedTitle) () // non-first title label: not content
         else if (inTitle) title.append(t)
         else if (nodes.length < maxNodes) {
@@ -256,6 +274,6 @@ object TreeBuilder {
       case _: CommentTok => preNL = false
       case _: DoctypeTok => preNL = false
     }
-    new Dom(nodes, truncated, title.toString)
+    new Dom(nodes, truncated, title.toString, ldjson.toIndexedSeq)
   }
 }

@@ -70,7 +70,11 @@ final case class ExtractResult(
     dir: String = "ltr", // first-strong bidi direction of the extracted text
     links: Seq[Link] = Nil, // resolved outlinks (html branch; whole visible DOM)
     redirect: String = "", // resolved meta-refresh target ('' when none)
-    canonical: String = "" // resolved <link rel=canonical> ('' when none)
+    canonical: String = "", // resolved <link rel=canonical> ('' when none)
+    // <script type="application/ld+json"> payloads, document order,
+    // VERBATIM (structured-data mining happens downstream with JSON
+    // column functions, never in the kernel)
+    ldjson: Seq[String] = Nil
 )
 
 object Outcome {

@@ -72,7 +72,10 @@ object WatSink {
           struct(
             struct(
               opt("redirect").as("Meta-Refresh"),
-              opt("canonical").as("Link-Rel-Canonical")).as("Head"),
+              opt("canonical").as("Link-Rel-Canonical"),
+              // absent → null → omitted, like the other head fields
+              when(size(col("ldjson")) > 0, col("ldjson")).as("JSON-LD"))
+              .as("Head"),
             transform(col("links"), l => struct(
               l.getField("resolved").as("url"),
               l.getField("text").as("text"),

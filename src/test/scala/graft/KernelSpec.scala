@@ -75,6 +75,24 @@ class KernelSpec extends AnyFunSuite {
     assert(lis(0).depth == lis(1).depth)
   }
 
+  test("treebuilder: ld+json captured verbatim, MIME trimmed case-blind") {
+    val dom = TreeBuilder.build(Tokenizer.tokenize(
+      """<head><script type="application/ld+json">{"@type":"Article","a":1}</script>""" +
+        """<script type=" Application/LD+JSON ">{"@type":"B"}</script>""" +
+        """<script>var x = 1;</script>""" +
+        """<script type="text/javascript">{"not":"ld"}</script></head>""" +
+        """<body><p>hi</p></body>"""))
+    assert(dom.ldjson == Seq("""{"@type":"Article","a":1}""", """{"@type":"B"}"""))
+    // capture does not perturb the tree: all four script text nodes are
+    // still DOM nodes (node counts feed the goldens)
+    assert(dom.nodes.count(n => n.tag == "#text"
+      && n.text.contains("{")) == 3)
+    // empty ld+json body and a self-closing script capture nothing
+    val dom2 = TreeBuilder.build(Tokenizer.tokenize(
+      """<script type="application/ld+json"></script><p>x</p>"""))
+    assert(dom2.ldjson.isEmpty)
+  }
+
   test("treebuilder: unmatched end tag ignored; misnesting pops to match") {
     val dom = TreeBuilder.build(Tokenizer.tokenize(
       "<div><b>x</div></b><p>y</p>"))
