@@ -287,12 +287,16 @@ object HtmlEngine extends ExtractionEngine {
       effBase.map(graft.extract.Links.refreshTarget(dom, _)).getOrElse("")
     val canonicalUrl =
       effBase.map(graft.extract.Links.canonicalOf(dom, _)).getOrElse("")
+    // head metas need no base resolution — recorded for every decoded
+    // page for the same reason as redirect/canonical above
+    val pageMetas = graft.extract.Links.metasOf(dom)
     if (hasRefresh && isRedirect && cfg.mode != ProcessingMode.Force)
       return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
         "skipped:redirect", tag, s.format, charset, dom.nodes.length,
         blocks.length, dom.truncated,
         lang = LangResolve.resolve(row.lang, ""),
-        redirect = redirectTarget, canonical = canonicalUrl)
+        redirect = redirectTarget, canonical = canonicalUrl,
+        metas = pageMetas)
     val outcome =
       if (asm.text.isEmpty) Outcome.SkippedEmpty else Outcome.Ok
     ExtractResult(row.url, row.warc_ts, asm.text, asm.spans, outcome, tag,
@@ -305,7 +309,7 @@ object HtmlEngine extends ExtractionEngine {
       links = effBase.map(graft.extract.Links.fromDom(dom, _))
         .getOrElse(Vector.empty),
       redirect = redirectTarget, canonical = canonicalUrl,
-      ldjson = dom.ldjson)
+      ldjson = dom.ldjson, metas = pageMetas)
   }
 }
 

@@ -171,21 +171,51 @@ object Links {
   /** [[canonicalOf]] against a precomputed effective base — the form
     * the extraction kernel calls so the base is derived ONCE per page
     * across links/canonical/refresh. */
-  def canonicalOf(dom: Dom, eff: Base): String = {
-    def inBody(id: Int): Boolean = {
-      var p = id
-      while (p >= 0) {
-        if (dom.nodes(p).tag == "body") return true
-        p = dom.nodes(p).parent
-      }
-      false
-    }
+  def canonicalOf(dom: Dom, eff: Base): String =
     dom.nodes.find { n =>
       n.tag == "link" && n.attr("href").isDefined &&
         n.attr("rel").exists(_.split("\\s+").exists(
-          _.equalsIgnoreCase("canonical"))) && !inBody(n.id)
+          _.equalsIgnoreCase("canonical"))) && !inBody(dom, n.id)
     }.flatMap(n => resolve(eff, n.attr("href").get)).getOrElse("")
+
+  /** Explicit-`<body>` ancestry — the shared rejection guard for page
+    * metadata ([[canonicalOf]], [[metasOf]]): user-posted markup inside
+    * the body must not hijack metadata-keyed consumers. Head-less
+    * documents keep top-level elements (this builder synthesizes no
+    * head/body). */
+  private def inBody(dom: Dom, id: Int): Boolean = {
+    var p = id
+    while (p >= 0) {
+      if (dom.nodes(p).tag == "body") return true
+      p = dom.nodes(p).parent
+    }
+    false
   }
+
+  /** Head `<meta>` pairs in document order (the CC-WAT `Head → Metas`
+    * analog; reference twin: the docinfo/XMP metadata scan feeding
+    * metadata_fixup, src/ocrmypdf/_metadata.py:260-299 — named
+    * key/value page metadata surfaced for downstream policy, never
+    * interpreted by the extractor itself).
+    *
+    * Rule (mirrored by the unit suite): key = the `name` attribute,
+    * else the `property` attribute (OpenGraph), trimmed + ASCII
+    * case-folded; the element must carry BOTH a non-empty key and a
+    * `content` attribute; `content` stays verbatim. Metas inside an
+    * explicit `<body>` are rejected (same guard as body canonicals);
+    * `http-equiv` pragmas and `<meta charset>` carry no name/property
+    * and are naturally excluded. Output size is bounded by the DOM
+    * node cap — no separate limit, nothing silently dropped. */
+  def metasOf(dom: Dom): Vector[graft.model.MetaTag] =
+    dom.nodes.iterator.filter(n => n.tag == "meta" && !inBody(dom, n.id))
+      .flatMap { n =>
+        val key = n.attr("name").orElse(n.attr("property"))
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+        (key, n.attr("content")) match {
+          case (Some(k), Some(c)) => Some(graft.model.MetaTag(k, c))
+          case _ => None
+        }
+      }.toVector
 
   /** Meta-refresh redirect target: the first
     * `<meta http-equiv="refresh">` whose content parses under the

@@ -243,15 +243,32 @@ object SyntheticCorpus {
     else if (ldDraw == 1)
       s"""\n<script type=" Application/LD+JSON ">{"@type":"NewsArticle","headline":"$title"}</script>"""
     else ""
+    // head-meta fixtures (extract/Links.metasOf): 1-in-3 gets a plain
+    // description + an OpenGraph `property` pair; 1-in-3 gets an
+    // uppercase/padded NAME attr (key fold) plus two negatives — a
+    // content-less meta and a BODY meta (body metas are rejected like
+    // body canonicals); the rest have only <meta charset> (negative:
+    // no name/property). Draws UNCONDITIONAL, APPENDED after all
+    // pre-existing draws so the rng stream of every other field is
+    // untouched.
+    val metaDesc = words(rng, 6)
+    val metaDraw = rng.nextInt(3)
+    val headMetas = if (metaDraw == 0)
+      s"""\n<meta name="description" content="$metaDesc"><meta property="og:title" content="$title">"""
+    else if (metaDraw == 1)
+      s"""\n<meta name=" Description " content="$metaDesc"><meta name="robots">"""
+    else ""
+    val bodyMeta = if (metaDraw == 1)
+      s"""<meta name="injected" content="spoof">""" else ""
     s"""<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>$title</title>$canonLink$ldJson
+<html><head><meta charset="utf-8"><title>$title</title>$canonLink$ldJson$headMetas
 <style>body { margin: 0 }</style>
 <script>var x = 1 < 2;</script></head>
 <body>
 <header><ul>$nav</ul></header>
 <nav><ul>$nav</ul></nav>
 <main>
-<h1>$title</h1>
+<h1>$title</h1>$bodyMeta
 $paras
 </main>
 <aside>$aside</aside>

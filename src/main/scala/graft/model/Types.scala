@@ -44,6 +44,16 @@ final case class Span(start: Int, end: Int, kind: String, path: String)
 final case class Link(idx: Int, raw: String, resolved: String,
     chrome: Boolean, text: String)
 
+/** A head `<meta>` tag surfaced for structured-data consumers (the
+  * CC-WAT `Head → Metas` analog). `name` is the meta's `name` or
+  * `property` attribute (OpenGraph writes `property`), trimmed and
+  * lowercased — HTML metadata names are ASCII case-insensitive;
+  * `content` is VERBATIM, like [[ExtractResult.ldjson]] payloads —
+  * interpretation is downstream plan-side work, never the kernel's.
+  * `http-equiv` pragmas are NOT surfaced here: the one with pipeline
+  * semantics (refresh) already rides as [[ExtractResult.redirect]]. */
+final case class MetaTag(name: String, content: String)
+
 /** Output row of the extraction stage. `outcome` is the typed failure/skip
   * channel (reference: timeout/failure containment,
   * src/ocrmypdf/_exec/tesseract.py:341-353 — a bad document yields a marker,
@@ -74,7 +84,11 @@ final case class ExtractResult(
     // <script type="application/ld+json"> payloads, document order,
     // VERBATIM (structured-data mining happens downstream with JSON
     // column functions, never in the kernel)
-    ldjson: Seq[String] = Nil
+    ldjson: Seq[String] = Nil,
+    // head <meta name|property=... content=...> pairs, document order
+    // (the WAT Head-Metas field; body metas rejected like body
+    // canonicals — user-posted markup must not inject page metadata)
+    metas: Seq[MetaTag] = Nil
 )
 
 object Outcome {

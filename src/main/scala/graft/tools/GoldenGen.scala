@@ -28,7 +28,8 @@ object GoldenGen {
       n_blocks: Int, n_spans: Int, truncated: Int, lang: String,
       dir: String, pred_lang: String,
       quality: Double, tokens_ws: Long, tokens_bpe: Long, fingerprint: Long,
-      redirect: String, canonical: String, ldjson: Seq[String])
+      redirect: String, canonical: String, ldjson: Seq[String],
+      metas: Seq[graft.model.MetaTag])
   final case class GoldenSpan(url: String, idx: Int, start: Int, end: Int,
       kind: String, path: String)
   final case class GoldenMode(url: String, mode: String, outcome: String,
@@ -60,7 +61,8 @@ object GoldenGen {
         r.lang, r.dir,
         TextStats.langId(r.text), TextStats.dictHitRatio(r.text),
         TextStats.tokensWs(r.text), TextStats.tokensBpe(r.text),
-        TextStats.fingerprint(r.text), r.redirect, r.canonical, r.ldjson)
+        TextStats.fingerprint(r.text), r.redirect, r.canonical, r.ldjson,
+        r.metas)
     }
     val spans = results.flatMap { r =>
       r.spans.zipWithIndex.map { case (s, i) =>

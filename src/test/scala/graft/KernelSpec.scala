@@ -762,6 +762,36 @@ class KernelSpec extends AnyFunSuite {
       base) == "https://h.test/real")
   }
 
+  test("links: head meta capture — key fold, property, body rejection") {
+    import graft.extract.Links
+    import graft.model.MetaTag
+    def dom(html: String) = TreeBuilder.build(Tokenizer.tokenize(html))
+    // name trimmed + case-folded; property is the OpenGraph fallback;
+    // content stays VERBATIM (padding preserved); document order kept
+    assert(Links.metasOf(dom(
+      """<head><meta name=" Description " content=" Padded. ">
+<meta property="og:Title" content="T"></head>""")) ==
+      Vector(MetaTag("description", " Padded. "), MetaTag("og:title", "T")))
+    // name wins over property on the same element
+    assert(Links.metasOf(dom(
+      """<meta name="a" property="og:a" content="c">""")) ==
+      Vector(MetaTag("a", "c")))
+    // negatives: content-less, empty/whitespace name, charset pragma,
+    // http-equiv pragma (refresh rides as ExtractResult.redirect)
+    assert(Links.metasOf(dom(
+      """<meta name="robots"><meta name="  " content="x">
+<meta charset="utf-8"><meta http-equiv="refresh" content="0; url=/n">"""))
+      .isEmpty)
+    // a meta inside an explicit <body> is user-content injection —
+    // rejected, like body canonicals; the head one survives
+    assert(Links.metasOf(dom(
+      """<head><meta name="k" content="real"></head><body><meta name="k" content="spoof"></body>""")) ==
+      Vector(MetaTag("k", "real")))
+    // head-less documents keep top-level metas (no synthesized body)
+    assert(Links.metasOf(dom("""<meta name="k" content="v"><p>t</p>""")) ==
+      Vector(MetaTag("k", "v")))
+  }
+
   test("links: anchor text — inline concat, hidden child, nesting, cap") {
     import graft.extract.Links
     val dom = TreeBuilder.build(Tokenizer.tokenize(
