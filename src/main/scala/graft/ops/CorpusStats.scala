@@ -739,6 +739,31 @@ object CorpusStats {
         (col("rn") <= expr("(n * fm + 999L) div 1000L")).as("kept"))
   }
 
+  /** Deterministic per-host contribution cap — the domain-balancing
+    * sampler (an over-crawled host must not dominate the training mix;
+    * the absolute-count twin of [[quotaSample]]'s fractional quota):
+    * rank each host's docs by an operator-salted md5 coin (id
+    * tie-break) and keep the first `cap`. Rows are never dropped:
+    * `kept` is a column, `host_rank` rides along so consumers can
+    * re-cut at a different cap without re-ranking.
+    *
+    * 100 TB shape: one shuffle on host + in-partition sort of (coin,
+    * id) pairs — text never moves. The skew ceiling is the largest
+    * host's doc count; a host too big to sort in one partition is
+    * exactly the host the cap exists to cut, and the two-pass
+    * threshold refinement described on [[quotaSample]] applies
+    * unchanged. */
+  def hostCap(docs: DataFrame, idCol: String, hostCol: String,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hostCol)
+      .orderBy(md5(concat(lit("hostcap:"), col(idCol).cast("string"))),
+        col(idCol))
+    docs.select(col(idCol), col(hostCol))
+      .withColumn("host_rank", row_number().over(w))
+      .withColumn("kept", col("host_rank") <= lit(cap))
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * preparation step between cleaning and shard packing [public: the
     * standard LM pretraining practice of splitting long documents into

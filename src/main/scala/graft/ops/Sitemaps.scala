@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** sitemaps.org sitemap parsing — the crawl-side URL *discovery*
@@ -85,6 +85,26 @@ object Sitemaps {
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** XML text-node normalization — ONE owner shared with [[Feeds]]:
+    * whitespace-trim (explicit class; `\s` differs between Java and
+    * RE2 at U+000B) then the five predefined entities, `&amp;` LAST so
+    * double-escaped `&amp;lt;` correctly becomes the literal `&lt;`. */
+  private[ops] def xmlText(c: Column): Column = {
+    val t = regexp_replace(c, "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(t) { case (acc, (e, ch)) => regexp_replace(acc, e, ch) }
+  }
+
+  /** The DuckDB spelling of [[xmlText]] over SQL expression `e`
+    * ('g'-flag trim — DuckDB replaces only the FIRST match without
+    * it; replace() is always global in both engines). */
+  private[ops] def xmlTextSql(e: String): String =
+    "replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$$', '', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&apos;', ''''), '&amp;', '&')"
+
   def fixtureValuesSql: String =
     fixture.map { case (u, x) => s"(${q(u)}, ${q(x)})" }.mkString(",\n  ")
 
@@ -107,13 +127,8 @@ object Sitemaps {
       regexp_extract_all(col("xml"), lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
       .otherwise(
         regexp_extract_all(col("xml"), lit("(?s)<url>(.*?)</url>"), lit(1)))
-    val loc0 = regexp_replace(
-      regexp_extract(col("entry"), "(?s)<loc>(.*?)</loc>", 1),
-      "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")
-    // unescape the five predefined entities; &amp; LAST (class doc)
-    val loc = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&apos;" -> "'", "&amp;" -> "&")
-      .foldLeft(loc0) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    // trim + entity unescape: the shared [[xmlText]] owner
+    val loc = xmlText(regexp_extract(col("entry"), "(?s)<loc>(.*?)</loc>", 1))
     val lm0 = regexp_replace(
       regexp_extract(col("entry"), "(?s)<lastmod>(.*?)</lastmod>", 1),
       "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")
@@ -160,20 +175,12 @@ ex AS (
     unnest(range(len(entries))) AS ord, unnest(entries) AS entry
   FROM es
 ),
-fields AS (
+un AS (
   SELECT sm_url, kind, CAST(ord AS BIGINT) AS ord, scope,
-    regexp_replace(regexp_extract(entry, '(?s)<loc>(.*?)</loc>', 1),
-      '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$$', '', 'g') AS loc0,
+    ${xmlTextSql("regexp_extract(entry, '(?s)<loc>(.*?)</loc>', 1)")} AS loc,
     regexp_replace(regexp_extract(entry, '(?s)<lastmod>(.*?)</lastmod>', 1),
       '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$$', '', 'g') AS lm0
   FROM ex
-),
-un AS (
-  SELECT sm_url, kind, ord, scope, lm0,
-    replace(replace(replace(replace(replace(loc0,
-      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-      '&apos;', ''''), '&amp;', '&') AS loc
-  FROM fields
 )
 SELECT sm_url, kind, ord, loc,
   CASE WHEN regexp_matches(lm0, '^\\d{4}-\\d{2}-\\d{2}')

@@ -1926,6 +1926,38 @@ class OpsSpec extends AnyFunSuite {
       && !weird.head.getBoolean(5))
   }
 
+  test("feeds: kinds, order, atom link selection, rfc822 days, ids") {
+    import graft.ops.Feeds
+    import spark.implicits._
+    val rows = Feeds.parse(Feeds.fixtureDf(spark))
+      .orderBy("feed_url", "ord").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6)))
+    // the invalid host13 body contributes NOTHING
+    assert(!rows.exists(_._1.contains("host13")))
+    val rss = rows.filter(_._2 == "rss")
+    assert(rss.map(_._1).forall(_.contains("host11"))
+      && rss.map(_._3).toSeq == (0L to 2L))
+    // entity unescape in title; guid with attributes; RFC 822 day
+    assert(rss(0)._5 == "R&D update" && rss(0)._7 == "tag:host11,2026:p1"
+      && rss(0)._6 == "2026-02-03")
+    // pretty-printed link trimmed; 1-digit day zero-padded; no guid → ''
+    assert(rss(1)._4 == "https://host11.example.com/posts/two"
+      && rss(1)._6 == "2026-01-05" && rss(1)._7 == "")
+    // garbage pubDate → ''; double-escaped &amp;lt; stays literal &lt;
+    assert(rss(2)._6 == "" && rss(2)._5 == "cross &lt; host")
+    val atom = rows.filter(_._2 == "atom")
+    assert(atom.length == 3)
+    // rel="alternate" picked over rel="self"; W3C datetime → day prefix
+    assert(atom(0)._4 == "https://host12.example.org/posts/one"
+      && atom(0)._6 == "2026-03-15" && atom(0)._7 == "urn:uuid:0001")
+    // rel-less link means alternate (RFC 4287); bare-date updated kept
+    assert(atom(1)._4 == "https://host12.example.org/posts/two"
+      && atom(1)._6 == "2026-03-16")
+    // self-only entry: no content link; garbage updated → ''
+    assert(atom(2)._4 == "" && atom(2)._6 == "")
+  }
+
   test("quality tiers: value thresholds, tie cohesion, degenerate corpus") {
     import graft.ops.Lm
     import spark.implicits._
@@ -2245,5 +2277,31 @@ class OpsSpec extends AnyFunSuite {
     val frontierSet = frontier.map(_._1).toSet
     assert(uncrawledRedirs.subsetOf(frontierSet),
       "uncrawled redirect targets missing from the frontier")
+  }
+
+  test("snapshots: diff statuses and revisit refers-to-FIRST semantics") {
+    import spark.implicits._
+    import graft.ops.Snapshots
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val old = Seq(("a", "h1"), ("b", "h2"), ("c", "h3")).toDF("u", "d")
+    val nw = Seq(("a", "h1"), ("b", "hX"), ("d", "h4")).toDF("u", "d")
+    val diff = Snapshots.diff(old, nw, "u", "d").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2),
+        r.getString(3))).toMap
+    assert(diff == Map(
+      "a" -> (("unchanged", "h1", "h1")), "b" -> (("changed", "h2", "hX")),
+      "c" -> (("removed", "h3", "")), "d" -> (("added", "", "h4"))))
+    // url x: captures at d1(h),d2(h),d3(h') ,d4(h) — d2 revisits d1;
+    // d3 is a NEW response (changed payload); d4 must refer to d1 (the
+    // FIRST capture of that digest), NOT the previous capture d3
+    val caps = Seq(("x", ts(1), "h"), ("x", ts(2), "h"), ("x", ts(3), "h2"),
+      ("x", ts(4), "h"), ("y", ts(1), "h")).toDF("u", "t", "d")
+    val rv = Snapshots.revisits(caps, "u", "t", "d").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(3),
+        Option(r.getTimestamp(4)))).toSet
+    assert(rv == Set(
+      ("x", ts(1), "response", None), ("x", ts(2), "revisit", Some(ts(1))),
+      ("x", ts(3), "response", None), ("x", ts(4), "revisit", Some(ts(1))),
+      ("y", ts(1), "response", None)))
   }
 }
