@@ -259,6 +259,11 @@ object Bench {
     resultsExtra("text_readability") = timeTrials(1, 3) {
       graft.ops.CorpusStats.readability(docs, "doc_id", "text").count()
     }._1
+    // cdx_revisit / sample_host_cap / extract_metas are fixture-scale
+    // (extraction-output grain) — see the fixed-corpus note above
+    resultsExtra("snapshot_diff") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("snapshot_diff")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

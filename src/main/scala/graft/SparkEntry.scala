@@ -154,11 +154,74 @@ object SparkEntry {
           col("payload"),
           get_json_object(col("payload"), "$['@type']").as("item_type"))
         .orderBy("url", "idx")),
+    "extract_metas" -> ((s, _) =>
+      // head <meta> mining (the WAT Head-Metas field): name/property
+      // pairs captured by the kernel (body metas rejected), typed and
+      // filtered plan-side — og:* vs plain names split with column
+      // functions, never in the kernel
+      extracted(s)
+        .select(col("url"), posexplode(col("metas")).as(Seq("idx", "m")))
+        .select(col("url"), col("idx").cast("long").as("idx"),
+          col("m.name").as("name"), col("m.content").as("content"),
+          col("m.name").startsWith("og:").as("opengraph"))
+        .orderBy("url", "idx")),
     "cdx_index" -> ((s, _) =>
       // CDX-style capture index over the extraction output: SURT key
       // (reversed host labels — site-prefix range scans), 14-digit
       // timestamp, text digest; the sort IS the product
       graft.ops.Urls.cdxIndex(extracted(s), "url", "warc_ts", "text")),
+    "cdx_revisit" -> ((s, _) => {
+      // WARC revisit typing over a synthetic multi-capture log: the
+      // corpus (one capture per url) is augmented with deterministic
+      // re-captures — same-digest at +1d (revisit), changed-digest at
+      // +2d (new response lineage), and same-ORIGINAL-digest at +3d
+      // (revisit that must refer to the FIRST capture, not the
+      // previous one). Coins come from md5(url) so both engines pick
+      // identical subsets
+      val base = extracted(s).select(col("url"), col("warc_ts").as("ts"),
+        md5(coalesce(col("text"), lit(""))).as("digest"),
+        expr("cast(conv(substring(md5(url), 1, 6), 16, 10) as bigint)")
+          .as("coin"), coalesce(col("text"), lit("")).as("t"))
+      val caps = base.select(col("url"), col("ts"), col("digest"))
+        .unionAll(base.filter(col("coin") % 3 === 0)
+          .select(col("url"), col("ts") + expr("INTERVAL 1 DAY"),
+            col("digest")))
+        .unionAll(base.filter(col("coin") % 5 === 0)
+          .select(col("url"), col("ts") + expr("INTERVAL 2 DAY"),
+            md5(concat(col("t"), lit("v2")))))
+        .unionAll(base.filter(col("coin") % 15 === 0)
+          .select(col("url"), col("ts") + expr("INTERVAL 3 DAY"),
+            col("digest")))
+      graft.ops.Snapshots.revisits(caps, "url", "ts", "digest")
+        .orderBy("url", "ts")
+    }),
+    "snapshot_diff" -> ((s, dir) => {
+      // cross-snapshot per-url diff: old = the full corpus; new drops
+      // every %3 doc (removed), rewrites every remaining %5 digest
+      // (changed) and re-offers every %7 doc under a fresh id (added —
+      // offset 10^12, above any sf's genuine id range)
+      // null-text docs digest as '' (md5(NULL) is NULL in both engines
+      // and would mislabel an unchanged null doc "changed")
+      val d = docs(s, dir).select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      val old = d.select(col("doc_id"), md5(col("text")).as("digest"))
+      val nw = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, md5(concat(col("text"), lit("v2"))))
+            .otherwise(md5(col("text"))).as("digest"))
+        .unionAll(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+            md5(col("text")).as("digest")))
+      graft.ops.Snapshots.diff(old, nw, "doc_id", "digest")
+        .orderBy("url")
+    }),
+    "sample_host_cap" -> ((s, _) =>
+      // per-host contribution cap (domain balancing): keep at most 12
+      // docs per host by salted-coin rank; kept is a COLUMN (rows are
+      // never dropped) and the rank rides along for re-cutting
+      CorpusStats.hostCap(extracted(s), "url", "host", cap = 12)
+        .withColumn("host_rank", col("host_rank").cast("long"))
+        .orderBy("host", "host_rank")),
     "extract_metrics" -> ((s, _) =>
       extracted(s).groupBy("engine", "outcome")
         .agg(count(lit(1)).as("n"),
@@ -758,6 +821,18 @@ object SparkEntry {
       // entity-unescaped locs, directory-scope verdicts, lastmod days
       graft.ops.Sitemaps.parse(graft.ops.Sitemaps.fixtureDf(s))
         .orderBy("sm_url", "ord")),
+    "feed_parse" -> ((s, _) => {
+      // RSS 2.0 / Atom feed parsing — the freshness discovery channel
+      // next to sitemaps: ordered entries, Atom alternate-link
+      // selection, RFC 822 / W3C calendar days; same_host is the audit
+      // column (Urls.hostOf algebra on both sides — cross-host feed
+      // links are syndication, not discovery)
+      val p = graft.ops.Feeds.parse(graft.ops.Feeds.fixtureDf(s))
+      val lh = graft.ops.Urls.hostOf("link")
+      p.withColumn("same_host",
+          lh === graft.ops.Urls.hostOf("feed_url") && lh =!= "")
+        .orderBy("feed_url", "ord")
+    }),
     "graph_pagerank" -> ((s, dir) =>
       // TextRank keywords: 5-iteration integer PageRank over the word-
       // adjacency graph — the suite's one iterative-join operator
@@ -1443,6 +1518,64 @@ WITH x AS (
 SELECT url, CAST(idx AS BIGINT) AS idx, payload,
   json_extract_string(payload, '$$."@type"') AS item_type
 FROM x ORDER BY url, idx""",
+    "extract_metas" -> s"""
+WITH x AS (
+  SELECT url, unnest(range(0, len(metas))) AS idx, unnest(metas) AS m
+  FROM $G
+)
+SELECT url, CAST(idx AS BIGINT) AS idx, m.name AS name,
+  m.content AS content, starts_with(m.name, 'og:') AS opengraph
+FROM x ORDER BY url, idx""",
+    "cdx_revisit" -> s"""
+WITH base AS (
+  SELECT url, warc_ts AS ts, md5(coalesce(text, '')) AS digest,
+    ('0x' || substring(md5(url), 1, 6))::BIGINT AS coin,
+    coalesce(text, '') AS t
+  FROM $G
+),
+caps AS (
+  SELECT url, ts, digest FROM base
+  UNION ALL SELECT url, ts + INTERVAL 1 DAY, digest FROM base WHERE coin % 3 = 0
+  UNION ALL SELECT url, ts + INTERVAL 2 DAY, md5(t || 'v2') FROM base WHERE coin % 5 = 0
+  UNION ALL SELECT url, ts + INTERVAL 3 DAY, digest FROM base WHERE coin % 15 = 0
+),
+w AS (
+  SELECT url, ts, digest,
+    min(ts) OVER (PARTITION BY url, digest) AS first_ts
+  FROM caps
+)
+SELECT url, ts, digest,
+  CASE WHEN ts = first_ts THEN 'response' ELSE 'revisit' END AS record_type,
+  CASE WHEN ts = first_ts THEN NULL ELSE first_ts END AS refers_to_ts
+FROM w ORDER BY url, ts""",
+    "snapshot_diff" -> s"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM ${D(sf)}),
+o AS (SELECT doc_id, md5(text) AS old_digest FROM d),
+n AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS new_digest
+  FROM d WHERE doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id + 1000000000000, md5(text) FROM d WHERE doc_id % 7 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS url,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN old_digest = new_digest THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  coalesce(old_digest, '') AS old_digest,
+  coalesce(new_digest, '') AS new_digest
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY url""",
+    "sample_host_cap" -> s"""
+WITH r AS (
+  SELECT url, split_part(url, '/', 3) AS host,
+    row_number() OVER (PARTITION BY split_part(url, '/', 3)
+      ORDER BY md5('hostcap:' || url), url) AS host_rank
+  FROM $G
+)
+SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank,
+  host_rank <= 12 AS kept
+FROM r ORDER BY host, host_rank""",
     "cdx_index" -> s"""
 WITH ${canonPartCtes(s"(SELECT url FROM $G)", "x")},
 surt AS (
@@ -2153,6 +2286,17 @@ SELECT doc_id, n_tokens, lo, hi,
   (n_tokens < lo OR n_tokens > hi) AS outlier
 FROM sc, fences ORDER BY doc_id""",
     "sitemap_parse" -> graft.ops.Sitemaps.oracleSql,
+    "feed_parse" -> s"""
+WITH fp AS (${graft.ops.Feeds.oracleSql}),
+${hostCtes("fp", "link", "feed_url, ord", "l")},
+${hostCtes("fp", "feed_url", "feed_url, ord", "f")}
+SELECT fp.feed_url, fp.kind, fp.ord, fp.link, fp.title, fp.day,
+  fp.entry_id,
+  (lh.host = fh.host AND lh.host != '') AS same_host
+FROM fp
+JOIN lh ON lh.feed_url = fp.feed_url AND lh.ord = fp.ord
+JOIN fh ON fh.feed_url = fp.feed_url AND fh.ord = fp.ord
+ORDER BY fp.feed_url, fp.ord""",
     "graph_pagerank" -> {
       // 5 unrolled integer-PageRank iterations; `rk` not `rank` (window
       // keyword in DuckDB); sum(BIGINT) is HUGEINT → CAST back each step
