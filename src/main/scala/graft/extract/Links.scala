@@ -209,8 +209,12 @@ object Links {
   def metasOf(dom: Dom): Vector[graft.model.MetaTag] =
     dom.nodes.iterator.filter(n => n.tag == "meta" && !inBody(dom, n.id))
       .flatMap { n =>
-        val key = n.attr("name").orElse(n.attr("property"))
+        // the fallback applies per FOLDED key: an empty/whitespace
+        // `name` must not mask a usable `property` (og tags next to a
+        // blank name attribute are still page metadata)
+        def folded(a: String) = n.attr(a)
           .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+        val key = folded("name").orElse(folded("property"))
         (key, n.attr("content")) match {
           case (Some(k), Some(c)) => Some(graft.model.MetaTag(k, c))
           case _ => None

@@ -248,9 +248,13 @@ object SyntheticCorpus {
     // uppercase/padded NAME attr (key fold) plus two negatives — a
     // content-less meta and a BODY meta (body metas are rejected like
     // body canonicals); the rest have only <meta charset> (negative:
-    // no name/property). Draws UNCONDITIONAL, APPENDED after all
-    // pre-existing draws so the rng stream of every other field is
-    // untouched.
+    // no name/property). Draws UNCONDITIONAL so the stream stays
+    // aligned across variants. NOTE: the footer's words(rng, 2) is
+    // drawn at template-interpolation time BELOW, so inserting these
+    // draws here shifted the footer text of every article — footer is
+    // chrome (boilerplate-pruned), so extracted bytes are unchanged
+    // (2M-doc stress checksum pinned it), but raw html bytes did move
+    // and goldens were regenerated in the same commit.
     val metaDesc = words(rng, 6)
     val metaDraw = rng.nextInt(3)
     val headMetas = if (metaDraw == 0)

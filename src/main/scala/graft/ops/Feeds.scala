@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
   *    like type="html" tolerated); `entry_id` = `<id>` text; `day` =
   *    the W3C datetime calendar-day prefix of `<updated>` (same rule
   *    as [[Sitemaps]] lastmod), '' otherwise;
-  *  - text fields are whitespace-trimmed and XML-entity-unescaped with
-  *    [[Sitemaps]]' shared five-entity fold (`&amp;` last).
+  *  - text fields AND the Atom href attribute are whitespace-trimmed
+  *    and XML-entity-unescaped with [[Sitemaps]]' shared five-entity
+  *    fold (`&amp;` last) — attribute values carry the same entities
+  *    as text nodes.
   *
   * Everything is builtin regexp/string algebra replayed verbatim by the
   * DuckDB oracle, inside the same Java-regex ∩ RE2 dialect subset as
@@ -82,9 +84,10 @@ object Feeds {
         """<link rel="alternate" href="https://host12.example.org/posts/one"/>""" +
         "<id>urn:uuid:0001</id>" +
         "<updated>2026-03-15T09:30:00Z</updated></entry>",
-      // rel-less link (RFC 4287: means alternate), bare-date updated
+      // rel-less link (RFC 4287: means alternate), entity-escaped
+      // query ampersand in the href ATTRIBUTE, bare-date updated
       "<entry><title>plain</title>" +
-        """<link href="https://host12.example.org/posts/two"/>""" +
+        """<link href="https://host12.example.org/posts/two?a=1&amp;b=2"/>""" +
         "<id>urn:uuid:0002</id><updated>2026-03-16</updated></entry>",
       // ONLY a self link: no content link to emit
       "<entry><title>selfish</title>" +
@@ -128,10 +131,13 @@ object Feeds {
     val atomAlt = filter(atomLinks,
       l => not(l.rlike("rel=")) || l.rlike("rel=\"alternate\""))
     // try_element_at: ANSI element_at THROWS on an empty array; the
-    // no-content-link entry must yield '' instead
-    val atomHref = coalesce(
+    // no-content-link entry must yield '' instead. The href ATTRIBUTE
+    // value is entity-unescaped like RSS link TEXT (XML attribute
+    // values carry the same five entities; RFC 4287 href is a URI —
+    // '&amp;' query separators must decode)
+    val atomHref = Sitemaps.xmlText(coalesce(
       regexp_extract(try_element_at(atomAlt, lit(1)), "href=\"([^\"]*)\"", 1),
-      lit(""))
+      lit("")))
     // RFC 822 calendar day ('3 Feb 2026' / '5 Jan 2026') → ISO day
     val pd = field("pubDate")
     val rDay = regexp_extract(pd, s"([0-9]{1,2}) (${monthNames.mkString("|")}) ([0-9]{4})", 1)
@@ -200,11 +206,11 @@ ffld AS (
     ${fld("id", "atom_id")},
     ${fld("pubDate", "pd")},
     ${fld("updated", "upd")},
-    coalesce(regexp_extract(
+    ${Sitemaps.xmlTextSql("""coalesce(regexp_extract(
       list_extract(list_filter(regexp_extract_all(entry, '<link[^>]*>'),
         l -> NOT regexp_matches(l, 'rel=')
              OR regexp_matches(l, 'rel="alternate"')), 1),
-      'href="([^"]*)"', 1), '') AS atom_href
+      'href="([^"]*)"', 1), '')""")} AS atom_href
   FROM fex
 ),
 fday AS (

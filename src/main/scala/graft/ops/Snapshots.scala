@@ -30,18 +30,23 @@ object Snapshots {
   /** Per-url diff of two snapshots, each (urlCol, digestCol):
     * `status` ∈ added | removed | changed | unchanged, with both
     * digests riding along ('' when the side is absent). One row per
-    * url present in either side. */
+    * url present in either side. Digest comparison is null-safe
+    * (two present-but-null digests read `unchanged`, null vs value
+    * reads `changed`); a null digest never reads as side-absent. */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, urlCol: String,
       digestCol: String): DataFrame = {
+    // presence is keyed off an explicit per-side marker, NOT digest
+    // nullity — a snapshot carrying a null digest (fetch-failed
+    // capture) must not read as side-absent
     val o = oldSnap.select(col(urlCol).as("url"),
-      col(digestCol).as("old_digest"))
+      col(digestCol).as("old_digest"), lit(true).as("in_old"))
     val n = newSnap.select(col(urlCol).as("url"),
-      col(digestCol).as("new_digest"))
+      col(digestCol).as("new_digest"), lit(true).as("in_new"))
     o.join(n, Seq("url"), "full_outer")
       .select(col("url"),
-        when(col("old_digest").isNull, lit("added"))
-          .when(col("new_digest").isNull, lit("removed"))
-          .when(col("old_digest") === col("new_digest"), lit("unchanged"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("old_digest") <=> col("new_digest"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
         coalesce(col("old_digest"), lit("")).as("old_digest"),
         coalesce(col("new_digest"), lit("")).as("new_digest"))

@@ -75,9 +75,7 @@ object WatSink {
               opt("canonical").as("Link-Rel-Canonical"),
               // absent → null → omitted, like the other head fields
               when(size(col("ldjson")) > 0, col("ldjson")).as("JSON-LD"),
-              when(size(col("metas")) > 0, transform(col("metas"),
-                m => struct(m.getField("name").as("name"),
-                  m.getField("content").as("content")))).as("Metas"))
+              when(size(col("metas")) > 0, col("metas")).as("Metas"))
               .as("Head"),
             transform(col("links"), l => struct(
               l.getField("resolved").as("url"),

@@ -772,10 +772,14 @@ class KernelSpec extends AnyFunSuite {
       """<head><meta name=" Description " content=" Padded. ">
 <meta property="og:Title" content="T"></head>""")) ==
       Vector(MetaTag("description", " Padded. "), MetaTag("og:title", "T")))
-    // name wins over property on the same element
+    // name wins over property on the same element — but an
+    // empty/whitespace name must NOT mask a usable property
     assert(Links.metasOf(dom(
       """<meta name="a" property="og:a" content="c">""")) ==
       Vector(MetaTag("a", "c")))
+    assert(Links.metasOf(dom(
+      """<meta name="" property="og:title" content="X">""")) ==
+      Vector(MetaTag("og:title", "X")))
     // negatives: content-less, empty/whitespace name, charset pragma,
     // http-equiv pragma (refresh rides as ExtractResult.redirect)
     assert(Links.metasOf(dom(

@@ -1951,8 +1951,9 @@ class OpsSpec extends AnyFunSuite {
     // rel="alternate" picked over rel="self"; W3C datetime → day prefix
     assert(atom(0)._4 == "https://host12.example.org/posts/one"
       && atom(0)._6 == "2026-03-15" && atom(0)._7 == "urn:uuid:0001")
-    // rel-less link means alternate (RFC 4287); bare-date updated kept
-    assert(atom(1)._4 == "https://host12.example.org/posts/two"
+    // rel-less link means alternate (RFC 4287); the href ATTRIBUTE is
+    // entity-unescaped like text nodes; bare-date updated kept
+    assert(atom(1)._4 == "https://host12.example.org/posts/two?a=1&b=2"
       && atom(1)._6 == "2026-03-16")
     // self-only entry: no content link; garbage updated → ''
     assert(atom(2)._4 == "" && atom(2)._6 == "")
@@ -2291,6 +2292,16 @@ class OpsSpec extends AnyFunSuite {
     assert(diff == Map(
       "a" -> (("unchanged", "h1", "h1")), "b" -> (("changed", "h2", "hX")),
       "c" -> (("removed", "h3", "")), "d" -> (("added", "", "h4"))))
+    // presence comes from the side, not digest nullity: a null digest
+    // present in both snapshots is unchanged, null-vs-value is changed
+    val oldN = Seq(("p", Option("h")), ("q", None), ("r", None))
+      .toDF("u", "d")
+    val nwN = Seq(("p", Option.empty[String]), ("q", None),
+      ("s", Option("h2"))).toDF("u", "d")
+    val diffN = Snapshots.diff(oldN, nwN, "u", "d").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diffN == Map("p" -> "changed", "q" -> "unchanged",
+      "r" -> "removed", "s" -> "added"))
     // url x: captures at d1(h),d2(h),d3(h') ,d4(h) — d2 revisits d1;
     // d3 is a NEW response (changed payload); d4 must refer to d1 (the
     // FIRST capture of that digest), NOT the previous capture d3
