@@ -290,13 +290,15 @@ object HtmlEngine extends ExtractionEngine {
     // head metas need no base resolution — recorded for every decoded
     // page for the same reason as redirect/canonical above
     val pageMetas = graft.extract.Links.metasOf(dom)
+    val pageFeeds = effBase.map(graft.extract.Links.feedsOf(dom, _))
+      .getOrElse(Vector.empty)
     if (hasRefresh && isRedirect && cfg.mode != ProcessingMode.Force)
       return ExtractResult(row.url, row.warc_ts, "", Vector.empty,
         "skipped:redirect", tag, s.format, charset, dom.nodes.length,
         blocks.length, dom.truncated,
         lang = LangResolve.resolve(row.lang, ""),
         redirect = redirectTarget, canonical = canonicalUrl,
-        metas = pageMetas)
+        metas = pageMetas, feeds = pageFeeds)
     val outcome =
       if (asm.text.isEmpty) Outcome.SkippedEmpty else Outcome.Ok
     ExtractResult(row.url, row.warc_ts, asm.text, asm.spans, outcome, tag,
@@ -309,7 +311,7 @@ object HtmlEngine extends ExtractionEngine {
       links = effBase.map(graft.extract.Links.fromDom(dom, _))
         .getOrElse(Vector.empty),
       redirect = redirectTarget, canonical = canonicalUrl,
-      ldjson = dom.ldjson, metas = pageMetas)
+      ldjson = dom.ldjson, metas = pageMetas, feeds = pageFeeds)
   }
 }
 

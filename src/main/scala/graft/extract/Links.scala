@@ -206,6 +206,28 @@ object Links {
     * `http-equiv` pragmas and `<meta charset>` carry no name/property
     * and are naturally excluded. Output size is bounded by the DOM
     * node cap — no separate limit, nothing silently dropped. */
+  /** Feed autodiscovery (WHATWG/RSS convention: head
+    * `<link rel="alternate" type="application/rss+xml|application/
+    * atom+xml" href>`): resolved feed URLs in document order — the
+    * page-side pointer the feed discovery channel
+    * ([[graft.ops.Feeds]]) starts from, completing robots → sitemap →
+    * feed. rel is the same case-insensitive token list as
+    * [[canonicalOf]]; the type attribute is trimmed + case-folded
+    * (MIME matching, like the ld+json capture); body links are
+    * rejected under the shared [[inBody]] guard; a rel=alternate
+    * without a feed MIME (e.g. a mobile text/html alternate) is not a
+    * feed. Unresolvable hrefs are dropped. */
+  def feedsOf(dom: Dom, eff: Base): Vector[String] =
+    dom.nodes.iterator.filter { n =>
+      n.tag == "link" && !inBody(dom, n.id) &&
+        n.attr("rel").exists(_.split("\\s+").exists(
+          _.equalsIgnoreCase("alternate"))) &&
+        n.attr("type").exists { t =>
+          val tt = t.trim.toLowerCase(java.util.Locale.ROOT)
+          tt == "application/rss+xml" || tt == "application/atom+xml"
+        }
+    }.flatMap(n => n.attr("href").flatMap(h => resolve(eff, h))).toVector
+
   def metasOf(dom: Dom): Vector[graft.model.MetaTag] =
     dom.nodes.iterator.filter(n => n.tag == "meta" && !inBody(dom, n.id))
       .flatMap { n =>

@@ -264,15 +264,33 @@ object SyntheticCorpus {
     else ""
     val bodyMeta = if (metaDraw == 1)
       s"""<meta name="injected" content="spoof">""" else ""
+    // feed-autodiscovery fixtures (extract/Links.feedsOf): 1-in-4 a
+    // doc-relative rss link; 1-in-4 an atom link with padded/odd-case
+    // MIME plus two negatives (a text/html mobile alternate and a
+    // type-less alternate — neither is a feed); 1-in-4 a BODY-injected
+    // feed link (rejected); rest none. Draw UNCONDITIONAL (stream
+    // alignment), appended after metaDraw — the footer-shift caveat
+    // above applies here identically.
+    val feedDraw = rng.nextInt(4)
+    val headFeeds = if (feedDraw == 0)
+      s"""\n<link rel="alternate" type="application/rss+xml" href="feed.xml">"""
+    else if (feedDraw == 1)
+      s"""\n<link rel="alternate" type=" Application/ATOM+xml " href="/atom.xml">""" +
+        s"""<link rel="alternate" type="text/html" href="/mobile">""" +
+        s"""<link rel="alternate" href="/untyped">"""
+    else ""
+    val bodyFeed = if (feedDraw == 2)
+      s"""<link rel="alternate" type="application/rss+xml" href="/spoof.xml">"""
+    else ""
     s"""<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>$title</title>$canonLink$ldJson$headMetas
+<html><head><meta charset="utf-8"><title>$title</title>$canonLink$ldJson$headMetas$headFeeds
 <style>body { margin: 0 }</style>
 <script>var x = 1 < 2;</script></head>
 <body>
 <header><ul>$nav</ul></header>
 <nav><ul>$nav</ul></nav>
 <main>
-<h1>$title</h1>$bodyMeta
+<h1>$title</h1>$bodyMeta$bodyFeed
 $paras
 </main>
 <aside>$aside</aside>

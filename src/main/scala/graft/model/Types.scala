@@ -88,7 +88,11 @@ final case class ExtractResult(
     // head <meta name|property=... content=...> pairs, document order
     // (the WAT Head-Metas field; body metas rejected like body
     // canonicals — user-posted markup must not inject page metadata)
-    metas: Seq[MetaTag] = Nil
+    metas: Seq[MetaTag] = Nil,
+    // autodiscovered feed URLs (head <link rel=alternate
+    // type=rss|atom href>, resolved, document order) — the page-side
+    // pointer the Feeds discovery channel starts from
+    feeds: Seq[String] = Nil
 )
 
 object Outcome {

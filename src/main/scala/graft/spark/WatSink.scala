@@ -75,7 +75,8 @@ object WatSink {
               opt("canonical").as("Link-Rel-Canonical"),
               // absent → null → omitted, like the other head fields
               when(size(col("ldjson")) > 0, col("ldjson")).as("JSON-LD"),
-              when(size(col("metas")) > 0, col("metas")).as("Metas"))
+              when(size(col("metas")) > 0, col("metas")).as("Metas"),
+              when(size(col("feeds")) > 0, col("feeds")).as("Feeds"))
               .as("Head"),
             transform(col("links"), l => struct(
               l.getField("resolved").as("url"),

@@ -796,6 +796,32 @@ class KernelSpec extends AnyFunSuite {
       Vector(MetaTag("k", "v")))
   }
 
+  test("links: feed autodiscovery — MIME fold, negatives, resolution") {
+    import graft.extract.Links
+    def feeds(html: String) = {
+      val dom = TreeBuilder.build(Tokenizer.tokenize(html))
+      Links.feedsOf(dom, Links.parseAbs("https://h.test/dir/page").get)
+    }
+    // relative href resolves; padded/odd-case MIME matches; doc order
+    assert(feeds(
+      """<head><link rel="alternate" type="application/rss+xml" href="feed.xml">
+<link rel="ALTERNATE" type=" Application/Atom+XML " href="/atom.xml"></head>""") ==
+      Vector("https://h.test/dir/feed.xml", "https://h.test/atom.xml"))
+    // negatives: text/html alternate, type-less alternate, stylesheet,
+    // non-navigable target
+    assert(feeds(
+      """<link rel="alternate" type="text/html" href="/mobile">
+<link rel="alternate" href="/untyped">
+<link rel="stylesheet" type="application/rss+xml" href="/s.css">
+<link rel="alternate" type="application/rss+xml" href="mailto:x@y">""")
+      .isEmpty)
+    // a feed link inside an explicit <body> is user-content injection
+    assert(feeds(
+      """<head><link rel="alternate" type="application/atom+xml" href="/real.xml"></head>
+<body><link rel="alternate" type="application/rss+xml" href="/spoof.xml"></body>""") ==
+      Vector("https://h.test/real.xml"))
+  }
+
   test("links: anchor text — inline concat, hidden child, nesting, cap") {
     import graft.extract.Links
     val dom = TreeBuilder.build(Tokenizer.tokenize(
