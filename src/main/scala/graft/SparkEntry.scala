@@ -170,6 +170,20 @@ object SparkEntry {
       // (reversed host labels — site-prefix range scans), 14-digit
       // timestamp, text digest; the sort IS the product
       graft.ops.Urls.cdxIndex(extracted(s), "url", "warc_ts", "text")),
+    "feed_discovery" -> ((s, _) =>
+      // feed autodiscovery over the extraction output: resolved head
+      // rel=alternate rss/atom pointers, document order — the page
+      // side of the robots → sitemap → feed discovery trio
+      extracted(s)
+        .select(col("url"), posexplode(col("feeds")).as(Seq("idx", "feed_url")))
+        .select(col("url"), col("idx").cast("long").as("idx"),
+          col("feed_url"))
+        .orderBy("url", "idx")),
+    "url_trap_signal" -> ((s, _) =>
+      // crawl-trap mining: digit runs in the path collapse to a
+      // skeleton; one hot skeleton per host = one trap candidate
+      graft.ops.Urls.urlTemplates(extracted(s), "url", trapMin = 24)
+        .orderBy("host", "skeleton")),
     "cdx_revisit" -> ((s, _) => {
       // WARC revisit typing over a synthetic multi-capture log: the
       // corpus (one capture per url) is augmented with deterministic
@@ -962,6 +976,28 @@ object SparkEntry {
       CorpusStats.shardByTokenBudget(ddocs, "doc_id", "text",
         shardTokens = 2000L, bucketSize = 50L).orderBy("doc_id")
     }),
+    "badwords_filter" -> ((s, dir) =>
+      // C4 blocklist drop: case-folded whole-token match against a
+      // mixed-case fixture list (two corpus words + one absent);
+      // null text pre-folded to '' → no tokens → kept (both engines)
+      CorpusStats.badwordFilter(
+        docs(s, dir).select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text")),
+        "doc_id", "text", Seq("Slow", "MERGE", "zzz-absent"))
+        .orderBy("doc_id")),
+    "extract_title" -> ((s, _) =>
+      // page title via the title span (the doc-index field): substring
+      // of the extracted text under the first kind='title' span —
+      // plan-side algebra over columns the kernel already emits
+      extracted(s)
+        .select(col("url"), col("text"),
+          try_element_at(filter(col("spans"),
+            sp => sp.getField("kind") === "title"), lit(1)).as("tsp"))
+        .select(col("url"),
+          when(col("tsp").isNotNull, col("text").substr(
+            col("tsp.start") + 1, col("tsp.end") - col("tsp.start")))
+            .otherwise(lit("")).as("title"))
+        .orderBy("url")),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -1433,6 +1469,20 @@ ${p}h AS (SELECT $carry,
   CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
        ELSE lower(split_part(hostport, ':', 1)) END AS host FROM ${p}h3)"""
 
+  /** [[hostCtes]] plus the raw path (query/fragment stripped, absent
+    * path → '/') — the DuckDB twin of `Urls.hostOf` + `Urls.pathOf`
+    * over one shared rest derivation. Produces `${"$"}{p}hp`
+    * (carry, host, path). (Robots.oracleSql carries its own inline
+    * copy of this chain — it is a self-contained module oracle.) */
+  private def hostPathCtes(src: String, urlCol: String, carry: String,
+      p: String) = s"""${p}p1 AS (SELECT $carry, split_part(split_part($urlCol, '#', 1), '?', 1) AS base FROM $src),
+${p}p2 AS (SELECT $carry, CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM ${p}p1),
+${p}p3 AS (SELECT $carry, rest, list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM ${p}p2),
+${p}hp AS (SELECT $carry,
+  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
+       ELSE lower(split_part(hostport, ':', 1)) END AS host,
+  CASE WHEN instr(rest, '/') > 0 THEN substr(rest, instr(rest, '/')) ELSE '/' END AS path FROM ${p}p3)"""
+
   /** Registrable-domain CTE chain — ONE owner for the url_domains and
     * domain_stats oracles (the [[graft.ops.Urls.registrableDomains]]
     * algebra, replayed in DuckDB). Reads `raw(url)`, produces
@@ -1526,6 +1576,25 @@ WITH x AS (
 SELECT url, CAST(idx AS BIGINT) AS idx, m.name AS name,
   m.content AS content, starts_with(m.name, 'og:') AS opengraph
 FROM x ORDER BY url, idx""",
+    "feed_discovery" -> s"""
+WITH x AS (
+  SELECT url, unnest(range(0, len(feeds))) AS idx, unnest(feeds) AS feed_url
+  FROM $G
+)
+SELECT url, CAST(idx AS BIGINT) AS idx, feed_url
+FROM x ORDER BY url, idx""",
+    "url_trap_signal" -> s"""
+WITH g AS (SELECT url FROM $G),
+${hostPathCtes("g", "url", "url", "t")},
+sk AS (
+  SELECT url, host,
+    regexp_replace(path, '[0-9]+', 'N', 'g') AS skeleton
+  FROM thp
+)
+SELECT host, skeleton, count(*) AS n_urls, min(url) AS exemplar,
+  count(*) >= 24 AS trap
+FROM sk GROUP BY host, skeleton
+ORDER BY host, skeleton""",
     "cdx_revisit" -> s"""
 WITH base AS (
   SELECT url, warc_ts AS ts, md5(coalesce(text, '')) AS digest,
@@ -2771,6 +2840,29 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
   CAST(max(pos) + 39 AS BIGINT) AS run_end,
   CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
 FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
+    "badwords_filter" -> s"""
+WITH b AS (
+  SELECT doc_id,
+    len(list_filter(
+      list_filter(string_split(coalesce(text, ''), ' '), x -> x != ''),
+      w -> list_contains(['slow', 'merge', 'zzz-absent'], lower(w)))) > 0
+      AS has_badword
+  FROM ${D(sf)}
+)
+SELECT doc_id, has_badword, NOT has_badword AS kept
+FROM b ORDER BY doc_id""",
+    "extract_title" -> s"""
+WITH t AS (
+  SELECT url, min(struct_pack(idx := idx, start := start, "end" := "end"))
+    AS tsp
+  FROM $GS WHERE kind = 'title' GROUP BY url
+)
+SELECT g.url,
+  CASE WHEN t.url IS NULL THEN ''
+       ELSE substr(g.text, t.tsp.start + 1, t.tsp."end" - t.tsp.start) END
+    AS title
+FROM $G g LEFT JOIN t ON t.url = g.url
+ORDER BY g.url""",
     "corpus_filter" -> s"""
 WITH w AS (
   SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}

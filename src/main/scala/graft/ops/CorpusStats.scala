@@ -739,6 +739,27 @@ object CorpusStats {
         (col("rn") <= expr("(n * fm + 999L) div 1000L")).as("kept"))
   }
 
+  /** C4-style blocklist page filter [public technique: Raffel et al.
+    * 2020 §2.2 — drop any page containing a word from a fixed
+    * blocklist; the reference twin is the dictionary-driven quality
+    * gate, /root/reference/src/ocrmypdf/quality.py:12-44, inverted
+    * from allow-list scoring to deny-list rejection]. Matching is
+    * case-folded whole-token; rows are never dropped — `kept` is a
+    * column, like every filter in this file.
+    *
+    * 100 TB shape: the blocklist is model-sized (ships as a literal
+    * array in the plan — at a real multi-thousand-word list, swap for
+    * a broadcast variable, same contract); the scan is one narrow
+    * codegen'd projection over the shared token owner. Zero shuffle. */
+  def badwordFilter(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    val lowered = blocklist.map(_.toLowerCase(java.util.Locale.ROOT))
+    docs.select(col(idCol).as("doc_id"),
+        arrays_overlap(transform(wordsExpr(textCol), w => lower(w)),
+          typedLit(lowered)).as("has_badword"))
+      .withColumn("kept", !col("has_badword"))
+  }
+
   /** Deterministic per-host contribution cap — the domain-balancing
     * sampler (an over-crawled host must not dominate the training mix;
     * the absolute-count twin of [[quotaSample]]'s fractional quota):

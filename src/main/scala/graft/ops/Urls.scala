@@ -184,6 +184,29 @@ object Urls {
       .select(col("url"), col("canon"), col("keep_url"), col("group_n"))
   }
 
+  /** URL-template mining — the crawl-trap detector: collapse every
+    * digit run in the raw path to 'N' and group by (host, skeleton).
+    * A calendar archive, pagination chain or session-id space that
+    * generates unbounded distinct URLs over one path template shows up
+    * as a single skeleton with a huge count; `trap` flags skeletons at
+    * or past `trapMin`, with the lowest member url as the exemplar.
+    * Input is expected url-distinct (e.g. the extraction output) — the
+    * count is a row count, stated, not re-deduplicated here.
+    *
+    * 100 TB shape: one narrow projection (host/path/skeleton string
+    * algebra) + one two-phase hash agg on compact (host, skeleton)
+    * keys — text and full urls never shuffle beyond the min() exemplar
+    * carry. The skew ceiling IS the signal: a skeleton hot enough to
+    * skew a partition is a trap by definition, and count/min both
+    * combine map-side. */
+  def urlTemplates(pages: DataFrame, urlCol: String,
+      trapMin: Int): DataFrame =
+    pages.select(col(urlCol).as("url"), hostOf(urlCol).as("host"),
+        regexp_replace(pathOf(urlCol), "[0-9]+", "N").as("skeleton"))
+      .groupBy("host", "skeleton")
+      .agg(count(lit(1)).as("n_urls"), min(col("url")).as("exemplar"))
+      .withColumn("trap", col("n_urls") >= lit(trapMin))
+
   /** Adversarial canonicalization fixture: casing, default and explicit
     * ports, fragments, unsorted and tracking query params, trailing
     * slashes, empty params — including groups that collapse to one
