@@ -259,10 +259,15 @@ object Bench {
     resultsExtra("text_readability") = timeTrials(1, 3) {
       graft.ops.CorpusStats.readability(docs, "doc_id", "text").count()
     }._1
-    // cdx_revisit / sample_host_cap / extract_metas are fixture-scale
-    // (extraction-output grain) — see the fixed-corpus note above
+    // cdx_revisit / sample_host_cap / extract_metas / extract_title /
+    // feed_discovery / feed_parse / url_trap_signal are fixture-scale
+    // (extraction-output or in-code-fixture grain) — see the
+    // fixed-corpus note above
     resultsExtra("snapshot_diff") = timeTrials(1, 3) {
       graft.SparkEntry.queries("snapshot_diff")(spark, sfDir).count()
+    }._1
+    resultsExtra("badwords_filter") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("badwords_filter")(spark, sfDir).count()
     }._1
 
     // ANN quality: recall@10 of each approximate path against the exact

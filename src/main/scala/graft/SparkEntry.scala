@@ -986,18 +986,12 @@ object SparkEntry {
         "doc_id", "text", Seq("Slow", "MERGE", "zzz-absent"))
         .orderBy("doc_id")),
     "extract_title" -> ((s, _) =>
-      // page title via the title span (the doc-index field): substring
-      // of the extracted text under the first kind='title' span —
-      // plan-side algebra over columns the kernel already emits
-      extracted(s)
-        .select(col("url"), col("text"),
-          try_element_at(filter(col("spans"),
-            sp => sp.getField("kind") === "title"), lit(1)).as("tsp"))
-        .select(col("url"),
-          when(col("tsp").isNotNull, col("text").substr(
-            col("tsp.start") + 1, col("tsp.end") - col("tsp.start")))
-            .otherwise(lit("")).as("title"))
-        .orderBy("url")),
+      // page title (the doc-index field) — a KERNEL column, not a
+      // substring under the title span: span offsets are UTF-16 code
+      // units while SQL substr counts code points, so the plan-side
+      // derivation would cut non-BMP titles wrong in BOTH engines
+      // identically (invisible to the oracle)
+      extracted(s).select(col("url"), col("title")).orderBy("url")),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -1460,14 +1454,11 @@ tiered AS (
     * hand-spelled copy drifting in any consumer would silently un-sync
     * its host column from the Spark side). Reads `$src` carrying
     * `$carry` (a column list) and the url column `$urlCol`; produces
-    * `${p}h($carry, host)`. */
+    * `${p}h($carry, host)`. Now a pure projection of [[hostPathCtes]]
+    * — the algebra lives in exactly one place. */
   private def hostCtes(src: String, urlCol: String, carry: String,
-      p: String) = s"""${p}h1 AS (SELECT $carry, split_part(split_part($urlCol, '#', 1), '?', 1) AS base FROM $src),
-${p}h2 AS (SELECT $carry, CASE WHEN instr(base, '://') > 0 THEN substr(base, instr(base, '://') + 3) ELSE '' END AS rest FROM ${p}h1),
-${p}h3 AS (SELECT $carry, list_extract(string_split(split_part(rest, '/', 1), '@'), -1) AS hostport FROM ${p}h2),
-${p}h AS (SELECT $carry,
-  CASE WHEN hostport LIKE '[%' THEN lower(substr(hostport, 1, instr(hostport, ']')))
-       ELSE lower(split_part(hostport, ':', 1)) END AS host FROM ${p}h3)"""
+      p: String) = s"""${hostPathCtes(src, urlCol, carry, p)},
+${p}h AS (SELECT $carry, host FROM ${p}hp)"""
 
   /** [[hostCtes]] plus the raw path (query/fragment stripped, absent
     * path → '/') — the DuckDB twin of `Urls.hostOf` + `Urls.pathOf`
@@ -2851,18 +2842,7 @@ WITH b AS (
 )
 SELECT doc_id, has_badword, NOT has_badword AS kept
 FROM b ORDER BY doc_id""",
-    "extract_title" -> s"""
-WITH t AS (
-  SELECT url, min(struct_pack(idx := idx, start := start, "end" := "end"))
-    AS tsp
-  FROM $GS WHERE kind = 'title' GROUP BY url
-)
-SELECT g.url,
-  CASE WHEN t.url IS NULL THEN ''
-       ELSE substr(g.text, t.tsp.start + 1, t.tsp."end" - t.tsp.start) END
-    AS title
-FROM $G g LEFT JOIN t ON t.url = g.url
-ORDER BY g.url""",
+    "extract_title" -> s"SELECT url, title FROM $G ORDER BY url",
     "corpus_filter" -> s"""
 WITH w AS (
   SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}

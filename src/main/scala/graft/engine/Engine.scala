@@ -298,7 +298,7 @@ object HtmlEngine extends ExtractionEngine {
         blocks.length, dom.truncated,
         lang = LangResolve.resolve(row.lang, ""),
         redirect = redirectTarget, canonical = canonicalUrl,
-        metas = pageMetas, feeds = pageFeeds)
+        metas = pageMetas, feeds = pageFeeds, title = asm.title)
     val outcome =
       if (asm.text.isEmpty) Outcome.SkippedEmpty else Outcome.Ok
     ExtractResult(row.url, row.warc_ts, asm.text, asm.spans, outcome, tag,
@@ -311,7 +311,8 @@ object HtmlEngine extends ExtractionEngine {
       links = effBase.map(graft.extract.Links.fromDom(dom, _))
         .getOrElse(Vector.empty),
       redirect = redirectTarget, canonical = canonicalUrl,
-      ldjson = dom.ldjson, metas = pageMetas, feeds = pageFeeds)
+      ldjson = dom.ldjson, metas = pageMetas, feeds = pageFeeds,
+      title = asm.title)
   }
 }
 

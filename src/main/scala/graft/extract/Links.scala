@@ -206,6 +206,21 @@ object Links {
     * `http-equiv` pragmas and `<meta charset>` carry no name/property
     * and are naturally excluded. Output size is bounded by the DOM
     * node cap — no separate limit, nothing silently dropped. */
+  def metasOf(dom: Dom): Vector[graft.model.MetaTag] =
+    dom.nodes.iterator.filter(n => n.tag == "meta" && !inBody(dom, n.id))
+      .flatMap { n =>
+        // the fallback applies per FOLDED key: an empty/whitespace
+        // `name` must not mask a usable `property` (og tags next to a
+        // blank name attribute are still page metadata)
+        def folded(a: String) = n.attr(a)
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+        val key = folded("name").orElse(folded("property"))
+        (key, n.attr("content")) match {
+          case (Some(k), Some(c)) => Some(graft.model.MetaTag(k, c))
+          case _ => None
+        }
+      }.toVector
+
   /** Feed autodiscovery (WHATWG/RSS convention: head
     * `<link rel="alternate" type="application/rss+xml|application/
     * atom+xml" href>`): resolved feed URLs in document order — the
@@ -227,21 +242,6 @@ object Links {
           tt == "application/rss+xml" || tt == "application/atom+xml"
         }
     }.flatMap(n => n.attr("href").flatMap(h => resolve(eff, h))).toVector
-
-  def metasOf(dom: Dom): Vector[graft.model.MetaTag] =
-    dom.nodes.iterator.filter(n => n.tag == "meta" && !inBody(dom, n.id))
-      .flatMap { n =>
-        // the fallback applies per FOLDED key: an empty/whitespace
-        // `name` must not mask a usable `property` (og tags next to a
-        // blank name attribute are still page metadata)
-        def folded(a: String) = n.attr(a)
-          .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
-        val key = folded("name").orElse(folded("property"))
-        (key, n.attr("content")) match {
-          case (Some(k), Some(c)) => Some(graft.model.MetaTag(k, c))
-          case _ => None
-        }
-      }.toVector
 
   /** Meta-refresh redirect target: the first
     * `<meta http-equiv="refresh">` whose content parses under the

@@ -15,7 +15,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object TextAssembler {
 
-  final case class Assembled(text: String, spans: Vector[Span])
+  /** `title` is the normalized title TEXT itself ('' when none) — the
+    * doc-index field. Consumers must NOT re-derive it by substringing
+    * `text` under the title span: span offsets are UTF-16 code units
+    * while SQL substr counts code points, so a non-BMP title character
+    * would shift the cut in every SQL engine identically (invisible to
+    * cross-engine verification). */
+  final case class Assembled(text: String, spans: Vector[Span],
+      title: String)
 
   /** `emitSpans = false` is the lazy detailed-analysis gate (reference
     * runs char-level layout only under redo_ocr,
@@ -37,7 +44,7 @@ object TextAssembler {
     val titleText = Blocks.joinWords(splitWords(Blocks.nfkc(title)))
     if (titleText.nonEmpty) emit(titleText, "title", "/html/head/title")
     blocks.foreach { b => emit(b.text, b.kind, b.path) } // joined in segment()
-    Assembled(sb.toString, spans.toVector)
+    Assembled(sb.toString, spans.toVector, titleText)
   }
 
   /** First-strong bidi direction (reference:

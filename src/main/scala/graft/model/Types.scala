@@ -92,7 +92,11 @@ final case class ExtractResult(
     // autodiscovered feed URLs (head <link rel=alternate
     // type=rss|atom href>, resolved, document order) — the page-side
     // pointer the Feeds discovery channel starts from
-    feeds: Seq[String] = Nil
+    feeds: Seq[String] = Nil,
+    // normalized <title> text ('' when none) — the doc-index field,
+    // emitted by the kernel because span offsets are UTF-16 units and
+    // SQL substr counts code points (see TextAssembler.Assembled)
+    title: String = ""
 )
 
 object Outcome {

@@ -71,6 +71,7 @@ object WatSink {
         struct(
           struct(
             struct(
+              opt("title").as("Title"),
               opt("redirect").as("Meta-Refresh"),
               opt("canonical").as("Link-Rel-Canonical"),
               // absent → null → omitted, like the other head fields

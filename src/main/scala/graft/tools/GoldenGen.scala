@@ -29,7 +29,7 @@ object GoldenGen {
       dir: String, pred_lang: String,
       quality: Double, tokens_ws: Long, tokens_bpe: Long, fingerprint: Long,
       redirect: String, canonical: String, ldjson: Seq[String],
-      metas: Seq[graft.model.MetaTag], feeds: Seq[String])
+      metas: Seq[graft.model.MetaTag], feeds: Seq[String], title: String)
   final case class GoldenSpan(url: String, idx: Int, start: Int, end: Int,
       kind: String, path: String)
   final case class GoldenMode(url: String, mode: String, outcome: String,
@@ -62,7 +62,7 @@ object GoldenGen {
         TextStats.langId(r.text), TextStats.dictHitRatio(r.text),
         TextStats.tokensWs(r.text), TextStats.tokensBpe(r.text),
         TextStats.fingerprint(r.text), r.redirect, r.canonical, r.ldjson,
-        r.metas, r.feeds)
+        r.metas, r.feeds, r.title)
     }
     val spans = results.flatMap { r =>
       r.spans.zipWithIndex.map { case (s, i) =>
