@@ -269,6 +269,12 @@ object Bench {
     resultsExtra("badwords_filter") = timeTrials(1, 3) {
       graft.SparkEntry.queries("badwords_filter")(spark, sfDir).count()
     }._1
+    resultsExtra("bitext_candidates") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("bitext_candidates")(spark, sfDir).count()
+    }._1
+    resultsExtra("decontaminate_substring") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("corpus_decontaminate_substring")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

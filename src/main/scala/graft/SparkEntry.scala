@@ -546,6 +546,15 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(13)) === 7), "text")
         .orderBy("doc_id")
     }),
+    "corpus_decontaminate_substring" -> ((s, dir) => {
+      // exact-substring decontamination (Lee et al.): same held-out
+      // benchmark slice as the n-gram form, 40-char windows — catches
+      // tokenization-robust leaks word n-grams miss
+      val d = docs(s, dir)
+      CorpusStats.decontaminateSubstring(d, "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(13)) === 7), "text")
+        .orderBy("doc_id")
+    }),
     "corpus_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: the "benchmark" is a deterministic
       // held-out slice of the corpus itself (doc_id ≡ 7 mod 13 — no
@@ -975,6 +984,25 @@ object SparkEntry {
       val ddocs = qdocs.join(keepers, Seq("doc_id"), "left_semi")
       CorpusStats.shardByTokenBudget(ddocs, "doc_id", "text",
         shardTokens = 2000L, bucketSize = 50L).orderBy("doc_id")
+    }),
+    "bitext_candidates" -> ((s, dir) => {
+      // ParaCrawl-style URL matching over a deterministically derived
+      // multilingual site layout: article k = doc_id div 3 lives at
+      // site{k%7}/{marker}/article{k}, so up to 3 language editions
+      // share one slot; %11 docs publish an UNMARKED path (negative)
+      // and %13 docs carry a region-qualified marker (lang-us)
+      val art = expr("doc_id div 3").cast("string")
+      val hostPart = expr("(doc_id div 3) % 7").cast("string")
+      val mk = when(col("doc_id") % 13 === 0,
+        concat(col("lang"), lit("-us"))).otherwise(col("lang"))
+      val urls = docs(s, dir).select(
+        when(col("doc_id") % 11 === 0,
+          concat(lit("https://site"), hostPart,
+            lit(".example.com/static/page"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("https://site"), hostPart,
+            lit(".example.com/"), mk, lit("/article"), art)).as("url"))
+      graft.ops.Bitext.urlParallelCandidates(urls, "url")
+        .orderBy("host", "stripped_path")
     }),
     "badwords_filter" -> ((s, dir) =>
       // C4 blocklist drop: case-folded whole-token match against a
@@ -2625,6 +2653,26 @@ bp AS (
 SELECT g.doc_id, CAST(coalesce(h.bloom_hits, 0) AS BIGINT) AS bloom_hits,
   coalesce(h.bloom_hits, 0) > 0 AS contaminated_bloom
 FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id""",
+    "corpus_decontaminate_substring" -> s"""
+WITH g AS (
+  SELECT doc_id, CASE WHEN length(text) >= 40
+    THEN list_distinct(list_transform(range(1, length(text) - 38),
+      i -> md5(substr(text, CAST(i AS BIGINT), 40))))
+    ELSE [] END AS gs
+  FROM ${D(sf)} WHERE text IS NOT NULL
+), bg AS (
+  SELECT DISTINCT unnest(gs) AS gh FROM g WHERE doc_id % 13 = 7
+), dg AS (
+  SELECT doc_id, unnest(gs) AS gh FROM g
+), hits AS (
+  SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM dg JOIN bg ON bg.gh = dg.gh
+  GROUP BY dg.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM ${D(sf)} d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id""",
     "corpus_decontaminate" -> s"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
@@ -2831,6 +2879,38 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
   CAST(max(pos) + 39 AS BIGINT) AS run_end,
   CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
 FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
+    "bitext_candidates" -> s"""
+WITH d AS (SELECT doc_id, lang FROM ${D(sf)}),
+u AS (
+  SELECT CASE WHEN doc_id % 11 = 0
+    THEN 'https://site' || ((doc_id // 3) % 7) || '.example.com/static/page' || doc_id
+    ELSE 'https://site' || ((doc_id // 3) % 7) || '.example.com/' ||
+      (CASE WHEN doc_id % 13 = 0 THEN lang || '-us' ELSE lang END) ||
+      '/article' || (doc_id // 3) END AS url
+  FROM d
+),
+${hostPathCtes("u", "url", "url", "b")},
+m AS (
+  SELECT url, host,
+    regexp_extract(path, '^/([a-z]{2}(?:-[a-z]{2})?)(/.*)?$$', 1) AS lang_marker,
+    regexp_extract(path, '^/([a-z]{2}(?:-[a-z]{2})?)(/.*)?$$', 2) AS rest,
+    path
+  FROM bhp
+),
+sp AS (
+  SELECT url, host, lang_marker,
+    CASE WHEN lang_marker != ''
+         THEN (CASE WHEN rest = '' OR rest IS NULL THEN '/' ELSE rest END)
+         ELSE path END AS stripped_path
+  FROM m WHERE lang_marker != ''
+)
+SELECT host, stripped_path,
+  CAST(count(DISTINCT lang_marker) AS BIGINT) AS n_langs,
+  array_to_string(list_sort(list(DISTINCT lang_marker)), ',') AS langs,
+  min(url) AS anchor_url
+FROM sp GROUP BY host, stripped_path
+HAVING count(DISTINCT lang_marker) >= 2
+ORDER BY host, stripped_path""",
     "badwords_filter" -> s"""
 WITH b AS (
   SELECT doc_id,

@@ -695,6 +695,45 @@ object CorpusStats {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Character-level decontamination — the exact-substring twin of
+    * [[decontaminate]] [public technique: Lee et al. 2021 §4 run exact
+    * substring matching where word n-grams miss — tokenization-robust
+    * leaks (joined words, punctuation drift) still share raw character
+    * windows]: flag every document sharing at least one exact
+    * `minLen`-char substring with the benchmark table. Same output
+    * contract as [[decontaminate]] (rows never dropped).
+    *
+    * 100 TB shape: same broadcast-probe shape — the distinct benchmark
+    * char-gram set is benchmark-sized, the corpus side is a map-side
+    * semi-probe over per-doc DISTINCT gram hashes (the in-doc distinct
+    * compresses repeated windows before the only exchange, the per-doc
+    * hit recount). Hex md5 keys here for oracle parity; at corpus
+    * scale the keys would ride unhexed (16-byte binary, the
+    * substringRuns convention) or as the fused rolling_hash2. */
+  def decontaminateSubstring(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String,
+      minLen: Int = 40): DataFrame = {
+    def grams(df: DataFrame, tc: String) = df
+      .filter(length(col(tc)) >= minLen)
+      .withColumn("gh", explode(expr(
+        s"transform(sequence(1, length($tc) - $minLen + 1)," +
+          s" i -> md5(substring($tc, i, $minLen)))")))
+    val docGrams = grams(
+      docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
+      .select(col("doc_id"), col("gh")).distinct()
+    val benchGrams = grams(
+      bench.select(col(benchTextCol).as("btext")), "btext")
+      .select(col("gh")).distinct()
+    val hits = docGrams.join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits")) // grams already doc-distinct
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Deterministic per-group quota sampling — the domain-mixing primitive
     * (hold each group to a target fraction of its rows, e.g. language or
     * source-domain proportions for a training mix): rank rows inside each

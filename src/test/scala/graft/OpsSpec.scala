@@ -1959,6 +1959,49 @@ class OpsSpec extends AnyFunSuite {
     assert(atom(2)._4 == "" && atom(2)._6 == "")
   }
 
+  test("bitext: marker forms, root path, negatives, distinct langs") {
+    import graft.ops.Bitext
+    import spark.implicits._
+    val urls = Seq(
+      "https://h.test/en/a",        // pair 1
+      "https://h.test/fr/a",        // pair 1
+      "https://h.test/en-us/b/c",   // pair 2 (region marker)
+      "https://h.test/de/b/c",      // pair 2
+      "https://h.test/en",          // root-path edition → '/'
+      "https://h.test/zh",          // root-path edition → '/'
+      "https://h.test/en/solo",     // single edition: not a candidate
+      "https://h.test/en/a?x=1",    // query stripped: joins pair 1
+      "https://h.test/eng/a",       // 3-letter segment: not a marker
+      "https://h.test/static/a",    // unmarked: filtered
+      "https://other.test/en/a"     // other host: its own (solo) group
+    ).toDF("url")
+    val rows = Bitext.urlParallelCandidates(urls, "url")
+      .orderBy("host", "stripped_path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      ("h.test", "/", 2L, "en,zh", "https://h.test/en"),
+      ("h.test", "/a", 2L, "en,fr", "https://h.test/en/a"),
+      ("h.test", "/b/c", 2L, "de,en-us", "https://h.test/de/b/c")))
+  }
+
+  test("decontaminate substring: exact 40-char window, sub-threshold miss") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    val leak = "x" * 15 + "THE BENCHMARK ANSWER IS 42" // 41 chars
+    val docs = Seq(
+      (1L, "clean text " + ("a" * 60)),
+      (2L, "prefix " + leak + " suffix"),          // shares 41>40 chars
+      // only 39 shared chars — the '-' prefix (bench has ' ' there)
+      // keeps any 40-char window from matching across the boundary
+      (3L, "short-" + leak.substring(0, 39))
+    ).toDF("doc_id", "text")
+    val bench = Seq(("bench doc: " + leak + " etc")).toDF("text")
+    val out = CorpusStats.decontaminateSubstring(docs, "doc_id", "text",
+      bench, "text").collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("quality tiers: value thresholds, tie cohesion, degenerate corpus") {
     import graft.ops.Lm
     import spark.implicits._
