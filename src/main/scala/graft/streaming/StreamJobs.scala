@@ -347,6 +347,61 @@ object StreamJobs {
       }
   }
 
+  /** Per-(url, digest) revisit state: the first capture's timestamp —
+    * constant size per key, the streaming analog of
+    * `Snapshots.revisits`' window minimum. */
+  final case class RevisitState(firstTs: java.sql.Timestamp)
+
+  /** One typed verdict per arriving capture. `refers_to_ts` is null on
+    * `response` rows — same schema as the batch operator. */
+  final case class RevisitVerdict(url: String, ts: java.sql.Timestamp,
+      digest: String, record_type: String,
+      refers_to_ts: java.sql.Timestamp)
+
+  /** Streaming WARC revisit typing (the stateful twin of
+    * `Snapshots.revisits`): a crawler's capture log arrives as
+    * (url, ts, digest) and each record is typed AT ARRIVAL — the first
+    * capture of a payload digest per url is the `response`, every
+    * later identical capture a `revisit` referring to it. The state
+    * store carries the first timestamp per (url, digest) across
+    * micro-batches; within a batch, rows sort by (ts, getNanos) so the
+    * verdict is deterministic, not arrival-ordered. Equivalence with
+    * the batch operator holds under per-key event-time-ordered
+    * delivery (a live crawler fetches forward in time); a late replay
+    * of an EARLIER capture would claim the response role the batch
+    * recompute assigns it — re-run the batch operator for archival
+    * re-typing. Per-(key, batch) buffering is bounded by the crawl
+    * cadence (captures of ONE url+payload in one micro-batch). */
+  def streamingRevisits(
+      captures: Dataset[(String, java.sql.Timestamp, String)]): Dataset[RevisitVerdict] = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    captures
+      .groupByKey(r => (r._1, r._3))
+      .flatMapGroupsWithState[RevisitState, RevisitVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, String),
+         rows: Iterator[(String, java.sql.Timestamp, String)],
+         state: GroupState[RevisitState]) =>
+          val (url, digest) = key
+          val sorted = rows.toVector
+            .sortBy(r => (r._2.getTime, r._2.getNanos))
+          var first = state.getOption.map(_.firstTs)
+          val out = sorted.map { r =>
+            first match {
+              case None =>
+                first = Some(r._2)
+                RevisitVerdict(url, r._2, digest, "response", null)
+              case Some(f) =>
+                RevisitVerdict(url, r._2, digest, "revisit", f)
+            }
+          }
+          first.foreach(f => state.update(RevisitState(f)))
+          out.iterator
+      }
+  }
+
   /** Fast md5-hex shared by the streaming kernels: caller-supplied
     * digest (reset here, one instance per document), Character.forDigit
     * instead of a Formatter per byte. Output is byte-identical to Spark

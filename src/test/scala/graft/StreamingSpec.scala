@@ -182,6 +182,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: revisit typing matches the batch operator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d 00:00:00")
+    // url x: h@d1 (response), h@d2 (revisit→d1), h2@d3 (new response),
+    // h@d4 in the SECOND batch — must revisit d1 via the state store,
+    // not restart a lineage
+    val batch1 = Seq(("x", ts(1), "h"), ("x", ts(2), "h"), ("x", ts(3), "h2"),
+      ("y", ts(1), "h"))
+    val batch2 = Seq(("x", ts(4), "h"), ("y", ts(5), "h3"))
+    val stream = MemoryStream[(String, java.sql.Timestamp, String)]
+    val q = StreamJobs.streamingRevisits(stream.toDS())
+      .writeStream.format("memory").queryName("revisit_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      val got = spark.table("revisit_stream").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          (r.getString(3), Option(r.getTimestamp(4)))).toMap
+      val batch = graft.ops.Snapshots.revisits(
+          (batch1 ++ batch2).toDF("u", "t", "d"), "u", "t", "d")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+          (r.getString(3), Option(r.getTimestamp(4)))).toMap
+      assert(got == batch, s"streaming $got vs batch $batch")
+      assert(got(("x", ts(4))) == (("revisit", Some(ts(1))))) // cross-batch
+    } finally q.stop()
+  }
+
   test("streaming: file-source query is exactly-once across restarts") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
