@@ -39,7 +39,12 @@ object Plans {
       "quality_tiers", "tier_sample", "dedup_incremental",
       "dedup_keep_best", "sitemap_parse", "robots_crawl_delay",
       "crawl_schedule", "domain_stats", "signal_outliers",
-      "discovery_chain", "dedup_containment").foreach { q =>
+      "discovery_chain", "dedup_containment",
+      // fourth-wind additions
+      "snapshot_diff", "cdx_revisit", "sample_host_cap", "url_trap_signal",
+      "badwords_filter", "bitext_candidates",
+      "corpus_decontaminate_substring", "feed_parse",
+      "extract_metas", "feed_discovery", "extract_title").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
