@@ -275,6 +275,10 @@ object Bench {
     resultsExtra("decontaminate_substring") = timeTrials(1, 3) {
       graft.SparkEntry.queries("corpus_decontaminate_substring")(spark, sfDir).count()
     }._1
+    // text_script_mix is fixture-scale (extraction-output grain)
+    resultsExtra("host_boilerplate") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("host_boilerplate")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

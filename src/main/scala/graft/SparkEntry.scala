@@ -985,6 +985,23 @@ object SparkEntry {
       CorpusStats.shardByTokenBudget(ddocs, "doc_id", "text",
         shardTokens = 2000L, bucketSize = 50L).orderBy("doc_id")
     }),
+    "text_script_mix" -> ((s, _) =>
+      // mixed-script spam / wrong-decode signal over the extraction
+      // corpus (CJK/Cyrillic/Arabic charset fixtures exercise every
+      // class); literal-range classes parse identically in Java and
+      // RE2 where \\p{script} spellings differ
+      CorpusStats.scriptMix(extracted(s), "url", "text").orderBy("url")),
+    "host_boilerplate" -> ((s, dir) => {
+      // per-host template-share signal over a synthetic 20-host layout
+      // of the documents table — duplicate docs landing on one host
+      // make their shared passage windows that host's template
+      val urls = docs(s, dir).select(
+        concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/d"), col("doc_id").cast("string")).as("url"),
+        col("text"))
+      CorpusStats.hostBoilerplate(urls, "url", "text", minDocs = 2)
+        .orderBy("url")
+    }),
     "bitext_candidates" -> ((s, dir) => {
       // ParaCrawl-style URL matching over a deterministically derived
       // multilingual site layout: article k = doc_id div 3 lives at
@@ -2879,6 +2896,52 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
   CAST(max(pos) + 39 AS BIGINT) AS run_end,
   CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
 FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
+    "text_script_mix" -> s"""
+WITH c AS (
+  SELECT url, coalesce(text, '') AS t FROM $G
+),
+n AS (
+  SELECT url,
+    CAST(length(regexp_replace(t, '[ \\t\\n\\r\\f]', '', 'g')) AS BIGINT) AS n_chars,
+    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+    CAST(length(t) - length(regexp_replace(t, '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
+    CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+    CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic
+  FROM c
+)
+SELECT url, n_chars, n_latin, n_cjk, n_cyrillic, n_arabic,
+  CAST((1000 * n_latin) // greatest(n_chars, 1) AS BIGINT) AS latin_milli,
+  CAST((1000 * n_cjk) // greatest(n_chars, 1) AS BIGINT) AS cjk_milli,
+  CAST((1000 * n_cyrillic) // greatest(n_chars, 1) AS BIGINT) AS cyrillic_milli,
+  CAST((1000 * n_arabic) // greatest(n_chars, 1) AS BIGINT) AS arabic_milli,
+  CAST((1000 * (n_chars - n_latin - n_cjk - n_cyrillic - n_arabic)) // greatest(n_chars, 1) AS BIGINT) AS other_milli
+FROM n ORDER BY url""",
+    "host_boilerplate" -> s"""
+WITH d AS (
+  SELECT 'https://h' || (doc_id % 20) || '.example.com/d' || doc_id AS url,
+    text FROM ${D(sf)}
+),
+w AS (
+  SELECT url, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM d
+),
+f AS (
+  SELECT url, u.h AS h FROM (
+    SELECT url, unnest(list_transform(range(0, len(ws) // 4), i ->
+      {'h': md5(array_to_string(ws[i*4+1 : i*4+4], ' '))})) AS u
+    FROM w)
+),
+${hostCtes("f", "url", "url, h", "hb")},
+g AS (
+  SELECT host, h, count(DISTINCT url) AS docs_with FROM hbh GROUP BY 1, 2
+)
+SELECT x.url, x.host, count(*) AS n_passages,
+  CAST(sum(CASE WHEN g.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_common,
+  CAST((1000 * sum(CASE WHEN g.docs_with >= 2 THEN 1 ELSE 0 END))
+    // count(*) AS BIGINT) AS common_milli
+FROM hbh x JOIN g ON g.host = x.host AND g.h = x.h
+GROUP BY x.url, x.host
+ORDER BY x.url""",
     "bitext_candidates" -> s"""
 WITH d AS (SELECT doc_id, lang FROM ${D(sf)}),
 u AS (

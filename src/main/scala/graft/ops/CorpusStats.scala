@@ -778,6 +778,72 @@ object CorpusStats {
         (col("rn") <= expr("(n * fm + 999L) div 1000L")).as("kept"))
   }
 
+  /** Per-document script mix — the mixed-script spam / wrong-decode
+    * signal (a page claiming one language whose characters split
+    * across scripts is mojibake or keyword stuffing; CCNet-era
+    * pipelines gate on script coherence before language ID). Counts
+    * per codepoint-RANGE class as integer milli shares of the
+    * document's non-whitespace characters. Classes are spelled as
+    * LITERAL character ranges (embedded via Scala unicode escapes) —
+    * Java's `\\p{IsHan}` and RE2's `\\p{Han}` spellings differ, while
+    * a literal `[一-鿿]` class parses identically in both engines:
+    * latin [A-Za-z], cjk (unified ideographs + kana), cyrillic
+    * U+0400-04FF, arabic U+0600-06FF; `other` is the remainder.
+    * Count = length minus length-after-removal: one codegen'd
+    * regexp_replace per class, zero shuffle. */
+  def scriptMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def removed(cls: String) = length(t) - length(regexp_replace(t, cls, ""))
+    val latin = removed("[A-Za-z]")
+    val cjk = removed("[一-鿿぀-ヿ]")
+    val cyr = removed("[Ѐ-ӿ]")
+    val ar = removed("[؀-ۿ]")
+    val nonWs = length(t) - removed("[ \\t\\n\\r\\f]")
+    docs.select(col(idCol),
+        nonWs.cast("long").as("n_chars"),
+        latin.cast("long").as("n_latin"), cjk.cast("long").as("n_cjk"),
+        cyr.cast("long").as("n_cyrillic"), ar.cast("long").as("n_arabic"))
+      .withColumn("latin_milli", expr("(1000 * n_latin) div greatest(n_chars, 1)"))
+      .withColumn("cjk_milli", expr("(1000 * n_cjk) div greatest(n_chars, 1)"))
+      .withColumn("cyrillic_milli", expr("(1000 * n_cyrillic) div greatest(n_chars, 1)"))
+      .withColumn("arabic_milli", expr("(1000 * n_arabic) div greatest(n_chars, 1)"))
+      .withColumn("other_milli", expr(
+        "(1000 * (n_chars - n_latin - n_cjk - n_cyrillic - n_arabic)) div greatest(n_chars, 1)"))
+  }
+
+  /** Per-host boilerplate share [public technique: CCNet (Wenzek 2020)
+    * dedups paragraphs to strip site chrome; trafilatura/jusText treat
+    * host-recurring blocks as template — here surfaced as a per-page
+    * SIGNAL: the milli fraction of a page's passages that recur in ≥
+    * `minDocs` DISTINCT pages of the SAME host. The reference twin is
+    * the content-vs-chrome predicate (`_page_has_text`,
+    * /root/reference/src/ocrmypdf/pdfinfo/info.py:420-442), lifted
+    * from one page's geometry to the host corpus's repetition grain.
+    * `urlCol` doubles as the page identity AND the host source
+    * ([[Urls.hostOf]] on the grain — no doc→host join). Pages with no
+    * full passage window are absent (the [[passageDedup]] contract).
+    *
+    * 100 TB shape: one tokenize+explode pass (persist barrier — the
+    * grain feeds the per-host group AND the join-back), shuffles carry
+    * (host, 32-hex) keys; per-host template groups are the hot keys by
+    * definition and both aggs combine map-side. */
+  def hostBoilerplate(docs: DataFrame, urlCol: String, textCol: String,
+      windowWords: Int = 4, minDocs: Int = 3): DataFrame = {
+    val pass = passages(docs, urlCol, textCol, windowWords)
+      .select(col("doc_id").as("url"), Urls.hostOf("doc_id").as("host"),
+        col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = pass.groupBy("host", "h")
+      .agg(countDistinct(col("url")).as("docs_with"))
+    pass.join(groups, Seq("host", "h"))
+      .groupBy("url", "host")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("docs_with") >= minDocs, 1L).otherwise(0L))
+          .as("n_common"))
+      .withColumn("common_milli",
+        expr("(1000 * n_common) div n_passages"))
+  }
+
   /** C4-style blocklist page filter [public technique: Raffel et al.
     * 2020 §2.2 — drop any page containing a word from a fixed
     * blocklist; the reference twin is the dictionary-driven quality

@@ -2002,6 +2002,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("script mix and host boilerplate: hand-computed signals") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    // 4 latin + 2 cjk + 2 cyrillic + 2 arabic + 2 digits = 12 non-ws
+    val mixed = Seq((1L, "abcd 你好 да مر 42"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val sm = CorpusStats.scriptMix(mixed, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10))).toMap
+    // (n_chars, latin, cjk, cyr, ar, other) in millis
+    assert(sm(1L) == ((12L, 333L, 166L, 166L, 166L, 166L)))
+    assert(sm(2L) == ((0L, 0L, 0L, 0L, 0L, 0L))) // div0-guarded
+    assert(sm(3L) == ((0L, 0L, 0L, 0L, 0L, 0L))) // null folds to ''
+    // host template: docs a1/a2 on one host share a 4-word window; the
+    // same window on host b appears once — host-scoped, not corpus-wide
+    val pages = Seq(
+      ("https://a.test/1", "nav home about contact unique one two three"),
+      ("https://a.test/2", "nav home about contact other words here now"),
+      ("https://b.test/1", "nav home about contact lone page four five"))
+      .toDF("url", "text")
+    val hb = CorpusStats.hostBoilerplate(pages, "url", "text", minDocs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(hb(("https://a.test/1")) == ((2L, 1L))) // 2 windows, 1 common
+    assert(hb(("https://a.test/2")) == ((2L, 1L)))
+    assert(hb(("https://b.test/1")) == ((2L, 0L))) // host-scoped
+  }
+
   test("quality tiers: value thresholds, tie cohesion, degenerate corpus") {
     import graft.ops.Lm
     import spark.implicits._
