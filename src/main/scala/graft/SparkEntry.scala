@@ -2902,7 +2902,7 @@ WITH c AS (
 ),
 n AS (
   SELECT url,
-    CAST(length(regexp_replace(t, '[ \\t\\n\\r\\f]', '', 'g')) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(t, '[ \\t\\n\\r\\f\u00A0\u2000-\u200A\u202F\u205F\u3000]', '', 'g')) AS BIGINT) AS n_chars,
     CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
     CAST(length(t) - length(regexp_replace(t, '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
     CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,

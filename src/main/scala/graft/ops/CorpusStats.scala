@@ -789,6 +789,8 @@ object CorpusStats {
     * a literal `[一-鿿]` class parses identically in both engines:
     * latin [A-Za-z], cjk (unified ideographs + kana), cyrillic
     * U+0400-04FF, arabic U+0600-06FF; `other` is the remainder.
+    * Whitespace includes the Unicode space separators (nbsp, en/em
+    * spaces, U+3000) so CJK separator conventions don't dilute shares.
     * Count = length minus length-after-removal: one codegen'd
     * regexp_replace per class, zero shuffle. */
   def scriptMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -798,7 +800,12 @@ object CorpusStats {
     val cjk = removed("[一-鿿぀-ヿ]")
     val cyr = removed("[Ѐ-ӿ]")
     val ar = removed("[؀-ۿ]")
-    val nonWs = length(t) - removed("[ \\t\\n\\r\\f]")
+    // whitespace covers the Unicode space separators CJK/typographic
+    // text actually uses (U+00A0 nbsp, U+2000-200A, U+202F, U+205F,
+    // U+3000 ideographic) — an all-CJK page separated by U+3000 must
+    // not read as part-"other"
+    val nonWs = length(t) - removed(
+      "[ \\t\\n\\r\\f\u00A0\u2000-\u200A\u202F\u205F\u3000]")
     docs.select(col(idCol),
         nonWs.cast("long").as("n_chars"),
         latin.cast("long").as("n_latin"), cjk.cast("long").as("n_cjk"),

@@ -393,6 +393,13 @@ object StreamJobs {
               case None =>
                 first = Some(r._2)
                 RevisitVerdict(url, r._2, digest, "response", null)
+              case Some(f) if r._2 == f =>
+                // duplicate (url, digest, ts) capture (replayed log
+                // segment): the batch operator types EVERY row at the
+                // minimum timestamp `response` — mirror it, so the
+                // equivalence holds even where the (url, ts)-unique
+                // precondition is violated
+                RevisitVerdict(url, r._2, digest, "response", null)
               case Some(f) =>
                 RevisitVerdict(url, r._2, digest, "revisit", f)
             }

@@ -44,7 +44,8 @@ object Plans {
       "snapshot_diff", "cdx_revisit", "sample_host_cap", "url_trap_signal",
       "badwords_filter", "bitext_candidates",
       "corpus_decontaminate_substring", "feed_parse",
-      "extract_metas", "feed_discovery", "extract_title").foreach { q =>
+      "extract_metas", "feed_discovery", "extract_title",
+      "text_script_mix", "host_boilerplate").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

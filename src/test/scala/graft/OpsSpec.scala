@@ -2006,8 +2006,10 @@ class OpsSpec extends AnyFunSuite {
     import graft.ops.CorpusStats
     import spark.implicits._
     // 4 latin + 2 cjk + 2 cyrillic + 2 arabic + 2 digits = 12 non-ws
-    val mixed = Seq((1L, "abcd 你好 да مر 42"), (2L, ""), (3L, null: String))
-      .toDF("doc_id", "text")
+    // doc 4: ideographic-space-separated CJK (U+3000 must count as
+    // whitespace — an all-CJK page is NOT part-"other")
+    val mixed = Seq((1L, "abcd 你好 да مر 42"), (2L, ""), (3L, null: String),
+      (4L, "你好　世界")).toDF("doc_id", "text")
     val sm = CorpusStats.scriptMix(mixed, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(6), r.getLong(7),
         r.getLong(8), r.getLong(9), r.getLong(10))).toMap
@@ -2015,6 +2017,7 @@ class OpsSpec extends AnyFunSuite {
     assert(sm(1L) == ((12L, 333L, 166L, 166L, 166L, 166L)))
     assert(sm(2L) == ((0L, 0L, 0L, 0L, 0L, 0L))) // div0-guarded
     assert(sm(3L) == ((0L, 0L, 0L, 0L, 0L, 0L))) // null folds to ''
+    assert(sm(4L) == ((4L, 0L, 1000L, 0L, 0L, 0L))) // pure CJK
     // host template: docs a1/a2 on one host share a 4-word window; the
     // same window on host b appears once — host-scoped, not corpus-wide
     val pages = Seq(

@@ -191,7 +191,11 @@ class StreamingSpec extends AnyFunSuite {
     // not restart a lineage
     val batch1 = Seq(("x", ts(1), "h"), ("x", ts(2), "h"), ("x", ts(3), "h2"),
       ("y", ts(1), "h"))
-    val batch2 = Seq(("x", ts(4), "h"), ("y", ts(5), "h3"))
+    // the duplicated ("y", ts(1), "h") row (a replayed log segment)
+    // must type `response` in BOTH engines — every row at the minimum
+    // timestamp is a response, even across batches
+    val batch2 = Seq(("x", ts(4), "h"), ("y", ts(5), "h3"),
+      ("y", ts(1), "h"))
     val stream = MemoryStream[(String, java.sql.Timestamp, String)]
     val q = StreamJobs.streamingRevisits(stream.toDS())
       .writeStream.format("memory").queryName("revisit_stream")
