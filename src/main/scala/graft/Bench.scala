@@ -279,6 +279,9 @@ object Bench {
     resultsExtra("host_boilerplate") = timeTrials(1, 3) {
       graft.SparkEntry.queries("host_boilerplate")(spark, sfDir).count()
     }._1
+    resultsExtra("docstats_fused") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("docstats_fused")(spark, sfDir).count()
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -985,6 +985,12 @@ object SparkEntry {
       CorpusStats.shardByTokenBudget(ddocs, "doc_id", "text",
         shardTokens = 2000L, bucketSize = 50L).orderBy("doc_id")
     }),
+    "docstats_fused" -> ((s, dir) =>
+      // the RefinedWeb-shape fused signal vector: repetition + signal
+      // ratios + readability + a documented composite in ONE projection
+      // over one tokenize pass — the at-scale form of four signal jobs
+      CorpusStats.signalsFused(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "text_script_mix" -> ((s, _) =>
       // mixed-script spam / wrong-decode signal over the extraction
       // corpus (CJK/Cyrillic/Arabic charset fixtures exercise every
@@ -2896,6 +2902,30 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
   CAST(max(pos) + 39 AS BIGINT) AS run_end,
   CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
 FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
+    "docstats_fused" -> s"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM ${D(sf)}),
+sig AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+    (1000 * (len(ws) - len(list_distinct(ws)))) // greatest(len(ws), 1) AS dup_word_milli,
+    (1000 * len(list_filter(ws, w -> list_contains([${CorpusStats.stopwordList.map(w => s"'$w'").mkString(", ")}], lower(w))))) // greatest(len(ws), 1) AS stopword_milli,
+    (1000 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) // greatest(length(text), 1) AS nonalnum_milli,
+    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+    CAST(CASE WHEN ws IS NULL THEN NULL ELSE coalesce(list_sum(list_transform(ws, w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))), 0) END AS BIGINT) AS n_syllables
+  FROM w
+),
+r AS (
+  SELECT *,
+    CAST((1000 * n_words) // greatest(n_sentences, 1) AS BIGINT) AS wps_milli,
+    CAST((1000 * n_syllables) // greatest(n_words, 1) AS BIGINT) AS spw_milli
+  FROM sig
+)
+SELECT doc_id, n_words,
+  CAST(dup_word_milli AS BIGINT) AS dup_word_milli,
+  CAST(stopword_milli AS BIGINT) AS stopword_milli,
+  CAST(nonalnum_milli AS BIGINT) AS nonalnum_milli,
+  CAST(206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000 AS BIGINT) AS flesch_milli,
+  CAST((stopword_milli + (1000 - nonalnum_milli) + (1000 - least(dup_word_milli, 1000))) // 3 AS BIGINT) AS composite_milli
+FROM r ORDER BY doc_id""",
     "text_script_mix" -> s"""
 WITH c AS (
   SELECT url, coalesce(text, '') AS t FROM $G

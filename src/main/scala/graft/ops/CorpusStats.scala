@@ -778,6 +778,50 @@ object CorpusStats {
         (col("rn") <= expr("(n * fm + 999L) div 1000L")).as("kept"))
   }
 
+  /** Fused single-pass signal vector [public shape: RefinedWeb /
+    * FineWeb pipelines compute the whole per-document signal vector in
+    * one scan, then cut with one predicate — running each signal as
+    * its own job re-reads and re-tokenizes the corpus once per
+    * signal]. Recomputes the EXACT formulas of [[repetition]]
+    * (dup_word_milli), [[qualitySignals]] (stopword_milli,
+    * nonalnum_milli) and [[readability]] (flesch_milli) in ONE
+    * projection over one tokenize pass — the oracle pins equality by
+    * replaying each module oracle and joining on doc_id, so a drifted
+    * copy goes red. `composite_milli` is a documented demo blend:
+    * (stopword + (1000−nonalnum) + (1000−min(dup,1000)) ) div 3 —
+    * monotone in each "good" direction, pinned here as the contract.
+    *
+    * 100 TB shape: one narrow codegen'd projection, zero shuffle —
+    * four signal jobs' worth of scan+tokenize collapsed into one. */
+  def signalsFused(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sw = stopwordList.map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col(idCol).as("doc_id"),
+      wordsExpr(textCol).as("ws"),
+      col(textCol).as("t"))
+      .select(
+        col("doc_id"),
+        expr("cast(size(ws) as bigint)").as("n_words"),
+        expr("(1000L * cast(size(ws) - size(array_distinct(ws)) as bigint)) div greatest(cast(size(ws) as bigint), 1L)")
+          .as("dup_word_milli"),
+        expr(s"(1000L * cast(size(filter(ws, w -> lower(w) in ($sw))) as bigint)) div greatest(cast(size(ws) as bigint), 1L)")
+          .as("stopword_milli"),
+        expr("(1000L * cast(length(regexp_replace(t, '[a-zA-Z0-9 ]', '')) as bigint)) div greatest(cast(length(t) as bigint), 1L)")
+          .as("nonalnum_milli"),
+        expr("(1000L * cast(size(ws) as bigint)) div greatest(cast(regexp_count(t, '[.!?]+') as bigint), 1L)")
+          .as("wps_milli"),
+        expr("(1000L * aggregate(ws, 0L, (acc, w) -> acc + greatest(1L, " +
+          "cast(regexp_count(lower(w), '[aeiouy]+') as bigint)))) div greatest(cast(size(ws) as bigint), 1L)")
+          .as("spw_milli"))
+      .withColumn("flesch_milli",
+        expr("206835L - (1015L * wps_milli) div 1000L" +
+          " - (84600L * spw_milli) div 1000L"))
+      .withColumn("composite_milli",
+        expr("(stopword_milli + (1000L - nonalnum_milli)" +
+          " + (1000L - least(dup_word_milli, 1000L))) div 3L"))
+      .drop("wps_milli", "spw_milli")
+  }
+
   /** Per-document script mix — the mixed-script spam / wrong-decode
     * signal (a page claiming one language whose characters split
     * across scripts is mojibake or keyword stuffing; CCNet-era
