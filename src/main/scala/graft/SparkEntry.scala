@@ -333,6 +333,18 @@ object SparkEntry {
           sum(col("chrome").cast("long")).as("n_chrome"))
         .orderBy("src_host", "dst_host")),
     "crawl_frontier" -> ((s, _) => frontier(s).orderBy("canon")),
+    "frontier_admitted" -> ((s, _) => {
+      // admission-gated frontier: discovery composed with the RFC 9309
+      // verdict. The robots url fixture rides along (canonicalized) so
+      // deny verdicts provably fire; rule-less corpus hosts
+      // default-allow — a crawler fetches exactly the allowed rows
+      val f = frontier(s).select(col("canon"))
+        .unionAll(graft.ops.Robots.urlsDf(s)
+          .select(Urls.canon("url").as("canon")))
+        .distinct()
+      graft.ops.Robots.filter(f, "canon", graft.ops.Robots.robotsDf(s))
+        .orderBy("url")
+    }),
     "crawl_schedule" -> ((s, _) => {
       // politeness scheduling over the frontier: one fetch per host per
       // wave, most-referenced targets first within each host — the
@@ -1820,6 +1832,20 @@ tgt AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_refs FROM tc GROUP BY canon)
 SELECT canon, n_refs FROM tgt
 WHERE canon NOT IN (SELECT canon FROM vc)
 ORDER BY canon""",
+    "frontier_admitted" -> graft.ops.Robots.oracleSqlFor(s"""fr0(url) AS (SELECT resolved FROM $GL
+  UNION ALL SELECT redirect FROM $G WHERE redirect != ''),
+${canonCtes("fr0", "ft")},
+rb(url) AS (VALUES
+  ${graft.ops.Robots.urlValuesSql}),
+${canonCtes("rb", "rt")},
+su(url) AS (SELECT url FROM $G),
+${canonCtes("su", "vs")},
+frx AS (
+  SELECT canon FROM ftc WHERE canon NOT IN (SELECT canon FROM vsc)
+  UNION
+  SELECT canon FROM rtc
+),
+raw AS (SELECT canon AS url FROM frx)"""),
     "host_quality" -> s"""
 SELECT split_part(url, '/', 3) AS host,
   CAST(count(*) AS BIGINT) AS n_pages,

@@ -417,11 +417,18 @@ GROUP BY g.host ORDER BY g.host"""
   /** The DuckDB replay of [[applicableRules]]+[[filter]] over the same
     * fixtures — zipped unnests for posexplode, lag + framed running sum
     * for the boundary scan, row_number for the argmax. */
-  def oracleSql: String = s"""
+  def oracleSql: String =
+    oracleSqlFor(s"""raw(url) AS (VALUES
+  $urlValuesSql)""")
+
+  /** [[oracleSql]] with a caller-supplied CTE fragment that must end
+    * by defining `raw(url)` — composition seam for oracles that feed a
+    * DIFFERENT url set (e.g. the admission-gated frontier) through the
+    * identical verdict replay. */
+  def oracleSqlFor(rawCtes: String): String = s"""
 WITH robots(host, txt) AS (VALUES
   $fixtureValuesSql),
-raw(url) AS (VALUES
-  $urlValuesSql),
+$rawCtes,
 $linesCtes,
 $groupCtes,
 rules AS (
