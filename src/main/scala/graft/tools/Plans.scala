@@ -45,7 +45,8 @@ object Plans {
       "badwords_filter", "bitext_candidates",
       "corpus_decontaminate_substring", "feed_parse",
       "extract_metas", "feed_discovery", "extract_title",
-      "text_script_mix", "host_boilerplate", "docstats_fused").foreach { q =>
+      "text_script_mix", "host_boilerplate", "docstats_fused",
+      "frontier_admitted").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(
