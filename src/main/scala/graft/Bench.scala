@@ -257,7 +257,9 @@ object Bench {
       graft.SparkEntry.queries("dedup_semantic")(spark, sfDir).count()
     }._1
     resultsExtra("text_readability") = timeTrials(1, 3) {
-      graft.ops.CorpusStats.readability(docs, "doc_id", "text").count()
+      // filter on the computed column — see the pruning note below
+      graft.ops.CorpusStats.readability(docs, "doc_id", "text")
+        .filter(col("flesch_milli") >= Long.MinValue).count()
     }._1
     // cdx_revisit / sample_host_cap / extract_metas / extract_title /
     // feed_discovery / feed_parse / url_trap_signal / text_script_mix /
@@ -275,12 +277,15 @@ object Bench {
     resultsExtra("decontaminate_substring") = timeTrials(1, 3) {
       graft.SparkEntry.queries("corpus_decontaminate_substring")(spark, sfDir).count()
     }._1
-    // text_script_mix is fixture-scale (extraction-output grain)
     resultsExtra("host_boilerplate") = timeTrials(1, 3) {
       graft.SparkEntry.queries("host_boilerplate")(spark, sfDir).count()
     }._1
+    // pure projections must be timed through a filter on a COMPUTED
+    // column: a bare .count() lets column pruning empty the project
+    // list, so the timer would measure a zero-column row-count scan
     resultsExtra("docstats_fused") = timeTrials(1, 3) {
-      graft.SparkEntry.queries("docstats_fused")(spark, sfDir).count()
+      graft.SparkEntry.queries("docstats_fused")(spark, sfDir)
+        .filter(col("composite_milli") >= Long.MinValue).count()
     }._1
 
     // ANN quality: recall@10 of each approximate path against the exact

@@ -997,12 +997,22 @@ object SparkEntry {
       CorpusStats.shardByTokenBudget(ddocs, "doc_id", "text",
         shardTokens = 2000L, bucketSize = 50L).orderBy("doc_id")
     }),
-    "docstats_fused" -> ((s, dir) =>
+    "docstats_fused" -> ((s, dir) => {
       // the RefinedWeb-shape fused signal vector: repetition + signal
       // ratios + readability + a documented composite in ONE projection
-      // over one tokenize pass — the at-scale form of four signal jobs
-      CorpusStats.signalsFused(docs(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
+      // over one tokenize pass — the at-scale form of four signal jobs.
+      // The documents fixture has ZERO sentence terminators (the same
+      // vacuity that moved text_readability to the extraction corpus),
+      // so the text is deterministically AUGMENTED with doc_id-varied
+      // terminator tails — both engines build the same string and the
+      // sentence axis verifies non-vacuously
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0, lit(" End one. Two more? Yes!"))
+            .when(col("doc_id") % 3 === 1, lit(" tail without terminator"))
+            .otherwise(lit(" Mixed!? runs... end"))).as("text"))
+      CorpusStats.signalsFused(aug, "doc_id", "text").orderBy("doc_id")
+    }),
     "text_script_mix" -> ((s, _) =>
       // mixed-script spam / wrong-decode signal over the extraction
       // corpus (CJK/Cyrillic/Arabic charset fixtures exercise every
@@ -2929,7 +2939,14 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
   CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS run_len
 FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, run_start""",
     "docstats_fused" -> s"""
-WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM ${D(sf)}),
+WITH a AS (
+  SELECT doc_id, coalesce(text, '') ||
+    CASE WHEN doc_id % 3 = 0 THEN ' End one. Two more? Yes!'
+         WHEN doc_id % 3 = 1 THEN ' tail without terminator'
+         ELSE ' Mixed!? runs... end' END AS text
+  FROM ${D(sf)}
+),
+w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws, text FROM a),
 sig AS (
   SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
     (1000 * (len(ws) - len(list_distinct(ws)))) // greatest(len(ws), 1) AS dup_word_milli,

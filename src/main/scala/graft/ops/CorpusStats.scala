@@ -785,9 +785,12 @@ object CorpusStats {
     * signal]. Recomputes the EXACT formulas of [[repetition]]
     * (dup_word_milli), [[qualitySignals]] (stopword_milli,
     * nonalnum_milli) and [[readability]] (flesch_milli) in ONE
-    * projection over one tokenize pass — the oracle pins equality by
-    * replaying each module oracle and joining on doc_id, so a drifted
-    * copy goes red. `composite_milli` is a documented demo blend:
+    * projection over one tokenize pass. Two independent pins: the
+    * DuckDB oracle respells every formula, and a SPEC asserts this
+    * fused output row-for-row equals the JOIN of the three module
+    * operators — so the fused copy cannot drift from the modules even
+    * if it drifted in lockstep with its own oracle.
+    * `composite_milli` is a documented demo blend:
     * (stopword + (1000−nonalnum) + (1000−min(dup,1000)) ) div 3 —
     * monotone in each "good" direction, pinned here as the contract.
     *

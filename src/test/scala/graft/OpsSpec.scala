@@ -2033,6 +2033,36 @@ class OpsSpec extends AnyFunSuite {
     assert(hb(("https://b.test/1")) == ((2L, 0L))) // host-scoped
   }
 
+  test("fused signals equal the module operators joined on doc_id") {
+    import graft.ops.CorpusStats
+    import spark.implicits._
+    // sentence terminators, repeats, stopwords, punctuation, an empty
+    // doc — every fused axis moves
+    val docs = Seq(
+      (1L, "the cat sat. The cat sat again! on the mat?"),
+      (2L, "unique words only here now"),
+      (3L, "!!! ??? ..."),
+      (4L, "")).toDF("doc_id", "text")
+    val fused = CorpusStats.signalsFused(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val rep = CorpusStats.repetition(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val sig = CorpusStats.qualitySignals(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val rd = CorpusStats.readability(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val (nw, dup, stop, non, flesch) = fused(id)
+      assert(nw == sig(id)._1 && stop == sig(id)._2 && non == sig(id)._3,
+        s"doc $id signal drift")
+      assert(dup == rep(id), s"doc $id repetition drift")
+      assert(flesch == rd(id), s"doc $id readability drift")
+    }
+  }
+
   test("quality tiers: value thresholds, tie cohesion, degenerate corpus") {
     import graft.ops.Lm
     import spark.implicits._
