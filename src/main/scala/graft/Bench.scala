@@ -214,7 +214,9 @@ object Bench {
     // training; this row must measure the encode projection alone
     val bpePairs = graft.ops.Bpe.learn(docs, "text", merges = 6)._2
     resultsExtra("bpe_encode") = timeTrials(1, 3) {
-      graft.ops.Bpe.encode(docs, "doc_id", "text", bpePairs).count()
+      // computed-column filter — see the pruning note below
+      graft.ops.Bpe.encode(docs, "doc_id", "text", bpePairs)
+        .filter(col("n_tokens") >= Long.MinValue).count()
     }._1
     // robots_filter / robots_sitemaps / robots_crawl_delay /
     // link_anchor_text / crawl_frontier / crawl_schedule / domain_stats
@@ -245,7 +247,9 @@ object Bench {
       graft.ops.CorpusStats.vocabCoverage(docs, "text").count()
     }._1
     resultsExtra("gopher_filter") = timeTrials(1, 3) {
-      graft.ops.CorpusStats.gopherRules(docs, "doc_id", "text").count()
+      // computed-column filter — see the pruning note below
+      graft.ops.CorpusStats.gopherRules(docs, "doc_id", "text")
+        .filter(col("word_len_milli") >= Long.MinValue).count()
     }._1
     resultsExtra("importance_shift") = timeTrials(1, 3) {
       graft.SparkEntry.queries("importance_shift")(spark, sfDir).count()
@@ -269,7 +273,11 @@ object Bench {
       graft.SparkEntry.queries("snapshot_diff")(spark, sfDir).count()
     }._1
     resultsExtra("badwords_filter") = timeTrials(1, 3) {
-      graft.SparkEntry.queries("badwords_filter")(spark, sfDir).count()
+      // boolean column: count the TRUE side — an isNotNull filter on a
+      // non-nullable computed column would fold away and re-open the
+      // pruning hole
+      graft.SparkEntry.queries("badwords_filter")(spark, sfDir)
+        .agg(count(when(col("has_badword"), 1))).first().getLong(0)
     }._1
     resultsExtra("bitext_candidates") = timeTrials(1, 3) {
       graft.SparkEntry.queries("bitext_candidates")(spark, sfDir).count()
