@@ -295,6 +295,22 @@ object Bench {
       graft.SparkEntry.queries("docstats_fused")(spark, sfDir)
         .filter(col("composite_milli") >= Long.MinValue).count()
     }._1
+    resultsExtra("lm_score_heldout") = timeTrials(1, 3) {
+      // filter on the computed column (pruning note above): a bare
+      // count would let Catalyst drop the model-join score lineage
+      graft.SparkEntry.queries("lm_score_heldout")(spark, sfDir)
+        .filter(col("mean_freq_milli") >= Long.MinValue).count()
+    }._1
+    resultsExtra("sketch_hll") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("sketch_hll")(spark, sfDir)
+        .filter(col("raw_est") >= Long.MinValue).count()
+    }._1
+    resultsExtra("quality_classifier") = timeTrials(1, 3) {
+      // boolean label: count the TRUE side so the score lineage can't
+      // be pruned out from under the timer
+      graft.SparkEntry.queries("quality_classifier")(spark, sfDir)
+        .agg(count(when(col("label"), 1))).first().getLong(0)
+    }._1
 
     // ANN quality: recall@10 of each approximate path against the exact
     // brute-force top-10 over the same queries (fraction of true

@@ -784,6 +784,25 @@ object SparkEntry {
       // signal), exact-integer hapax/mean-frequency milli ratios
       graft.ops.Lm.bigramScore(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "lm_score_heldout" -> ((s, dir) => {
+      // frozen-model deployment shape: LM trained on the even-id split
+      // scores the odd-id split, OOV bigrams surfacing as oov_milli
+      val d = docs(s, dir)
+      graft.ops.Lm.bigramScoreAgainst(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+    "sketch_hll" -> ((s, dir) =>
+      // HyperLogLog per-language distinct-text estimate: 256 integer
+      // registers per group (mergeable), exact-integer raw estimator
+      graft.ops.Hll.distinctSketch(docs(s, dir), "lang", "text")
+        .orderBy("grp")),
+    "quality_classifier" -> ((s, dir) =>
+      // hash-trick linear classifier inference: broadcast 1024-weight
+      // model onto the (doc, feat, tf) grain — the fastText-style
+      // quality-gate plan with a deterministic md5-derived model
+      graft.ops.Classifier.scoreLinear(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "quality_tiers" -> ((s, dir) =>
       // CCNet head/middle/tail terciles of the LM score — value-based
       // thresholds out of a compact score histogram, no global sort
@@ -1468,7 +1487,11 @@ inter AS (
     * quality_tiers oracles (the [[graft.ops.Lm.bigramScore]] algebra,
     * replayed in DuckDB). Reads the docs table `src`, produces
     * `per(doc_id, n_bigrams, sum_cnt, n_rare)`. */
-  private def lmCtes(src: String) = s"""w AS (
+  /** The (doc_id, gram, tf) bigram-grain CTE prefix — ONE owner of the
+    * tokenize→bigram→tf algebra shared by [[lmCtes]] (self-scored
+    * model) and the lm_score_heldout oracle (frozen even-split model):
+    * a drifting copy would silently un-sync train vs apply grams. */
+  private def gramCtes(src: String) = s"""w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM $src
 ), g AS (
   SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
@@ -1477,7 +1500,9 @@ inter AS (
   FROM w
 ), grain AS (
   SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram
-), model AS (
+)"""
+
+  private def lmCtes(src: String) = s"""${gramCtes(src)}, model AS (
   SELECT gram, CAST(sum(tf) AS BIGINT) AS cnt FROM grain GROUP BY gram
 ), per AS (
   SELECT grain.doc_id,
@@ -2237,6 +2262,77 @@ SELECT d.doc_id,
   CAST(coalesce(p.sum_cnt, 0) AS BIGINT) AS sum_cnt,
   CAST((1000 * coalesce(p.n_rare, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS rare_milli,
   CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS mean_freq_milli
+FROM ${D(sf)} d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
+    "lm_score_heldout" -> s"""
+WITH ${gramCtes(D(sf))}, model AS (
+  SELECT gram, CAST(sum(tf) AS BIGINT) AS cnt FROM grain
+  WHERE doc_id % 2 = 0 GROUP BY gram
+), per AS (
+  SELECT grain.doc_id,
+    CAST(sum(tf) AS BIGINT) AS n_bigrams,
+    CAST(sum(tf * coalesce(cnt, 0)) AS BIGINT) AS sum_cnt,
+    CAST(sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+  FROM grain LEFT JOIN model USING (gram)
+  WHERE grain.doc_id % 2 = 1 GROUP BY grain.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST((1000 * coalesce(p.n_oov, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS oov_milli,
+  CAST((1000 * coalesce(p.sum_cnt, 0)) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT) AS mean_freq_milli
+FROM ${D(sf)} d LEFT JOIN per p USING (doc_id)
+WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""",
+    "sketch_hll" -> s"""
+WITH h AS (
+  SELECT lang, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM ${D(sf)}
+), rk AS (
+  SELECT lang, h // 4503599627370496 AS bucket, h % 4503599627370496 AS r FROM h
+), rnk AS (
+  SELECT lang, bucket, CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END AS rank FROM rk
+), regs AS (
+  SELECT lang, bucket, max(rank) AS mj FROM rnk GROUP BY 1, 2
+), spine AS (
+  SELECT lang, unnest(range(0, 256)) AS bucket FROM (SELECT DISTINCT lang FROM ${D(sf)})
+), dense AS (
+  SELECT spine.lang, spine.bucket, coalesce(regs.mj, 0) AS mj
+  FROM spine LEFT JOIN regs ON spine.lang = regs.lang AND spine.bucket = regs.bucket
+), est AS (
+  SELECT lang,
+    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS sum_inv,
+    md5(string_agg(mj::VARCHAR, ',' ORDER BY bucket)) AS regs_md5
+  FROM dense GROUP BY 1
+), ex AS (
+  SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct FROM ${D(sf)} GROUP BY 1
+)
+SELECT est.lang AS grp, n_zero, sum_inv,
+  CAST((718273::HUGEINT * 65536 * 9007199254740992) // sum_inv // 1000000 AS BIGINT) AS raw_est,
+  regs_md5, exact_distinct
+FROM est JOIN ex USING (lang) ORDER BY grp""",
+    "quality_classifier" -> s"""
+WITH wts AS (
+  SELECT i AS feat,
+    ('0x' || substring(md5('w:' || i), 1, 8))::BIGINT % 1001 - 500 AS w
+  FROM (SELECT unnest(range(0, 1024)) AS i)
+), t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM ${D(sf)}
+), tg AS (
+  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2
+), fg AS (
+  SELECT doc_id,
+    ('0x' || substring(md5('feat:' || token), 1, 8))::BIGINT % 1024 AS feat,
+    CAST(sum(tf) AS BIGINT) AS tf
+  FROM tg GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+    CAST(sum(tf * w) AS BIGINT) AS score_milli
+  FROM fg JOIN wts USING (feat) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(p.score_milli, 0) AS BIGINT) AS score_milli,
+  coalesce(p.score_milli, 0) > 0 AS label
 FROM ${D(sf)} d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
     "quality_tiers" -> s"""
 WITH ${tierCtes(D(sf))}

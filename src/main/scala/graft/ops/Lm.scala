@@ -43,13 +43,17 @@ object Lm {
     * to the model aggregation AND a join-back (the signature-table
     * rule). [[exportTierModel]] shares ONE grain between its model
     * collect and its threshold lineage instead of re-scanning. */
-  private def gramGrain(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = docs
-    .select(col(idCol).cast("long").as("doc_id"),
-      TextGrams.wordsExpr(textCol).as("ws"))
-    .select(col("doc_id"), explode(TextGrams.wordGramsExpr(2)).as("gram"))
-    .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
-    .persist(StorageLevel.MEMORY_AND_DISK)
+  private def gramGrain(docs: DataFrame, idCol: String, textCol: String,
+      barrier: Boolean = true): DataFrame = {
+    val g = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextGrams.wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), explode(TextGrams.wordGramsExpr(2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    // single-consumer callers skip the barrier — persisting a grain
+    // nobody forks just adds a materialization + memory cost
+    if (barrier) g.persist(StorageLevel.MEMORY_AND_DISK) else g
+  }
 
   /** Per-document bigram-LM fluency stats (see class doc). One output
     * row per input document, including <2-word docs (zeros). */
@@ -72,6 +76,50 @@ object Lm {
         coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"),
         expr("1000 * coalesce(n_rare, 0L) div greatest(coalesce(n_bigrams, 0L), 1)")
           .as("rare_milli"),
+        expr("1000 * coalesce(sum_cnt, 0L) div greatest(coalesce(n_bigrams, 0L), 1)")
+          .as("mean_freq_milli"))
+  }
+
+  /** Frozen-model scoring of a SEPARATE corpus — the deployment shape
+    * CCNet actually runs (Wenzek et al. 2020 train the LM on a frozen
+    * reference corpus, then score NEW crawl text against it; the
+    * self-scored [[bigramScore]] is the training-side diagnostic). The
+    * model is the bigram count table over `train`; every `apply`
+    * document is scored against it, and bigrams the model has never
+    * seen surface as an OOV rate instead of the self-scored invariant
+    * cnt ≥ 1:
+    *
+    *   - `n_bigrams`       — bigram occurrences in the apply doc;
+    *   - `oov_milli`       — 1000 × (occurrences of bigrams ABSENT
+    *     from the model) / n_bigrams — the out-of-domain signal the
+    *     self-scored form cannot produce;
+    *   - `mean_freq_milli` — 1000 × Σ model-count / n_bigrams, OOV
+    *     occurrences contributing 0.
+    *
+    * One output row per apply document, including <2-word docs
+    * (zeros). 100 TB shape: the two corpora are separate tables (no
+    * is-train flag joined onto a shared grain — that flag join would
+    * move corpus-sized id pairs); each side reduces to its own
+    * tf-compressed (doc, gram, tf) grain, the model join moves 16-byte
+    * md5 keys LEFT-joined so OOV grams survive as nulls, and the model
+    * is corpus-sized so a shuffled join (not broadcast) is the honest
+    * plan, exactly as [[bigramScore]]. */
+  def bigramScoreAgainst(train: DataFrame, apply: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val model = gramGrain(train, idCol, textCol, barrier = false)
+      .groupBy("gram").agg(sum("tf").as("cnt"))
+    val per = gramGrain(apply, idCol, textCol, barrier = false)
+      .join(model, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * coalesce(col("cnt"), lit(0L))).as("sum_cnt"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
+    apply.select(col(idCol).cast("long").as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        expr("1000 * coalesce(n_oov, 0L) div greatest(coalesce(n_bigrams, 0L), 1)")
+          .as("oov_milli"),
         expr("1000 * coalesce(sum_cnt, 0L) div greatest(coalesce(n_bigrams, 0L), 1)")
           .as("mean_freq_milli"))
   }

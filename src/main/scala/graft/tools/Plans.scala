@@ -46,7 +46,9 @@ object Plans {
       "corpus_decontaminate_substring", "feed_parse",
       "extract_metas", "feed_discovery", "extract_title",
       "text_script_mix", "host_boilerplate", "docstats_fused",
-      "frontier_admitted").foreach { q =>
+      "frontier_admitted",
+      // fifth-wind additions
+      "lm_score_heldout", "sketch_hll", "quality_classifier").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

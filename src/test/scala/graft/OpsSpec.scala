@@ -2419,4 +2419,89 @@ class OpsSpec extends AnyFunSuite {
       ("x", ts(3), "response", None), ("x", ts(4), "revisit", Some(ts(1))),
       ("y", ts(1), "response", None)))
   }
+
+  test("hll sketch: register shape, estimate accuracy, determinism") {
+    import spark.implicits._
+    import graft.ops.Hll
+    // 2000 distinct values in one group, 3 in another: the big group
+    // exercises the estimator, the tiny one the zero-register spine
+    val rows = (0 until 2000).map(i => ("big", s"value-$i")) ++
+      Seq(("tiny", "a"), ("tiny", "b"), ("tiny", "c"), ("tiny", "a"))
+    val df = rows.toDF("grp", "v")
+    val out = Hll.distinctSketch(df, "grp", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toMap
+    val (bz, bsum, best, _, bex) = out("big")
+    assert(bex == 2000L)
+    // HLL standard error at m=256 is 1.04/16 = 6.5%; the raw estimator
+    // (no small-range correction) must land within 3 sigma
+    assert(math.abs(best - 2000.0) / 2000.0 < 0.20, s"raw_est $best")
+    // register-table invariants: never-hit buckets carry the 2^53 term
+    assert(bz >= 0 && bz < 256)
+    assert(bsum >= (1L << 53) * bz)
+    val (tz, tsum, test_, _, tex) = out("tiny")
+    assert(tex == 3L)
+    // 3 distinct values hit at most 3 buckets; the rest stay zero
+    assert(tz >= 253 && tz <= 255)
+    assert(tsum > (1L << 53) * 253)
+    assert(test_ >= 1L) // raw estimator is positive even in the small range
+    // byte-determinism across partition layouts (register digest too)
+    val again = Hll.distinctSketch(df.repartition(7), "grp", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toMap
+    assert(out == again)
+  }
+
+  test("lm heldout: frozen even-split model, OOV surfaces, zeros for short docs") {
+    import spark.implicits._
+    import graft.ops.Lm
+    // train (even ids): "a b" x2, "b c"; heldout (odd ids): doc 1 is
+    // fully in-model, doc 3 is half OOV, doc 5 has <2 words
+    val docs = Seq(
+      (0L, "a b a b"), (2L, "b c"),
+      (1L, "a b"), (3L, "a b x y"), (5L, "solo")).toDF("doc_id", "text")
+    val out = Lm.bigramScoreAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // only heldout rows come back
+    assert(out.keySet == Set(1L, 3L, 5L))
+    // doc 1: one bigram "a b", model count 2 → oov 0, mean 2000
+    assert(out(1L) == ((1L, 0L, 2000L)))
+    // doc 3: bigrams (a b)=in-model cnt 2, (b x), (x y)=OOV
+    //   → n=3, oov_milli = 2000/3 = 666, mean = 2000/3 = 666
+    assert(out(3L) == ((3L, 666L, 666L)))
+    // doc 5: <2 words → all zeros
+    assert(out(5L) == ((0L, 0L, 0L)))
+  }
+
+  test("classifier: md5-weight linear inference matches independent replay") {
+    import spark.implicits._
+    import graft.ops.Classifier
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, ""), (3L, "gamma")).toDF("doc_id", "text")
+    val out = Classifier.scoreLinear(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // independent JVM replay of the md5 coin algebra (not TextGrams —
+    // a shared bug would cancel out)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def coin(tag: String, v: String, m: Long): Long =
+      java.lang.Long.parseLong(md5hex(tag + v).substring(0, 8), 16) % m
+    def w(tok: String): Long =
+      coin("w:", coin("feat:", tok, 1024L).toString, 1001L) - 500L
+    assert(out(1L) == ((3L, 2L * w("alpha") + w("beta"),
+      2L * w("alpha") + w("beta") > 0L)))
+    assert(out(2L) == ((0L, 0L, false)))
+    assert(out(3L) == ((1L, w("gamma"), w("gamma") > 0L)))
+    // hashing-trick collision semantics: two tokens in one bucket add
+    val many = Seq((9L, (0 until 50).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Classifier.scoreLinear(many, "doc_id", "text").collect().head
+    val expect = (0 until 50).map(i => w(s"t$i")).sum
+    assert(got.getLong(1) == 50L && got.getLong(2) == expect)
+  }
 }
