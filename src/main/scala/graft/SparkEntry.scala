@@ -25,6 +25,8 @@ object SparkEntry {
   val goldenSpans = "/root/repo/src/test/resources/golden/spans/*.parquet"
   val goldenModes = "/root/repo/src/test/resources/golden/modes/*.parquet"
   val goldenLinks = "/root/repo/src/test/resources/golden/links/*.parquet"
+  val goldenHeadings = "/root/repo/src/test/resources/golden/headings/*.parquet"
+  val goldenCells = "/root/repo/src/test/resources/golden/cells/*.parquet"
   val verifyN = 600
 
   // one extraction pass per session, shared by all pipeline queries.
@@ -279,6 +281,37 @@ object SparkEntry {
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       graft.ops.Graph.hits(edges, iters = 3)
+    }),
+    "host_components" -> ((s, _) => {
+      // mirror/site-cluster resolution: connected components over the
+      // host link graph, keeper = the component's lexicographic min
+      // host (label-independent, so the oracle resolves its own way)
+      val edges = hostLinkGrain(extracted(s))
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+        .filter(col("src") =!= col("dst") && col("dst") =!= "")
+        .distinct()
+      graft.ops.Graph.componentsByKey(edges, "src", "dst")
+        .select(col("key").as("host"), col("keep_key").as("keep_host"),
+          col("n_members"))
+        .orderBy("host")
+    }),
+    "table_records" -> ((s, _) => {
+      // header-keyed record mining over the relational table view:
+      // data cells (row > 0) paired with their column's header-row key
+      // — the flatten-tables-to-facts step structured-data miners run
+      val cells = extracted(s)
+        .select(col("url"), explode(col("cells")).as("c"))
+        .select(col("url"), col("c.tbl").as("tbl"), col("c.row").as("row"),
+          col("c.col").as("col"), col("c.header").as("header"),
+          col("c.text").as("ctext"))
+      val hdr = cells
+        .filter(col("header") && col("row") === 0 && col("ctext") =!= "")
+        .select(col("url"), col("tbl"), col("col"), col("ctext").as("key"))
+      cells.filter(!col("header") && col("row") > 0)
+        .join(hdr, Seq("url", "tbl", "col"))
+        .select(col("url"), col("tbl"), col("row"), col("col"),
+          col("key"), col("ctext").as("value"))
+        .orderBy("url", "tbl", "row", "col")
     }),
     "extract_canonical" -> ((s, _) =>
       // per-page navigation metadata: resolved meta-refresh target and
@@ -1084,6 +1117,25 @@ object SparkEntry {
       // derivation would cut non-BMP titles wrong in BOTH engines
       // identically (invisible to the oracle)
       extracted(s).select(col("url"), col("title")).orderBy("url")),
+    "extract_headings" -> ((s, _) =>
+      // the content OUTLINE: kept heading blocks as (level, text) —
+      // kernel-emitted like title (UTF-16 span offsets make SQL
+      // substring derivation wrong in both engines identically)
+      extracted(s)
+        .select(col("url"), posexplode(col("headings")).as(Seq("idx", "h")))
+        .select(col("url"), col("idx"), col("h.level").as("level"),
+          col("h.text").as("htext"))
+        .orderBy("url", "idx")),
+    "extract_tables" -> ((s, _) =>
+      // relational table view: every visible cell with its 0-based
+      // (tbl, row, col) document-order ordinals and th flag — the
+      // structured-data channel tabular miners explode into rows
+      extracted(s)
+        .select(col("url"), explode(col("cells")).as("c"))
+        .select(col("url"), col("c.tbl").as("tbl"), col("c.row").as("row"),
+          col("c.col").as("col"), col("c.header").as("header"),
+          col("c.text").as("ctext"))
+        .orderBy("url", "tbl", "row", "col")),
     "corpus_filter" -> ((s, dir) =>
       // composed C4-style keep/reject with typed reasons; rows never drop
       CorpusStats.qualityFilter(docs(s, dir), "doc_id", "text")
@@ -1321,6 +1373,8 @@ object SparkEntry {
   private val G = s"read_parquet('$goldenExtracted')"
   private val GS = s"read_parquet('$goldenSpans')"
   private val GL = s"read_parquet('$goldenLinks')"
+  private val GH = s"read_parquet('$goldenHeadings')"
+  private val GC = s"read_parquet('$goldenCells')"
   private def D(dir: String) = s"read_parquet('$dir/documents.parquet')"
   private def E(dir: String) = s"read_parquet('$dir/embeddings.parquet')"
   /** The sf dir the oracle SQL reads. The driver contract fixes
@@ -3155,6 +3209,30 @@ WITH b AS (
 SELECT doc_id, has_badword, NOT has_badword AS kept
 FROM b ORDER BY doc_id""",
     "extract_title" -> s"SELECT url, title FROM $G ORDER BY url",
+    "extract_headings" ->
+      s"SELECT url, idx, level, htext FROM $GH ORDER BY url, idx",
+    "extract_tables" ->
+      s"SELECT url, tbl, row, col, header, ctext FROM $GC ORDER BY url, tbl, row, col",
+    "host_components" -> s"""
+WITH RECURSIVE hl AS (
+  SELECT lower(split_part(url, '/', 3)) AS src,
+         lower(split_part(resolved, '/', 3)) AS dst
+  FROM $GL
+), p AS (
+  SELECT DISTINCT src AS doc_a, dst AS doc_b FROM hl
+  WHERE src != dst AND dst != ''
+), $ccWalkCtes,
+sz AS (SELECT keep, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY keep)
+SELECT cl.doc_id AS host, cl.keep AS keep_host, sz.n AS n_members
+FROM cl JOIN sz USING (keep) ORDER BY host""",
+    "table_records" -> s"""
+WITH c AS (SELECT url, tbl, row, col, header, ctext FROM $GC),
+h AS (SELECT url, tbl, col, ctext AS key FROM c
+      WHERE header AND row = 0 AND ctext != '')
+SELECT c.url, c.tbl, c.row, c.col, h.key, c.ctext AS value
+FROM c JOIN h USING (url, tbl, col)
+WHERE NOT c.header AND c.row > 0
+ORDER BY url, tbl, row, col""",
     "corpus_filter" -> s"""
 WITH w AS (
   SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}

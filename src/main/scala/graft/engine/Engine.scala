@@ -312,7 +312,13 @@ object HtmlEngine extends ExtractionEngine {
         .getOrElse(Vector.empty),
       redirect = redirectTarget, canonical = canonicalUrl,
       ldjson = dom.ldjson, metas = pageMetas, feeds = pageFeeds,
-      title = asm.title)
+      title = asm.title,
+      // structured projections of the segmentation output (no re-walk):
+      // the outline comes from the KEPT blocks (content headings), the
+      // table view from the PRE-classification blocks (tabular data is
+      // wanted even when density rules drop the table from the text)
+      headings = graft.extract.Tables.headingsOf(kept),
+      cells = graft.extract.Tables.cellsOf(dom, blocks))
   }
 }
 

@@ -313,6 +313,9 @@ $paras
 <h1>$title</h1>
 $sections
 <table><tr><td>${sentence(rng)}</td><td>${sentence(rng)}</td></tr></table>
+<table><thead><tr><th>${words(rng, 2)}</th><th>${words(rng, 2)}</th><th></th></tr></thead>
+<tbody><tr><td>${sentence(rng)}</td><td>before <table><tr><td>${words(rng, 2)}</td></tr></table> after</td><td>${words(rng, 3)}</td></tr>
+<tr><td>${words(rng, 2)}</td><td></td><td>${words(rng, 4)}</td></tr></tbody></table>
 </article></body></html>"""
   }
 

@@ -54,6 +54,22 @@ final case class Link(idx: Int, raw: String, resolved: String,
   * semantics (refresh) already rides as [[ExtractResult.redirect]]. */
 final case class MetaTag(name: String, content: String)
 
+/** A kept content heading — the document OUTLINE row (the reference's
+  * structural analog is the hOCR paragraph hierarchy,
+  * src/ocrmypdf/hocrtransform/hocr_parser.py par/line nesting). `level`
+  * is 1–6 from the hN tag; `text` is the block's assembler-normalized
+  * text, kernel-emitted for the same reason as [[ExtractResult.title]]
+  * (span offsets are UTF-16 units — SQL substr cannot recover it). */
+final case class Heading(level: Int, text: String)
+
+/** One table cell of the structured-table projection: 0-based table /
+  * row / column ordinals in document order, `header` for `<th>`. Cell
+  * text is segmentation-normalized (NFKC, word-joined) — the
+  * relational view of `<table>` content that data-mining consumers
+  * explode into rows, independent of the boilerplate verdict. */
+final case class TableCell(tbl: Int, row: Int, col: Int,
+    header: Boolean, text: String)
+
 /** Output row of the extraction stage. `outcome` is the typed failure/skip
   * channel (reference: timeout/failure containment,
   * src/ocrmypdf/_exec/tesseract.py:341-353 — a bad document yields a marker,
@@ -96,7 +112,13 @@ final case class ExtractResult(
     // normalized <title> text ('' when none) — the doc-index field,
     // emitted by the kernel because span offsets are UTF-16 units and
     // SQL substr counts code points (see TextAssembler.Assembled)
-    title: String = ""
+    title: String = "",
+    // kept content headings in document order — the outline
+    headings: Seq[Heading] = Nil,
+    // structured table cells (all visible cells with a table ancestor,
+    // pre-classification — tabular data is wanted even when the
+    // boilerplate verdict drops the table from the text)
+    cells: Seq[TableCell] = Nil
 )
 
 object Outcome {

@@ -155,6 +155,55 @@ object Graph {
     * walk cuts). At the full crawl the node column would be a 64-bit
     * url hash, not the string — callers pick the key.
     */
+  /** Connected components over STRING-keyed edges → one row per node:
+    * (key, keep_key, n_members) with keep_key the component's
+    * lexicographic minimum — the mirror/site-cluster resolution step
+    * over the host graph (the same keeper contract as Dedup.exact,
+    * at host grain). Delegates the iterative min-label/pointer-jump
+    * walk to [[Dedup.resolveClusters]] over 60-bit md5-derived ids
+    * (both engines share the conv(md5) algebra), then re-keys: the
+    * keeper is min(key) WITHIN the component — label-independent, so
+    * the oracle may resolve components any way it likes. A duplicate
+    * 60-bit id would silently merge two components, so the mapping
+    * carries an assert_true guard (birthday bound ~2^30 keys — beyond
+    * that, swap in AssignIds.stableIds for the id step).
+    *
+    * 100 TB shape: the walk shuffles (id, id) pairs only; key strings
+    * appear in exactly two broadcast-scale joins (id assignment and
+    * keeper re-key) plus one groupBy on the component label. */
+  def componentsByKey(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def kid(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    // the caller's edge lineage feeds the key table AND the id-edge
+    // table (the signature-table fork rule)
+    val e = edges.select(col(aCol).as("ka"), col(bCol).as("kb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keys = e.select(col("ka").as("key"))
+      .union(e.select(col("kb").as("key")))
+      .distinct()
+      .select(col("key"), kid(col("key")).as("id"))
+    // 60-bit collision guard (the AssignIds dup-guard idiom): a merge
+    // of distinct keys must fail loudly, never cluster silently
+    val guarded = keys.groupBy("id").agg(count(lit(1)).as("n"),
+        min("key").as("key"))
+      .withColumn("n", when(assert_true(col("n") === 1L,
+        lit("componentsByKey: 60-bit id collision — use stableIds")).isNull,
+        col("n")))
+      .select("key", "id")
+    val idEdges = e
+      .select(kid(col("ka")).as("a"), kid(col("kb")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val labels = Dedup.resolveClusters(idEdges, "a", "b")
+    // comp feeds the keeper aggregation AND the final join-back
+    val comp = labels.join(guarded, labels("doc_id") === guarded("id"))
+      .select(col("key"), col("cluster_keep_id").as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keepers = comp.groupBy("lab")
+      .agg(min("key").as("keep_key"), count(lit(1)).as("n_members"))
+    comp.join(keepers, Seq("lab"))
+      .select(col("key"), col("keep_key"), col("n_members"))
+  }
+
   def bfsDepth(edges: DataFrame, maxDepth: Int = 8,
       seeds: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))

@@ -36,6 +36,10 @@ object GoldenGen {
       engine: String, n_spans: Long, text_md5: String)
   final case class GoldenLink(url: String, idx: Int, raw: String,
       resolved: String, chrome: Boolean, text: String)
+  final case class GoldenHeading(url: String, idx: Int, level: Int,
+      htext: String)
+  final case class GoldenCell(url: String, tbl: Int, row: Int, col: Int,
+      header: Boolean, ctext: String)
 
   def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -92,8 +96,21 @@ object GoldenGen {
     }
     links.toDF().sort("url", "idx").coalesce(1).write.mode("overwrite")
       .parquet(s"$goldenDir/links")
+    val headings = results.flatMap { r =>
+      r.headings.zipWithIndex.map { case (h, i) =>
+        GoldenHeading(r.url, i, h.level, h.text)
+      }
+    }
+    headings.toDF().sort("url", "idx").coalesce(1).write.mode("overwrite")
+      .parquet(s"$goldenDir/headings")
+    val cells = results.flatMap { r =>
+      r.cells.map(c => GoldenCell(r.url, c.tbl, c.row, c.col, c.header, c.text))
+    }
+    cells.toDF().sort("url", "tbl", "row", "col").coalesce(1)
+      .write.mode("overwrite").parquet(s"$goldenDir/cells")
     println(s"[golden] wrote ${rows.length} rows, ${spans.length} spans, " +
-      s"${modes.length} mode rows, ${links.length} links")
+      s"${modes.length} mode rows, ${links.length} links, " +
+      s"${headings.length} headings, ${cells.length} cells")
     val byOutcome = rows.groupBy(_.outcome).view.mapValues(_.size).toMap
     println(s"[golden] outcomes: $byOutcome")
     val modeOutcomes = modes.groupBy(m => (m.mode, m.outcome))

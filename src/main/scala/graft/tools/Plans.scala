@@ -48,7 +48,9 @@ object Plans {
       "text_script_mix", "host_boilerplate", "docstats_fused",
       "frontier_admitted",
       // fifth-wind additions
-      "lm_score_heldout", "sketch_hll", "quality_classifier").foreach { q =>
+      "lm_score_heldout", "sketch_hll", "quality_classifier",
+      "extract_headings", "extract_tables", "host_components",
+      "table_records").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

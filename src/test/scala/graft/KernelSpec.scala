@@ -843,4 +843,60 @@ qux</a></p>
     assert(!Links.collapseAnchor(long).endsWith(" "))
     assert(Links.collapseAnchor("  a  b\tc  ") == "a b c")
   }
+
+  // -- structured projections (outline + table view) ---------------------
+
+  test("headings: kept-block outline with hN levels; chrome outline excluded") {
+    val pad = "filler words enough to pass the density classifier here"
+    val r = Extractor.extract(row(
+      s"""<body><article><h1>Main Title</h1><p>$pad $pad</p>
+<h3>Sub Point</h3><p>$pad $pad</p></article>
+<nav><h2>Menu</h2><a href="/a">one</a></nav></body>"""))
+    assert(r.headings.map(h => (h.level, h.text)) ==
+      Seq((1, "Main Title"), (3, "Sub Point")))
+  }
+
+  test("cells: element-exact grid — empty cells hold their column, th flags") {
+    val r = Extractor.extract(row(
+      """<body><table>
+<thead><tr><th>A</th><th>B</th><th></th></tr></thead>
+<tbody><tr><td>a1</td><td></td><td>c1</td></tr></tbody>
+</table></body>"""))
+    assert(r.cells.map(c => (c.tbl, c.row, c.col, c.header, c.text)) == Seq(
+      (0, 0, 0, true, "A"), (0, 0, 1, true, "B"), (0, 0, 2, true, ""),
+      (0, 1, 0, false, "a1"), (0, 1, 1, false, ""), (0, 1, 2, false, "c1")))
+  }
+
+  test("cells: nested table splits outer text and owns its own ordinals") {
+    val r = Extractor.extract(row(
+      """<body><table><tr>
+<td>before <table><tr><td>inner</td></tr></table> after</td>
+<td>next</td></tr></table></body>"""))
+    val byTbl = r.cells.groupBy(_.tbl)
+    // outer table: split outer-cell text re-joined; inner table separate
+    assert(byTbl(0).map(c => (c.row, c.col, c.text)) ==
+      Seq((0, 0, "before after"), (0, 1, "next")))
+    assert(byTbl(1).map(c => (c.row, c.col, c.text)) == Seq((0, 0, "inner")))
+  }
+
+  test("cells: nested block content joins its cell; hidden and orphan cells omitted") {
+    val pad = "filler words enough to pass the density classifier here"
+    val r = Extractor.extract(row(
+      s"""<body><table><tr><td><p>para one</p><ul><li>item</li></ul></td></tr></table>
+<table style="display:none"><tr><td>ghost</td></tr></table>
+<p><td>orphan stray cell $pad $pad</td></p></body>"""))
+    assert(r.cells.map(c => (c.tbl, c.row, c.col, c.text)) ==
+      Seq((0, 0, 0, "para one item")))
+    // the orphan td's text still flows through the TEXT channel
+    assert(r.text.contains("orphan") && !r.text.contains("ghost"))
+  }
+
+  test("cells: tr-less soup rows group by direct parent; sibling tables distinct") {
+    val r = Extractor.extract(row(
+      """<body><table><td>x</td><td>y</td></table><table><tr><td>z</td></tr></table></body>"""))
+    val byTbl = r.cells.groupBy(_.tbl)
+    assert(byTbl(0).map(c => (c.row, c.col, c.text)).sorted ==
+      Seq((0, 0, "x"), (0, 1, "y")))
+    assert(byTbl(1).map(c => (c.row, c.col, c.text)) == Seq((0, 0, "z")))
+  }
 }

@@ -2420,6 +2420,25 @@ class OpsSpec extends AnyFunSuite {
       ("y", ts(1), "response", None)))
   }
 
+  test("components by key: chains merge, keeper is lexicographic min, sizes exact") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // component 1: a chain c-a-b plus a redundant edge; component 2: a
+    // pair; edges arrive in arbitrary order and both directions
+    val edges = Seq(("b.com", "a.com"), ("a.com", "c.com"), ("c.com", "b.com"),
+      ("z.org", "y.org")).toDF("src", "dst")
+    val out = Graph.componentsByKey(edges, "src", "dst").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "a.com" -> (("a.com", 3L)), "b.com" -> (("a.com", 3L)),
+      "c.com" -> (("a.com", 3L)),
+      "y.org" -> (("y.org", 2L)), "z.org" -> (("y.org", 2L))))
+    // deterministic across partition layouts
+    val again = Graph.componentsByKey(edges.repartition(5), "src", "dst")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == again)
+  }
+
   test("hll sketch: register shape, estimate accuracy, determinism") {
     import spark.implicits._
     import graft.ops.Hll
