@@ -267,9 +267,10 @@ object Bench {
     }._1
     // cdx_revisit / sample_host_cap / extract_metas / extract_title /
     // feed_discovery / feed_parse / url_trap_signal / text_script_mix /
-    // frontier_admitted / extract_headings / extract_tables are
-    // fixture-scale (extraction-output or in-code-fixture grain) — see
-    // the fixed-corpus note above
+    // frontier_admitted / extract_headings / extract_tables /
+    // table_records / host_components are fixture-scale
+    // (extraction-output or in-code-fixture grain) — see the
+    // fixed-corpus note above
     resultsExtra("snapshot_diff") = timeTrials(1, 3) {
       graft.SparkEntry.queries("snapshot_diff")(spark, sfDir).count()
     }._1

@@ -313,9 +313,10 @@ object HtmlEngine extends ExtractionEngine {
       redirect = redirectTarget, canonical = canonicalUrl,
       ldjson = dom.ldjson, metas = pageMetas, feeds = pageFeeds,
       title = asm.title,
-      // structured projections of the segmentation output (no re-walk):
-      // the outline comes from the KEPT blocks (content headings), the
-      // table view from the PRE-classification blocks (tabular data is
+      // structured projections: the outline reads the KEPT blocks
+      // (content headings); the table view pairs an element-only grid
+      // pass (guarded — a no-table page pays one tag scan, no allocs)
+      // with the PRE-classification blocks' text (tabular data is
       // wanted even when density rules drop the table from the text)
       headings = graft.extract.Tables.headingsOf(kept),
       cells = graft.extract.Tables.cellsOf(dom, blocks))

@@ -71,16 +71,15 @@ object Blocks {
     * ancestor; consecutive text nodes sharing that ancestor form one block.
     * Pure array walk — no recursion, O(n) with memoized ancestor lookups.
     */
-  def segment(dom: Dom): Vector[Block] = {
-    val nodes = dom.nodes
-    val n = nodes.length
-    // memoized per-element facts, computed in one forward pass (parents
-    // always precede children in the flattened ordering)
-    val blockAnc = new Array[Int](n) // nearest block ancestor (element id)
-    val linkAnc = new Array[Boolean](n) // inside <a> below the block anc
-    val chromeAnc = new Array[Boolean](n) // nav/header/footer/aside ancestry
+  /** Memoized element-path builder ("/html/body/div[1]/p[2]") — THE
+    * owner of the path algebra. Block paths and the table view's
+    * cell-path join key ([[Tables.cellsOf]]) are matched by STRING
+    * EQUALITY, so a second hand-spelled copy drifting in either walk
+    * would silently empty every cell's text with both engines still
+    * agreeing (invisible to the oracle). */
+  def pathBuilder(nodes: scala.collection.mutable.ArrayBuffer[graft.html.DomNode])
+      : Int => String = {
     val paths = new scala.collection.mutable.HashMap[Int, String]
-
     def pathOf(id: Int): String = {
       if (id < 0) return ""
       paths.getOrElseUpdate(id, {
@@ -89,6 +88,18 @@ object Blocks {
           (if (nd.sibIndex > 1) "[" + nd.sibIndex + "]" else "")
       })
     }
+    pathOf
+  }
+
+  def segment(dom: Dom): Vector[Block] = {
+    val nodes = dom.nodes
+    val n = nodes.length
+    // memoized per-element facts, computed in one forward pass (parents
+    // always precede children in the flattened ordering)
+    val blockAnc = new Array[Int](n) // nearest block ancestor (element id)
+    val linkAnc = new Array[Boolean](n) // inside <a> below the block anc
+    val chromeAnc = new Array[Boolean](n) // nav/header/footer/aside ancestry
+    val pathOf = pathBuilder(nodes)
 
     var i = 0
     while (i < n) {

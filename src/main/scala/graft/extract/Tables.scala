@@ -1,6 +1,6 @@
 package graft.extract
 
-import graft.html.Dom
+import graft.html.{Dom, DomNode}
 import graft.model.{Heading, TableCell}
 import scala.collection.mutable
 
@@ -29,47 +29,70 @@ object Tables {
       Heading(lastTag(b.path).charAt(1) - '0', b.text)
     }.toVector
 
+  /** HTML span attribute per the spec's clamp rules (colspan 1..1000,
+    * rowspan 1..65534); unparseable values and the spec's rowspan=0
+    * ("to the end of the row group") both fall back to 1 — the
+    * bounded, deterministic simplification. */
+  private def spanAttr(nd: DomNode, name: String, cap: Int): Int =
+    nd.attr(name).map { v =>
+      val t = v.trim
+      var i = 0
+      var acc = 0
+      while (i < t.length && t.charAt(i).isDigit && acc <= cap) {
+        acc = acc * 10 + (t.charAt(i) - '0')
+        i += 1
+      }
+      if (i == 0 || acc < 1) 1 else math.min(acc, cap)
+    }.getOrElse(1)
+
   /** Relational table view: every VISIBLE td/th element with a table
-    * ancestor, with 0-based (tbl, row, col) ordinals in document
+    * ancestor, with 0-based (tbl, row, col) GRID ordinals in document
     * order. Ordinals come from the ELEMENT structure — counting every
-    * cell element, empty or not — so an empty cell keeps its column
-    * and the header/data alignment a tabular consumer relies on (a
-    * text-block-only derivation would shift later columns left past
-    * every empty cell). Rows are the nearest `tr` ancestor; a cell
-    * with no `tr` (markup soup directly under table/tbody) forms a
-    * row keyed by its direct parent. Cell text is joined in from the
-    * segmenter's cell blocks by path — NFKC'd, word-joined, and a
-    * cell split by a nested table re-joins its outer runs with the
-    * segmenter's CJK-aware rule. Cells with no table ancestor are not
-    * rows of any table and are omitted (their text still flows in the
-    * text/blocks channel).
+    * cell element, empty or not, and honoring colspan/rowspan grid
+    * occupancy (a spanning cell advances the cursor by its colspan and
+    * blocks its columns for the next rowspan−1 rows) — so the
+    * header/data column alignment a tabular consumer relies on
+    * survives empty cells AND spans. A colspanned cell is emitted once
+    * at its leftmost column: values under its further columns have no
+    * key of their own in the header-join view (one key per column).
+    * Rows are the nearest `tr` ancestor; a cell with no `tr` (markup
+    * soup directly under table/tbody) forms a row keyed by its direct
+    * parent. Cell text is joined in from the segmenter's blocks by
+    * path — NFKC'd, word-joined; a cell split by nested structure
+    * re-joins its runs with the segmenter's CJK-aware rule, and nested
+    * block content (<p>/<ul>/hN inside a td) joins its cell. Cells
+    * with no table ancestor are not rows of any table and are omitted
+    * (their text still flows in the text/blocks channel).
     *
     * Pass the PRE-classification blocks: tabular data is wanted even
-    * when link/text density drops the table from the main text. */
+    * when link/text density drops the table from the main text. The
+    * element pass allocates nothing until a visible cell is seen —
+    * the common no-table page pays one tag scan. */
   def cellsOf(dom: Dom, blocks: Vector[Block]): Vector[TableCell] = {
     val nodes = dom.nodes
     val n = nodes.length
-    if (n == 0) return Vector.empty
+    // allocation-free guard for the common case: no visible cell
+    var hasCell = false
+    var g = 0
+    while (g < n && !hasCell) {
+      val t = nodes(g).tag
+      if ((t == "td" || t == "th") && nodes(g).visible) hasCell = true
+      g += 1
+    }
+    if (!hasCell) return Vector.empty
     // nearest table / tr ancestor per element (parents precede children)
     val tblAnc = new Array[Int](n)
     val trAnc = new Array[Int](n)
     val tableOrd = mutable.HashMap.empty[Int, Int] // table id -> ordinal
     val rowOrd = mutable.HashMap.empty[Long, Int] // (tbl,rowKey) -> ordinal
     val rowsInTable = mutable.HashMap.empty[Int, Int]
-    val colsInRow = mutable.HashMap.empty[Long, Int]
+    val cursorInRow = mutable.HashMap.empty[Long, Int]
+    // rowspan occupancy per table: col -> LAST row ordinal it blocks
+    // (absolute, so no per-transition decrement bookkeeping)
+    val carryByTable = mutable.HashMap.empty[Int, mutable.HashMap[Int, Int]]
     val out = mutable.ArrayBuffer.empty[TableCell]
     val cellIdxByPath = mutable.HashMap.empty[String, Int]
-    // path reconstruction, memoized — only cells and their ancestors
-    // ever pay it (the segmenter's block paths use the same algebra)
-    val paths = mutable.HashMap.empty[Int, String]
-    def pathOf(id: Int): String = {
-      if (id < 0) return ""
-      paths.getOrElseUpdate(id, {
-        val nd = nodes(id)
-        pathOf(nd.parent) + "/" + nd.tag +
-          (if (nd.sibIndex > 1) "[" + nd.sibIndex + "]" else "")
-      })
-    }
+    val pathOf = Blocks.pathBuilder(nodes) // the ONE path-algebra owner
     var i = 0
     while (i < n) {
       val nd = nodes(i)
@@ -87,15 +110,25 @@ object Tables {
           val rowId = if (trId >= 0 && tblAnc(trId) == tblId) trId else p
           val rowKey = (tblId.toLong << 32) | rowId.toLong
           val tbl = tableOrd.getOrElseUpdate(tblId, tableOrd.size)
+          val carry = carryByTable.getOrElseUpdate(tblId,
+            mutable.HashMap.empty[Int, Int])
           val row = rowOrd.getOrElseUpdate(rowKey, {
             val r = rowsInTable.getOrElse(tblId, 0)
             rowsInTable(tblId) = r + 1
             r
           })
-          val colc = colsInRow.getOrElse(rowKey, 0)
-          colsInRow(rowKey) = colc + 1
+          // grid placement: skip columns a prior rowspan still blocks
+          var cur = cursorInRow.getOrElse(rowKey, 0)
+          while (carry.get(cur).exists(_ >= row)) cur += 1
+          val colspan = spanAttr(nd, "colspan", 1000)
+          val rowspan = spanAttr(nd, "rowspan", 65534)
+          if (rowspan > 1) {
+            var cc = cur
+            while (cc < cur + colspan) { carry(cc) = row + rowspan - 1; cc += 1 }
+          }
+          cursorInRow(rowKey) = cur + colspan
           cellIdxByPath(pathOf(i)) = out.length
-          out += TableCell(tbl, row, colc, header = nd.tag == "th", text = "")
+          out += TableCell(tbl, row, cur, header = nd.tag == "th", text = "")
         }
       }
       i += 1

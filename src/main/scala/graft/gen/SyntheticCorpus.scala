@@ -316,6 +316,8 @@ $sections
 <table><thead><tr><th>${words(rng, 2)}</th><th>${words(rng, 2)}</th><th></th></tr></thead>
 <tbody><tr><td>${sentence(rng)}</td><td>before <table><tr><td>${words(rng, 2)}</td></tr></table> after</td><td>${words(rng, 3)}</td></tr>
 <tr><td>${words(rng, 2)}</td><td></td><td>${words(rng, 4)}</td></tr></tbody></table>
+<table><tr><td rowspan=2>${words(rng, 2)}</td><td colspan="2">${words(rng, 3)}</td></tr>
+<tr><td>${words(rng, 2)}</td><td>${words(rng, 2)}</td></tr></table>
 </article></body></html>"""
   }
 

@@ -183,13 +183,16 @@ object Graph {
       .distinct()
       .select(col("key"), kid(col("key")).as("id"))
     // 60-bit collision guard (the AssignIds dup-guard idiom): a merge
-    // of distinct keys must fail loudly, never cluster silently
+    // of distinct keys must fail loudly, never cluster silently. The
+    // assert is woven into the CONSUMED key column — an asserted
+    // column that the next select drops is pruned by Catalyst and the
+    // guard silently vanishes from the physical plan
     val guarded = keys.groupBy("id").agg(count(lit(1)).as("n"),
-        min("key").as("key"))
-      .withColumn("n", when(assert_true(col("n") === 1L,
-        lit("componentsByKey: 60-bit id collision — use stableIds")).isNull,
-        col("n")))
-      .select("key", "id")
+        min("key").as("key0"))
+      .select(col("id"),
+        when(assert_true(col("n") === 1L,
+          lit("componentsByKey: 60-bit id collision — use stableIds")).isNull,
+          col("key0")).as("key"))
     val idEdges = e
       .select(kid(col("ka")).as("a"), kid(col("kb")).as("b"))
       .filter(col("a") =!= col("b"))

@@ -891,6 +891,29 @@ qux</a></p>
     assert(r.text.contains("orphan") && !r.text.contains("ghost"))
   }
 
+  test("cells: colspan advances the grid cursor, rowspan blocks columns below") {
+    val r = Extractor.extract(row(
+      """<body><table>
+<tr><th colspan=2>Name</th><th>Age</th></tr>
+<tr><td rowspan="2">a</td><td>b</td><td>30</td></tr>
+<tr><td>c</td><td>31</td></tr>
+<tr><td>d</td><td>e</td><td>32</td></tr>
+</table></body>"""))
+    assert(r.cells.map(c => (c.row, c.col, c.header, c.text)) == Seq(
+      (0, 0, true, "Name"), (0, 2, true, "Age"),
+      (1, 0, false, "a"), (1, 1, false, "b"), (1, 2, false, "30"),
+      // row 2: col 0 still occupied by a's rowspan
+      (2, 1, false, "c"), (2, 2, false, "31"),
+      // row 3: the rowspan expired — col 0 is free again
+      (3, 0, false, "d"), (3, 1, false, "e"), (3, 2, false, "32")))
+    // clamp rules: invalid / 0 spans fall back to 1
+    val r2 = Extractor.extract(row(
+      """<body><table><tr><td colspan="x">p</td><td rowspan=0>q</td></tr>
+<tr><td>u</td><td>v</td></tr></table></body>"""))
+    assert(r2.cells.map(c => (c.row, c.col, c.text)) == Seq(
+      (0, 0, "p"), (0, 1, "q"), (1, 0, "u"), (1, 1, "v")))
+  }
+
   test("cells: tr-less soup rows group by direct parent; sibling tables distinct") {
     val r = Extractor.extract(row(
       """<body><table><td>x</td><td>y</td></table><table><tr><td>z</td></tr></table></body>"""))

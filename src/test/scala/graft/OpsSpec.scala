@@ -2437,6 +2437,22 @@ class OpsSpec extends AnyFunSuite {
     val again = Graph.componentsByKey(edges.repartition(5), "src", "dst")
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out == again)
+    // the 60-bit collision guard must SURVIVE column pruning: an
+    // asserted column the next select drops is deleted from the
+    // physical plan and the guard silently vanishes (a review pass
+    // reproduced exactly that with the withColumn form). Pin the exact
+    // woven-select shape componentsByKey uses on a forced duplicate:
+    // the assert must FIRE, not prune away
+    val dup = Seq(("a", 7L), ("b", 7L)).toDF("key0", "id")
+    val guarded = dup.groupBy("id")
+      .agg(count(lit(1)).as("n"), min("key0").as("k0"))
+      .select(col("id"),
+        when(assert_true(col("n") === 1L, lit("dup")).isNull, col("k0"))
+          .as("key"))
+    val ex = intercept[Exception] { guarded.collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(ex).exists(_.contains("dup")), chain(ex).mkString(" | "))
   }
 
   test("hll sketch: register shape, estimate accuracy, determinism") {
