@@ -51,9 +51,14 @@ object Hll {
   private val RBITS = 60 - P   // 52-bit remainder field
   private val ALPHA_PPM = 718273L // α_256 = 0.7213/(1+1.079/256), ppm
 
-  /** Per-`grpCol` HLL over distinct values of `valCol`:
-    * (grp, n_zero, sum_inv, raw_est, regs_md5, exact_distinct). */
-  def distinctSketch(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+  /** Dense per-group register table (grp, bucket, mj) — 256 rows per
+    * group, never-hit buckets at mj = 0. This is the MERGEABLE
+    * artifact: the registers of a corpus union are the element-wise
+    * MAX of the shards' registers (max is idempotent, commutative and
+    * associative — the property that lets shards, days, or streaming
+    * micro-batches sketch independently and combine later), pinned by
+    * the OpsSpec merge test. */
+  def registers(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
     // 60-bit md5 hash → (bucket, rank); all-narrow until the 256·G-row
     // register aggregation (map-side partial max does the reduction)
     val hashed = df.select(col(grpCol).as("grp"),
@@ -73,9 +78,15 @@ object Hll {
     // on sparse groups); the spine is a literal range — broadcast join
     val spine = df.select(col(grpCol).as("grp")).distinct()
       .select(col("grp"), explode(sequence(lit(0), lit(M - 1))).as("bucket"))
-    val dense = spine.join(regs, Seq("grp", "bucket"), "left")
+    spine.join(regs, Seq("grp", "bucket"), "left")
       .select(col("grp"), col("bucket"),
         coalesce(col("mj"), lit(0)).as("mj"))
+  }
+
+  /** Per-`grpCol` HLL over distinct values of `valCol`:
+    * (grp, n_zero, sum_inv, raw_est, regs_md5, exact_distinct). */
+  def distinctSketch(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val dense = registers(df, grpCol, valCol)
     val est = dense.groupBy("grp")
       .agg(sum(when(col("mj") === 0, 1L).otherwise(0L)).as("n_zero"),
         sum(expr(s"shiftleft(1L, ${RBITS + 1} - mj)")).as("sum_inv"),

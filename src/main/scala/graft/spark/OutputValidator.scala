@@ -94,7 +94,20 @@ object OutputValidator {
         to_json(col("spans"))),
       ("nfkc_idempotent", nfkcDrifts(col("text")),
         substring(col("text"), 1, 80)))
-    val arr = array(checks.map { case (name, cond, detail) =>
+    // the outline invariants apply when the table carries the headings
+    // column (older/narrower producers are still auditable without it):
+    // levels are 1..6 by construction (hN tags), and every kept heading
+    // is a kept BLOCK, so its text appears verbatim in the assembled text
+    val headingChecks: Seq[(String, Column, Column)] =
+      if (!out.columns.contains("headings")) Nil
+      else Seq(
+        ("heading_levels",
+          expr("exists(headings, h -> h.level < 1 OR h.level > 6)"),
+          to_json(col("headings"))),
+        ("heading_in_text",
+          expr("exists(headings, h -> NOT contains(text, h.text))"),
+          to_json(col("headings"))))
+    val arr = array((checks ++ headingChecks).map { case (name, cond, detail) =>
       when(cond, struct(lit(name).as("invariant"),
         detail.cast("string").as("detail"))).otherwise(lit(null))
     }: _*)

@@ -2485,6 +2485,21 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4), r.getLong(5))).toMap
     assert(out == again)
+    // MERGEABILITY — the property that justifies a sketch over
+    // count(distinct): element-wise MAX of two shards' registers must
+    // equal the whole-corpus registers (shards overlap on "value-7xx")
+    def regMap(d: org.apache.spark.sql.DataFrame) =
+      Hll.registers(d, "grp", "v").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val shardA = rows.take(1200).toDF("grp", "v")
+    val shardB = rows.drop(700).toDF("grp", "v") // overlapping slice
+    val whole = regMap(df)
+    val a = regMap(shardA)
+    val b = regMap(shardB)
+    val merged = whole.keySet.map { k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))
+    }.toMap
+    assert(merged == whole)
   }
 
   test("lm heldout: frozen even-split model, OOV surfaces, zeros for short docs") {

@@ -155,6 +155,21 @@ class PipelineSpec extends AnyFunSuite {
     val astral = Seq(("u7", "😀", Seq(Span(0, 2, "p", "/p")),
       "ok", "und", "ltr")).toDF("url", "text", "spans", "outcome", "lang", "dir")
     assert(OutputValidator.violations(astral).count() == 0)
+    // outline invariants (only when the headings column is present):
+    // levels outside 1..6 and heading text absent from the text both fire
+    import graft.model.Heading
+    val hb = Seq(
+      ("h1", "Intro body text", Seq.empty[Span], "ok", "und", "ltr",
+        Seq(Heading(7, "Intro"))),
+      ("h2", "some body text", Seq.empty[Span], "ok", "und", "ltr",
+        Seq(Heading(2, "Missing Title"))),
+      ("h3", "Intro body text", Seq.empty[Span], "ok", "und", "ltr",
+        Seq(Heading(2, "Intro"))))
+      .toDF("url", "text", "spans", "outcome", "lang", "dir", "headings")
+    val hGot = OutputValidator.violations(hb).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hGot == Set(("h1", "heading_levels"), ("h2", "heading_in_text")),
+      hGot.toString)
   }
 
   test("determinism: different partition counts produce identical tables") {
