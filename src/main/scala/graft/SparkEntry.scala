@@ -167,6 +167,49 @@ object SparkEntry {
           col("m.name").as("name"), col("m.content").as("content"),
           col("m.name").startsWith("og:").as("opengraph"))
         .orderBy("url", "idx")),
+    "extract_pubdate" -> ((s, _) =>
+      // publication-date resolution (the freshness axis CC-derived
+      // training sets filter on): schema.org datePublished from the
+      // ld+json blocks, else the OpenGraph article:published_time meta,
+      // else the WARC capture date — a typed cascade with the source
+      // recorded. Dates stay STRINGS (first 10 chars of the ISO form):
+      // no timezone parsing, so both engines see identical bytes. All
+      // narrow — column functions over already-captured head fields.
+      extracted(s).select(
+        col("url"),
+        expr("""try_element_at(filter(
+                  transform(ldjson, p -> get_json_object(p, '$.datePublished')),
+                  x -> x IS NOT NULL), 1)""").as("ld"),
+        expr("""try_element_at(filter(metas,
+                  m -> m.name = 'article:published_time'), 1).content""")
+          .as("mt"),
+        date_format(col("warc_ts"), "yyyy-MM-dd").as("cap"))
+        .select(col("url"),
+          coalesce(substring(col("ld"), 1, 10),
+            substring(col("mt"), 1, 10), col("cap")).as("pubdate"),
+          when(col("ld").isNotNull, "ldjson")
+            .when(col("mt").isNotNull, "meta")
+            .otherwise("capture").as("source"))
+        .orderBy("url")),
+    "extract_fertility" -> ((s, _) =>
+      // tokenizer fertility per predicted language (BPE pieces per
+      // whitespace word, milli — the standard tokenizer-evaluation
+      // metric; public: Kudo & Richardson 2018): the same kernel
+      // functions the goldens carry (langId/tokensWs/tokensBpe), rolled
+      // up at the language grain host_quality already proves at host
+      // grain — one narrow projection, one hash aggregation
+      extracted(s)
+        .select(langIdUdf(col("text")).as("pred_lang"),
+          tokensWsUdf(col("text")).as("tokens_ws"),
+          tokensBpeUdf(col("text")).as("tokens_bpe"))
+        .filter(col("tokens_ws") > 0)
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tokens_bpe").as("bpe_tokens"),
+          sum("tokens_ws").as("ws_tokens"),
+          expr("CAST((sum(tokens_bpe) * 1000) div sum(tokens_ws) AS BIGINT)")
+            .as("fertility_milli"))
+        .orderBy("pred_lang")),
     "cdx_index" -> ((s, _) =>
       // CDX-style capture index over the extraction output: SURT key
       // (reversed host labels — site-prefix range scans), 14-digit
@@ -749,6 +792,12 @@ object SparkEntry {
       // corpus-wide, reassemble survivors in order (skew-safe ordered
       // concat — no per-doc buffer)
       CorpusStats.passageDedupClean(docs(s, dir), "doc_id", "text",
+        windowWords = 4).orderBy("doc_id")),
+    "dedup_passages_indoc" -> ((s, dir) =>
+      // within-page repeated-span removal (RefinedWeb-style): keep the
+      // FIRST in-document occurrence of each passage — zero-shuffle, the
+      // decision never leaves the row
+      CorpusStats.passageDedupInDoc(docs(s, dir), "doc_id", "text",
         windowWords = 4).orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
       CorpusStats.vocabTopK(docs(s, dir), "text", k = 100)),
@@ -1719,6 +1768,29 @@ WITH x AS (
 SELECT url, CAST(idx AS BIGINT) AS idx, m.name AS name,
   m.content AS content, starts_with(m.name, 'og:') AS opengraph
 FROM x ORDER BY url, idx""",
+    "extract_pubdate" -> s"""
+WITH x AS (
+  SELECT url, warc_ts,
+    list_filter(list_transform(ldjson,
+      p -> json_extract_string(p, '$$."datePublished"')),
+      x -> x IS NOT NULL)[1] AS ld,
+    list_filter(metas, m -> m.name = 'article:published_time')[1].content AS mt
+  FROM $G
+)
+SELECT url,
+  coalesce(substr(ld, 1, 10), substr(mt, 1, 10),
+    strftime(warc_ts, '%Y-%m-%d')) AS pubdate,
+  CASE WHEN ld IS NOT NULL THEN 'ldjson'
+       WHEN mt IS NOT NULL THEN 'meta'
+       ELSE 'capture' END AS source
+FROM x ORDER BY url""",
+    "extract_fertility" -> s"""
+SELECT pred_lang, count(*) AS n_docs,
+  CAST(sum(tokens_bpe) AS BIGINT) AS bpe_tokens,
+  CAST(sum(tokens_ws) AS BIGINT) AS ws_tokens,
+  CAST((sum(tokens_bpe) * 1000) // sum(tokens_ws) AS BIGINT) AS fertility_milli
+FROM $G WHERE tokens_ws > 0
+GROUP BY 1 ORDER BY pred_lang""",
     "feed_discovery" -> s"""
 WITH x AS (
   SELECT url, unnest(range(0, len(feeds))) AS idx, unnest(feeds) AS feed_url
@@ -2137,6 +2209,27 @@ WITH w AS (
 )
 SELECT doc_id, count(*) AS n_kept, string_agg(p, ' ' ORDER BY pos) AS clean_text
 FROM kept GROUP BY 1 ORDER BY doc_id""",
+    "dedup_passages_indoc" -> s"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM ${D(sf)}
+), u AS (
+  -- ceil window count: the sub-window tail IS a unit (it can never
+  -- equal a full window — fewer words — so first-occurrence keeps it).
+  -- DuckDB lambda index i and list_position are BOTH 1-based (Spark:
+  -- 0-based filter index, 1-based array_position).
+  SELECT doc_id,
+    list_filter(
+      list_transform(range(0, (len(ws) + 3) // 4),
+        i -> array_to_string(ws[i*4+1 : i*4+4], ' ')),
+      (x, i) -> list_position(
+        list_transform(range(0, (len(ws) + 3) // 4),
+          j -> array_to_string(ws[j*4+1 : j*4+4], ' ')), x) = i) AS kept
+  FROM w
+)
+SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+  coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM u ORDER BY doc_id""",
     "vocab_coverage" -> s"""
 WITH tok AS (
   SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token

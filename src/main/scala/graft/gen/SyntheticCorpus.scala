@@ -238,11 +238,6 @@ object SyntheticCorpus {
     // Draws are UNCONDITIONAL so the rng stream stays aligned.
     val ldKw = words(rng, 2)
     val ldDraw = rng.nextInt(3)
-    val ldJson = if (ldDraw == 0)
-      s"""\n<script type="application/ld+json">{"@type":"Article","headline":"$title","keywords":"$ldKw"}</script>"""
-    else if (ldDraw == 1)
-      s"""\n<script type=" Application/LD+JSON ">{"@type":"NewsArticle","headline":"$title"}</script>"""
-    else ""
     // head-meta fixtures (extract/Links.metasOf): 1-in-3 gets a plain
     // description + an OpenGraph `property` pair; 1-in-3 gets an
     // uppercase/padded NAME attr (key fold) plus two negatives — a
@@ -257,11 +252,6 @@ object SyntheticCorpus {
     // and goldens were regenerated in the same commit.
     val metaDesc = words(rng, 6)
     val metaDraw = rng.nextInt(3)
-    val headMetas = if (metaDraw == 0)
-      s"""\n<meta name="description" content="$metaDesc"><meta property="og:title" content="$title">"""
-    else if (metaDraw == 1)
-      s"""\n<meta name=" Description " content="$metaDesc"><meta name="robots">"""
-    else ""
     val bodyMeta = if (metaDraw == 1)
       s"""<meta name="injected" content="spoof">""" else ""
     // feed-autodiscovery fixtures (extract/Links.feedsOf): 1-in-4 a
@@ -281,6 +271,37 @@ object SyntheticCorpus {
     else ""
     val bodyFeed = if (feedDraw == 2)
       s"""<link rel="alternate" type="application/rss+xml" href="/spoof.xml">"""
+    else ""
+    // publication-date fixtures (extract_pubdate cascade): the Article
+    // ld+json variant (ldDraw 0) carries schema.org datePublished, and
+    // the plain-meta variant (metaDraw 0) carries an OpenGraph
+    // article:published_time TIMESTAMP (date ≠ the ld one, so cascade
+    // order is observable on pages that have both); everything else
+    // falls back to the capture date. Draws UNCONDITIONAL and appended
+    // AFTER the existing draw sequence, so previously-drawn values are
+    // byte-identical — only the footer words (drawn at template
+    // interpolation below, chrome, boilerplate-pruned) shift; extracted
+    // text bytes are unchanged (stress checksum pinned), html + goldens
+    // regenerated in the same commit. Manual zero-pad, NOT f"%02d"
+    // (FORMAT-locale trap — see hostOf).
+    def pad2(n: Int): String = (if (n < 10) "0" else "") + n
+    val ldDate =
+      s"${2018 + rng.nextInt(6)}-${pad2(1 + rng.nextInt(12))}-${pad2(1 + rng.nextInt(28))}"
+    val metaDate =
+      s"${2018 + rng.nextInt(6)}-${pad2(1 + rng.nextInt(12))}-${pad2(1 + rng.nextInt(28))}" +
+        s"T${pad2(rng.nextInt(24))}:00:00Z"
+    // string construction deferred below the date draws so the dates can
+    // ride inside the ld+json / meta variants without reordering any
+    // pre-existing draw
+    val ldJson = if (ldDraw == 0)
+      s"""\n<script type="application/ld+json">{"@type":"Article","headline":"$title","keywords":"$ldKw","datePublished":"$ldDate"}</script>"""
+    else if (ldDraw == 1)
+      s"""\n<script type=" Application/LD+JSON ">{"@type":"NewsArticle","headline":"$title"}</script>"""
+    else ""
+    val headMetas = if (metaDraw == 0)
+      s"""\n<meta name="description" content="$metaDesc"><meta property="og:title" content="$title"><meta property="article:published_time" content="$metaDate">"""
+    else if (metaDraw == 1)
+      s"""\n<meta name=" Description " content="$metaDesc"><meta name="robots">"""
     else ""
     s"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>$title</title>$canonLink$ldJson$headMetas$headFeeds

@@ -288,6 +288,49 @@ object CorpusStats {
         nName = "n_kept", mergedName = "clean_text")
   }
 
+  /** IN-DOCUMENT repeated-passage removal (the within-page half of the
+    * repetition story; public: Rae et al. 2021 §A1.1 removes documents
+    * with high duplicate-n-gram fractions, Penedo et al. 2023 §4.2
+    * REMOVES the repeated spans instead — this is that transform at the
+    * passage grain). Keep the FIRST in-document occurrence of each
+    * `windowWords`-word passage, drop later repeats; duplicates ACROSS
+    * documents are untouched (that is [[passageDedupClean]]'s job, a
+    * corpus-wide decision). The sub-window tail can never collide with a
+    * full window (fewer words), so the plain first-occurrence filter
+    * keeps it automatically.
+    *
+    * 100 TB shape: the keep decision needs only the row it is deciding
+    * about, so this is ONE narrow projection — zero shuffle, no join, no
+    * aggregation; it composes with [[passageDedupClean]] without adding
+    * an exchange. The `array_position` scan inside the filter is
+    * O(units²) per document worst-case, bounded by page size (a 100 KB
+    * page is ~2.5k units) — the right trade against shipping every
+    * passage of every document through an exchange just to make a
+    * per-document decision. */
+  def passageDedupInDoc(docs: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 4): DataFrame = {
+    val w = windowWords
+    docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+      .select(col("doc_id"), expr(
+        // `size(ws) >= 1` guard: sequence(0, -1) is the DESCENDING
+        // [0, -1], not empty (same trap as passageUnits). Ceil window
+        // count — the tail IS a unit here, it just can't be a repeat.
+        s"""case when size(ws) >= 1
+              then transform(sequence(0, (size(ws) + $w - 1) div $w - 1),
+                             i -> array_join(slice(ws, i * $w + 1, $w), ' '))
+              else cast(array() as array<string>) end""").as("us"))
+      // array_position is 1-based and returns the FIRST index; filter's
+      // lambda index is 0-based — unit i survives iff it is its own
+      // first occurrence
+      .select(col("doc_id"),
+        expr("filter(us, (x, i) -> array_position(us, x) = i + 1)")
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** C4-style document quality filter: compose the signal family into one
     * keep/reject decision with a TYPED reason (first failing rule in fixed
     * order — the same never-drop-silently discipline as the extraction

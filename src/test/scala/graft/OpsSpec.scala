@@ -1232,6 +1232,27 @@ class OpsSpec extends AnyFunSuite {
       (4L, 1L, "x y")))
   }
 
+  test("corpus passage indoc: within-doc repeats removed, cross-doc kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s p q r s a b c d"), // in-doc repeat: 2nd pqrs removed
+      (2L, "p q r s t u v w"), // doc1's pqrs is NOT doc2's problem: kept
+      (3L, "k l m n o"), // sub-window tail "o" is a unit, kept
+      (4L, "x y x y x y x y x y"), // [xyxy][xyxy][xy]: one window + tail
+      (5L, "")) // no words → empty doc still emits a row (n_kept 0)
+      .toDF("doc_id", "text")
+    val out = CorpusStats.passageDedupInDoc(df, "doc_id", "text",
+      windowWords = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, "p q r s a b c d"),
+      (2L, 2L, "p q r s t u v w"), // cross-document duplicate untouched
+      (3L, 2L, "k l m n o"),
+      (4L, 2L, "x y x y x y"), // tail "x y" ≠ any full window: kept
+      (5L, 0L, "")))
+  }
+
   test("corpus quality signals: stopword and non-alnum ratios in exact milli") {
     import spark.implicits._
     val df = Seq(
