@@ -243,6 +243,9 @@ object Bench {
     resultsExtra("dedup_normalized") = timeTrials(1, 3) {
       graft.SparkEntry.queries("dedup_normalized")(spark, sfDir).count()
     }._1
+    resultsExtra("dedup_minhash_incremental") = timeTrials(1, 3) {
+      graft.SparkEntry.queries("dedup_minhash_incremental")(spark, sfDir).count()
+    }._1
     resultsExtra("dedup_passages_indoc") = timeTrials(1, 3) {
       // computed-column filter — see the pruning note below
       graft.ops.CorpusStats.passageDedupInDoc(docs, "doc_id", "text")
@@ -274,8 +277,9 @@ object Bench {
     // feed_discovery / feed_parse / url_trap_signal / text_script_mix /
     // frontier_admitted / extract_headings / extract_tables /
     // table_records / host_components / extract_pubdate /
-    // extract_fertility are fixture-scale (extraction-output or
-    // in-code-fixture grain) — see the fixed-corpus note above
+    // extract_fertility / lang_script_consistency are fixture-scale
+    // (extraction-output or in-code-fixture grain) — see the
+    // fixed-corpus note above
     resultsExtra("snapshot_diff") = timeTrials(1, 3) {
       graft.SparkEntry.queries("snapshot_diff")(spark, sfDir).count()
     }._1

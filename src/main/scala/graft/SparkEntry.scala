@@ -952,6 +952,17 @@ object SparkEntry {
       Dedup.incrementalExact(existing, incoming, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      // the FUZZY admission step: near-dup candidates of the odd-half
+      // batch against the even-half kept corpus — both sides through
+      // the shared signature owner, skew cap counted across the union
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.minhashIncremental(
+        base.filter(col("doc_id") % 2 === 0),
+        base.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+        .orderBy("doc_id", "dup_of")
+    }),
     "sitemap_parse" -> ((s, _) =>
       // sitemaps.org urlset/index parsing: document-ordered entries,
       // entity-unescaped locs, directory-scope verdicts, lastmod days
@@ -1120,6 +1131,44 @@ object SparkEntry {
       // class); literal-range classes parse identically in Java and
       // RE2 where \\p{script} spellings differ
       CorpusStats.scriptMix(extracted(s), "url", "text").orderBy("url")),
+    "lang_script_consistency" -> ((s, _) => {
+      // language-vs-script triage: a page whose PREDICTED language
+      // disagrees with its DOMINANT script class is a mojibake /
+      // wrong-decode / spam suspect (the CC quality-triage cross-check
+      // composing text_langid with text_script_mix). expected_script is
+      // a closed lang→script map (Hebrew maps to 'other' — the class
+      // set tracks latin/cjk/cyrillic/arabic only); 'und' and unmapped
+      // codes carry NULL (unchecked, not inconsistent). dominant is the
+      // FIRST class in fixed order hitting the milli max — the simple
+      // CASE evaluates in identical order in both engines, so ties are
+      // deterministic. Both inputs read the one cached extraction
+      // relation; the join is url-keyed on 600-row fixture grain.
+      val ex = extracted(s)
+      val langs = ex.select(col("url"), langIdUdf(col("text")).as("pred_lang"))
+      val mix = CorpusStats.scriptMix(ex, "url", "text")
+        .select("url", "latin_milli", "cjk_milli", "cyrillic_milli",
+          "arabic_milli", "other_milli")
+      langs.join(mix, Seq("url"))
+        .withColumn("expected_script", expr("""
+          CASE pred_lang
+            WHEN 'eng' THEN 'latin' WHEN 'rus' THEN 'cyrillic'
+            WHEN 'zho' THEN 'cjk' WHEN 'jpn' THEN 'cjk'
+            WHEN 'kor' THEN 'cjk' WHEN 'ara' THEN 'arabic'
+            WHEN 'fas' THEN 'arabic' WHEN 'urd' THEN 'arabic'
+            WHEN 'heb' THEN 'other' ELSE NULL END"""))
+        .withColumn("dominant_script", expr("""
+          CASE greatest(latin_milli, cjk_milli, cyrillic_milli,
+                        arabic_milli, other_milli)
+            WHEN latin_milli THEN 'latin' WHEN cjk_milli THEN 'cjk'
+            WHEN cyrillic_milli THEN 'cyrillic'
+            WHEN arabic_milli THEN 'arabic' ELSE 'other' END"""))
+        .withColumn("consistent",
+          expr("CASE WHEN expected_script IS NULL THEN NULL " +
+            "ELSE expected_script = dominant_script END"))
+        .select("url", "pred_lang", "expected_script", "dominant_script",
+          "consistent")
+        .orderBy("url")
+    }),
     "host_boilerplate" -> ((s, dir) => {
       // per-host template-share signal over a synthetic 20-host layout
       // of the documents table — duplicate docs landing on one host
@@ -1758,7 +1807,11 @@ WITH x AS (
   FROM $G
 )
 SELECT url, CAST(idx AS BIGINT) AS idx, payload,
-  json_extract_string(payload, '$$."@type"') AS item_type
+  -- json_valid guard: verbatim-captured payloads can be garbage, and
+  -- json_extract_string hard-errors where Spark's get_json_object
+  -- returns NULL (same contract as the extract_pubdate guard)
+  CASE WHEN json_valid(payload)
+       THEN json_extract_string(payload, '$$."@type"') END AS item_type
 FROM x ORDER BY url, idx""",
     "extract_metas" -> s"""
 WITH x AS (
@@ -1771,8 +1824,13 @@ FROM x ORDER BY url, idx""",
     "extract_pubdate" -> s"""
 WITH x AS (
   SELECT url, warc_ts,
+    -- json_valid guard: the kernel captures ld+json VERBATIM (no
+    -- validation), and DuckDB's json_extract_string HARD-ERRORS on
+    -- malformed JSON where Spark's get_json_object returns NULL — the
+    -- guard pins the same null-on-garbage contract in both engines
     list_filter(list_transform(ldjson,
-      p -> json_extract_string(p, '$$."datePublished"')),
+      p -> CASE WHEN json_valid(p)
+                THEN json_extract_string(p, '$$."datePublished"') END),
       x -> x IS NOT NULL)[1] AS ld,
     list_filter(metas, m -> m.name = 'article:published_time')[1].content AS mt
   FROM $G
@@ -2084,6 +2142,17 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   len(list_filter(list_transform(range(1, 9), i -> a.sig[i] = b.sig[i]), v -> v)) / 8.0 AS est_jaccard
 FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b""",
+    "dedup_minhash_incremental" -> s"""
+WITH $lshCtes
+-- even half = kept corpus, odd half = incoming batch; the union of the
+-- two sides IS the whole corpus, so lshCtes' bucket cap (counted over
+-- all docs) equals the operator's across-both-sides cap exactly
+SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of,
+  len(list_filter(list_transform(range(1, 9), i -> a.sig[i] = b.sig[i]), v -> v)) / 8.0 AS est_jaccard
+FROM ok a JOIN ok b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+ORDER BY doc_id, dup_of""",
     "dedup_clusters" -> s"""
 WITH RECURSIVE $lshCtes,
 $ccCtes
@@ -3232,6 +3301,56 @@ SELECT url, n_chars, n_latin, n_cjk, n_cyrillic, n_arabic,
   CAST((1000 * n_arabic) // greatest(n_chars, 1) AS BIGINT) AS arabic_milli,
   CAST((1000 * (n_chars - n_latin - n_cjk - n_cyrillic - n_arabic)) // greatest(n_chars, 1) AS BIGINT) AS other_milli
 FROM n ORDER BY url""",
+    "lang_script_consistency" -> s"""
+WITH c AS (
+  SELECT url, pred_lang, coalesce(text, '') AS t FROM $G
+),
+n AS (
+  SELECT url, pred_lang,
+    CAST(length(regexp_replace(t, '[ \\t\\n\\r\\f\u00A0\u2000-\u200A\u202F\u205F\u3000]', '', 'g')) AS BIGINT) AS n_chars,
+    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+    CAST(length(t) - length(regexp_replace(t, '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
+    CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+    CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic
+  FROM c
+),
+m AS (
+  SELECT url, pred_lang,
+    CAST((1000 * n_latin) // greatest(n_chars, 1) AS BIGINT) AS latin_milli,
+    CAST((1000 * n_cjk) // greatest(n_chars, 1) AS BIGINT) AS cjk_milli,
+    CAST((1000 * n_cyrillic) // greatest(n_chars, 1) AS BIGINT) AS cyrillic_milli,
+    CAST((1000 * n_arabic) // greatest(n_chars, 1) AS BIGINT) AS arabic_milli,
+    CAST((1000 * (n_chars - n_latin - n_cjk - n_cyrillic - n_arabic)) // greatest(n_chars, 1) AS BIGINT) AS other_milli
+  FROM n
+)
+SELECT url, pred_lang,
+  CASE pred_lang
+    WHEN 'eng' THEN 'latin' WHEN 'rus' THEN 'cyrillic'
+    WHEN 'zho' THEN 'cjk' WHEN 'jpn' THEN 'cjk' WHEN 'kor' THEN 'cjk'
+    WHEN 'ara' THEN 'arabic' WHEN 'fas' THEN 'arabic'
+    WHEN 'urd' THEN 'arabic' WHEN 'heb' THEN 'other' ELSE NULL
+  END AS expected_script,
+  CASE greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli)
+    WHEN latin_milli THEN 'latin' WHEN cjk_milli THEN 'cjk'
+    WHEN cyrillic_milli THEN 'cyrillic' WHEN arabic_milli THEN 'arabic'
+    ELSE 'other' END AS dominant_script,
+  CASE WHEN (CASE pred_lang
+    WHEN 'eng' THEN 'latin' WHEN 'rus' THEN 'cyrillic'
+    WHEN 'zho' THEN 'cjk' WHEN 'jpn' THEN 'cjk' WHEN 'kor' THEN 'cjk'
+    WHEN 'ara' THEN 'arabic' WHEN 'fas' THEN 'arabic'
+    WHEN 'urd' THEN 'arabic' WHEN 'heb' THEN 'other' ELSE NULL END) IS NULL
+  THEN NULL
+  ELSE (CASE pred_lang
+    WHEN 'eng' THEN 'latin' WHEN 'rus' THEN 'cyrillic'
+    WHEN 'zho' THEN 'cjk' WHEN 'jpn' THEN 'cjk' WHEN 'kor' THEN 'cjk'
+    WHEN 'ara' THEN 'arabic' WHEN 'fas' THEN 'arabic'
+    WHEN 'urd' THEN 'arabic' WHEN 'heb' THEN 'other' ELSE NULL END) =
+   (CASE greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli)
+    WHEN latin_milli THEN 'latin' WHEN cjk_milli THEN 'cjk'
+    WHEN cyrillic_milli THEN 'cyrillic' WHEN arabic_milli THEN 'arabic'
+    ELSE 'other' END)
+  END AS consistent
+FROM m ORDER BY url""",
     "host_boilerplate" -> s"""
 WITH d AS (
   SELECT 'https://h' || (doc_id % 20) || '.example.com/d' || doc_id AS url,

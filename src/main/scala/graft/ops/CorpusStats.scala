@@ -170,6 +170,19 @@ object CorpusStats {
     passageUnits(docs, idCol, textCol, w).filter(!col("is_tail"))
       .select("doc_id", "pos", "p", "h")
 
+  /** The ceil-window unit list over a tokenized `ws` column: ceil(n/w)
+    * `w`-word windows, the last one the sub-window tail when n % w != 0.
+    * ONE owner for the window algebra ([[passageUnits]] and
+    * [[passageDedupInDoc]] both consume it) — a private copy drifting in
+    * either would let in-doc and corpus-wide dedup silently disagree on
+    * what a passage is. The `size(ws) >= 1` guard matters: sequence(0,
+    * -1) is the DESCENDING [0, -1], not empty. */
+  private def ceilUnitsSql(w: Int): String =
+    s"""case when size(ws) >= 1
+          then transform(sequence(0, (size(ws) + $w - 1) div $w - 1),
+                         i -> array_join(slice(ws, i * $w + 1, $w), ' '))
+          else cast(array() as array<string>) end"""
+
   /** ONE tokenize+explode pass emitting every passage unit of a doc:
     * ceil(n/w) units — the full `w`-word windows plus (when n % w != 0)
     * the sub-window tail as the last unit, flagged `is_tail`. The tail
@@ -181,13 +194,7 @@ object CorpusStats {
     docs
       .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n"),
-        posexplode(expr(
-          // the `size(ws) >= 1` guard matters: sequence(0, -1) is the
-          // DESCENDING [0, -1], not empty
-          s"""case when size(ws) >= 1
-                then transform(sequence(0, (size(ws) + $w - 1) div $w - 1),
-                               i -> array_join(slice(ws, i * $w + 1, $w), ' '))
-                else cast(array() as array<string>) end""")))
+        posexplode(expr(ceilUnitsSql(w))))
       .select(col("doc_id"), col("pos"), col("col").as("p"),
         md5(col("col").cast("binary")).as("h"),
         (col("n") % w =!= 0 && col("pos") === expr(s"n div $w"))
@@ -312,14 +319,9 @@ object CorpusStats {
     val w = windowWords
     docs
       .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
-      .select(col("doc_id"), expr(
-        // `size(ws) >= 1` guard: sequence(0, -1) is the DESCENDING
-        // [0, -1], not empty (same trap as passageUnits). Ceil window
-        // count — the tail IS a unit here, it just can't be a repeat.
-        s"""case when size(ws) >= 1
-              then transform(sequence(0, (size(ws) + $w - 1) div $w - 1),
-                             i -> array_join(slice(ws, i * $w + 1, $w), ' '))
-              else cast(array() as array<string>) end""").as("us"))
+      // shared ceil-window owner (ceilUnitsSql) — the tail IS a unit
+      // here, it just can't be a repeat (fewer words than any window)
+      .select(col("doc_id"), expr(ceilUnitsSql(w)).as("us"))
       // array_position is 1-based and returns the FIRST index; filter's
       // lambda index is 0-based — unit i survives iff it is its own
       // first occurrence

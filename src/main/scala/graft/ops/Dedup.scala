@@ -95,6 +95,22 @@ object Dedup {
     * key; the join never touches document text. `maxBucket` caps
     * pathological buckets (e.g. boilerplate-identical docs) to bound the
     * quadratic blowup — the skew guard. */
+  /** The (id, sig) signature projection shared by [[minhashLsh]] and
+    * [[minhashIncremental]] — ONE owner so batch and incremental dedup
+    * can never hash differently. The default k takes the native fused
+    * expression (graft.functions.MinhashSigs — same md5 minima, no
+    * per-shingle allocation; equality with the builtin spec is
+    * test-pinned); other k values fall back to the builtin form. */
+  private def sigsOf(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    if (k == 8) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      docs.select(col(idCol).as("id"),
+        expr(s"minhash_sigs($textCol)").as("sig"))
+    } else docs
+      .select(col(idCol).as("id"), shinglesExpr(textCol).as("sh"))
+      .select(col("id"), minhashExpr("sh", k).as("sig"))
+
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, maxBucket: Int = 50): DataFrame = {
     // k < bands would band zero-length slices (every doc hashes md5('')
@@ -103,17 +119,7 @@ object Dedup {
     require(bands >= 1 && k >= bands && k % bands == 0,
       s"minhashLsh needs k divisible by bands, got k=$k bands=$bands")
     val rows = k / bands
-    // default config takes the native fused expression
-    // (graft.functions.MinhashSigs — same md5 minima, no per-shingle
-    // allocation; equality with the builtin spec is test-pinned); other
-    // k values fall back to the builtin formulation
-    val sig = if (k == 8) {
-      graft.functions.GraftFunctions.register(docs.sparkSession)
-      docs.select(col(idCol).as("id"),
-        expr(s"minhash_sigs($textCol)").as("sig"))
-    } else docs
-      .select(col(idCol).as("id"), shinglesExpr(textCol).as("sh"))
-      .select(col("id"), minhashExpr("sh", k).as("sig"))
+    val sig = sigsOf(docs, idCol, textCol, k)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> md5(array_join(slice(sig, b*$rows+1, $rows), '|')))")))
@@ -549,6 +555,55 @@ object Dedup {
           .otherwise(lit("dup_batch")).as("reason"))
       .select(col("doc_id"), (col("reason") === "admitted").as("admitted"),
         col("reason"))
+  }
+
+  /** [[incrementalExact]]'s FUZZY twin — the continuous-crawl near-dup
+    * admission step: minhash-LSH candidates of the incoming batch
+    * against an already-kept corpus. Returns one row per (incoming,
+    * existing) pair sharing ≥ 1 LSH band after the skew cap:
+    * (doc_id, dup_of, est_jaccard) with doc_id ∈ incoming and dup_of ∈
+    * existing; an admission policy composes as an anti-join on doc_id
+    * (batch-internal near-dups are [[minhashApply]]'s job on the batch).
+    *
+    * 100 TB shape: at warehouse scale the existing side is the PERSISTED
+    * signature table ([[minhashLsh]]'s barrier made durable) — only the
+    * incoming batch is shingled and hashed; here both sides run through
+    * the shared [[sigsOf]] owner so the hashes provably agree. The skew
+    * cap counts bucket size across BOTH sides (a boilerplate bucket is
+    * hot regardless of which crawl it arrived in), the banded join
+    * shuffles compact (band, hash, id) rows, and text never moves. */
+  def minhashIncremental(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 50): DataFrame = {
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"minhashIncremental needs k divisible by bands, got k=$k bands=$bands")
+    val rows = k / bands
+    val sig = sigsOf(existing, idCol, textCol, k)
+      .withColumn("is_new", lit(false))
+      .unionAll(sigsOf(incoming, idCol, textCol, k)
+        .withColumn("is_new", lit(true)))
+    val banded = sig.select(col("id"), col("sig"), col("is_new"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> md5(array_join(slice(sig, b*$rows+1, $rows), '|')))")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    // same persist rationale as minhashLsh: the signature table feeds
+    // both join sides (and the cap window) — one materialization
+    val sized = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sized.filter(col("is_new")).select(col("band_idx"),
+      col("band_hash"), col("id").as("doc_id"), col("sig").as("sig_a"))
+    val b = sized.filter(!col("is_new")).select(col("band_idx"),
+      col("band_hash"), col("id").as("dup_of"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("dup_of"),
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)")
+          .as("est_jaccard"))
+      .distinct()
   }
 
   /** [[minhashApply]]'s embedding-space twin: sign-LSH cosine pairs →

@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
   * exactly which rows a generator change touched. */
 object HashDump {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: HashDump <outDir> [nDocs=2000000] — outDir is required")
     val out = args(0)
     val n = if (args.length > 1) args(1).toLong else 2000000L
     val spark = SparkSession.builder().master("local[32]")

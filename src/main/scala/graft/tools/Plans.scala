@@ -50,7 +50,11 @@ object Plans {
       // fifth-wind additions
       "lm_score_heldout", "sketch_hll", "quality_classifier",
       "extract_headings", "extract_tables", "host_components",
-      "table_records").foreach { q =>
+      "table_records",
+      // sixth-wind additions
+      "extract_pubdate", "extract_fertility", "dedup_passages_indoc",
+      "dedup_minhash_incremental", "lang_script_consistency")
+      .foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -1570,6 +1570,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(20L) == ((20L, true))) // singleton never dropped
   }
 
+  test("minhash incremental: batch matches archive only, never itself") {
+    import spark.implicits._
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val archive = Seq((10L, near),
+      (20L, "completely different content with nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    // 31/32 are in-batch copies of each other AND of archive doc 10;
+    // 40 matches nothing
+    val batch = Seq((31L, near), (32L, near),
+      (40L, "yet another entirely unrelated page body for the test"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashIncremental(archive, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ONLY batch→archive pairs: the 31↔32 in-batch pair must NOT appear
+    // (that is minhashApply's job), and nothing matches 20 or 40
+    assert(out.map(p => (p._1, p._2)).toSet == Set((31L, 10L), (32L, 10L)),
+      out.mkString(","))
+    assert(out.forall(_._3 == 1.0)) // identical text → all 8 minhashes equal
+  }
+
   test("embed apply: semantic cluster keeps min id, singleton kept") {
     import spark.implicits._
     val v1 = Array.tabulate(16)(i => (i + 1).toFloat)
