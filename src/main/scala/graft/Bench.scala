@@ -277,9 +277,9 @@ object Bench {
     // feed_discovery / feed_parse / url_trap_signal / text_script_mix /
     // frontier_admitted / extract_headings / extract_tables /
     // table_records / host_components / extract_pubdate /
-    // extract_fertility / lang_script_consistency are fixture-scale
-    // (extraction-output or in-code-fixture grain) — see the
-    // fixed-corpus note above
+    // extract_fertility / lang_script_consistency / anchor_expand /
+    // cdx_retention are fixture-scale (extraction-output or
+    // in-code-fixture grain) — see the fixed-corpus note above
     resultsExtra("snapshot_diff") = timeTrials(1, 3) {
       graft.SparkEntry.queries("snapshot_diff")(spark, sfDir).count()
     }._1

@@ -102,6 +102,32 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The synthetic multi-capture log shared by `cdx_revisit` and
+    * `cdx_retention` — ONE owner of the re-capture coins and intervals
+    * (a drifted copy would let the revisit typing and the retention
+    * policy run over different logs): the corpus's one capture per url
+    * plus deterministic re-captures — same-digest at +1d (revisit),
+    * changed-digest at +2d (new response lineage), same-ORIGINAL-digest
+    * at +3d (revisit referring to the FIRST capture). Coins come from
+    * md5(url) so both engines pick identical subsets. Mirrored by
+    * [[revisitLogCtes]]. */
+  private def revisitLog(s: SparkSession): DataFrame = {
+    val base = extracted(s).select(col("url"), col("warc_ts").as("ts"),
+      md5(coalesce(col("text"), lit(""))).as("digest"),
+      expr("cast(conv(substring(md5(url), 1, 6), 16, 10) as bigint)")
+        .as("coin"), coalesce(col("text"), lit("")).as("t"))
+    base.select(col("url"), col("ts"), col("digest"))
+      .unionAll(base.filter(col("coin") % 3 === 0)
+        .select(col("url"), col("ts") + expr("INTERVAL 1 DAY"),
+          col("digest")))
+      .unionAll(base.filter(col("coin") % 5 === 0)
+        .select(col("url"), col("ts") + expr("INTERVAL 2 DAY"),
+          md5(concat(col("t"), lit("v2")))))
+      .unionAll(base.filter(col("coin") % 15 === 0)
+        .select(col("url"), col("ts") + expr("INTERVAL 3 DAY"),
+          col("digest")))
+  }
+
   private val langIdUdf = udf(TextStats.langId _)
   private val qualityUdf = udf(TextStats.dictHitRatio _)
   private val tokensWsUdf = udf(TextStats.tokensWs _)
@@ -229,31 +255,26 @@ object SparkEntry {
       // skeleton; one hot skeleton per host = one trap candidate
       graft.ops.Urls.urlTemplates(extracted(s), "url", trapMin = 24)
         .orderBy("host", "skeleton")),
-    "cdx_revisit" -> ((s, _) => {
-      // WARC revisit typing over a synthetic multi-capture log: the
-      // corpus (one capture per url) is augmented with deterministic
-      // re-captures — same-digest at +1d (revisit), changed-digest at
-      // +2d (new response lineage), and same-ORIGINAL-digest at +3d
-      // (revisit that must refer to the FIRST capture, not the
-      // previous one). Coins come from md5(url) so both engines pick
-      // identical subsets
-      val base = extracted(s).select(col("url"), col("warc_ts").as("ts"),
-        md5(coalesce(col("text"), lit(""))).as("digest"),
-        expr("cast(conv(substring(md5(url), 1, 6), 16, 10) as bigint)")
-          .as("coin"), coalesce(col("text"), lit("")).as("t"))
-      val caps = base.select(col("url"), col("ts"), col("digest"))
-        .unionAll(base.filter(col("coin") % 3 === 0)
-          .select(col("url"), col("ts") + expr("INTERVAL 1 DAY"),
-            col("digest")))
-        .unionAll(base.filter(col("coin") % 5 === 0)
-          .select(col("url"), col("ts") + expr("INTERVAL 2 DAY"),
-            md5(concat(col("t"), lit("v2")))))
-        .unionAll(base.filter(col("coin") % 15 === 0)
-          .select(col("url"), col("ts") + expr("INTERVAL 3 DAY"),
-            col("digest")))
-      graft.ops.Snapshots.revisits(caps, "url", "ts", "digest")
-        .orderBy("url", "ts")
-    }),
+    "cdx_revisit" -> ((s, _) =>
+      // WARC revisit typing over the shared synthetic multi-capture log
+      // (revisitLog — coins, intervals and digest rewrites documented
+      // there)
+      graft.ops.Snapshots.revisits(revisitLog(s), "url", "ts", "digest")
+        .orderBy("url", "ts")),
+    "cdx_retention" -> ((s, _) =>
+      // capture-retention policy over the same log: keep the newest
+      // K=2 captures per url (the archive-lifecycle dedup CDX stores
+      // apply before expiring old crawls); rank-from-latest is a
+      // per-url window — per-url capture counts are bounded, so the
+      // partition can never skew
+      revisitLog(s)
+        .withColumn("rank_from_latest",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("url")).orderBy(col("ts").desc)).cast("long"))
+        .select(col("url"), col("ts"), col("digest"),
+          col("rank_from_latest"),
+          (col("rank_from_latest") <= 2).as("kept"))
+        .orderBy("url", "ts")),
     "snapshot_diff" -> ((s, dir) => {
       // cross-snapshot per-url diff: old = the full corpus; new drops
       // every %3 doc (removed), rewrites every remaining %5 digest
@@ -396,6 +417,32 @@ object SparkEntry {
         .select(col("canon"), col("n_refs"), col("n_texts"),
           col("top.anchor").as("top_anchor"), (-col("top.negn")).as("top_n"))
         .orderBy("canon")),
+    "anchor_expand" -> ((s, _) => {
+      // anchor-text document EXPANSION (the retrieval-corpus transform;
+      // public technique: anchor-augmented document representations,
+      // e.g. Craswell et al. 2001 / TREC anchor-text tracks): each
+      // page's text is extended with the top-5 inbound anchor texts
+      // aggregated on the shared canonical key — count-desc, anchor-asc
+      // deterministic order, rank-sorted join via array_sort on
+      // (rank, anchor) structs. Unlike link_anchor_text (the in-content
+      // AUDIT view), expansion keeps chrome anchors — navigational
+      // anchors still DESCRIBE their target, the classic anchor-text
+      // indexing choice — and instead drops self-links (a page's own
+      // anchor adds nothing to its representation). Shuffle profile:
+      // anchors reduce to compact (canon, anchor, n) rows before the
+      // cap window; the page join fans one aggregated row per target —
+      // page TEXT rides only the final url-keyed join, never the
+      // anchor aggregation. Logic lives in ops/Anchors (ordering, cap
+      // and self-link drop unit-pinned there — the fixture corpus only
+      // exercises single-anchor targets).
+      val ex = extracted(s)
+      val links = ex
+        .select(col("url").as("src"), explode(col("links")).as("l"))
+        .select(col("src"), col("l.resolved").as("resolved"),
+          col("l.text").as("anchor"))
+      graft.ops.Anchors.expandByCanon(ex, "url", "text",
+        links, "src", "resolved", "anchor").orderBy("url")
+    }),
     "link_hostgraph" -> ((s, _) =>
       // host-level link graph from the pipeline's own outlinks — the
       // Common-Crawl webgraph shape: one groupBy on the (src,dst)
@@ -1779,6 +1826,50 @@ cand AS (
   FROM cand JOIN e va ON va.vec_id = doc_a JOIN e vb ON vb.vec_id = doc_b
 )"""
 
+  /** Script-class char-count/milli CTEs over the golden table — ONE
+    * owner of the script-class regex algebra (whitespace set, the four
+    * literal codepoint ranges, milli division), consumed by BOTH
+    * `text_script_mix` and `lang_script_consistency`: a drifted copy
+    * would let the two oracles disagree on what a script class is.
+    * `sm` carries counts AND millis (and pred_lang) so either consumer
+    * projects what it needs. */
+  private def scriptCtes = s"""sc AS (
+  SELECT url, pred_lang, coalesce(text, '') AS t FROM $G
+),
+sn AS (
+  SELECT url, pred_lang,
+    CAST(length(regexp_replace(t, '[ \\t\\n\\r\\f  -   　]', '', 'g')) AS BIGINT) AS n_chars,
+    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+    CAST(length(t) - length(regexp_replace(t, '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
+    CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+    CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic
+  FROM sc
+),
+sm AS (
+  SELECT url, pred_lang, n_chars, n_latin, n_cjk, n_cyrillic, n_arabic,
+    CAST((1000 * n_latin) // greatest(n_chars, 1) AS BIGINT) AS latin_milli,
+    CAST((1000 * n_cjk) // greatest(n_chars, 1) AS BIGINT) AS cjk_milli,
+    CAST((1000 * n_cyrillic) // greatest(n_chars, 1) AS BIGINT) AS cyrillic_milli,
+    CAST((1000 * n_arabic) // greatest(n_chars, 1) AS BIGINT) AS arabic_milli,
+    CAST((1000 * (n_chars - n_latin - n_cjk - n_cyrillic - n_arabic)) // greatest(n_chars, 1) AS BIGINT) AS other_milli
+  FROM sn
+)"""
+
+  /** DuckDB mirror of [[revisitLog]] — base + caps CTEs, consumed by
+    * the `cdx_revisit` and `cdx_retention` oracles. */
+  private def revisitLogCtes = s"""base AS (
+  SELECT url, warc_ts AS ts, md5(coalesce(text, '')) AS digest,
+    ('0x' || substring(md5(url), 1, 6))::BIGINT AS coin,
+    coalesce(text, '') AS t
+  FROM $G
+),
+caps AS (
+  SELECT url, ts, digest FROM base
+  UNION ALL SELECT url, ts + INTERVAL 1 DAY, digest FROM base WHERE coin % 3 = 0
+  UNION ALL SELECT url, ts + INTERVAL 2 DAY, md5(t || 'v2') FROM base WHERE coin % 5 = 0
+  UNION ALL SELECT url, ts + INTERVAL 3 DAY, digest FROM base WHERE coin % 15 = 0
+)"""
+
   private def lshCtes = s"""shingled AS (
   SELECT doc_id, list_transform(range(1, greatest(length(text)-7, 1)+1, 4), i -> substr(text, i, 8)) AS sh
   FROM ${D(sf)}
@@ -1827,7 +1918,13 @@ WITH x AS (
     -- json_valid guard: the kernel captures ld+json VERBATIM (no
     -- validation), and DuckDB's json_extract_string HARD-ERRORS on
     -- malformed JSON where Spark's get_json_object returns NULL — the
-    -- guard pins the same null-on-garbage contract in both engines
+    -- guard pins the same null-on-garbage contract in both engines.
+    -- Residual asymmetry (accepted): Spark's Jackson parser is LOOSER
+    -- than json_valid (unquoted control chars, trailing junk after the
+    -- root), so an almost-JSON payload could score in Spark and NULL
+    -- here; the fixture generator emits only strict JSON, and any
+    -- future fixture in that gap reds the compare rather than passing
+    -- silently — the safe failure direction
     list_filter(list_transform(ldjson,
       p -> CASE WHEN json_valid(p)
                 THEN json_extract_string(p, '$$."datePublished"') END),
@@ -1869,18 +1966,7 @@ SELECT host, skeleton, count(*) AS n_urls, min(url) AS exemplar,
 FROM sk GROUP BY host, skeleton
 ORDER BY host, skeleton""",
     "cdx_revisit" -> s"""
-WITH base AS (
-  SELECT url, warc_ts AS ts, md5(coalesce(text, '')) AS digest,
-    ('0x' || substring(md5(url), 1, 6))::BIGINT AS coin,
-    coalesce(text, '') AS t
-  FROM $G
-),
-caps AS (
-  SELECT url, ts, digest FROM base
-  UNION ALL SELECT url, ts + INTERVAL 1 DAY, digest FROM base WHERE coin % 3 = 0
-  UNION ALL SELECT url, ts + INTERVAL 2 DAY, md5(t || 'v2') FROM base WHERE coin % 5 = 0
-  UNION ALL SELECT url, ts + INTERVAL 3 DAY, digest FROM base WHERE coin % 15 = 0
-),
+WITH $revisitLogCtes,
 w AS (
   SELECT url, ts, digest,
     min(ts) OVER (PARTITION BY url, digest) AS first_ts
@@ -1890,6 +1976,16 @@ SELECT url, ts, digest,
   CASE WHEN ts = first_ts THEN 'response' ELSE 'revisit' END AS record_type,
   CASE WHEN ts = first_ts THEN NULL ELSE first_ts END AS refers_to_ts
 FROM w ORDER BY url, ts""",
+    "cdx_retention" -> s"""
+WITH $revisitLogCtes,
+r AS (
+  SELECT url, ts, digest, CAST(row_number() OVER (
+    PARTITION BY url ORDER BY ts DESC) AS BIGINT) AS rank_from_latest
+  FROM caps
+)
+SELECT url, ts, digest, rank_from_latest,
+  rank_from_latest <= 2 AS kept
+FROM r ORDER BY url, ts""",
     "snapshot_diff" -> s"""
 WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM ${D(sf)}),
 o AS (SELECT doc_id, md5(text) AS old_digest FROM d),
@@ -1982,6 +2078,40 @@ SELECT g.canon, CAST(sum(g.n) AS BIGINT) AS n_refs,
   CAST(count(*) AS BIGINT) AS n_texts, b.top_anchor, b.top_n
 FROM g JOIN b USING (canon) GROUP BY g.canon, b.top_anchor, b.top_n
 ORDER BY canon""",
+    "anchor_expand" -> s"""
+WITH lr0 AS (
+  SELECT url AS src, resolved, text AS anchor FROM $GL WHERE text != ''
+),
+au(url) AS (
+  SELECT DISTINCT resolved FROM lr0 UNION SELECT DISTINCT src FROM lr0
+),
+${canonCtes("au", "a")},
+j AS (
+  SELECT t.canon AS canon, sc.canon AS src_canon, lr0.anchor
+  FROM lr0 JOIN ac t ON lr0.resolved = t.url JOIN ac sc ON lr0.src = sc.url
+),
+g AS (
+  SELECT canon, anchor, CAST(count(*) AS BIGINT) AS n FROM j
+  WHERE src_canon != canon GROUP BY 1, 2
+),
+r AS (
+  SELECT canon, anchor, row_number() OVER (
+    PARTITION BY canon ORDER BY n DESC, anchor) AS rk FROM g
+),
+agg AS (
+  SELECT canon, CAST(count(*) AS BIGINT) AS n_anchors,
+    string_agg(anchor, ' ' ORDER BY rk) AS anchors_txt
+  FROM r WHERE rk <= 5 GROUP BY canon
+),
+pg(url) AS (SELECT url FROM $G),
+${canonCtes("pg", "p")}
+SELECT g.url,
+  coalesce(agg.n_anchors, 0) AS n_anchors,
+  CASE WHEN agg.anchors_txt IS NULL THEN coalesce(g.text, '')
+       ELSE coalesce(g.text, '') || ' ' || agg.anchors_txt END AS expanded_text
+FROM $G g JOIN pc ON g.url = pc.url
+LEFT JOIN agg ON pc.canon = agg.canon
+ORDER BY g.url""",
     "link_hostgraph" ->
       s"""SELECT lower(split_part(url, '/', 3)) AS src_host,
   lower(split_part(resolved, '/', 3)) AS dst_host,
@@ -3282,75 +3412,32 @@ SELECT doc_id, n_words,
   CAST((stopword_milli + (1000 - nonalnum_milli) + (1000 - least(dup_word_milli, 1000))) // 3 AS BIGINT) AS composite_milli
 FROM r ORDER BY doc_id""",
     "text_script_mix" -> s"""
-WITH c AS (
-  SELECT url, coalesce(text, '') AS t FROM $G
-),
-n AS (
-  SELECT url,
-    CAST(length(regexp_replace(t, '[ \\t\\n\\r\\f\u00A0\u2000-\u200A\u202F\u205F\u3000]', '', 'g')) AS BIGINT) AS n_chars,
-    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
-    CAST(length(t) - length(regexp_replace(t, '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
-    CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
-    CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic
-  FROM c
-)
+WITH $scriptCtes
 SELECT url, n_chars, n_latin, n_cjk, n_cyrillic, n_arabic,
-  CAST((1000 * n_latin) // greatest(n_chars, 1) AS BIGINT) AS latin_milli,
-  CAST((1000 * n_cjk) // greatest(n_chars, 1) AS BIGINT) AS cjk_milli,
-  CAST((1000 * n_cyrillic) // greatest(n_chars, 1) AS BIGINT) AS cyrillic_milli,
-  CAST((1000 * n_arabic) // greatest(n_chars, 1) AS BIGINT) AS arabic_milli,
-  CAST((1000 * (n_chars - n_latin - n_cjk - n_cyrillic - n_arabic)) // greatest(n_chars, 1) AS BIGINT) AS other_milli
-FROM n ORDER BY url""",
+  latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli
+FROM sm ORDER BY url""",
     "lang_script_consistency" -> s"""
-WITH c AS (
-  SELECT url, pred_lang, coalesce(text, '') AS t FROM $G
-),
-n AS (
+WITH $scriptCtes,
+-- expected/dominant projected ONCE in a CTE so the comparison reuses
+-- the aliases instead of re-spelling each CASE
+e AS (
   SELECT url, pred_lang,
-    CAST(length(regexp_replace(t, '[ \\t\\n\\r\\f\u00A0\u2000-\u200A\u202F\u205F\u3000]', '', 'g')) AS BIGINT) AS n_chars,
-    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
-    CAST(length(t) - length(regexp_replace(t, '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
-    CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
-    CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic
-  FROM c
-),
-m AS (
-  SELECT url, pred_lang,
-    CAST((1000 * n_latin) // greatest(n_chars, 1) AS BIGINT) AS latin_milli,
-    CAST((1000 * n_cjk) // greatest(n_chars, 1) AS BIGINT) AS cjk_milli,
-    CAST((1000 * n_cyrillic) // greatest(n_chars, 1) AS BIGINT) AS cyrillic_milli,
-    CAST((1000 * n_arabic) // greatest(n_chars, 1) AS BIGINT) AS arabic_milli,
-    CAST((1000 * (n_chars - n_latin - n_cjk - n_cyrillic - n_arabic)) // greatest(n_chars, 1) AS BIGINT) AS other_milli
-  FROM n
+    CASE pred_lang
+      WHEN 'eng' THEN 'latin' WHEN 'rus' THEN 'cyrillic'
+      WHEN 'zho' THEN 'cjk' WHEN 'jpn' THEN 'cjk' WHEN 'kor' THEN 'cjk'
+      WHEN 'ara' THEN 'arabic' WHEN 'fas' THEN 'arabic'
+      WHEN 'urd' THEN 'arabic' WHEN 'heb' THEN 'other' ELSE NULL
+    END AS expected_script,
+    CASE greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli)
+      WHEN latin_milli THEN 'latin' WHEN cjk_milli THEN 'cjk'
+      WHEN cyrillic_milli THEN 'cyrillic' WHEN arabic_milli THEN 'arabic'
+      ELSE 'other' END AS dominant_script
+  FROM sm
 )
-SELECT url, pred_lang,
-  CASE pred_lang
-    WHEN 'eng' THEN 'latin' WHEN 'rus' THEN 'cyrillic'
-    WHEN 'zho' THEN 'cjk' WHEN 'jpn' THEN 'cjk' WHEN 'kor' THEN 'cjk'
-    WHEN 'ara' THEN 'arabic' WHEN 'fas' THEN 'arabic'
-    WHEN 'urd' THEN 'arabic' WHEN 'heb' THEN 'other' ELSE NULL
-  END AS expected_script,
-  CASE greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli)
-    WHEN latin_milli THEN 'latin' WHEN cjk_milli THEN 'cjk'
-    WHEN cyrillic_milli THEN 'cyrillic' WHEN arabic_milli THEN 'arabic'
-    ELSE 'other' END AS dominant_script,
-  CASE WHEN (CASE pred_lang
-    WHEN 'eng' THEN 'latin' WHEN 'rus' THEN 'cyrillic'
-    WHEN 'zho' THEN 'cjk' WHEN 'jpn' THEN 'cjk' WHEN 'kor' THEN 'cjk'
-    WHEN 'ara' THEN 'arabic' WHEN 'fas' THEN 'arabic'
-    WHEN 'urd' THEN 'arabic' WHEN 'heb' THEN 'other' ELSE NULL END) IS NULL
-  THEN NULL
-  ELSE (CASE pred_lang
-    WHEN 'eng' THEN 'latin' WHEN 'rus' THEN 'cyrillic'
-    WHEN 'zho' THEN 'cjk' WHEN 'jpn' THEN 'cjk' WHEN 'kor' THEN 'cjk'
-    WHEN 'ara' THEN 'arabic' WHEN 'fas' THEN 'arabic'
-    WHEN 'urd' THEN 'arabic' WHEN 'heb' THEN 'other' ELSE NULL END) =
-   (CASE greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli)
-    WHEN latin_milli THEN 'latin' WHEN cjk_milli THEN 'cjk'
-    WHEN cyrillic_milli THEN 'cyrillic' WHEN arabic_milli THEN 'arabic'
-    ELSE 'other' END)
-  END AS consistent
-FROM m ORDER BY url""",
+SELECT url, pred_lang, expected_script, dominant_script,
+  CASE WHEN expected_script IS NULL THEN NULL
+       ELSE expected_script = dominant_script END AS consistent
+FROM e ORDER BY url""",
     "host_boilerplate" -> s"""
 WITH d AS (
   SELECT 'https://h' || (doc_id % 20) || '.example.com/d' || doc_id AS url,

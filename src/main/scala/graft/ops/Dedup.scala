@@ -85,16 +85,6 @@ object Dedup {
       .select(col("doc_id"), col("nkey"), col("keep_id"), col("group_n"))
   }
 
-  /** MinHash + LSH near-dup candidates. k minhashes, `bands` bands of
-    * k/bands rows each. Returns (doc_a, doc_b, est_jaccard) for pairs
-    * sharing ≥1 band, est_jaccard = fraction of equal minhashes.
-    *
-    * Shuffle profile: explode to (band_idx, band_hash, id) — k/bands
-    * strings per doc — then a self-join on the band key. At 10^12 docs
-    * the band table is ~4×10^12 short rows, hash-partitioned by band
-    * key; the join never touches document text. `maxBucket` caps
-    * pathological buckets (e.g. boilerplate-identical docs) to bound the
-    * quadratic blowup — the skew guard. */
   /** The (id, sig) signature projection shared by [[minhashLsh]] and
     * [[minhashIncremental]] — ONE owner so batch and incremental dedup
     * can never hash differently. The default k takes the native fused
@@ -111,6 +101,39 @@ object Dedup {
       .select(col(idCol).as("id"), shinglesExpr(textCol).as("sh"))
       .select(col("id"), minhashExpr("sh", k).as("sig"))
 
+  /** Band-hash explode + exact skew cap over a [[sigsOf]] signature
+    * table (extra columns ride through) — the other half of the shared
+    * LSH algebra ([[minhashLsh]] and [[minhashIncremental]] both join
+    * on its output; a private copy drifting in either would bucket
+    * batch and incremental dedup differently). Drops buckets larger
+    * than `maxBucket` (counted exactly). The persist() materializes the
+    * signatures once: without the barrier Catalyst inlines the
+    * k×shingles md5 tree into BOTH join sides and into est_jaccard,
+    * recomputing it ~6× per row. At warehouse scale this persist is a
+    * real signature table (write once, join many). */
+  private def bandedCapped(sig: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int): DataFrame =
+    sig.select(col("*"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> md5(array_join(slice(sig, b*$rows+1, $rows), '|')))")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** MinHash + LSH near-dup candidates. k minhashes, `bands` bands of
+    * k/bands rows each. Returns (doc_a, doc_b, est_jaccard) for pairs
+    * sharing ≥1 band, est_jaccard = fraction of equal minhashes.
+    *
+    * Shuffle profile: explode to (band_idx, band_hash, id) — k/bands
+    * strings per doc — then a self-join on the band key. At 10^12 docs
+    * the band table is ~4×10^12 short rows, hash-partitioned by band
+    * key; the join never touches document text. `maxBucket` caps
+    * pathological buckets (e.g. boilerplate-identical docs) to bound the
+    * quadratic blowup — the skew guard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, maxBucket: Int = 50): DataFrame = {
     // k < bands would band zero-length slices (every doc hashes md5('')
@@ -119,23 +142,8 @@ object Dedup {
     require(bands >= 1 && k >= bands && k % bands == 0,
       s"minhashLsh needs k divisible by bands, got k=$k bands=$bands")
     val rows = k / bands
-    val sig = sigsOf(docs, idCol, textCol, k)
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> md5(array_join(slice(sig, b*$rows+1, $rows), '|')))")))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
-    // skew guard: drop buckets larger than maxBucket (counted exactly).
-    // persist() materializes the signatures once: without the barrier,
-    // Catalyst inlines the k×shingles md5 tree into BOTH join sides and
-    // into est_jaccard, recomputing it ~6× per row. At warehouse scale
-    // this persist is a real signature table (write once, join many).
-    val sized = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = bandedCapped(sigsOf(docs, idCol, textCol, k),
+      bands, rows, maxBucket)
     val a = sized.select(col("band_idx"), col("band_hash"),
       col("id").as("doc_a"), col("sig").as("sig_a"))
     val b = sized.select(col("band_idx"), col("band_hash"),
@@ -582,19 +590,7 @@ object Dedup {
       .withColumn("is_new", lit(false))
       .unionAll(sigsOf(incoming, idCol, textCol, k)
         .withColumn("is_new", lit(true)))
-    val banded = sig.select(col("id"), col("sig"), col("is_new"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> md5(array_join(slice(sig, b*$rows+1, $rows), '|')))")))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
-    // same persist rationale as minhashLsh: the signature table feeds
-    // both join sides (and the cap window) — one materialization
-    val sized = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = bandedCapped(sig, bands, rows, maxBucket)
     val a = sized.filter(col("is_new")).select(col("band_idx"),
       col("band_hash"), col("id").as("doc_id"), col("sig").as("sig_a"))
     val b = sized.filter(!col("is_new")).select(col("band_idx"),

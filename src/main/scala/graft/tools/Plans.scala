@@ -53,7 +53,8 @@ object Plans {
       "table_records",
       // sixth-wind additions
       "extract_pubdate", "extract_fertility", "dedup_passages_indoc",
-      "dedup_minhash_incremental", "lang_script_consistency")
+      "dedup_minhash_incremental", "lang_script_consistency",
+      "anchor_expand", "cdx_retention")
       .foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")

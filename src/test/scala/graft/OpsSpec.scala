@@ -1590,6 +1590,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 1.0)) // identical text → all 8 minhashes equal
   }
 
+  test("anchor expand: count-desc order, cap, tie-break, self-link drop") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://t.example.com/page", "target body"),
+      ("https://q.example.com/quiet", "quiet body"))
+      .toDF("url", "text")
+    val t = "https://t.example.com/page"
+    // 3× "docs", 2× "api", 1 each of 5 more (7 distinct) + a self-link
+    // and an empty anchor (both dropped)
+    val links = (Seq.fill(3)(("https://a.example.com/1", t, "docs")) ++
+      Seq.fill(2)(("https://a.example.com/2", t, "api")) ++
+      Seq("zz", "bb", "aa", "cc", "dd").map(a =>
+        ("https://a.example.com/3", t, a)) ++
+      Seq((t, t, "self"), ("https://a.example.com/4", t, "")))
+      .toDF("src", "resolved", "anchor")
+    val out = graft.ops.Anchors.expandByCanon(pages, "url", "text",
+      links, "src", "resolved", "anchor", maxAnchors = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // top-5 of 7: docs(3), api(2), then aa/bb/cc by anchor asc; dd/zz
+    // cut by the cap; "self" and "" never counted
+    assert(out(t) == ((5L, "target body docs api aa bb cc")), out(t))
+    assert(out("https://q.example.com/quiet") == ((0L, "quiet body")))
+  }
+
   test("embed apply: semantic cluster keeps min id, singleton kept") {
     import spark.implicits._
     val v1 = Array.tabulate(16)(i => (i + 1).toFloat)
