@@ -267,10 +267,14 @@ object SparkEntry {
       // apply before expiring old crawls); rank-from-latest is a
       // per-url window — per-url capture counts are bounded, so the
       // partition can never skew
+      // digest tie-break: the synthetic log has distinct ts per url
+      // today, but a tied (url, ts) must rank identically in both
+      // engines and at both parallelism levels
       revisitLog(s)
         .withColumn("rank_from_latest",
           row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("url")).orderBy(col("ts").desc)).cast("long"))
+            .partitionBy(col("url"))
+            .orderBy(col("ts").desc, col("digest"))).cast("long"))
         .select(col("url"), col("ts"), col("digest"),
           col("rank_from_latest"),
           (col("rank_from_latest") <= 2).as("kept"))
@@ -434,7 +438,11 @@ object SparkEntry {
       // page TEXT rides only the final url-keyed join, never the
       // anchor aggregation. Logic lives in ops/Anchors (ordering, cap
       // and self-link drop unit-pinned there — the fixture corpus only
-      // exercises single-anchor targets).
+      // exercises single-anchor targets). The keep-chrome choice IS
+      // pinned by the driver gate: the corpus's only anchors whose
+      // targets are corpus pages are chrome (footer "related" →
+      // sibling articles, 45 expanded pages), so re-adding
+      // link_anchor_text's !chrome filter here reds the oracle.
       val ex = extracted(s)
       val links = ex
         .select(col("url").as("src"), explode(col("links")).as("l"))
@@ -1979,8 +1987,10 @@ FROM w ORDER BY url, ts""",
     "cdx_retention" -> s"""
 WITH $revisitLogCtes,
 r AS (
+  -- digest tie-break: the synthetic log has distinct ts per url today,
+  -- but a tied (url, ts) must rank identically in both engines
   SELECT url, ts, digest, CAST(row_number() OVER (
-    PARTITION BY url ORDER BY ts DESC) AS BIGINT) AS rank_from_latest
+    PARTITION BY url ORDER BY ts DESC, digest) AS BIGINT) AS rank_from_latest
   FROM caps
 )
 SELECT url, ts, digest, rank_from_latest,
@@ -2083,7 +2093,7 @@ WITH lr0 AS (
   SELECT url AS src, resolved, text AS anchor FROM $GL WHERE text != ''
 ),
 au(url) AS (
-  SELECT DISTINCT resolved FROM lr0 UNION SELECT DISTINCT src FROM lr0
+  SELECT resolved FROM lr0 UNION SELECT src FROM lr0
 ),
 ${canonCtes("au", "a")},
 j AS (
