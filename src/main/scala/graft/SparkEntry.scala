@@ -128,6 +128,29 @@ object SparkEntry {
           col("digest")))
   }
 
+  /** The publication-date cascade over the extraction relation — ONE
+    * owner (shared by `extract_pubdate` and `domain_freshness`; a
+    * drifted copy would let the page-grain and host-grain views resolve
+    * different dates): ld+json datePublished → article:published_time
+    * meta → capture date, as strings. Mirrored by the `px` CTE in
+    * [[pubdateCtes]]. */
+  private def pubdated(ex: DataFrame): DataFrame =
+    ex.select(
+      col("url"), col("host"),
+      expr("""try_element_at(filter(
+                transform(ldjson, p -> get_json_object(p, '$.datePublished')),
+                x -> x IS NOT NULL), 1)""").as("ld"),
+      expr("""try_element_at(filter(metas,
+                m -> m.name = 'article:published_time'), 1).content""")
+        .as("mt"),
+      date_format(col("warc_ts"), "yyyy-MM-dd").as("cap"))
+      .select(col("url"), col("host"),
+        coalesce(substring(col("ld"), 1, 10),
+          substring(col("mt"), 1, 10), col("cap")).as("pubdate"),
+        when(col("ld").isNotNull, "ldjson")
+          .when(col("mt").isNotNull, "meta")
+          .otherwise("capture").as("source"))
+
   private val langIdUdf = udf(TextStats.langId _)
   private val qualityUdf = udf(TextStats.dictHitRatio _)
   private val tokensWsUdf = udf(TextStats.tokensWs _)
@@ -201,22 +224,28 @@ object SparkEntry {
       // recorded. Dates stay STRINGS (first 10 chars of the ISO form):
       // no timezone parsing, so both engines see identical bytes. All
       // narrow — column functions over already-captured head fields.
-      extracted(s).select(
-        col("url"),
-        expr("""try_element_at(filter(
-                  transform(ldjson, p -> get_json_object(p, '$.datePublished')),
-                  x -> x IS NOT NULL), 1)""").as("ld"),
-        expr("""try_element_at(filter(metas,
-                  m -> m.name = 'article:published_time'), 1).content""")
-          .as("mt"),
-        date_format(col("warc_ts"), "yyyy-MM-dd").as("cap"))
-        .select(col("url"),
-          coalesce(substring(col("ld"), 1, 10),
-            substring(col("mt"), 1, 10), col("cap")).as("pubdate"),
-          when(col("ld").isNotNull, "ldjson")
-            .when(col("mt").isNotNull, "meta")
-            .otherwise("capture").as("source"))
+      // Cascade owner: [[pubdated]] (shared with domain_freshness).
+      pubdated(extracted(s)).select("url", "pubdate", "source")
         .orderBy("url")),
+    "domain_freshness" -> ((s, _) =>
+      // per-host freshness profile over the same cascade — the
+      // crawl-planning grain (a host whose pages are all years old
+      // re-crawls on a slower schedule; one with declared dates gets a
+      // cheaper freshness signal than capture-date inference): page
+      // count, date range, and how many dates came from each cascade
+      // source, one hash aggregation on the host key
+      pubdated(extracted(s))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          min(col("pubdate")).as("oldest"),
+          max(col("pubdate")).as("newest"),
+          sum(when(col("source") === "ldjson", 1L).otherwise(0L))
+            .as("n_ldjson"),
+          sum(when(col("source") === "meta", 1L).otherwise(0L))
+            .as("n_meta"),
+          sum(when(col("source") === "capture", 1L).otherwise(0L))
+            .as("n_capture"))
+        .orderBy("host")),
     "extract_fertility" -> ((s, _) =>
       // tokenizer fertility per predicted language (BPE pieces per
       // whitespace word, milli — the standard tokenizer-evaluation
@@ -1834,6 +1863,33 @@ cand AS (
   FROM cand JOIN e va ON va.vec_id = doc_a JOIN e vb ON vb.vec_id = doc_b
 )"""
 
+  /** Publication-date cascade CTE over the golden table — the DuckDB
+    * mirror of [[pubdated]], ONE owner for the extract_pubdate and
+    * domain_freshness oracles. Produces `px(url, host, pubdate,
+    * source)`. The json_valid guard pins DuckDB's hard-error JSON
+    * parser to Spark's null-on-garbage get_json_object contract;
+    * residual strictness gap documented at the extract_pubdate oracle.
+    * Host = split_part(url,'/',3) — the corpus's urls carry no
+    * userinfo/ports, same convention as the host_quality oracle. */
+  private def pubdateCtes = s"""px0 AS (
+  SELECT url, split_part(url, '/', 3) AS host, warc_ts,
+    list_filter(list_transform(ldjson,
+      p -> CASE WHEN json_valid(p)
+                THEN json_extract_string(p, '$$."datePublished"') END),
+      x -> x IS NOT NULL)[1] AS ld,
+    list_filter(metas, m -> m.name = 'article:published_time')[1].content AS mt
+  FROM $G
+),
+px AS (
+  SELECT url, host,
+    coalesce(substr(ld, 1, 10), substr(mt, 1, 10),
+      strftime(warc_ts, '%Y-%m-%d')) AS pubdate,
+    CASE WHEN ld IS NOT NULL THEN 'ldjson'
+         WHEN mt IS NOT NULL THEN 'meta'
+         ELSE 'capture' END AS source
+  FROM px0
+)"""
+
   /** Script-class char-count/milli CTEs over the golden table — ONE
     * owner of the script-class regex algebra (whitespace set, the four
     * literal codepoint ranges, milli division), consumed by BOTH
@@ -1921,32 +1977,25 @@ SELECT url, CAST(idx AS BIGINT) AS idx, m.name AS name,
   m.content AS content, starts_with(m.name, 'og:') AS opengraph
 FROM x ORDER BY url, idx""",
     "extract_pubdate" -> s"""
-WITH x AS (
-  SELECT url, warc_ts,
-    -- json_valid guard: the kernel captures ld+json VERBATIM (no
-    -- validation), and DuckDB's json_extract_string HARD-ERRORS on
-    -- malformed JSON where Spark's get_json_object returns NULL — the
-    -- guard pins the same null-on-garbage contract in both engines.
-    -- Residual asymmetry (accepted): Spark's Jackson parser is LOOSER
-    -- than json_valid (unquoted control chars, trailing junk after the
-    -- root), so an almost-JSON payload could score in Spark and NULL
-    -- here; the fixture generator emits only strict JSON, and any
-    -- future fixture in that gap reds the compare rather than passing
-    -- silently — the safe failure direction
-    list_filter(list_transform(ldjson,
-      p -> CASE WHEN json_valid(p)
-                THEN json_extract_string(p, '$$."datePublished"') END),
-      x -> x IS NOT NULL)[1] AS ld,
-    list_filter(metas, m -> m.name = 'article:published_time')[1].content AS mt
-  FROM $G
-)
-SELECT url,
-  coalesce(substr(ld, 1, 10), substr(mt, 1, 10),
-    strftime(warc_ts, '%Y-%m-%d')) AS pubdate,
-  CASE WHEN ld IS NOT NULL THEN 'ldjson'
-       WHEN mt IS NOT NULL THEN 'meta'
-       ELSE 'capture' END AS source
-FROM x ORDER BY url""",
+-- cascade owner: pubdateCtes (json_valid guard: the kernel captures
+-- ld+json VERBATIM, and DuckDB's json_extract_string HARD-ERRORS on
+-- malformed JSON where Spark's get_json_object returns NULL.
+-- Residual asymmetry (accepted): Spark's Jackson parser is LOOSER
+-- than json_valid (unquoted control chars, trailing junk after the
+-- root), so an almost-JSON payload could score in Spark and NULL
+-- here; the fixture generator emits only strict JSON, and any future
+-- fixture in that gap reds the compare rather than passing silently —
+-- the safe failure direction)
+WITH $pubdateCtes
+SELECT url, pubdate, source FROM px ORDER BY url""",
+    "domain_freshness" -> s"""
+WITH $pubdateCtes
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+  min(pubdate) AS oldest, max(pubdate) AS newest,
+  CAST(sum(CASE WHEN source = 'ldjson' THEN 1 ELSE 0 END) AS BIGINT) AS n_ldjson,
+  CAST(sum(CASE WHEN source = 'meta' THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+  CAST(sum(CASE WHEN source = 'capture' THEN 1 ELSE 0 END) AS BIGINT) AS n_capture
+FROM px GROUP BY 1 ORDER BY host""",
     "extract_fertility" -> s"""
 SELECT pred_lang, count(*) AS n_docs,
   CAST(sum(tokens_bpe) AS BIGINT) AS bpe_tokens,

@@ -185,6 +185,15 @@ class OpsSpec extends AnyFunSuite {
     val small = Seq("a", "b", "a").toDF("v")
       .agg(expr("kmv_minima(v, 16)")).collect()(0).getSeq[String](0)
     assert(small.toSeq == Seq("a", "b").map(md5hex).sorted)
+    // SHARD-MERGE LAW (the property that lets shards/days sketch
+    // independently): bottom-k of the distinct union of two shards'
+    // minima == the whole corpus's minima (shards overlap on 0..99)
+    def minima(vs: Seq[String]) = spark.sparkContext.parallelize(vs, 4)
+      .toDF("v").agg(expr("kmv_minima(v, 16)"))
+      .collect()(0).getSeq[String](0).toSeq
+    val merged = (minima(vals.take(150)) ++ minima(vals.drop(100)))
+      .distinct.sorted.take(16)
+    assert(merged == expected)
   }
 
   test("kll sketch: exact (≤k) regime survives partial merge across 8 partitions") {
@@ -857,6 +866,22 @@ class OpsSpec extends AnyFunSuite {
     val again = CountMin.heavyHitters(docs.repartition(5), "text", k = 5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(hh.toSeq == again.toSeq)
+    // SHARD-MERGE LAW: counters are pure sums, so the element-wise
+    // (d, pos) sum of two shards' sketches == the whole corpus's sketch
+    // — what lets shards/days/streams sketch independently and combine
+    def cmsMap(d: org.apache.spark.sql.DataFrame) = {
+      val toks = d.select(explode(expr(
+        "filter(split(text, ' '), x -> x != '')")).as("token"))
+      CountMin.sketch(toks, "token").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val whole = cmsMap(docs)
+    val a = cmsMap(docs.filter(col("doc_id") <= 2))
+    val b = cmsMap(docs.filter(col("doc_id") > 2))
+    val mergedCms = (a.keySet ++ b.keySet).map { k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))
+    }.toMap
+    assert(mergedCms == whole)
   }
 
   test("inverted index: exact df under cap, ordered postings, minDf") {
