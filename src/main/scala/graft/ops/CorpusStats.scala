@@ -309,11 +309,13 @@ object CorpusStats {
     * 100 TB shape: the keep decision needs only the row it is deciding
     * about, so this is ONE narrow projection — zero shuffle, no join, no
     * aggregation; it composes with [[passageDedupClean]] without adding
-    * an exchange. The `array_position` scan inside the filter is
-    * O(units²) per document worst-case, bounded by page size (a 100 KB
-    * page is ~2.5k units) — the right trade against shipping every
-    * passage of every document through an exchange just to make a
-    * per-document decision. */
+    * an exchange. The keep-first scan is an `aggregate` accumulating the
+    * kept prefix (`array_contains` + `array_append`) — O(units²)
+    * worst-case per document, bounded by page size (a 100 KB page is
+    * ~2.5k units). MEASURED choice (tools/IndocProbe, sf0.1): the
+    * equivalent `filter(us, (x, i) -> array_position(us, x) = i + 1)`
+    * runs 13× SLOWER (6.4 s vs 0.50 s) — the indexed-lambda HOF path is
+    * interpreted per element; don't "simplify" back to it. */
   def passageDedupInDoc(docs: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 4): DataFrame = {
     val w = windowWords
@@ -322,11 +324,10 @@ object CorpusStats {
       // shared ceil-window owner (ceilUnitsSql) — the tail IS a unit
       // here, it just can't be a repeat (fewer words than any window)
       .select(col("doc_id"), expr(ceilUnitsSql(w)).as("us"))
-      // array_position is 1-based and returns the FIRST index; filter's
-      // lambda index is 0-based — unit i survives iff it is its own
-      // first occurrence
       .select(col("doc_id"),
-        expr("filter(us, (x, i) -> array_position(us, x) = i + 1)")
+        expr("""aggregate(us, cast(array() as array<string>),
+                  (acc, x) -> CASE WHEN array_contains(acc, x) THEN acc
+                              ELSE array_append(acc, x) END)""")
           .as("kept"))
       .select(col("doc_id"),
         size(col("kept")).cast("long").as("n_kept"),

@@ -187,7 +187,9 @@ class OpsSpec extends AnyFunSuite {
     assert(small.toSeq == Seq("a", "b").map(md5hex).sorted)
     // SHARD-MERGE LAW (the property that lets shards/days sketch
     // independently): bottom-k of the distinct union of two shards'
-    // minima == the whole corpus's minima (shards overlap on 0..99)
+    // minima == the whole corpus's minima. Shard A = value-0..149,
+    // shard B = value-100..199 ∪ value-0..49 (the dupes) — they
+    // overlap on {0..49, 100..149} and their union covers all 200
     def minima(vs: Seq[String]) = spark.sparkContext.parallelize(vs, 4)
       .toDF("v").agg(expr("kmv_minima(v, 16)"))
       .collect()(0).getSeq[String](0).toSeq
@@ -867,8 +869,10 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(hh.toSeq == again.toSeq)
     // SHARD-MERGE LAW: counters are pure sums, so the element-wise
-    // (d, pos) sum of two shards' sketches == the whole corpus's sketch
-    // — what lets shards/days/streams sketch independently and combine
+    // (d, pos) sum of two DISJOINT shards' sketches == the whole
+    // corpus's sketch — what lets shards/days/streams sketch
+    // independently and combine. Bag semantics: unlike HLL/KMV this
+    // merge is NOT idempotent — overlapping shards would double-count
     def cmsMap(d: org.apache.spark.sql.DataFrame) = {
       val toks = d.select(explode(expr(
         "filter(split(text, ' '), x -> x != '')")).as("token"))
