@@ -278,7 +278,7 @@ object Bench {
     // frontier_admitted / extract_headings / extract_tables /
     // table_records / host_components / extract_pubdate /
     // extract_fertility / lang_script_consistency / anchor_expand /
-    // cdx_retention / domain_freshness are fixture-scale (extraction-output or
+    // cdx_retention / domain_freshness / host_rank are fixture-scale (extraction-output or
     // in-code-fixture grain) — see the fixed-corpus note above
     resultsExtra("snapshot_diff") = timeTrials(1, 3) {
       graft.SparkEntry.queries("snapshot_diff")(spark, sfDir).count()

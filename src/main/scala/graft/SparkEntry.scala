@@ -492,6 +492,21 @@ object SparkEntry {
           countDistinct(col("url")).as("n_pages"),
           sum(col("chrome").cast("long")).as("n_chrome"))
         .orderBy("src_host", "dst_host")),
+    "host_rank" -> ((s, _) =>
+      // host-graph PageRank — the crawl-prioritization twin of
+      // link_hits (PageRank weights a host by who cites it through the
+      // damped walk; HITS splits hub/authority roles): intra-host
+      // edges dropped (site navigation self-reinforces and says
+      // nothing about cross-site endorsement), weights = link counts
+      // on the same authority grain as link_hostgraph, and the rank
+      // loop is the ONE pageRank owner textRank also runs
+      graft.ops.Graph.pageRank(
+        hostLinkGrain(extracted(s))
+          .filter(col("src_host") =!= col("dst_host"))
+          .groupBy(col("src_host").as("s"), col("dst_host").as("t"))
+          .agg(count(lit(1)).as("w")))
+        .select(col("token").as("host"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("host"))),
     "crawl_frontier" -> ((s, _) => frontier(s).orderBy("canon")),
     "frontier_admitted" -> ((s, _) => {
       // admission-gated frontier: discovery composed with the RFC 9309
@@ -2945,14 +2960,7 @@ FROM fp
 JOIN lh ON lh.feed_url = fp.feed_url AND lh.ord = fp.ord
 JOIN fh ON fh.feed_url = fp.feed_url AND fh.ord = fp.ord
 ORDER BY fp.feed_url, fp.ord""",
-    "graph_pagerank" -> {
-      // 5 unrolled integer-PageRank iterations; `rk` not `rank` (window
-      // keyword in DuckDB); sum(BIGINT) is HUGEINT → CAST back each step
-      val steps = (1 to 5).map(i =>
-        s"r$i AS (SELECT ej.t AS token, CAST(150000 + (850 * sum((r.rk * ej.w) // ej.outw)) // 1000 AS BIGINT) AS rk" +
-          s" FROM ej JOIN r${i - 1} r ON ej.s = r.token GROUP BY ej.t)")
-        .mkString(",\n")
-      s"""
+    "graph_pagerank" -> s"""
 WITH w AS (
   SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM ${D(sf)}
 ), p AS (
@@ -2967,13 +2975,20 @@ WITH w AS (
   SELECT s, t FROM pairs UNION ALL SELECT t AS s, s AS t FROM pairs
 ), e AS (
   SELECT s, t, CAST(count(*) AS BIGINT) AS w FROM und GROUP BY s, t
-), ow AS (
-  SELECT s, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY s
-), ej AS (SELECT e.s, e.t, e.w, ow.outw FROM e JOIN ow USING (s)),
-r0 AS (SELECT DISTINCT s AS token, CAST(1000000 AS BIGINT) AS rk FROM e),
-$steps
-SELECT token, rk AS rank_micro FROM r5 ORDER BY rank_micro DESC, token LIMIT 20"""
-    },
+),
+${graft.ops.Graph.pageRankOracleCtes(5)}
+SELECT token, rk AS rank_micro FROM r5 ORDER BY rank_micro DESC, token LIMIT 20""",
+    "host_rank" -> s"""
+WITH hg AS (
+  SELECT lower(split_part(url, '/', 3)) AS s,
+         lower(split_part(resolved, '/', 3)) AS t
+  FROM $GL
+), e AS (
+  SELECT s, t, CAST(count(*) AS BIGINT) AS w FROM hg WHERE s != t GROUP BY s, t
+),
+${graft.ops.Graph.pageRankOracleCtes(5)}
+SELECT token AS host, rk AS rank_micro FROM r5
+ORDER BY rank_micro DESC, host""",
     "text_topic" -> s"""
 WITH kw(token, topic) AS (VALUES
   ${graft.ops.Topics.taxonomyValuesSql}),

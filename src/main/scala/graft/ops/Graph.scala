@@ -54,28 +54,75 @@ object Graph {
         col("s") =!= col("t"))
     val und = pairs.unionAll(pairs.select(col("t").as("s"), col("s").as("t")))
     val edges = und.groupBy("s", "t").agg(count(lit(1)).as("w"))
-      // barrier: edges feed the out-weight agg and all `iters` joins
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    pageRank(edges, iters)
+      .orderBy(col("rank_micro").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** The integer-PageRank recursion over a weighted directed edge table
+    * `(s, t, w)` — ONE owner for the rank loop, consumed by
+    * [[textRank]] (word adjacency) and the host-graph `host_rank`
+    * query (a drifted copy would let word-level and host-level ranking
+    * damp differently). Nodes are ranked iff they have an OUT-edge
+    * (r0 = distinct s — the textRank convention, replayed by the
+    * oracle). Output: (token, rank_micro), unordered — callers own
+    * their ordering contract.
+    *
+    * 100 TB shape: `iters` fixed, each step shuffles only (node, long)
+    * rows; `edges` feeds the out-weight agg and every iteration's
+    * join, so it carries the persist barrier (ej likewise — it is the
+    * per-step join probe side). */
+  def pageRank(edges0: DataFrame, iters: Int = 5): DataFrame = {
+    // barrier: edges feed the out-weight agg and all `iters` joins
+    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
     val outw = edges.groupBy("s").agg(sum("w").as("outw"))
     val ej = edges.join(outw, Seq("s"))
       .select(col("s"), col("t"), col("w"), col("outw"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var rank = ej.select(col("s").as("token")).distinct()
-      .withColumn("rank", lit(1000000L))
+    // node-complete: on a DIRECTED graph (hosts) sources without
+    // in-edges must keep the base rank every step — an inner-join loop
+    // silently drops them and, on a shallow DAG, empties by r5. On
+    // textRank's symmetric graph every node has in-edges, so this
+    // left-join form is value-identical there (coalesce never fires).
+    // Dangling-node mass is NOT redistributed (standard simplification;
+    // score ORDER is the invariant, as with hits()).
+    val nodes = edges.select(col("s").as("token"))
+      .unionAll(edges.select(col("t").as("token"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rank = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      rank = ej.join(rank, ej("s") === rank("token"))
+      val contrib = ej.join(rank, ej("s") === rank("token"))
         .select(col("t"), expr("(rank * w) div outw").as("c"))
         .groupBy("t")
         .agg(sum("c").as("sc"))
-        // Column./ is FLOAT division — the integer `div` keeps the
-        // micro-unit arithmetic exact and oracle-replayable
-        .select(col("t").as("token"),
-          expr(s"${BaseMicro}L + ($DampMicroNum * sc) div 1000").as("rank"))
+      // Column./ is FLOAT division — the integer `div` keeps the
+      // micro-unit arithmetic exact and oracle-replayable
+      rank = nodes.join(contrib, nodes("token") === contrib("t"), "left")
+        .select(nodes("token"),
+          expr(s"${BaseMicro}L + ($DampMicroNum * coalesce(sc, 0L)) div 1000")
+            .as("rank"))
     }
     rank.select(col("token"), col("rank").as("rank_micro"))
-      .orderBy(col("rank_micro").desc, col("token").asc)
-      .limit(k)
+  }
+
+  /** DuckDB mirror of [[pageRank]]: `ow/ej/r0..r$iters` CTEs expecting
+    * an upstream `e(s, t, w)` CTE — ONE oracle owner shared by the
+    * graph_pagerank and host_rank oracles. `rk` not `rank` (window
+    * keyword in DuckDB); sum(BIGINT) is HUGEINT → CAST back each
+    * step. */
+  def pageRankOracleCtes(iters: Int): String = {
+    val steps = (1 to iters).map(i =>
+      s"""c$i AS (SELECT ej.t AS token, CAST(sum((r.rk * ej.w) // ej.outw) AS BIGINT) AS sc
+  FROM ej JOIN r${i - 1} r ON ej.s = r.token GROUP BY ej.t),
+r$i AS (SELECT n0.token, CAST($BaseMicro + ($DampMicroNum * coalesce(c.sc, 0)) // 1000 AS BIGINT) AS rk
+  FROM n0 LEFT JOIN c$i c USING (token))""")
+      .mkString(",\n")
+    s"""ow AS (
+  SELECT s, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY s
+), ej AS (SELECT e.s, e.t, e.w, ow.outw FROM e JOIN ow USING (s)),
+n0 AS (SELECT s AS token FROM e UNION SELECT t FROM e),
+r0 AS (SELECT token, CAST(1000000 AS BIGINT) AS rk FROM n0),
+$steps"""
   }
 
   /** HITS hub/authority scores (Kleinberg 1999, "Authoritative sources

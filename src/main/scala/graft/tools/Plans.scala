@@ -54,7 +54,7 @@ object Plans {
       // sixth-wind additions
       "extract_pubdate", "extract_fertility", "dedup_passages_indoc",
       "dedup_minhash_incremental", "lang_script_consistency",
-      "anchor_expand", "cdx_retention", "domain_freshness")
+      "anchor_expand", "cdx_retention", "domain_freshness", "host_rank")
       .foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       sb.append(s"## $q\n\n```\n")
