@@ -63,10 +63,12 @@ object Graph {
     * `(s, t, w)` — ONE owner for the rank loop, consumed by
     * [[textRank]] (word adjacency) and the host-graph `host_rank`
     * query (a drifted copy would let word-level and host-level ranking
-    * damp differently). Nodes are ranked iff they have an OUT-edge
-    * (r0 = distinct s — the textRank convention, replayed by the
-    * oracle). Output: (token, rank_micro), unordered — callers own
-    * their ordering contract.
+    * damp differently). NODE-COMPLETE: every endpoint (s ∪ t) is
+    * ranked every step — a directed source with no in-edges keeps the
+    * base rank instead of being dropped (replayed by the oracle's
+    * n0/left-join CTEs; pinned by the OpsSpec DAG unit). Output:
+    * (token, rank_micro), unordered — callers own their ordering
+    * contract.
     *
     * 100 TB shape: `iters` fixed, each step shuffles only (node, long)
     * rows; `edges` feeds the out-weight agg and every iteration's

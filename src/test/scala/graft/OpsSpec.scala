@@ -1619,6 +1619,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 1.0)) // identical text → all 8 minhashes equal
   }
 
+  test("pagerank: node-complete on a directed DAG, sink receives mass") {
+    import spark.implicits._
+    // a -> b -> c, plus d -> c: NO cycles, a and d have no in-edges.
+    // The pre-fix inner-join loop dropped a/d after step 1 and emptied
+    // the whole result by step 3 (no length-3 path exists) — this is
+    // the unit twin of the host_rank zero-rows bug
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("d", "c", 1L))
+      .toDF("s", "t", "w")
+    val out = graft.ops.Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"), out.toString)
+    // in-edge-less sources hold exactly the base rank
+    assert(out("a") == 150000L && out("d") == 150000L, out.toString)
+    // the sink accumulates the most mass; the chain middle beats sources
+    assert(out("c") > out("b") && out("b") > out("a"), out.toString)
+  }
+
   test("anchor expand: count-desc order, cap, tie-break, self-link drop") {
     import spark.implicits._
     val pages = Seq(
