@@ -1255,12 +1255,21 @@ object SparkEntry {
             WHEN 'kor' THEN 'cjk' WHEN 'ara' THEN 'arabic'
             WHEN 'fas' THEN 'arabic' WHEN 'urd' THEN 'arabic'
             WHEN 'heb' THEN 'other' ELSE NULL END"""))
+        // all-five-zero millis ⇔ n_chars = 0 (a non-empty page always
+        // gives other_milli > 0 for unclassified chars): an EMPTY page
+        // has NO dominant script — NULL, never a fabricated 'latin'
         .withColumn("dominant_script", expr("""
-          CASE greatest(latin_milli, cjk_milli, cyrillic_milli,
-                        arabic_milli, other_milli)
-            WHEN latin_milli THEN 'latin' WHEN cjk_milli THEN 'cjk'
-            WHEN cyrillic_milli THEN 'cyrillic'
-            WHEN arabic_milli THEN 'arabic' ELSE 'other' END"""))
+          CASE WHEN greatest(latin_milli, cjk_milli, cyrillic_milli,
+                             arabic_milli, other_milli) = 0 THEN NULL
+               WHEN latin_milli = greatest(latin_milli, cjk_milli,
+                 cyrillic_milli, arabic_milli, other_milli) THEN 'latin'
+               WHEN cjk_milli = greatest(latin_milli, cjk_milli,
+                 cyrillic_milli, arabic_milli, other_milli) THEN 'cjk'
+               WHEN cyrillic_milli = greatest(latin_milli, cjk_milli,
+                 cyrillic_milli, arabic_milli, other_milli) THEN 'cyrillic'
+               WHEN arabic_milli = greatest(latin_milli, cjk_milli,
+                 cyrillic_milli, arabic_milli, other_milli) THEN 'arabic'
+               ELSE 'other' END"""))
         .withColumn("consistent",
           expr("CASE WHEN expected_script IS NULL THEN NULL " +
             "ELSE expected_script = dominant_script END"))
@@ -3502,10 +3511,13 @@ e AS (
       WHEN 'ara' THEN 'arabic' WHEN 'fas' THEN 'arabic'
       WHEN 'urd' THEN 'arabic' WHEN 'heb' THEN 'other' ELSE NULL
     END AS expected_script,
-    CASE greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli)
-      WHEN latin_milli THEN 'latin' WHEN cjk_milli THEN 'cjk'
-      WHEN cyrillic_milli THEN 'cyrillic' WHEN arabic_milli THEN 'arabic'
-      ELSE 'other' END AS dominant_script
+    -- all-five-zero ⇔ n_chars = 0: empty page → NULL, never 'latin'
+    CASE WHEN greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli) = 0 THEN NULL
+         WHEN latin_milli = greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli) THEN 'latin'
+         WHEN cjk_milli = greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli) THEN 'cjk'
+         WHEN cyrillic_milli = greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli) THEN 'cyrillic'
+         WHEN arabic_milli = greatest(latin_milli, cjk_milli, cyrillic_milli, arabic_milli, other_milli) THEN 'arabic'
+         ELSE 'other' END AS dominant_script
   FROM sm
 )
 SELECT url, pred_lang, expected_script, dominant_script,

@@ -177,7 +177,7 @@ object CorpusStats {
     * either would let in-doc and corpus-wide dedup silently disagree on
     * what a passage is. The `size(ws) >= 1` guard matters: sequence(0,
     * -1) is the DESCENDING [0, -1], not empty. */
-  private def ceilUnitsSql(w: Int): String =
+  private[graft] def ceilUnitsSql(w: Int): String =
     s"""case when size(ws) >= 1
           then transform(sequence(0, (size(ws) + $w - 1) div $w - 1),
                          i -> array_join(slice(ws, i * $w + 1, $w), ' '))

@@ -25,12 +25,9 @@ object IndocProbe {
       println(f"[probe] $name%-22s best=${ts.min}%.2f s  trials=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    val w = 4
-    val units =
-      s"""case when size(ws) >= 1
-            then transform(sequence(0, (size(ws) + $w - 1) div $w - 1),
-                           i -> array_join(slice(ws, i * $w + 1, $w), ' '))
-            else cast(array() as array<string>) end"""
+    // the SHIPPED window algebra, not a private copy — if ceilUnitsSql
+    // changes, the probe keeps measuring the real formulation
+    val units = graft.ops.CorpusStats.ceilUnitsSql(4)
     def base = docs.select(col("doc_id"),
       expr("filter(split(text, ' '), x -> x != '')").as("ws"))
       .select(col("doc_id"), expr(units).as("us"))
