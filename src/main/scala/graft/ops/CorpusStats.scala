@@ -191,8 +191,9 @@ object CorpusStats {
     * re-tokenizes the corpus a second time just to recover tails. */
   private def passageUnits(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+    Par.spread(docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("pu_text")), "doc_id")
+      .select(col("doc_id"), wordsExpr("pu_text").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n"),
         posexplode(expr(ceilUnitsSql(w))))
       .select(col("doc_id"), col("pos"), col("col").as("p"),
@@ -319,8 +320,9 @@ object CorpusStats {
   def passageDedupInDoc(docs: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 4): DataFrame = {
     val w = windowWords
-    docs
-      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
+    Par.spread(docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("pi_text")), "doc_id")
+      .select(col("doc_id"), wordsExpr("pi_text").as("ws"))
       // shared ceil-window owner (ceilUnitsSql) — the tail IS a unit
       // here, it just can't be a repeat (fewer words than any window)
       .select(col("doc_id"), expr(ceilUnitsSql(w)).as("us"))
@@ -1038,10 +1040,12 @@ object CorpusStats {
     * document text never joins. */
   def trigramQuality(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {
-    val tris = docs
-      .select(col(idCol).as("doc_id"),
-        explode(expr(s"case when length($textCol) >= 3 then " +
-          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)) " +
+    val tris = Par.spread(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("tq_text")),
+        "doc_id")
+      .select(col("doc_id"),
+        explode(expr("case when length(tq_text) >= 3 then " +
+          "transform(sequence(1, length(tq_text) - 2), i -> substring(tq_text, i, 3)) " +
           "else array() end")).as("tri"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = tris.groupBy("tri")

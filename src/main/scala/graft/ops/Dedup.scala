@@ -92,14 +92,18 @@ object Dedup {
     * per-shingle allocation; equality with the builtin spec is
     * test-pinned); other k values fall back to the builtin form. */
   private def sigsOf(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    // spread BEFORE the signature projection: the k×shingles md5 work is
+    // the operator's CPU floor and must not serialize on one scan split
+    val base = Par.spread(
+      docs.select(col(idCol).as("id"), col(textCol).as("mh_text")), "id")
     if (k == 8) {
       graft.functions.GraftFunctions.register(docs.sparkSession)
-      docs.select(col(idCol).as("id"),
-        expr(s"minhash_sigs($textCol)").as("sig"))
-    } else docs
-      .select(col(idCol).as("id"), shinglesExpr(textCol).as("sh"))
+      base.select(col("id"), expr("minhash_sigs(mh_text)").as("sig"))
+    } else base
+      .select(col("id"), shinglesExpr("mh_text").as("sh"))
       .select(col("id"), minhashExpr("sh", k).as("sig"))
+  }
 
   /** Band-hash explode + exact skew cap over a [[sigsOf]] signature
     * table (extra columns ride through) — the other half of the shared
@@ -110,7 +114,22 @@ object Dedup {
     * signatures once: without the barrier Catalyst inlines the
     * k×shingles md5 tree into BOTH join sides and into est_jaccard,
     * recomputing it ~6× per row. At warehouse scale this persist is a
-    * real signature table (write once, join many). */
+    * real signature table (write once, join many).
+    *
+    * Shape note (r06, measured): the window's exchange is the ONLY
+    * exchange in the whole candidate path — the persist captures its
+    * (band_idx, band_hash) partitioning AND sort, so the downstream
+    * self-join runs exchange-free and sort-free off the cache. A
+    * two-phase groupBy+join cap with the est computed after a
+    * distinct-pairs step (the "shuffle keys, not payloads" ideal of
+    * guide §8) was built and benched at 1.89 s vs 1.25 s for this shape
+    * (VariantProbe, interleaved medians): it pays three extra exchanges
+    * and five extra stages, which at bench scale cost more than the
+    * payload bytes and redundant per-band est evaluations it saves.
+    * The window's skew exposure is bounded by the semantics itself:
+    * every row of a hot band partition is dropped by the cap filter
+    * immediately after counting, and the window buffers spill rather
+    * than OOM. */
   private def bandedCapped(sig: DataFrame, bands: Int, rows: Int,
       maxBucket: Int): DataFrame =
     sig.select(col("*"),
@@ -171,15 +190,20 @@ object Dedup {
     * de-sync the two verifiers. */
   private def gramIntersections(docs: DataFrame, idCol: String,
       textCol: String, maxBucket: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(shinglesExpr(textCol))).as("sh"))
-    // bucketed is the FORK (sizes + both self-join sides) — the barrier
-    // keeps the scan + shingle explode + window pass single-shot (the
-    // file-wide signature-table convention)
-    val bucketed = sh.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("sh"))))
+    val sh = Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("gi_text")), "id")
+      .select(col("id"), explode(array_distinct(shinglesExpr("gi_text"))).as("sh"))
+    // bucket cap as a TWO-PHASE count + join, not count().over(Window):
+    // a boilerplate shingle present in half the corpus would form one
+    // giant window partition (skew), where the groupBy collapses it
+    // map-side to a single (sh, n) row and the join fans that row back
+    // out — no hot-key buffering anywhere (guide §2.5 two-level agg).
+    // bucketed stays the FORK barrier (sizes + both self-join sides);
+    // sh itself is evaluated twice inside the one materialization (count
+    // side + probe side — a cheap no-hash explode).
+    val counts = sh.groupBy("sh").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
+    val bucketed = sh.join(counts, Seq("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = bucketed.groupBy("id").agg(count(lit(1)).as("sz"))
     bucketed.select(col("sh"), col("id").as("doc_a"))
@@ -259,8 +283,15 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sig = docs
-      .select(col(idCol).as("id"), expr(s"simhash64($textCol)").as("simhash"))
+    // spread BEFORE the signature projection (per-token md5 votes — the
+    // CPU floor must not serialize on one scan split)
+    // spread BEFORE the signature projection (per-token md5 votes — the
+    // CPU floor must not serialize on one scan split); the window cap
+    // keeps the exchange-free self-join shape (see bandedCapped's r06
+    // shape note — the two-phase cap was benched and lost locally)
+    val sig = Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("sh_text")), "id")
+      .select(col("id"), expr("simhash64(sh_text)").as("simhash"))
     val banded = sig.select(col("id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> cast(shiftright(simhash, k*16) & 65535 as int))")))
@@ -364,8 +395,13 @@ object Dedup {
         out.toSeq
       }
     }
-    val sig = emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    // spread BEFORE the projection UDF (planes×dims multiply per row —
+    // the CPU floor must not serialize on one scan split); the window
+    // cap keeps the exchange-free self-join shape (see bandedCapped's
+    // r06 shape note — two-phase cap + distinct-early pair/payload
+    // re-attach was benched and lost locally to the extra exchanges)
+    val sig = Par.spread(
+        emb.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
       .withColumn("bits", bitsUdf(col("v").cast("array<double>")))
     val banded = sig.select(col("id"), col("v"), col("bits"),
       posexplode(expr(
@@ -640,9 +676,9 @@ object Dedup {
     * barrier, same as minhashLsh). */
   def substringRuns(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40): DataFrame = {
-    val grams = docs
+    val grams = Par.spread(docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .filter(length(col("text")) >= minLen)
+      .filter(length(col("text")) >= minLen), "doc_id")
       .select(col("doc_id"), posexplode(expr(
         // unhex: 16-byte binary keys — half the persisted/shuffled bytes
         // of the 32-char hex form, same 128-bit exactness
@@ -667,9 +703,9 @@ object Dedup {
   def substringRunsRolling(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val grams = docs
+    val grams = Par.spread(docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .filter(length(col("text")) >= minLen)
+      .filter(length(col("text")) >= minLen), "doc_id")
       .select(col("doc_id"),
         posexplode(expr(s"rolling_hash2(text, $minLen, 131, 137)")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
@@ -697,9 +733,9 @@ object Dedup {
   def substringRunsKeepFirst(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val grams = docs
+    val grams = Par.spread(docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .filter(length(col("text")) >= minLen)
+      .filter(length(col("text")) >= minLen), "doc_id")
       .select(col("doc_id"),
         posexplode(expr(s"rolling_hash2(text, $minLen, 131, 137)")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
@@ -851,9 +887,9 @@ object Dedup {
       n: Int = 4, w: Int = 4, minShared: Long = 2L,
       maxBucket: Int = 100): DataFrame = {
     require(n >= 1 && w >= 1, s"n and w must be >= 1, got n=$n w=$w")
-    val fps = docs
+    val fps = Par.spread(docs
       .select(col(idCol).as("id"),
-        col(textCol))
+        col(textCol)), "id")
       .withColumn("ws", TextGrams.wordsExpr(textCol))
       .withColumn("grams", TextGrams.wordGramsExpr(n))
       // windows of w gram hashes, min each; fewer than w grams → the
@@ -867,12 +903,15 @@ object Dedup {
     // bucket cap on the fp key — same skew guard as the LSH joins; the
     // >= 2 floor prunes singleton fingerprints (the large majority in a
     // real corpus) BEFORE they shuffle into both join sides, where
-    // doc_a < doc_b would discard them anyway
-    val capped = fps.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("fp"))))
+    // doc_a < doc_b would discard them anyway. TWO-PHASE groupBy + join
+    // instead of count().over(Window) — the agg collapses a boilerplate
+    // fingerprint map-side where a window partition would buffer it
+    // (guide §2.5); the persist barrier moves to the md5-heavy
+    // fingerprint projection the count and probe sides both re-read
+    val fpT = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = fpT.groupBy("fp").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket && col("bucket_n") >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = fpT.join(counts, Seq("fp"))
     capped.select(col("fp"), col("id").as("doc_a"))
       .join(capped.select(col("fp"), col("id").as("doc_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))

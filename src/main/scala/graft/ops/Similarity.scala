@@ -73,8 +73,12 @@ object Similarity {
     // fused cosine_hof kernel — the declarative-formulation-fast-plan
     // contract the library's optimizer rule exists for
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .filter(nonZeroVec(col("cv")))
+    // spread the corpus side: the O(N·Q) scoring loop is the operator's
+    // CPU floor and must not serialize on one scan split (Par.spread is
+    // a no-op when the input layout is already wide)
+    val c = Par.spread(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+        .filter(nonZeroVec(col("cv"))), "nbr_id")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(nonZeroVec(col("qv")))
     // broadcast the QUERY side: the corpus is the 10^9-row side at scale,
@@ -97,8 +101,9 @@ object Similarity {
   def bruteForceTopKNative(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .filter(nonZeroVec(col("cv")))
+    val c = Par.spread(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+        .filter(nonZeroVec(col("cv"))), "nbr_id")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(nonZeroVec(col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
@@ -168,8 +173,9 @@ object Similarity {
     * map-side; the (C·dim)-row model is what crosses to the driver. */
   def kmeansMicro(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Int = 16, iters: Int = 3): Seq[(Long, Seq[Long])] = {
-    val vm = corpus.select(col(idCol).cast("long").as("vec_id"),
-        microCol(col(vecCol)).as("vm"))
+    val vm = Par.spread(
+        corpus.select(col(idCol).cast("long").as("vec_id"),
+          microCol(col(vecCol)).as("vm")), "vec_id")
       // a null ELEMENT would poison the per-dim sums (driver NPE on an
       // all-null (cell, dim) group, silently deflated mean otherwise):
       // train only on fully-defined vectors
@@ -226,9 +232,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
     val centsLit = typedLit(cents)
-    val assigned = corpus
+    val assigned = Par.spread(corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .filter(nonZeroVec(col("cv")))
+      .filter(nonZeroVec(col("cv"))), "nbr_id")
       .withColumn("vm", microCol(col("cv")))
       .withColumn("cell", assignCell(centsLit, col("vm")))
       .drop("vm")
@@ -285,9 +291,9 @@ object Similarity {
     val cellRankingSql =
       "array_sort(transform(cents, c -> named_struct(" +
         "'negcos', -cosine_sim(VEC, c._2), 'cent_id', c._1)))"
-    val assigned = corpus
+    val assigned = Par.spread(corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .filter(nonZeroVec(col("cv")))
+      .filter(nonZeroVec(col("cv"))), "nbr_id")
       .withColumn("cents", centsLit)
       .withColumn("cell",
         expr(s"element_at(${cellRankingSql.replace("VEC", "cv")}, 1).cent_id"))
@@ -331,14 +337,19 @@ object Similarity {
   def allPairsSetCosine(docs: DataFrame, idCol: String, textCol: String,
       minCos2Ppm: Long = 640000L, dfCap: Int = 100): DataFrame = {
     require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
-    val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextGrams.wordsExpr(textCol))).as("token"))
-    // capped is the FORK (sizes + both join sides) — persist barrier per
-    // the file-wide signature-table convention
-    val capped = toks.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("token")))
-      .filter(col("df") <= dfCap)
+    val toks = Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("ap_text")), "id")
+      .select(col("id"),
+        explode(array_distinct(TextGrams.wordsExpr("ap_text"))).as("token"))
+      // toks is the FORK (df counts + sizes + both join sides) — persist
+      // barrier per the file-wide signature-table convention
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df cap as a TWO-PHASE groupBy + join, not count().over(Window): a
+    // stopword's window partition is corpus-sized where the agg collapses
+    // it map-side to one (token, df) row (guide §2.5 two-level agg)
+    val dfs = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val capped = toks.join(dfs, Seq("token"))
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("sz"))
     val joinable = capped.filter(col("df") >= 2)
     val dots = joinable.select(col("token"), col("id").as("doc_a"))
@@ -398,9 +409,9 @@ object Similarity {
     val centsLit = typedLit(cents)
     // assigned feeds BOTH sides of the in-cell self-join and the final
     // left join — persist barrier per the file-wide convention
-    val assigned = corpus
+    val assigned = Par.spread(corpus
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("cv"))
-      .filter(nonZeroVec(col("cv")))
+      .filter(nonZeroVec(col("cv"))), "vec_id")
       .withColumn("vm", microCol(col("cv")))
       .withColumn("cell", assignCell(centsLit, col("vm")))
       .drop("vm")
