@@ -126,6 +126,8 @@ object GraftFunctions {
       RollingHash2(exprs(0), GraftFunctions.litInt(exprs(1)),
         GraftFunctions.litInt(exprs(2)).toLong,
         GraftFunctions.litInt(exprs(3)).toLong))
+    reg1("md5_grams", exprs =>
+      Md5Grams(exprs(0), GraftFunctions.litInt(exprs(1))))
     // optimizer integration on a plain (extension-less) session: rewrite
     // builtin HOF cosine trees into the fused native kernel; idempotent
     val extra = spark.experimental.extraOptimizations

@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RollingHash2(exprs(0), GraftFunctions.litInt(exprs(1)),
           GraftFunctions.litInt(exprs(2)).toLong,
           GraftFunctions.litInt(exprs(3)).toLong)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_grams"),
+      info(classOf[Md5Grams], "md5_grams"), // fused md5-per-window grams
+      (exprs: Seq[Expression]) =>
+        Md5Grams(exprs(0), GraftFunctions.litInt(exprs(1)))))
     // builtin-HOF-cosine → fused native kernel (semantics-preserving;
     // see NativeCosineRule scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.NativeCosineRule)

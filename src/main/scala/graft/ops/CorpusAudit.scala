@@ -29,8 +29,12 @@ object CorpusAudit {
     * AND both sides of the pair join. */
   def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
       n: Int = 8): DataFrame = {
-    val grain = docs
-      .select(col(srcCol).as("source"), TextGrams.wordsExpr(textCol).as("ws"))
+    // spread on the text key (no unique id in this operator's contract;
+    // text is near-unique — a deterministic, near-uniform key) so the
+    // md5-per-gram explode never serializes on one scan split
+    val grain = Par.spread(docs
+      .select(col(srcCol).as("source"), col(textCol).as("so_text")), "so_text")
+      .select(col("source"), TextGrams.wordsExpr("so_text").as("ws"))
       .select(col("source"), explode(TextGrams.wordGramsExpr(n)).as("gh"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -320,9 +320,11 @@ object CorpusStats {
   def passageDedupInDoc(docs: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 4): DataFrame = {
     val w = windowWords
-    Par.spread(docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("pi_text")), "doc_id")
-      .select(col("doc_id"), wordsExpr("pi_text").as("ws"))
+    // NO input spread: this operator's whole contract is zero-shuffle
+    // (the keep decision never leaves the row), and adding the spread
+    // exchange benched at +0.16 s (r06) for ~230 ms of single-task work
+    docs
+      .select(col(idCol).as("doc_id"), wordsExpr(textCol).as("ws"))
       // shared ceil-window owner (ceilUnitsSql) — the tail IS a unit
       // here, it just can't be a repeat (fewer words than any window)
       .select(col("doc_id"), expr(ceilUnitsSql(w)).as("us"))

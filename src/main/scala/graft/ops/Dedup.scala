@@ -285,13 +285,12 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // spread BEFORE the signature projection (per-token md5 votes — the
     // CPU floor must not serialize on one scan split)
-    // spread BEFORE the signature projection (per-token md5 votes — the
-    // CPU floor must not serialize on one scan split); the window cap
-    // keeps the exchange-free self-join shape (see bandedCapped's r06
-    // shape note — the two-phase cap was benched and lost locally)
-    val sig = Par.spread(
-        docs.select(col(idCol).as("id"), col(textCol).as("sh_text")), "id")
-      .select(col("id"), expr("simhash64(sh_text)").as("simhash"))
+    // NO input spread here (unlike minhashLsh): simhash64 is one md5 per
+    // token — ~140 ms single-task at bench scale — and the banding
+    // window's exchange redistributes immediately after it anyway;
+    // adding a spread exchange was benched at +0.12 s (r06)
+    val sig = docs
+      .select(col(idCol).as("id"), expr(s"simhash64($textCol)").as("simhash"))
     val banded = sig.select(col("id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> cast(shiftright(simhash, k*16) & 65535 as int))")))
@@ -488,11 +487,14 @@ object Dedup {
       // real cluster with lossy executors use reliable checkpointing —
       // same call shape, sc.setCheckpointDir.)
       val roots = prop.select(col("id").as("rid"), col("label").as("rlabel"))
+      // LAZY checkpoint: the convergence count below is the first action,
+      // so it doubles as the checkpoint's materialization job — one job
+      // per round instead of two (eager + count), same truncated lineage
       val next = prop.join(roots, prop("label") === roots("rid"), "left")
         .select(prop("id").as("id"), prop("old_label").as("old_label"),
           least(prop("label"), coalesce(col("rlabel"), prop("label")))
             .as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")
       iter += 1
@@ -676,14 +678,17 @@ object Dedup {
     * barrier, same as minhashLsh). */
   def substringRuns(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = Par.spread(docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= minLen), "doc_id")
-      .select(col("doc_id"), posexplode(expr(
-        // unhex: 16-byte binary keys — half the persisted/shuffled bytes
-        // of the 32-char hex form, same 128-bit exactness
-        s"transform(sequence(1, length(text) - $minLen + 1)," +
-          s" i -> unhex(md5(substring(text, i, $minLen))))")))
+      // md5_grams = the fused native form of
+      //   transform(sequence(1, length(text)-L+1),
+      //             i -> unhex(md5(substring(text, i, L))))
+      // — value-identical 16-byte keys (equality with the builtin spec
+      // is test-pinned), without the O(pos) substring walk per window,
+      // the hex/unhex round-trip, or a MessageDigest per call
+      .select(col("doc_id"), posexplode(expr(s"md5_grams(text, $minLen)")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     substringRunsFromGrams(grams, Seq("h"), minLen)

@@ -43,8 +43,11 @@ object Graph {
     * ordered rank desc then token asc — fully deterministic. */
   def textRank(docs: DataFrame, textCol: String, iters: Int = 5,
       k: Int = 20): DataFrame = {
-    val pairs = docs
-      .select(TextGrams.wordsExpr(textCol).as("ws"))
+    // spread on the text key (this operator has no id column; text is
+    // unique up to duplicate docs — a deterministic, near-uniform key)
+    val pairs = Par.spread(
+        docs.select(col(textCol).as("tr_text")), "tr_text")
+      .select(TextGrams.wordsExpr("tr_text").as("ws"))
       .select(explode(expr(
         "case when size(ws) >= 2 then transform(sequence(1, size(ws) - 1)," +
           " i -> struct(ws[i - 1] as s, ws[i] as t)) else array() end"))
@@ -52,7 +55,12 @@ object Graph {
       .select(col("p.s").as("s"), col("p.t").as("t"))
       .filter(length(col("s")) >= 3 && length(col("t")) >= 3 &&
         col("s") =!= col("t"))
-    val und = pairs.unionAll(pairs.select(col("t").as("s"), col("s").as("t")))
+    // both edge directions from ONE explode pass (the former
+    // pairs ∪ pairs.swap union evaluated the bigram explode twice)
+    val und = pairs.select(explode(array(
+        struct(col("s"), col("t")),
+        struct(col("t").as("s"), col("s").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
     val edges = und.groupBy("s", "t").agg(count(lit(1)).as("w"))
     pageRank(edges, iters)
       .orderBy(col("rank_micro").desc, col("token").asc)

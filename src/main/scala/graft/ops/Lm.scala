@@ -45,9 +45,12 @@ object Lm {
     * collect and its threshold lineage instead of re-scanning. */
   private def gramGrain(docs: DataFrame, idCol: String, textCol: String,
       barrier: Boolean = true): DataFrame = {
-    val g = docs
+    // spread BEFORE the gram explode (md5 per bigram is the CPU floor
+    // and must not serialize on one scan split; no-op on wide layouts)
+    val g = Par.spread(docs
       .select(col(idCol).cast("long").as("doc_id"),
-        TextGrams.wordsExpr(textCol).as("ws"))
+        col(textCol).as("lm_text")), "doc_id")
+      .select(col("doc_id"), TextGrams.wordsExpr("lm_text").as("ws"))
       .select(col("doc_id"), explode(TextGrams.wordGramsExpr(2)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
     // single-consumer callers skip the barrier — persisting a grain

@@ -232,9 +232,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansMicro(corpus, idCol, vecCol, centroids, iters)
     val centsLit = typedLit(cents)
-    val assigned = Par.spread(corpus
+    val assigned = corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .filter(nonZeroVec(col("cv"))), "nbr_id")
+      .filter(nonZeroVec(col("cv")))
       .withColumn("vm", microCol(col("cv")))
       .withColumn("cell", assignCell(centsLit, col("vm")))
       .drop("vm")
@@ -291,9 +291,11 @@ object Similarity {
     val cellRankingSql =
       "array_sort(transform(cents, c -> named_struct(" +
         "'negcos', -cosine_sim(VEC, c._2), 'cent_id', c._1)))"
-    val assigned = Par.spread(corpus
+    // no input spread: the (cell → query) join below repartitions right
+    // after assignment, and the spread exchange benched at +0.08 s (r06)
+    val assigned = corpus
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .filter(nonZeroVec(col("cv"))), "nbr_id")
+      .filter(nonZeroVec(col("cv")))
       .withColumn("cents", centsLit)
       .withColumn("cell",
         expr(s"element_at(${cellRankingSql.replace("VEC", "cv")}, 1).cent_id"))

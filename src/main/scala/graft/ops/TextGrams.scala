@@ -34,8 +34,12 @@ private[ops] object TextGrams {
     * prunes rows BEFORE any shuffle. */
   def tokenGrain(docs: DataFrame, idCol: String, textCol: String,
       tokenFilter: Option[Column] = None): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(wordsExpr(textCol)).as("token"))
+    // spread BEFORE the token explode — the tokenize+explode is the
+    // expensive half of an index build and must not serialize on one
+    // scan split (Par.spread is a no-op on already-wide layouts)
+    val base = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("tg_text")), "doc_id")
+      .select(col("doc_id"), explode(wordsExpr("tg_text")).as("token"))
     tokenFilter.fold(base)(base.filter)
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"))

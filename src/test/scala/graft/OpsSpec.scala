@@ -812,6 +812,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5_grams native expression equals the builtin spec") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // every text >= L chars (the operator domain: substringRuns filters
+    // shorter docs before hashing); multibyte rows pin the
+    // byte-offset-per-character window math
+    val docs = Seq("exactly-forty-characters-long-string-42!",
+      "the quick brown fox jumps over the lazy dog and keeps running onward",
+      "naïve café — résumé text with multibyte çhars über ånd mœre " +
+        "padded out to comfortably exceed forty characters",
+      "数据处理管道提取文档内容分析系统网络页面文本引擎多字节" * 3,
+      ("repeat me " * 30).trim).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val l = 40
+    val builtin = docs.select(col("doc_id"), expr(
+        s"transform(sequence(1, length(text) - $l + 1)," +
+          s" i -> unhex(md5(substring(text, i, $l))))").as("g"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1).map(_.toSeq)).toMap
+    val native = docs.select(col("doc_id"),
+        expr(s"md5_grams(text, $l)").as("g"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1).map(_.toSeq)).toMap
+    builtin.foreach { case (id, g) =>
+      assert(native(id) == g, s"doc $id md5_grams drift")
+    }
+  }
+
   test("simhash64 native expression is bit-identical to the builtin spec") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
