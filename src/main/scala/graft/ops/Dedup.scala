@@ -169,10 +169,18 @@ object Dedup {
       col("id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      // duplicate-pair collapse BEFORE the est evaluation: a pair sharing
+      // several bands appears once per shared band, and sig is a pure
+      // function of the unique id, so first() per pair is deterministic
+      // and the k-wide zip/filter/size HOF runs once per DISTINCT pair
+      // instead of once per band copy (benched −0.1 s vs est-then-
+      // distinct; the same collapse via a distinct-pairs + sig re-attach
+      // join benched −0.6 s WORSE — see bandedCapped's shape note)
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
       .select(col("doc_a"), col("doc_b"),
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)")
           .as("est_jaccard"))
-      .distinct()
   }
 
   /** Distinct-shingle intersection table: one row per co-shingled pair
@@ -634,10 +642,13 @@ object Dedup {
     val b = sized.filter(!col("is_new")).select(col("band_idx"),
       col("band_hash"), col("id").as("dup_of"), col("sig").as("sig_b"))
     a.join(b, Seq("band_idx", "band_hash"))
+      // duplicate-pair collapse before the est HOF — same deterministic
+      // first()-per-pair argument as [[minhashLsh]]
+      .groupBy("doc_id", "dup_of")
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
       .select(col("doc_id"), col("dup_of"),
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)")
           .as("est_jaccard"))
-      .distinct()
   }
 
   /** [[minhashApply]]'s embedding-space twin: sign-LSH cosine pairs →
