@@ -339,19 +339,20 @@ object Similarity {
   def allPairsSetCosine(docs: DataFrame, idCol: String, textCol: String,
       minCos2Ppm: Long = 640000L, dfCap: Int = 100): DataFrame = {
     require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
-    val toks = Par.spread(
-        docs.select(col(idCol).as("id"), col(textCol).as("ap_text")), "id")
-      .select(col("id"),
-        explode(array_distinct(TextGrams.wordsExpr("ap_text"))).as("token"))
-      // toks is the FORK (df counts + sizes + both join sides) — persist
-      // barrier per the file-wide signature-table convention
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // df cap as a TWO-PHASE groupBy + join, not count().over(Window): a
-    // stopword's window partition is corpus-sized where the agg collapses
-    // it map-side to one (token, df) row (guide §2.5 two-level agg)
-    val dfs = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    // r5 window-cap shape kept DELIBERATELY (r06, measured): the same
+    // two-phase groupBy+join cap that de-skewed gramIntersections benched
+    // 0.42 -> 0.62 s here — the token explode is cheap (no md5), so the
+    // extra persist + agg exchange dominate; the window's exchange is the
+    // only one in the path and the self-join reuses its partitioning off
+    // the cache (same trade-off as bandedCapped's r06 shape note)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextGrams.wordsExpr(textCol))).as("token"))
+    // capped is the FORK (sizes + both join sides) — persist barrier per
+    // the file-wide signature-table convention
+    val capped = toks.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
       .filter(col("df") <= dfCap)
-    val capped = toks.join(dfs, Seq("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("sz"))
     val joinable = capped.filter(col("df") >= 2)
     val dots = joinable.select(col("token"), col("id").as("doc_a"))
