@@ -291,8 +291,6 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // spread BEFORE the signature projection (per-token md5 votes — the
-    // CPU floor must not serialize on one scan split)
     // NO input spread here (unlike minhashLsh): simhash64 is one md5 per
     // token — ~140 ms single-task at bench scale — and the banding
     // window's exchange redistributes immediately after it anyway;
